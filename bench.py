@@ -1,0 +1,60 @@
+#!/usr/bin/env python
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from puma_matcher_spark.queries import REGISTRY  # noqa: E402
+from puma_matcher_spark.session import get_spark  # noqa: E402
+
+BENCH_QUERIES = [
+    "entity_scores",       # J1 self-join + A4 TF-IDF roll-up (engine spine)
+    "match_candidates",    # flagship: matcher → scorer → filter chain
+    "match_stats",         # A7 per-doc stats over both score families
+    "total_score",         # A8/W2 weighted contextual score
+    "pricing_summary",     # scan/agg throughput anchor
+    "dedup_exact",         # content-hash dedup
+    "doc_token_stats",     # text-analysis plane
+    "match_ranks",         # W6 global ranking
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("puma-matcher-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = REGISTRY[name].spark_fn
+        fn(spark, sf_dir).count()  # warm once (plan + IO caches)
+        start = time.monotonic()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.monotonic() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,207 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+Design for 100 TB:
+
+* **exact** — one md5 per doc map-side, one groupBy shuffle on the hash.
+* **MinHash+LSH** — shingle → k minhashes → band keys; candidate pairs come
+  from an equi-join on (band, band_key), never an all-pairs product.  Band
+  buckets are the only skew risk (boilerplate documents); cap bucket size
+  like the entity-frequency guard.
+* **n-gram Jaccard** — exact verification on LSH candidates (or direct
+  shingle-join candidates at small scale).
+
+The minhash here is deliberately *portable arithmetic* (md5-derived 60-bit
+integers, seed-suffix rehash) rather than JVM hash functions, so the DuckDB
+oracle can reproduce it bit-for-bit.  ``conv(substr(md5(x),1,15),16,10)``
+≡ DuckDB ``('0x' || substr(md5(x),1,15))::bigint``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from puma_matcher_spark.llmdata.textstats import tokens
+
+DEFAULT_NUM_HASHES = 8
+DEFAULT_BAND_SIZE = 2  # 8 hashes / 2 per band = 4 bands
+DEFAULT_SHINGLE = 3
+
+
+def portable_hash60(c: Column) -> Column:
+    """Deterministic 60-bit positive hash identical in Spark and DuckDB."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup: group by content hash, keep the min doc_id as canonical."""
+    normalised = F.concat_ws(" ", tokens(F.lower(F.col(text_col))))
+    return (
+        docs.select("doc_id", F.md5(normalised).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("doc_count"),
+            F.min("doc_id").alias("keep_id"),
+        )
+    )
+
+
+def shingles(docs: DataFrame, n: int = DEFAULT_SHINGLE, text_col: str = "text") -> DataFrame:
+    """Distinct word n-gram shingles per document.
+
+    Built with a positional explode + self-equi-join on (doc, pos+i) —
+    identical shape in the SQL oracle.  (Spark alternative `transform` over
+    index sequences is equivalent; the join form keeps both engines
+    byte-identical.)
+    """
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens(F.lower(F.col(text_col)))).alias("pos", "tok")
+    )
+    out = toks.select("doc_id", F.col("pos"), F.col("tok").alias("t0"))
+    for i in range(1, n):
+        nxt = toks.select(
+            "doc_id", (F.col("pos") - i).alias("pos"), F.col("tok").alias(f"t{i}")
+        )
+        out = out.join(nxt, ["doc_id", "pos"])
+    sh = F.concat_ws(" ", *[F.col(f"t{i}") for i in range(n)])
+    return out.select("doc_id", sh.alias("shingle")).distinct()
+
+
+def minhash_signatures(
+    shingle_df: DataFrame, num_hashes: int = DEFAULT_NUM_HASHES
+) -> DataFrame:
+    """k seed-suffixed md5 minhashes per doc: min over shingles of
+    hash60(shingle || '#' || seed)."""
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
+    seeded = shingle_df.select("doc_id", "shingle", seeds)
+    h = portable_hash60(F.concat_ws("#", F.col("shingle"), F.col("seed")))
+    return (
+        seeded.withColumn("h", h)
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def lsh_band_keys(
+    signatures: DataFrame, band_size: int = DEFAULT_BAND_SIZE
+) -> DataFrame:
+    """Band keys: md5 of the '-'-joined minhashes of each band (ordered by
+    seed — made deterministic with sort_array over (seed, minhash) structs,
+    not by relying on collect order)."""
+    banded = signatures.withColumn("band", (F.col("seed") / band_size).cast("int"))
+    sig_concat = F.concat_ws(
+        "-",
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("seed", "minhash"))),
+            lambda x: x["minhash"].cast("string"),
+        ),
+    )
+    return banded.groupBy("doc_id", "band").agg(
+        F.md5(sig_concat).alias("band_key")
+    )
+
+
+def lsh_candidate_pairs(band_keys: DataFrame) -> DataFrame:
+    """Docs sharing any band bucket → distinct candidate pairs (dv1 < dv2)."""
+    a = band_keys.select("band", "band_key", F.col("doc_id").alias("doc1_id"))
+    b = band_keys.select("band", "band_key", F.col("doc_id").alias("doc2_id"))
+    return (
+        a.join(b, ["band", "band_key"])
+        .where(F.col("doc1_id") < F.col("doc2_id"))
+        .select("doc1_id", "doc2_id")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_size: int = DEFAULT_BAND_SIZE,
+    shingle_n: int = DEFAULT_SHINGLE,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup candidate pipeline."""
+    return lsh_candidate_pairs(
+        lsh_band_keys(
+            minhash_signatures(shingles(docs, shingle_n), num_hashes), band_size
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    shingle_n: int = DEFAULT_SHINGLE,
+    min_jaccard: float = 0.0,
+    max_shingle_df: int = 2000,
+) -> DataFrame:
+    """Exact n-gram Jaccard over shingle-join candidates.
+
+    ``max_shingle_df`` is the boilerplate guard: shingles present in more
+    than that many docs are dropped from candidate *generation* (they would
+    produce quadratic pairs) but still counted in the per-doc sizes, so
+    Jaccard stays exact for the pairs that survive.
+    """
+    sh = shingles(docs, shingle_n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    sh_df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    rare = sh.join(
+        F.broadcast(sh_df.filter(F.col("df") <= max_shingle_df).select("shingle")),
+        "shingle",
+    )
+    a = rare.select("shingle", F.col("doc_id").alias("doc1_id"))
+    b = rare.select("shingle", F.col("doc_id").alias("doc2_id"))
+    common = (
+        a.join(b, "shingle")
+        .where(F.col("doc1_id") < F.col("doc2_id"))
+        .groupBy("doc1_id", "doc2_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+    )
+    s1 = sizes.select(
+        F.col("doc_id").alias("doc1_id"), F.col("n_shingles").alias("n1")
+    )
+    s2 = sizes.select(
+        F.col("doc_id").alias("doc2_id"), F.col("n_shingles").alias("n2")
+    )
+    return (
+        common.join(F.broadcast(s1), "doc1_id")
+        .join(F.broadcast(s2), "doc2_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common") / (F.col("n1") + F.col("n2") - F.col("common")), 4
+            ),
+        )
+        .where(F.col("jaccard") >= min_jaccard)
+        .select("doc1_id", "doc2_id", "common", "jaccard")
+    )
+
+
+def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over tokens (weighted bit-vote, portable arithmetic).
+
+    Per token: 60-bit md5 hash; for each bit position, vote +tf / -tf; the
+    sign vector is the fingerprint.  Expressed as explode(token) ×
+    explode(bit) → conditional sum → bit reassembly.  One shuffle on
+    (doc, bit); at 100 TB prefer the map-side variant with a pandas UDF if
+    the 60× row blowup dominates (documented trade-off).
+    """
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col(text_col)))).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    hashed = tf.withColumn("h", portable_hash60(F.col("tok")))
+    bits = hashed.select(
+        "doc_id",
+        "tf",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(59))).alias("bit"),
+    )
+    vote = F.when(
+        F.expr("shiftright(h, bit) & 1") == 1, F.col("tf")
+    ).otherwise(-F.col("tf"))
+    bit_votes = bits.groupBy("doc_id", "bit").agg(F.sum(vote).alias("vote"))
+    bit_val = F.when(
+        F.col("vote") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
+    ).otherwise(F.lit(0).cast("long"))
+    return bit_votes.groupBy("doc_id").agg(
+        F.sum(bit_val).cast("long").alias("simhash")
+    )

@@ -1,0 +1,155 @@
+"""Similarity search over embedding columns (array<float/double>).
+
+* ``brute_force_topk`` — exact cosine top-k via ``F.zip_with`` +
+  ``F.aggregate`` (JVM-side, codegen) over a query×corpus join.  The join
+  broadcasts the (small) query set; cost is |queries| × |corpus| × dim,
+  fully distributed — correct baseline, quadratic path.
+* ``lsh_bucketed_topk`` — the scale path: random-hyperplane (sign-LSH)
+  bucket keys; candidates only within matching buckets, then exact rerank.
+  At 100 TB the bucket join replaces the full product; recall is tuned by
+  (n_planes, n_tables).
+
+Hyperplanes are generated from a seeded NumPy RNG on the driver (tiny) and
+folded in as literal arrays — deterministic, no shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k of each query against the corpus.
+
+    ``queries`` is broadcast (must be small); rank ties broken by candidate
+    id for determinism.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    sims = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine(
+                    F.col("q_vec").cast("array<double>"),
+                    F.col("c_vec").cast("array<double>"),
+                ),
+                4,
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def sign_lsh_keys(
+    embeddings: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Random-hyperplane signature: one bit per plane (sign of dot)."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    v = F.col(vec_col).cast("array<double>")
+    key = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(dot(v, plane) > 0, F.lit(1)).otherwise(F.lit(0))
+        key = key + bit.cast("long") * F.lit(1 << i)
+    return embeddings.select(F.col(id_col), key.alias("bucket"))
+
+
+def lsh_bucketed_topk(
+    embeddings: DataFrame,
+    k: int = 10,
+    dim: int = 64,
+    n_planes: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN: exact rerank within sign-LSH buckets.
+
+    One shuffle on ``bucket``; expected bucket size |corpus| / 2^n_planes
+    keeps the within-bucket product tractable.  Recall < 1 by construction
+    (approximate); raise recall with multiple seeds unioned.
+    """
+    keyed = embeddings.join(
+        sign_lsh_keys(embeddings, dim, n_planes, seed, vec_col, id_col), id_col
+    )
+    a = keyed.select(
+        "bucket", F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    b = keyed.select(
+        "bucket", F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    sims = (
+        a.join(b, "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine(
+                    F.col("q_vec").cast("array<double>"),
+                    F.col("c_vec").cast("array<double>"),
+                ),
+                4,
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )

@@ -1,0 +1,132 @@
+"""Testdata sources: raw parquet tables + the derived logical corpus views.
+
+The reference loads everything from Postgres through pushdown subqueries
+(reference: matching/datasource/DataSourceStorage.scala:25-270, one SQL
+string per source).  The rebuild reads parquet and derives the same logical
+shapes from the driver's TPC-H-ish synthetic tables, per FIXTURES.md §9:
+
+* ``orders``   → documents dim (o_orderkey = document_version_id,
+                 o_custkey parity = PROPOSAL/PUBLICATION, o_orderdate = date,
+                 o_orderstatus = 'F' = obsolete)
+* ``lineitem`` → entity affiliations (l_orderkey = document_version_id,
+                 l_partkey = entity_id); l_suppkey gives a second entity
+                 family so multi-type filters are exercisable
+* ``part``     → titles (p_name as title text)
+* ``customer`` → person dedup input
+* ``documents``/``embeddings``/``events`` → LLM-data + streaming planes
+
+Every derivation here has a verbatim SQL twin in ``queries.py`` so the
+DuckDB oracle sees the exact same logical tables.
+
+Scale note: at 100 TB these become partitioned parquet/Iceberg scans; the
+derivations are pure projections so Catalyst pushes column pruning and
+predicates into the scan (verify with ``df.explain`` → ``ReadSchema``,
+``PushedFilters``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+RAW_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+@dataclass
+class Tables:
+    """Lazy holder for the raw tables + derived corpus views of one sf dir.
+
+    Mirrors DataSourceStorage's memoized lazy sources
+    (reference: datasource/SqlDataSource.scala:34-58 — load once, cache).
+    """
+
+    spark: SparkSession
+    sf_dir: str
+
+    def raw(self, name: str) -> DataFrame:
+        if name not in RAW_TABLES:
+            raise KeyError(name)
+        return self.spark.read.parquet(f"{self.sf_dir}/{name}.parquet")
+
+    # --- derived corpus views (logical model of the reference) ---
+
+    def documents_dim(self) -> DataFrame:
+        """Documents dimension ← orders (FIXTURES.md §9).
+
+        SQL twin: see queries.DOCUMENTS_DIM_SQL.
+        """
+        o = self.raw("orders")
+        return o.select(
+            o.o_orderkey.alias("document_version_id"),
+            F.when(o.o_custkey % 2 == 0, F.lit("PROPOSAL"))
+            .otherwise(F.lit("PUBLICATION"))
+            .alias("document_type"),
+            o.o_orderdate.alias("date"),
+            (o.o_orderstatus == "F").alias("obsolete"),
+        )
+
+    def entities(self) -> DataFrame:
+        """Primary entity affiliation (person-like) ← lineitem partkeys."""
+        li = self.raw("lineitem")
+        return li.select(
+            li.l_orderkey.alias("document_version_id"),
+            li.l_partkey.alias("entity_id"),
+        )
+
+    def entities_secondary(self) -> DataFrame:
+        """Second entity family (laboratory-like) ← lineitem suppkeys.
+
+        Note: suppliers are so few that every one trips the N/20 frequency
+        guard — useful for guard tests, not for producing pairs.
+        """
+        li = self.raw("lineitem")
+        return li.select(
+            li.l_orderkey.alias("document_version_id"),
+            li.l_suppkey.alias("entity_id"),
+        )
+
+    def entities_secondary_orders(self) -> DataFrame:
+        """Laboratory-like entity family ← orders customer links: docs of
+        the same customer share an entity (~10 docs/customer — realistic
+        lab-affiliation fan-out).  SQL twin: queries.V_ENTITIES2."""
+        o = self.raw("orders")
+        return o.select(
+            o.o_orderkey.alias("document_version_id"),
+            o.o_custkey.alias("entity_id"),
+        )
+
+    def persons(self) -> DataFrame:
+        """Person dedup input ← customer (FIXTURES.md §4 analog)."""
+        c = self.raw("customer")
+        return c.select(
+            c.c_custkey.alias("id"),
+            c.c_name.alias("name"),
+            c.c_nationkey.alias("nation"),
+            c.c_acctbal.alias("acctbal"),
+        )
+
+    def llm_documents(self) -> DataFrame:
+        return self.raw("documents")
+
+    def llm_embeddings(self) -> DataFrame:
+        return self.raw("embeddings")
+
+    def events(self) -> DataFrame:
+        return self.raw("events")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> Tables:
+    return Tables(spark=spark, sf_dir=sf_dir)

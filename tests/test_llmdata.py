@@ -1,0 +1,109 @@
+"""Unit tests for the LLM-data-pipeline operators."""
+
+from pyspark.sql import functions as F
+
+from puma_matcher_spark.llmdata import dedup as dd
+from puma_matcher_spark.llmdata import similarity as sim
+from puma_matcher_spark.llmdata import textstats as ts
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_duplicates_groups_normalised_text(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "the quick brown fox"),
+            (2, "The  quick Brown fox"),  # same after lower + ws-normalise
+            (3, "something else"),
+        ],
+    )
+    out = {r["keep_id"]: r["doc_count"] for r in dd.exact_duplicates(docs).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_shingles_are_distinct_ngrams(spark):
+    docs = _docs(spark, [(1, "a b c d")])
+    got = {r["shingle"] for r in dd.shingles(docs, 3).collect()}
+    assert got == {"a b c", "b c d"}
+
+
+def test_minhash_identical_docs_share_all_bands(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "w1 w2 w3 w4 w5 w6 w7 w8"),
+            (2, "w1 w2 w3 w4 w5 w6 w7 w8"),
+            (3, "x1 x2 x3 x4 x5 x6 x7 x8"),
+        ],
+    )
+    pairs = {
+        (r["doc1_id"], r["doc2_id"])
+        for r in dd.minhash_dedup_pairs(docs).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_ngram_jaccard_exact_value(spark):
+    # doc1: shingles {a b c, b c d}; doc2: {a b c}; J = 1/2
+    docs = _docs(spark, [(1, "a b c d"), (2, "a b c")])
+    rows = dd.ngram_jaccard_pairs(docs, 3).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["doc1_id"], r["doc2_id"], r["common"]) == (1, 2, 1)
+    assert abs(r["jaccard"] - 0.5) < 1e-9
+
+
+def test_simhash_near_dups_have_close_hashes(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = _docs(
+        spark,
+        [(1, base), (2, base + " lambda"), (3, "totally different words here now")],
+    )
+    got = {r["doc_id"]: r["simhash"] for r in dd.simhash64(docs).collect()}
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    assert hamming(got[1], got[2]) < hamming(got[1], got[3])
+
+
+def test_token_stats_and_lang_id(spark):
+    docs = spark.createDataFrame(
+        [(1, "the cat is on the mat"), (2, "zzz qqq xxx")], ["doc_id", "text"]
+    )
+    stats = {r["doc_id"]: r for r in ts.with_token_stats(docs).collect()}
+    assert stats[1]["token_count"] == 6
+    assert stats[1]["stopword_ratio"] > 0.3
+    langs = {r["doc_id"]: r["predicted_lang"] for r in ts.with_lang_id(docs).collect()}
+    assert langs == {1: "en", 2: "unk"}
+
+
+def test_brute_force_topk_finds_identical_vector(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = sim.brute_force_topk(emb, emb.where(F.col("vec_id") == 1), k=2)
+    got = [(r["neighbor_id"], r["cosine_sim"]) for r in out.collect()]
+    assert got[0] == (2, 1.0)
+    assert len(got) == 2
+
+
+def test_lsh_bucketed_topk_recalls_identical_vector(spark):
+    rows = [(i, [float(i % 7), float((i * 3) % 5), 1.0]) for i in range(20)]
+    rows.append((100, rows[5][1]))  # exact dup of vec 5
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = sim.lsh_bucketed_topk(emb, k=3, dim=3, n_planes=4)
+    top = {
+        r["query_id"]: r["neighbor_id"]
+        for r in out.collect()
+        if r["rank"] == 1
+    }
+    assert top.get(100) == 5  # identical vectors always share every bucket

@@ -1,0 +1,37 @@
+"""The local correctness gate: every registered query with an oracle must
+match DuckDB exactly at sf0.001 (the driver runs the same comparison at
+sf0.01 — see __spark_entry__.py)."""
+
+import pytest
+
+from puma_matcher_spark.oracle import run_all
+from puma_matcher_spark.queries import REGISTRY
+
+
+@pytest.mark.slow
+def test_all_queries_match_oracle(spark, sf_small):
+    results = run_all(spark, sf_small)
+    failed = [str(r) for r in results if not r.ok]
+    assert not failed, "\n".join(failed)
+    assert len(results) == len(
+        [s for s in REGISTRY.values() if s.oracle is not None]
+    )
+
+
+def test_entry_smoke(spark):
+    import importlib
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    entry_mod = importlib.import_module("__spark_entry__")
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert set(df.columns) >= {
+        "id",
+        "document_version1_id",
+        "document_version2_id",
+        "score",
+        "score_type",
+    }
+    names = set(entry_mod.queries())
+    assert set(entry_mod.oracle_sql()) <= names
