@@ -1,0 +1,213 @@
+"""Text processing: tokenization, stopword removal, Porter stemming.
+
+Rebuild of the reference's TextDataSource preprocessing chain
+(matching/datasource/TextDataSource.scala:32-70: lowercase → split \\W+ →
+drop short words → stopwords → Porter stem) and its pure-Scala stemmer
+(utils/nlp/PorterStemmer.scala).
+
+Tokenize/stopword/min-length are Catalyst expressions (codegen, no
+Python).  Stemming is genuinely procedural → a vectorized pandas UDF
+(Arrow batches; the classic Porter 1980 algorithm implemented below from
+the published description).  This is one of the four sanctioned
+pandas-UDF kernels (SURVEY.md §2.10).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
+
+# reference resource stopwords.txt (loaded ProgramConfig.scala:66);
+# trimmed to a representative public English stopword list.
+STOPWORDS = (
+    "the a an of and or to in is are was were be been being for on with by "
+    "at from as that this these those it its if then than so not no nor but "
+    "such do does did done can could will would shall should may might must "
+    "have has had having i you he she we they them his her our your their "
+    "what which who whom when where why how all any both each few more most "
+    "other some only own same too very just about into over under again"
+).split()
+
+DEFAULT_MIN_WORD_LENGTH = 3  # puma.matching.textmatcher.word.minLength
+
+
+def tokenize(
+    text: Column,
+    min_length: int = DEFAULT_MIN_WORD_LENGTH,
+    stopwords: tuple[str, ...] | None = None,
+) -> Column:
+    """lowercase → split on non-word runs → length + stopword filters.
+
+    TextDataSource.scala:42-54 as pure column expressions.
+    """
+    sw = F.array(*[F.lit(s) for s in (stopwords or STOPWORDS)])
+    toks = F.split(F.lower(text), r"[^a-z0-9]+")
+    return F.filter(
+        toks,
+        lambda x: (F.length(x) >= min_length) & ~F.array_contains(sw, x),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Porter stemmer (Porter, 1980, "An algorithm for suffix stripping") —
+# vectorized over Arrow batches.
+# ---------------------------------------------------------------------------
+
+_VOWELS = "aeiou"
+
+
+def _is_cons(word: str, i: int) -> bool:
+    c = word[i]
+    if c in _VOWELS:
+        return False
+    if c == "y":
+        return i == 0 or not _is_cons(word, i - 1)
+    return True
+
+
+def _measure(stem: str) -> int:
+    """Number of VC sequences."""
+    m = 0
+    prev_vowel = False
+    for i in range(len(stem)):
+        cons = _is_cons(stem, i)
+        if cons and prev_vowel:
+            m += 1
+        prev_vowel = not cons
+    return m
+
+
+def _has_vowel(stem: str) -> bool:
+    return any(not _is_cons(stem, i) for i in range(len(stem)))
+
+
+def _ends_double_cons(word: str) -> bool:
+    return (
+        len(word) >= 2
+        and word[-1] == word[-2]
+        and _is_cons(word, len(word) - 1)
+    )
+
+
+def _cvc(word: str) -> bool:
+    if len(word) < 3:
+        return False
+    return (
+        _is_cons(word, len(word) - 3)
+        and not _is_cons(word, len(word) - 2)
+        and _is_cons(word, len(word) - 1)
+        and word[-1] not in "wxy"
+    )
+
+
+def porter_stem(word: str) -> str:
+    """Classic Porter steps 1a-5b."""
+    if len(word) <= 2:
+        return word
+    w = word
+
+    # step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif w.endswith("ss"):
+        pass
+    elif w.endswith("s"):
+        w = w[:-1]
+
+    # step 1b
+    if w.endswith("eed"):
+        if _measure(w[:-3]) > 0:
+            w = w[:-1]
+    elif (w.endswith("ed") and _has_vowel(w[:-2])) or (
+        w.endswith("ing") and _has_vowel(w[:-3])
+    ):
+        w = w[:-2] if w.endswith("ed") else w[:-3]
+        if w.endswith(("at", "bl", "iz")):
+            w += "e"
+        elif _ends_double_cons(w) and not w.endswith(("l", "s", "z")):
+            w = w[:-1]
+        elif _measure(w) == 1 and _cvc(w):
+            w += "e"
+
+    # step 1c
+    if w.endswith("y") and _has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+
+    # step 2
+    for suf, rep in (
+        ("ational", "ate"), ("tional", "tion"), ("enci", "ence"),
+        ("anci", "ance"), ("izer", "ize"), ("abli", "able"), ("alli", "al"),
+        ("entli", "ent"), ("eli", "e"), ("ousli", "ous"), ("ization", "ize"),
+        ("ation", "ate"), ("ator", "ate"), ("alism", "al"), ("iveness", "ive"),
+        ("fulness", "ful"), ("ousness", "ous"), ("aliti", "al"),
+        ("iviti", "ive"), ("biliti", "ble"),
+    ):
+        if w.endswith(suf):
+            if _measure(w[: -len(suf)]) > 0:
+                w = w[: -len(suf)] + rep
+            break
+
+    # step 3
+    for suf, rep in (
+        ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+        ("ical", "ic"), ("ful", ""), ("ness", ""),
+    ):
+        if w.endswith(suf):
+            if _measure(w[: -len(suf)]) > 0:
+                w = w[: -len(suf)] + rep
+            break
+
+    # step 4
+    for suf in (
+        "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
+        "ment", "ent", "ou", "ism", "ate", "iti", "ous", "ive", "ize",
+    ):
+        if w.endswith(suf):
+            if _measure(w[: -len(suf)]) > 1:
+                w = w[: -len(suf)]
+            break
+    else:
+        if w.endswith("ion") and len(w) > 3 and w[-4] in "st":
+            if _measure(w[:-3]) > 1:
+                w = w[:-3]
+
+    # step 5a
+    if w.endswith("e"):
+        stem = w[:-1]
+        if _measure(stem) > 1 or (_measure(stem) == 1 and not _cvc(stem)):
+            w = stem
+    # step 5b
+    if _measure(w) > 1 and _ends_double_cons(w) and w.endswith("l"):
+        w = w[:-1]
+    return w
+
+
+@F.pandas_udf(ArrayType(StringType()))
+def stem_tokens(tokens: pd.Series) -> pd.Series:
+    """Arrow-batched Porter stemming of token arrays."""
+    return tokens.map(
+        lambda arr: [porter_stem(t) for t in arr] if arr is not None else None
+    )
+
+
+def text_features(
+    docs, text_col: str = "text", id_col: str = "document_version_id", stem: bool = True
+):
+    """TextDataSource output: (id, words[], stemmed feature[], position[]).
+
+    Reference TextDataSource.scala:32-70 emits parallel arrays; positions
+    are the token indexes after filtering.
+    """
+    toks = tokenize(F.col(text_col))
+    out = docs.select(F.col(id_col), toks.alias("words"))
+    feature = stem_tokens(F.col("words")) if stem else F.col("words")
+    return out.select(
+        id_col,
+        "words",
+        feature.alias("feature"),
+        F.sequence(F.lit(0), F.size("words") - 1).alias("position"),
+    )

@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from puma_matcher_spark.llmdata.textstats import tokens
+from puma_matcher_spark.functions.rounding import pround
 
 DEFAULT_NUM_HASHES = 8
 DEFAULT_BAND_SIZE = 2  # 8 hashes / 2 per band = 4 bands
@@ -166,7 +167,7 @@ def ngram_jaccard_pairs(
         .join(F.broadcast(s2), "doc2_id")
         .withColumn(
             "jaccard",
-            F.round(
+            pround(
                 F.col("common") / (F.col("n1") + F.col("n2") - F.col("common")), 4
             ),
         )

@@ -19,6 +19,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from puma_matcher_spark.functions.rounding import pround
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -63,7 +64,7 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(
+            pround(
                 cosine(
                     F.col("q_vec").cast("array<double>"),
                     F.col("c_vec").cast("array<double>"),
@@ -136,7 +137,7 @@ def lsh_bucketed_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(
+            pround(
                 cosine(
                     F.col("q_vec").cast("array<double>"),
                     F.col("c_vec").cast("array<double>"),

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from puma_matcher_spark.functions.rounding import pround
 
 # Tiny English function-word list for the n-gram/stopword language heuristic.
 EN_STOPWORDS = (
@@ -36,8 +37,8 @@ def with_token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         n_tokens.cast("long").alias("token_count"),
         F.length(text_col).cast("long").alias("char_count"),
-        F.round(n_distinct / n_tokens, 4).alias("distinct_ratio"),
-        F.round(n_stop / n_tokens, 4).alias("stopword_ratio"),
+        pround(n_distinct / n_tokens, 4).alias("distinct_ratio"),
+        pround(n_stop / n_tokens, 4).alias("stopword_ratio"),
     )
 
 

@@ -1,0 +1,150 @@
+"""Entity deduplication: cleaning, blocked pair generation, connected
+components, canonical lookup.
+
+Reference:
+
+* ``PersonCleanerStage`` (deduplication/PersonCleanerStage.scala:14-196) —
+  email unwrapping, initial stripping, Unicode NFD fold, blocking key.
+* blocked self-join (PersonDeduplicationStage.scala:129-135, J10): the
+  equality on the blocking key turns the cartesian into an equi-join;
+  ``id1 > id2`` halves it.
+* GraphX ``connectedComponents`` (PersonDeduplicationStage.scala:150-159,
+  M8) → rebuilt as a pure-DataFrame iterative min-id propagation loop
+  (large-star/small-star style simplification): PySpark has no GraphX and
+  the loop is deterministic and dependency-free (SURVEY.md §7.4).
+
+Scale: each iteration is one shuffle on the frontier; iterations =
+O(log(max component diameter)).  Duplicate clusters are tiny (2-4 docs),
+so convergence is 2-3 rounds; checkpoint/localCheckpoint every few rounds
+truncates the lineage on long chains.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+from pyspark.sql.window import Window
+
+
+@F.pandas_udf(StringType())
+def fold_diacritics(s: pd.Series) -> pd.Series:
+    """NFD-normalise and drop combining marks (PersonCleanerStage.scala:35-65
+    / CodeAnalyserService.java:23) — ä→a, é→e; vectorized."""
+    def fold(v):
+        if v is None:
+            return None
+        return "".join(
+            c for c in unicodedata.normalize("NFD", v)
+            if unicodedata.category(c) != "Mn"
+        )
+    return s.map(fold)
+
+
+def clean_names(persons: DataFrame, name_col: str = "name") -> DataFrame:
+    """Cleaning chain: trim, collapse whitespace, lowercase, fold
+    diacritics, strip dotted initials; adds a ``blocking_key``
+    (first token + last token — the reference's ``first_lastname``)."""
+    cleaned = F.regexp_replace(
+        F.regexp_replace(F.lower(F.trim(F.col(name_col))), r"\b\w\.", " "),
+        r"\s+",
+        " ",
+    )
+    out = persons.withColumn("clean_name", F.trim(fold_diacritics(cleaned)))
+    toks = F.split(F.col("clean_name"), " ")
+    return out.withColumn(
+        "blocking_key",
+        F.concat_ws("#", F.element_at(toks, 1), F.element_at(toks, -1)),
+    )
+
+
+def blocked_pairs(persons: DataFrame, key_col: str = "blocking_key", id_col: str = "id") -> DataFrame:
+    """J10 — candidate duplicate pairs within a blocking key."""
+    a = persons.select(F.col(key_col).alias("k"), F.col(id_col).alias("id1"))
+    b = persons.select(F.col(key_col).alias("k"), F.col(id_col).alias("id2"))
+    return (
+        a.join(b, "k")
+        .where(F.col("id1") > F.col("id2"))
+        .select("id1", "id2")
+    )
+
+
+def connected_components(
+    edges: DataFrame, max_iterations: int = 20, checkpoint_every: int = 5
+) -> DataFrame:
+    """Connected components by iterative min-label propagation.
+
+    Input: (id1, id2) undirected edges.  Output: (id, component) where
+    component = min id reachable.  Replaces GraphX connectedComponents
+    (M8).  Each round joins the current labels across edges and keeps the
+    min; stops when no label changes.
+    """
+    sym = (
+        edges.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+        .unionByName(edges.select(F.col("id2").alias("src"), F.col("id1").alias("dst")))
+        .distinct()
+    )
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+    ).localCheckpoint()
+    for i in range(max_iterations):
+        # candidate label for each node: min of its neighbours' labels
+        nbr = (
+            sym.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+            .withColumnRenamed("src", "id")
+        )
+        new_labels = (
+            labels.join(nbr, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", "component")
+                ).alias("component"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if (i + 1) % checkpoint_every == 0:
+            labels = labels.localCheckpoint()
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_lookup(persons: DataFrame, edges: DataFrame, id_col: str = "id") -> DataFrame:
+    """(lookup_id, person_id) canonical lookup — every person maps to its
+    component min-id; singletons map to themselves
+    (PersonDeduplicationStage.scala:162-164)."""
+    comp = connected_components(edges)
+    return (
+        persons.select(F.col(id_col).alias("person_id"))
+        .join(comp.withColumnRenamed("id", "person_id"), "person_id", "left")
+        .select(
+            F.coalesce("component", "person_id").alias("lookup_id"), "person_id"
+        )
+    )
+
+
+def exact_name_components(persons: DataFrame, key_col: str, id_col: str = "id") -> DataFrame:
+    """Laboratory-style dedup where the pair predicate IS the blocking key
+    (LaboratoryDeduplicationStage.scala:39-65): components collapse to
+    ``min(id) over (partition by key)`` — no iteration needed.  This is
+    the oracle-checkable fast path; use ``connected_components`` when the
+    pair predicate is finer than the key."""
+    w = F.min(id_col).over(Window.partitionBy(key_col))
+    return persons.select(
+        F.col(id_col).alias("person_id"), w.alias("lookup_id")
+    )

@@ -1,0 +1,279 @@
+"""Text matching family: n-gram sentence matcher, single-word matcher,
+rare-word analyser, TF-IDF cosine title matcher.
+
+Reference operators:
+
+* ``TextMatcher`` (matcher/TextMatcher.scala:55-157, A6) — 4-word
+  "sentence" shingles, posting lists capped at
+  ``sentence.maxoccurency`` (2000), pair roll-up with per-doc word-count
+  normalisation.
+* ``SingleWordMatcher/Scorer`` (matcher/SingleWordMatcher.scala:53-118,
+  scorer/SingleWordScorer.scala:53-57, A5) — word-level matching with
+  ``sqrt(N/df)`` idf and a ≥3-matched-words filter.
+* ``RareWordAnalyser`` (analyser/RareWordAnalyser.scala:44-68, P12) —
+  informative-word extraction by tf/df/length predicates.
+* ``CosineMatcher`` (matcher/CosineMatcher.scala:64-114, J6) — TF-IDF
+  cosine all-pairs over titles.  The reference uses mllib DIMSUM
+  (``columnSimilarities``); rebuilt as an exact sparse-vector self-join on
+  shared tokens — the equivalent quadratic guard is the token df cap, and
+  the join form keeps everything in Catalyst (DIMSUM is RDD-based and
+  leaves codegen).  At 100 TB the df cap is what bounds the token-join
+  fan-out (same trick as the entity matcher).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from puma_matcher_spark.functions.text import tokenize
+
+DEFAULT_SENTENCE_LENGTH = 4       # puma.matching.textmatcher.sentence.length
+DEFAULT_SENTENCE_MAX_OCC = 2000   # puma.matching.textmatcher.sentence.maxoccurency
+DEFAULT_MIN_MATCHED_WORDS = 3
+
+
+def sentence_shingles(
+    docs: DataFrame,
+    n: int = DEFAULT_SENTENCE_LENGTH,
+    text_col: str = "text",
+    id_col: str = "document_version_id",
+) -> DataFrame:
+    """Positional n-word shingles from the filtered token stream.
+
+    Built with ``transform`` over an index sequence (single projection —
+    no join, no extra shuffle) and exploded to (doc, pos, sentence).
+    """
+    toks = tokenize(F.col(text_col))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
+    sent = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )
+    return (
+        docs.select(F.col(id_col).alias("document_version_id"), sent.alias("_s"))
+        .select("document_version_id", F.posexplode("_s").alias("position", "sentence"))
+    )
+
+
+def text_match_pairs(
+    docs: DataFrame,
+    n: int = DEFAULT_SENTENCE_LENGTH,
+    max_occurrence: int = DEFAULT_SENTENCE_MAX_OCC,
+    text_col: str = "text",
+    id_col: str = "document_version_id",
+) -> DataFrame:
+    """A6 — pairs sharing word-n-gram sentences.
+
+    Output: (dv1, dv2, common_sentences, positions aggregated count) with
+    the sentence-occurrence cap applied before the self-join (TextMatcher
+    .scala:55 caps posting lists; the core anti-explosion guard).
+    """
+    sh = sentence_shingles(docs, n, text_col, id_col).select(
+        "document_version_id", "sentence"
+    ).distinct()
+    occ = sh.groupBy("sentence").agg(F.count(F.lit(1)).alias("occ"))
+    capped = sh.join(
+        F.broadcast(occ.where(F.col("occ") <= max_occurrence).select("sentence")),
+        "sentence",
+    )
+    a = capped.select("sentence", F.col("document_version_id").alias("document_version1_id"))
+    b = capped.select("sentence", F.col("document_version_id").alias("document_version2_id"))
+    return (
+        a.join(b, "sentence")
+        .where(F.col("document_version1_id") < F.col("document_version2_id"))
+        .groupBy("document_version1_id", "document_version2_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("common_sentences"))
+    )
+
+
+def text_match_scores(
+    docs: DataFrame,
+    n: int = DEFAULT_SENTENCE_LENGTH,
+    max_occurrence: int = DEFAULT_SENTENCE_MAX_OCC,
+    text_col: str = "text",
+    id_col: str = "document_version_id",
+) -> DataFrame:
+    """TextScorer — score = shared sentences normalised by the smaller
+    document's sentence count (scorer/TextScorer.scala:37-46 semantics:
+    overlap relative to document size)."""
+    pairs = text_match_pairs(docs, n, max_occurrence, text_col, id_col)
+    counts = (
+        sentence_shingles(docs, n, text_col, id_col)
+        .select("document_version_id", "sentence")
+        .distinct()
+        .groupBy("document_version_id")
+        .agg(F.count(F.lit(1)).alias("n_sentences"))
+    )
+    c1 = counts.select(
+        F.col("document_version_id").alias("document_version1_id"),
+        F.col("n_sentences").alias("n1"),
+    )
+    c2 = counts.select(
+        F.col("document_version_id").alias("document_version2_id"),
+        F.col("n_sentences").alias("n2"),
+    )
+    return (
+        pairs.join(F.broadcast(c1), "document_version1_id")
+        .join(F.broadcast(c2), "document_version2_id")
+        .withColumn(
+            "score",
+            F.col("common_sentences") / F.least(F.col("n1"), F.col("n2")),
+        )
+        .select(
+            "document_version1_id",
+            "document_version2_id",
+            "common_sentences",
+            "score",
+        )
+    )
+
+
+def single_word_scores(
+    docs: DataFrame,
+    min_matched_words: int = DEFAULT_MIN_MATCHED_WORDS,
+    max_occurrence: int = DEFAULT_SENTENCE_MAX_OCC,
+    text_col: str = "text",
+    id_col: str = "document_version_id",
+) -> DataFrame:
+    """A5 — word-level pair scoring with sqrt idf.
+
+    word score = (tf1 + tf2) * sqrt(N / df); pair score = Σ word scores,
+    keep pairs with ≥ min_matched_words common words
+    (SingleWordMatcher.scala:53-54 + SingleWordScorer.scala:53-57).
+    """
+    words = docs.select(
+        F.col(id_col).alias("document_version_id"),
+        F.explode(tokenize(F.col(text_col))).alias("word"),
+    )
+    tf = words.groupBy("document_version_id", "word").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    n_docs = words.select("document_version_id").distinct().count()
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    keep = dfreq.where(F.col("df") <= max_occurrence)
+    idf = keep.withColumn("idf", F.sqrt(F.lit(float(n_docs)) / F.col("df")))
+    tf_i = tf.join(F.broadcast(idf.select("word", "idf")), "word")
+    a = tf_i.select(
+        "word", "idf",
+        F.col("document_version_id").alias("document_version1_id"),
+        F.col("tf").alias("tf1"),
+    )
+    b = tf_i.select(
+        F.col("word").alias("word"),
+        F.col("document_version_id").alias("document_version2_id"),
+        F.col("tf").alias("tf2"),
+    )
+    return (
+        a.join(b, "word")
+        .where(F.col("document_version1_id") < F.col("document_version2_id"))
+        .groupBy("document_version1_id", "document_version2_id")
+        .agg(
+            F.sum((F.col("tf1") + F.col("tf2")) * F.col("idf")).alias("score"),
+            F.count(F.lit(1)).cast("long").alias("matched_words"),
+        )
+        .where(F.col("matched_words") >= min_matched_words)
+    )
+
+
+def rare_words(
+    docs: DataFrame,
+    min_tf: int = 5,
+    min_df: int = 2,
+    max_df: int = 50,
+    min_len: int = 5,
+    max_len: int = 90,
+    text_col: str = "text",
+    id_col: str = "document_version_id",
+) -> DataFrame:
+    """P12 — informative-word extraction (RareWordAnalyser.scala:44-61):
+    per-doc tf ≥ min_tf, doc-count in [min_df, max_df], length in
+    [min_len, max_len], letters only."""
+    words = docs.select(
+        F.col(id_col).alias("document_version_id"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("word"),
+    )
+    tf = words.groupBy("document_version_id", "word").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        tf.join(F.broadcast(dfreq), "word")
+        .where(
+            (F.col("tf") >= min_tf)
+            & F.col("df").between(min_df, max_df)
+            & F.length("word").between(min_len, max_len)
+            & F.col("word").rlike("^[a-z]+$")
+        )
+        .select("document_version_id", "word", "tf", "df")
+    )
+
+
+def cosine_title_matches(
+    docs: DataFrame,
+    min_score: float = 0.2,
+    max_df: int = 2000,
+    text_col: str = "title",
+    id_col: str = "document_version_id",
+) -> DataFrame:
+    """J6 — exact TF-IDF cosine similarity between title vectors.
+
+    weight(doc, token) = tf * log10(N / df); cosine via shared-token join:
+    Σ w1·w2 / (‖w1‖·‖w2‖), keep score > min_score
+    (CosineMatcher.scala:64-114 semantics with an exact join instead of
+    DIMSUM sampling).
+    """
+    words = docs.select(
+        F.col(id_col).alias("document_version_id"),
+        F.explode(tokenize(F.col(text_col))).alias("word"),
+    )
+    tf = words.groupBy("document_version_id", "word").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    n_docs = words.select("document_version_id").distinct().count()
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    w = (
+        tf.join(F.broadcast(dfreq.where(F.col("df") <= max_df)), "word")
+        .withColumn(
+            "weight", F.col("tf") * F.log10(F.lit(float(n_docs)) / F.col("df"))
+        )
+        .select("document_version_id", "word", "weight")
+    )
+    norms = w.groupBy("document_version_id").agg(
+        F.sqrt(F.sum(F.col("weight") * F.col("weight"))).alias("norm")
+    )
+    a = w.select(
+        "word",
+        F.col("document_version_id").alias("document_version1_id"),
+        F.col("weight").alias("w1"),
+    )
+    b = w.select(
+        "word",
+        F.col("document_version_id").alias("document_version2_id"),
+        F.col("weight").alias("w2"),
+    )
+    dots = (
+        a.join(b, "word")
+        .where(F.col("document_version1_id") < F.col("document_version2_id"))
+        .groupBy("document_version1_id", "document_version2_id")
+        .agg(F.sum(F.col("w1") * F.col("w2")).alias("dot"))
+    )
+    n1 = norms.select(
+        F.col("document_version_id").alias("document_version1_id"),
+        F.col("norm").alias("norm1"),
+    )
+    n2 = norms.select(
+        F.col("document_version_id").alias("document_version2_id"),
+        F.col("norm").alias("norm2"),
+    )
+    return (
+        dots.join(F.broadcast(n1), "document_version1_id")
+        .join(F.broadcast(n2), "document_version2_id")
+        .withColumn("score", F.col("dot") / (F.col("norm1") * F.col("norm2")))
+        .where(F.col("score") > min_score)
+        .select("document_version1_id", "document_version2_id", "score")
+    )

@@ -1,0 +1,134 @@
+"""Score-weight training: grid generation + rank-error evaluation +
+coarse-to-fine search.
+
+Reference: stage/WeightTrainerStage.scala —
+
+* grid generation with sum==1 constraint (:428-466, J11) — the reference
+  builds it as a constrained theta-join of weight columns; the grid is
+  tiny (≤ a few thousand rows), so the rebuild generates it driver-side
+  and broadcasts (SURVEY.md §2 J11 note).
+* contextual score = score / per-publication max × 100 (:185-192, W2).
+* evaluation (:218-239 Walker, :391-408 Cartographer, A10/W3):
+  rank proposals per (weight vector, publication) by weighted total;
+  error = Σ (rank-1) over accepted training pairs, plus top-k hit counts.
+* coarse grid → top-K areas → halving-step hill descent (:61-170) —
+  rebuilt as grid evaluation + local refinement rounds around the best
+  point.
+
+Scale: one shuffle keyed (weight_id, publication) for the rank window;
+grid×candidates fan-out is |grid| × |training candidates| — training sets
+are small by construction, and the grid frame is broadcast.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def weight_grid(
+    spark: SparkSession, score_types: list[str], step: float = 0.1
+) -> DataFrame:
+    """All weight vectors over ``score_types`` with step granularity and
+    Σ == 1 (WeightTrainerStage.scala:428-466), exploded to
+    (weight_id, score_type, weight) rows."""
+    n = len(score_types)
+    ticks = round(1.0 / step)
+    rows = []
+    wid = 0
+    for combo in itertools.product(range(ticks + 1), repeat=n - 1):
+        if sum(combo) <= ticks:
+            last = ticks - sum(combo)
+            vec = [c / ticks for c in combo] + [last / ticks]
+            for t, w in zip(score_types, vec):
+                rows.append((wid, t, float(w)))
+            wid += 1
+    return spark.createDataFrame(rows, ["weight_id", "score_type", "weight"])
+
+
+def contextual_scores(candidates: DataFrame) -> DataFrame:
+    """W2 — score normalised by the per-(publication, type) max × 100.
+    Publication side = document_version2_id (engine orientation)."""
+    w = Window.partitionBy("document_version2_id", "score_type")
+    return candidates.withColumn(
+        "contextual", F.col("score") / F.max("score").over(w) * F.lit(100.0)
+    )
+
+
+def evaluate_weights(
+    contextual: DataFrame,
+    grid: DataFrame,
+    training_pairs: DataFrame,
+    top_k: tuple[int, ...] = (1, 3, 5),
+) -> DataFrame:
+    """A10/W3 — per-weight-vector rank error against accepted pairs.
+
+    Output: (weight_id, error, hits_k...) where error = Σ (rank-1) of the
+    accepted proposal per publication, ranked by weighted total score.
+    """
+    weighted = contextual.join(F.broadcast(grid), "score_type").groupBy(
+        "weight_id", "document_version1_id", "document_version2_id"
+    ).agg(F.sum(F.col("weight") * F.col("contextual")).alias("total"))
+    w = Window.partitionBy("weight_id", "document_version2_id").orderBy(
+        F.col("total").desc(), F.col("document_version1_id").asc()
+    )
+    ranked = weighted.withColumn("rank", F.rank().over(w))
+    labels = training_pairs.where(F.col("accepted")).select(
+        F.col("proposal_id").alias("document_version1_id"),
+        F.col("publication_id").alias("document_version2_id"),
+    )
+    hits = ranked.join(F.broadcast(labels), ["document_version1_id", "document_version2_id"])
+    aggs = [F.sum(F.col("rank") - 1).cast("long").alias("error")]
+    for k in top_k:
+        aggs.append(
+            F.sum(F.when(F.col("rank") <= k, 1).otherwise(0))
+            .cast("long")
+            .alias(f"hits_{k}")
+        )
+    return hits.groupBy("weight_id").agg(*aggs)
+
+
+def best_weights(
+    spark: SparkSession,
+    candidates: DataFrame,
+    training_pairs: DataFrame,
+    score_types: list[str],
+    step: float = 0.1,
+    refine_rounds: int = 0,
+) -> DataFrame:
+    """Coarse grid search (+ optional halving-step refinement around the
+    winner) → (score_type, weight) rows, the reference's score_weight
+    output (WeightTrainerStage.scala:158-166)."""
+    ctx = contextual_scores(candidates)
+    grid = weight_grid(spark, score_types, step)
+    scores = evaluate_weights(ctx, grid, training_pairs)
+    best_id = scores.orderBy(F.col("error").asc(), F.col("weight_id").asc()).first()[
+        "weight_id"
+    ]
+    best = grid.where(F.col("weight_id") == best_id)
+    for _ in range(refine_rounds):
+        step = step / 2
+        center = {r["score_type"]: r["weight"] for r in best.collect()}
+        rows, wid = [], 0
+        deltas = [-step, 0.0, step]
+        for combo in itertools.product(deltas, repeat=len(score_types)):
+            vec = [
+                max(0.0, center[t] + d) for t, d in zip(score_types, combo)
+            ]
+            s = sum(vec)
+            if s == 0:
+                continue
+            vec = [v / s for v in vec]
+            for t, v in zip(score_types, vec):
+                rows.append((wid, t, v))
+            wid += 1
+        grid = spark.createDataFrame(rows, ["weight_id", "score_type", "weight"])
+        scores = evaluate_weights(ctx, grid, training_pairs)
+        best_id = scores.orderBy(
+            F.col("error").asc(), F.col("weight_id").asc()
+        ).first()["weight_id"]
+        best = grid.where(F.col("weight_id") == best_id)
+    return best.select("score_type", "weight")

@@ -22,6 +22,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from puma_matcher_spark.functions.ids import candidate_id, pair_id
+from puma_matcher_spark.functions.rounding import pround, rewrite_rounds_sql
+from puma_matcher_spark.functions.text import STOPWORDS
 from puma_matcher_spark.llmdata import dedup as dd
 from puma_matcher_spark.llmdata import similarity as sim
 from puma_matcher_spark.llmdata import textstats as ts
@@ -151,7 +153,12 @@ REGISTRY: dict[str, QuerySpec] = {}
 
 def register(name: str, oracle: str | None):
     def deco(fn):
-        REGISTRY[name] = QuerySpec(spark_fn=fn, oracle=oracle)
+        # ROUND() in oracle text is rewritten to the portable floor formula
+        # so both engines round identically (functions.rounding).
+        REGISTRY[name] = QuerySpec(
+            spark_fn=fn,
+            oracle=rewrite_rounds_sql(oracle) if oracle is not None else None,
+        )
         return fn
 
     return deco
@@ -203,7 +210,7 @@ def q_entity_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _entity_candidates(load_tables(spark, sf_dir), "person").select(
         "document_version1_id",
         "document_version2_id",
-        F.round("score", 4).alias("score"),
+        pround("score", 4).alias("score"),
         "item_count",
     )
 
@@ -243,7 +250,7 @@ def q_match_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "document_version1_id",
         "document_version2_id",
         "score_type",
-        F.round("score", 4).alias("score"),
+        pround("score", 4).alias("score"),
         "item_count",
         "pair_id",
     )
@@ -315,11 +322,11 @@ def q_match_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "document_version_id",
         "score_type",
         "match_count",
-        F.round("score_min", 4).alias("score_min"),
-        F.round("score_max", 4).alias("score_max"),
-        F.round("score_mean", 4).alias("score_mean"),
-        F.round("score_std", 4).alias("score_std"),
-        F.round("score_median", 4).alias("score_median"),
+        pround("score_min", 4).alias("score_min"),
+        pround("score_max", 4).alias("score_max"),
+        pround("score_mean", 4).alias("score_mean"),
+        pround("score_std", 4).alias("score_std"),
+        pround("score_median", 4).alias("score_median"),
     )
 
 
@@ -347,13 +354,13 @@ def q_match_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = _all_candidates(load_tables(spark, sf_dir))
     mirrored = st.mirror_candidates(cand)
     w = Window.partitionBy("document_version_id", "score_type").orderBy(
-        F.round(F.col("score"), 6).desc(), F.col("partner_id").asc()
+        pround(F.col("score"), 6).desc(), F.col("partner_id").asc()
     )
     return mirrored.select(
         "document_version_id",
         "partner_id",
         "score_type",
-        F.round("score", 4).alias("score"),
+        pround("score", 4).alias("score"),
         F.rank().over(w).cast("long").alias("rank"),
     )
 
@@ -389,7 +396,7 @@ def q_normalised_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = cand.count()
     rank = max(1, math.floor(n * 0.01))
     w = Window.orderBy(
-        F.round(F.col("score"), 6).desc(),
+        pround(F.col("score"), 6).desc(),
         F.col("document_version1_id"),
         F.col("document_version2_id"),
     )
@@ -402,7 +409,7 @@ def q_normalised_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select(
         "document_version1_id",
         "document_version2_id",
-        F.round(
+        pround(
             F.least(F.col("score") / F.lit(factor) * 100.0, F.lit(100.0)), 4
         ).alias("score"),
     )
@@ -427,8 +434,8 @@ def q_score_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.select(
         "document_version1_id",
         "document_version2_id",
-        F.round("score_person", 4).alias("score_person"),
-        F.round("score_laboratory", 4).alias("score_laboratory"),
+        pround("score_person", 4).alias("score_person"),
+        pround("score_laboratory", 4).alias("score_laboratory"),
     )
 
 
@@ -460,8 +467,8 @@ def q_total_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "document_version1_id",
         "document_version2_id",
-        F.round("total_score", 4).alias("total_score"),
-        F.round("total_contextual_score", 4).alias("total_contextual_score"),
+        pround("total_score", 4).alias("total_score"),
+        pround("total_contextual_score", 4).alias("total_contextual_score"),
     )
 
 
@@ -524,12 +531,12 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
+            pround(F.sum("l_quantity"), 2).alias("sum_qty"),
+            pround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            pround(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("sum_disc_price"),
-            F.round(
+            pround(
                 F.sum(
                     F.col("l_extendedprice")
                     * (1 - F.col("l_discount"))
@@ -537,9 +544,9 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 2,
             ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            pround(F.avg("l_quantity"), 4).alias("avg_qty"),
+            pround(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            pround(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count(F.lit(1)).cast("long").alias("count_order"),
         )
     )
@@ -602,6 +609,605 @@ FROM toks""",
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language ID (stopword-hit ratio)."""
     return ts.with_lang_id(load_tables(spark, sf_dir).llm_documents())
+
+
+# ---------------- text matching family ----------------
+
+# DuckDB twin of functions.text.tokenize (lower → split non-alnum →
+# len>=3 → stopwords)
+_SW_SQL = "[" + ",".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+_TOKS_SQL = (
+    "list_filter(string_split_regex(lower({col}), '[^a-z0-9]+'), "
+    f"x -> length(x) >= 3 AND NOT list_contains({_SW_SQL}, x))"
+)
+
+
+def _sentence_ctes(src: str, id_col: str, text_col: str, n: int = 4) -> str:
+    joins = "\n".join(
+        f"  JOIN toks t{i} ON t{i}.document_version_id = t0.document_version_id"
+        f" AND t{i}.pos = t0.pos + {i}"
+        for i in range(1, n)
+    )
+    concat = " || ' ' || ".join(f"t{i}.tok" for i in range(n))
+    return f"""toksl AS (
+  SELECT {id_col} AS document_version_id, {_TOKS_SQL.format(col=text_col)} AS tk
+  FROM {src}),
+toks AS (
+  SELECT document_version_id, unnest(tk) AS tok, unnest(range(len(tk))) AS pos
+  FROM toksl),
+sh AS (
+  SELECT DISTINCT t0.document_version_id, {concat} AS sentence
+  FROM toks t0
+{joins}),
+occ AS (SELECT sentence, COUNT(*) AS occ FROM sh GROUP BY 1),
+capped AS (
+  SELECT sh.document_version_id, sh.sentence
+  FROM sh JOIN occ USING (sentence) WHERE occ <= 2000)"""
+
+
+@register(
+    "text_match_pairs",
+    f"""WITH {_sentence_ctes('documents', 'doc_id', 'text')}
+SELECT a.document_version_id AS document_version1_id,
+       b.document_version_id AS document_version2_id,
+       CAST(COUNT(*) AS BIGINT) AS common_sentences
+FROM capped a JOIN capped b
+  ON a.sentence = b.sentence AND a.document_version_id < b.document_version_id
+GROUP BY 1, 2""",
+)
+def q_text_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — 4-word sentence-shingle matching with occurrence cap.
+    Ref: TextMatcher.scala:55-68."""
+    from puma_matcher_spark.operators import textmatch as tm
+
+    docs = load_tables(spark, sf_dir).llm_documents()
+    return tm.text_match_pairs(docs, id_col="doc_id")
+
+
+@register(
+    "text_match_scores",
+    f"""WITH {_sentence_ctes('documents', 'doc_id', 'text')},
+pairs AS (
+  SELECT a.document_version_id AS document_version1_id,
+         b.document_version_id AS document_version2_id,
+         CAST(COUNT(*) AS BIGINT) AS common_sentences
+  FROM capped a JOIN capped b
+    ON a.sentence = b.sentence AND a.document_version_id < b.document_version_id
+  GROUP BY 1, 2),
+counts AS (
+  SELECT document_version_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1)
+SELECT p.document_version1_id, p.document_version2_id, p.common_sentences,
+       ROUND(p.common_sentences / CAST(LEAST(c1.n, c2.n) AS DOUBLE), 4) AS score
+FROM pairs p
+JOIN counts c1 ON p.document_version1_id = c1.document_version_id
+JOIN counts c2 ON p.document_version2_id = c2.document_version_id""",
+)
+def q_text_match_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 + TextScorer — overlap normalised by the smaller document."""
+    from puma_matcher_spark.operators import textmatch as tm
+
+    docs = load_tables(spark, sf_dir).llm_documents()
+    out = tm.text_match_scores(docs, id_col="doc_id")
+    return out.select(
+        "document_version1_id",
+        "document_version2_id",
+        "common_sentences",
+        pround("score", 4).alias("score"),
+    )
+
+
+@register(
+    "single_word_scores",
+    f"""WITH toksl AS (
+  SELECT doc_id AS document_version_id, {_TOKS_SQL.format(col='text')} AS tk
+  FROM documents),
+words AS (SELECT document_version_id, unnest(tk) AS word FROM toksl),
+tf AS (
+  SELECT document_version_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM words GROUP BY 1, 2),
+doccnt AS (SELECT CAST(COUNT(DISTINCT document_version_id) AS BIGINT) AS n FROM words),
+dfreq AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+idf AS (
+  SELECT word, SQRT((SELECT n FROM doccnt) / CAST(df AS DOUBLE)) AS idf
+  FROM dfreq WHERE df <= 2000)
+SELECT a.document_version_id AS document_version1_id,
+       b.document_version_id AS document_version2_id,
+       ROUND(SUM((a.tf + b.tf) * i.idf), 4) AS score,
+       CAST(COUNT(*) AS BIGINT) AS matched_words
+FROM tf a
+JOIN tf b ON a.word = b.word AND a.document_version_id < b.document_version_id
+JOIN idf i ON a.word = i.word
+GROUP BY 1, 2
+HAVING COUNT(*) >= 3""",
+)
+def q_single_word_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — word-level pair scoring with sqrt idf.
+    Ref: SingleWordMatcher.scala:53-118, SingleWordScorer.scala:53-57."""
+    from puma_matcher_spark.operators import textmatch as tm
+
+    docs = load_tables(spark, sf_dir).llm_documents()
+    out = tm.single_word_scores(docs, id_col="doc_id")
+    return out.select(
+        "document_version1_id",
+        "document_version2_id",
+        pround("score", 4).alias("score"),
+        "matched_words",
+    )
+
+
+@register(
+    "rare_words",
+    """WITH words AS (
+  SELECT doc_id AS document_version_id,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                x -> x <> '')) AS word
+  FROM documents),
+tf AS (
+  SELECT document_version_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM words GROUP BY 1, 2),
+dfreq AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1)
+SELECT t.document_version_id, t.word, t.tf, d.df
+FROM tf t JOIN dfreq d ON t.word = d.word
+WHERE t.tf >= 2 AND d.df BETWEEN 2 AND 500
+  AND length(t.word) BETWEEN 3 AND 90
+  AND regexp_full_match(t.word, '[a-z]+')""",
+)
+def q_rare_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12 — informative-word extraction by tf/df/length predicates.
+    Ref: RareWordAnalyser.scala:44-61 (thresholds adapted to the synthetic
+    vocabulary)."""
+    from puma_matcher_spark.operators import textmatch as tm
+
+    docs = load_tables(spark, sf_dir).llm_documents()
+    return tm.rare_words(
+        docs, min_tf=2, min_df=2, max_df=500, min_len=3, max_len=90,
+        id_col="doc_id",
+    )
+
+
+@register(
+    "cosine_titles",
+    f"""WITH titles AS (SELECT p_partkey AS document_version_id, p_name AS title FROM part),
+toksl AS (
+  SELECT document_version_id, {_TOKS_SQL.format(col='title')} AS tk FROM titles),
+words AS (SELECT document_version_id, unnest(tk) AS word FROM toksl),
+tf AS (
+  SELECT document_version_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM words GROUP BY 1, 2),
+doccnt AS (SELECT CAST(COUNT(DISTINCT document_version_id) AS BIGINT) AS n FROM words),
+dfreq AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+w AS (
+  SELECT t.document_version_id, t.word,
+         t.tf * LOG10((SELECT n FROM doccnt) / CAST(d.df AS DOUBLE)) AS weight
+  FROM tf t JOIN dfreq d ON t.word = d.word WHERE d.df <= 2000),
+norms AS (
+  SELECT document_version_id, SQRT(SUM(weight * weight)) AS norm FROM w GROUP BY 1),
+dots AS (
+  SELECT a.document_version_id AS document_version1_id,
+         b.document_version_id AS document_version2_id,
+         SUM(a.weight * b.weight) AS dot
+  FROM w a JOIN w b
+    ON a.word = b.word AND a.document_version_id < b.document_version_id
+  GROUP BY 1, 2)
+SELECT d.document_version1_id, d.document_version2_id,
+       ROUND(d.dot / (n1.norm * n2.norm), 4) AS score
+FROM dots d
+JOIN norms n1 ON d.document_version1_id = n1.document_version_id
+JOIN norms n2 ON d.document_version2_id = n2.document_version_id
+WHERE d.dot / (n1.norm * n2.norm) > 0.2""",
+)
+def q_cosine_titles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 — exact TF-IDF cosine over title vectors (DIMSUM semantics via
+    shared-token join). Ref: CosineMatcher.scala:64-114."""
+    from puma_matcher_spark.operators import textmatch as tm
+
+    titles = load_tables(spark, sf_dir).raw("part").select(
+        F.col("p_partkey").alias("document_version_id"),
+        F.col("p_name").alias("title"),
+    )
+    out = tm.cosine_title_matches(titles, min_score=0.2)
+    return out.select(
+        "document_version1_id",
+        "document_version2_id",
+        pround("score", 4).alias("score"),
+    )
+
+
+@register(
+    "code_extraction",
+    """SELECT doc_id AS document_version_id, code
+FROM (
+  SELECT doc_id, unnest(list_distinct(regexp_extract_all(text, '\\b(s[a-z]{3,})\\b', 1))) AS code
+  FROM documents)""",
+)
+def q_code_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex entity extraction (CodeAnalyserService pattern machinery —
+    utils/nlp/CodeAnalyser/CodeAnalyserService.java:13-53 — exercised on
+    the synthetic vocabulary; DOI/proposal regexes unit-tested in
+    tests/test_text.py)."""
+    docs = load_tables(spark, sf_dir).llm_documents()
+    return docs.select(
+        F.col("doc_id").alias("document_version_id"),
+        F.explode(
+            F.array_distinct(
+                F.regexp_extract_all(F.col("text"), F.lit(r"\b(s[a-z]{3,})\b"), 1)
+            )
+        ).alias("code"),
+    )
+
+
+# ---------------- dedup family ----------------
+
+
+@register(
+    "person_clean",
+    """SELECT c_custkey AS id,
+       trim(regexp_replace(regexp_replace(lower(trim(c_name)), '\\b\\w\\.', ' ', 'g'), '\\s+', ' ', 'g')) AS clean_name
+FROM customer""",
+)
+def q_person_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Person cleaning chain (PersonCleanerStage.scala:14-196): trim,
+    initial-stripping, whitespace collapse, diacritic fold (identity on
+    this fixture — exercised with diacritics in tests/test_dedup.py)."""
+    from puma_matcher_spark.operators.dedup import clean_names
+
+    persons = load_tables(spark, sf_dir).persons()
+    return clean_names(persons).select("id", "clean_name")
+
+
+@register(
+    "dedup_blocked_pairs",
+    """SELECT a.c_custkey AS id1, b.c_custkey AS id2
+FROM customer a JOIN customer b
+  ON a.c_nationkey = b.c_nationkey
+ AND a.c_custkey > b.c_custkey
+ AND ABS(a.c_acctbal - b.c_acctbal) <= 500.0""",
+)
+def q_dedup_blocked_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10 — blocked self-join candidate pairs (blocking key turns the
+    cartesian into an equi-join). Ref: PersonDeduplicationStage.scala:129-135."""
+    c = load_tables(spark, sf_dir).raw("customer")
+    a = c.select(
+        F.col("c_nationkey").alias("k"),
+        F.col("c_custkey").alias("id1"),
+        F.col("c_acctbal").alias("b1"),
+    )
+    b = c.select(
+        F.col("c_nationkey").alias("k"),
+        F.col("c_custkey").alias("id2"),
+        F.col("c_acctbal").alias("b2"),
+    )
+    return (
+        a.join(b, "k")
+        .where(
+            (F.col("id1") > F.col("id2"))
+            & (F.abs(F.col("b1") - F.col("b2")) <= 500.0)
+        )
+        .select("id1", "id2")
+    )
+
+
+@register(
+    "dedup_components_exact",
+    """SELECT c_custkey AS person_id,
+       MIN(c_custkey) OVER (PARTITION BY c_nationkey) AS lookup_id
+FROM customer""",
+)
+def q_dedup_components_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 fast path — components when the pair predicate IS the blocking
+    key collapse to min-id per block. Ref: LaboratoryDeduplicationStage
+    .scala:39-65."""
+    from puma_matcher_spark.operators.dedup import exact_name_components
+
+    c = load_tables(spark, sf_dir).raw("customer")
+    return exact_name_components(c, "c_nationkey", "c_custkey")
+
+
+@register("dedup_components_cc", None)  # iterative → rows-only check
+def q_dedup_components_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8 — iterative min-label connected components over the blocked
+    candidate-pair graph (GraphX connectedComponents rebuild;
+    PersonDeduplicationStage.scala:150-159).  Not SQL-expressible
+    (iterative fixpoint) → rows-only driver check; exactness is covered by
+    tests/test_dedup.py on hand-built graphs."""
+    from puma_matcher_spark.operators.dedup import connected_components
+
+    edges = q_dedup_blocked_pairs(spark, sf_dir)
+    return connected_components(edges)
+
+
+# ---------------- streaming / events plane ----------------
+
+
+@register(
+    "events_windowed",
+    """SELECT CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start_epoch,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS event_count,
+       ROUND(SUM(value), 4) AS value_sum,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS unique_users
+FROM events GROUP BY 1, 2""",
+)
+def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window event aggregation — the batch twin of the
+    Structured Streaming path (streaming/events.py; run_stream_to_memory
+    exercises the real micro-batch engine in tests)."""
+    from puma_matcher_spark.streaming.events import windowed_counts
+
+    ev = load_tables(spark, sf_dir).events()
+    return windowed_counts(ev, window_seconds=3600)
+
+
+@register(
+    "events_sessions",
+    """WITH marks AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events),
+sess AS (
+  SELECT user_id, ts, value,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marks)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 4) AS session_value
+FROM sess GROUP BY user_id, sid""",
+)
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via session_window (streaming-capable
+    stateful operator; SQL twin uses the lag/cumsum formulation)."""
+    from puma_matcher_spark.streaming.events import sessionize
+
+    ev = load_tables(spark, sf_dir).events()
+    return sessionize(ev, gap="30 minutes")
+
+
+@register(
+    "events_json",
+    """SELECT json_extract_string(props, '$.k') AS k,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(value), 4) AS avg_value
+FROM events GROUP BY 1, 2""",
+)
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON property extraction + aggregation."""
+    ev = load_tables(spark, sf_dir).events()
+    return ev.groupBy(
+        F.get_json_object("props", "$.k").alias("k"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        pround(F.avg("value"), 4).alias("avg_value"),
+    )
+
+
+# ---------------- weight optimizer ----------------
+
+
+@register(
+    "weight_eval",
+    _all_cand_ctes()
+    + """,
+ctx AS (
+  SELECT document_version1_id, document_version2_id, score_type,
+         ROUND(score / MAX(score) OVER (PARTITION BY document_version2_id, score_type)
+               * 100.0, 6) AS contextual
+  FROM all_cand),
+grid(weight_id, score_type, weight) AS (
+  VALUES (0, 'person', 1.0), (0, 'laboratory', 0.0),
+         (1, 'person', 0.5), (1, 'laboratory', 0.5),
+         (2, 'person', 0.0), (2, 'laboratory', 1.0)),
+weighted AS (
+  SELECT g.weight_id, c.document_version1_id, c.document_version2_id,
+         SUM(g.weight * c.contextual) AS total
+  FROM ctx c JOIN grid g USING (score_type)
+  GROUP BY 1, 2, 3),
+ranked AS (
+  SELECT *, CAST(RANK() OVER (PARTITION BY weight_id, document_version2_id
+                              ORDER BY ROUND(total, 6) DESC,
+                                       document_version1_id ASC) AS BIGINT) AS rank
+  FROM weighted),
+train AS (
+  SELECT DISTINCT document_version1_id, document_version2_id
+  FROM all_cand
+  WHERE (document_version1_id + document_version2_id) % 7 = 0)
+SELECT weight_id,
+       CAST(SUM(rank - 1) AS BIGINT) AS error,
+       CAST(SUM(CASE WHEN rank <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS hits_1,
+       CAST(SUM(CASE WHEN rank <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS hits_3,
+       CAST(SUM(CASE WHEN rank <= 5 THEN 1 ELSE 0 END) AS BIGINT) AS hits_5
+FROM ranked JOIN train USING (document_version1_id, document_version2_id)
+GROUP BY 1""",
+)
+def q_weight_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J11/A10/W3 — weight-grid rank-error evaluation.
+    Ref: WeightTrainerStage.scala:181-256,391-408.  Contextual/total are
+    rounded to 6 before ranking so tie-breaks are engine-independent."""
+    from pyspark.sql.window import Window
+
+    cand = _all_candidates(load_tables(spark, sf_dir))
+    wmax = Window.partitionBy("document_version2_id", "score_type")
+    ctx = cand.withColumn(
+        "contextual",
+        pround(F.col("score") / F.max("score").over(wmax) * 100.0, 6),
+    )
+    grid = spark.createDataFrame(
+        [(0, "person", 1.0), (0, "laboratory", 0.0),
+         (1, "person", 0.5), (1, "laboratory", 0.5),
+         (2, "person", 0.0), (2, "laboratory", 1.0)],
+        ["weight_id", "score_type", "weight"],
+    )
+    weighted = ctx.join(F.broadcast(grid), "score_type").groupBy(
+        "weight_id", "document_version1_id", "document_version2_id"
+    ).agg(F.sum(F.col("weight") * F.col("contextual")).alias("total"))
+    wr = Window.partitionBy("weight_id", "document_version2_id").orderBy(
+        pround(F.col("total"), 6).desc(), F.col("document_version1_id").asc()
+    )
+    ranked = weighted.withColumn("rank", F.rank().over(wr).cast("long"))
+    train = (
+        cand.where(
+            (F.col("document_version1_id") + F.col("document_version2_id")) % 7 == 0
+        )
+        .select("document_version1_id", "document_version2_id")
+        .distinct()
+    )
+    return ranked.join(
+        train, ["document_version1_id", "document_version2_id"]
+    ).groupBy("weight_id").agg(
+        F.sum(F.col("rank") - 1).cast("long").alias("error"),
+        F.sum(F.when(F.col("rank") <= 1, 1).otherwise(0)).cast("long").alias("hits_1"),
+        F.sum(F.when(F.col("rank") <= 3, 1).otherwise(0)).cast("long").alias("hits_3"),
+        F.sum(F.when(F.col("rank") <= 5, 1).otherwise(0)).cast("long").alias("hits_5"),
+    )
+
+
+# ---------------- near-dup / similarity plane ----------------
+
+_LLM_TOKS = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+
+_LLM_SHINGLES = f"""toksl AS (SELECT doc_id, {_LLM_TOKS} AS tk FROM documents),
+toks AS (
+  SELECT doc_id, unnest(tk) AS tok, unnest(range(len(tk))) AS pos FROM toksl),
+sh AS (
+  SELECT DISTINCT t0.doc_id, t0.tok || ' ' || t1.tok || ' ' || t2.tok AS shingle
+  FROM toks t0
+  JOIN toks t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+  JOIN toks t2 ON t2.doc_id = t0.doc_id AND t2.pos = t0.pos + 2)"""
+
+
+@register(
+    "minhash_pairs",
+    f"""WITH {_LLM_SHINGLES},
+seeded AS (SELECT doc_id, shingle, unnest(range(8)) AS seed FROM sh),
+mh AS (
+  SELECT doc_id, seed,
+         MIN(('0x' || substr(md5(shingle || '#' || CAST(seed AS VARCHAR)), 1, 15))::BIGINT) AS minhash
+  FROM seeded GROUP BY 1, 2),
+bk AS (
+  SELECT doc_id, CAST(seed // 2 AS INTEGER) AS band,
+         md5(string_agg(CAST(minhash AS VARCHAR), '-' ORDER BY seed)) AS band_key
+  FROM mh GROUP BY 1, 2)
+SELECT DISTINCT a.doc_id AS doc1_id, b.doc_id AS doc2_id
+FROM bk a JOIN bk b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id""",
+)
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs (portable md5 arithmetic:
+    8 hashes × 4 bands of 2)."""
+    docs = load_tables(spark, sf_dir).llm_documents()
+    return dd.minhash_dedup_pairs(docs)
+
+
+@register(
+    "ngram_jaccard",
+    f"""WITH {_LLM_SHINGLES},
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+sdf AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
+rare AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN sdf USING (shingle) WHERE df <= 2000),
+common AS (
+  SELECT a.doc_id AS doc1_id, b.doc_id AS doc2_id, CAST(COUNT(*) AS BIGINT) AS common
+  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT c.doc1_id, c.doc2_id, c.common,
+       ROUND(c.common / CAST(s1.n + s2.n - c.common AS DOUBLE), 4) AS jaccard
+FROM common c
+JOIN sizes s1 ON c.doc1_id = s1.doc_id
+JOIN sizes s2 ON c.doc2_id = s2.doc_id""",
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard similarity over shingle-join candidates."""
+    docs = load_tables(spark, sf_dir).llm_documents()
+    return dd.ngram_jaccard_pairs(docs)
+
+
+@register(
+    "simhash",
+    f"""WITH toksl AS (SELECT doc_id, {_LLM_TOKS} AS tk FROM documents),
+words AS (SELECT doc_id, unnest(tk) AS tok FROM toksl),
+tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM words GROUP BY 1, 2),
+hashed AS (
+  SELECT doc_id, tf, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tf),
+bits AS (SELECT doc_id, tf, h, unnest(range(60)) AS bit FROM hashed),
+votes AS (
+  SELECT doc_id, bit,
+         SUM(CASE WHEN (h >> bit) & 1 = 1 THEN tf ELSE -tf END) AS vote
+  FROM bits GROUP BY 1, 2)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY 1""",
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash fingerprints (portable bit-vote arithmetic)."""
+    docs = load_tables(spark, sf_dir).llm_documents()
+    return dd.simhash64(docs)
+
+
+@register(
+    "embedding_topk",
+    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+sims AS (
+  SELECT q.query_id, c.neighbor_id,
+         ROUND(list_dot_product(q.qv, c.cv) /
+               (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))), 4)
+           AS cosine_sim
+  FROM q CROSS JOIN c WHERE q.query_id <> c.neighbor_id),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cosine_sim DESC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM sims)
+SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= 10""",
+)
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k similarity search (exact ANN baseline)."""
+    emb = load_tables(spark, sf_dir).llm_embeddings()
+    q = emb.where(F.col("vec_id") % 50 == 0)
+    out = sim.brute_force_topk(emb, q, k=10)
+    return out.select(
+        "query_id", "neighbor_id", "cosine_sim", F.col("rank").cast("long").alias("rank")
+    )
+
+
+@register("embedding_lsh_topk", None)  # driver-seeded hyperplanes → rows-only
+def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN (approximate; recall tested against the
+    brute-force baseline in tests/test_llmdata.py)."""
+    emb = load_tables(spark, sf_dir).llm_embeddings()
+    return sim.lsh_bucketed_topk(emb, k=10, dim=64, n_planes=6)
+
+
+@register("text_features_stemmed", None)  # Porter stemming → rows-only
+def q_text_features_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 — TextDataSource feature chain incl. Porter stemming (pandas
+    UDF kernel; stemmer unit-tested against published examples)."""
+    from puma_matcher_spark.functions.text import text_features
+
+    docs = load_tables(spark, sf_dir).llm_documents()
+    return text_features(docs, text_col="text", id_col="doc_id")
+
+
+@register("media_features", None)  # mapInPandas stub kernel → rows-only
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 — multimodal feature-extraction plumbing (mapInPandas, Arrow
+    batches); codec layer stubbed (llmdata/multimodal.py)."""
+    from puma_matcher_spark.llmdata.multimodal import extract_media_features
+
+    docs = load_tables(spark, sf_dir).llm_documents()
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("application/octet-stream").alias("mime_type"),
+        F.col("text").alias("payload"),
+        F.lit(256).alias("width"),
+        F.lit(256).alias("height"),
+    )
+    return extract_media_features(media)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

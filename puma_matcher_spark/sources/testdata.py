@@ -125,7 +125,20 @@ class Tables:
         return self.raw("embeddings")
 
     def events(self) -> DataFrame:
-        return self.raw("events")
+        """Events with ``ts`` as a proper timestamp.
+
+        The parquet stores TIMESTAMP(NANOS); with
+        ``spark.sql.legacy.parquet.nanosAsLong`` Spark surfaces it as a
+        long.  Convert by integer-dividing to micros — the same
+        truncation DuckDB applies reading TIMESTAMP_NS, so both engines
+        see identical microsecond timestamps.
+        """
+        ev = self.raw("events")
+        if dict(ev.dtypes).get("ts") == "bigint":
+            ev = ev.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        return ev
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> Tables:

@@ -1,0 +1,105 @@
+"""Structured Streaming plane over the ``events`` table.
+
+The reference is batch-only (SURVEY.md §2.11); streaming is the additive
+capability for the 100 TB pipeline: the same transforms run in batch
+(DataFrame in) and streaming (``readStream`` in) because they are pure —
+the canonical Spark pattern of sharing logic across both.
+
+* ``windowed_counts`` — tumbling event-time window aggregation, the
+  batch/stream-shared kernel.  In streaming mode attach
+  ``with_watermark`` first; state is then bounded by
+  (watermark horizon / slide) buckets per key.
+* ``sessionize`` — gap-based session windows via ``session_window``.
+* ``read_events_stream`` — file-source stream over the parquet dir
+  (``maxFilesPerTrigger`` throttles micro-batches); at production scale
+  the source becomes Kafka with identical downstream code.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from puma_matcher_spark.functions.rounding import pround
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        # the fixture is a single file; FileStreamSource wants a directory,
+        # so stream the dir and glob-filter to the events file
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":  # nanosAsLong source
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def with_watermark(events: DataFrame, delay: str = "10 minutes") -> DataFrame:
+    return events.withWatermark("ts", delay)
+
+
+def windowed_counts(events: DataFrame, window_seconds: int = 300) -> DataFrame:
+    """Tumbling-window counts/sums per event_type.
+
+    Window start is exposed as epoch seconds (integer bucketing — stable
+    across engines and serialization layers).  Works identically on batch
+    and streaming inputs.
+    """
+    bucket = (
+        F.floor(F.unix_timestamp("ts") / window_seconds) * window_seconds
+    ).cast("long")
+    return events.groupBy(
+        bucket.alias("window_start_epoch"), F.col("event_type")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("event_count"),
+        pround(F.sum("value"), 4).alias("value_sum"),
+        F.countDistinct("user_id").cast("long").alias("unique_users"),
+    )
+
+
+def windowed_counts_eventtime(events: DataFrame, window: str = "5 minutes") -> DataFrame:
+    """Same aggregation with the native ``window()`` column (used on the
+    streaming path where watermarks need a real event-time window)."""
+    return events.groupBy(F.window("ts", window), "event_type").agg(
+        F.count(F.lit(1)).alias("event_count"),
+        F.sum("value").alias("value_sum"),
+    )
+
+
+def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Gap-based sessions per user via session_window (stateful on the
+    streaming path; plain agg in batch)."""
+    return events.groupBy(
+        F.session_window("ts", gap).alias("session"), F.col("user_id")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        pround(F.sum("value"), 4).alias("session_value"),
+    ).select(
+        "user_id",
+        F.col("session.start").alias("session_start"),
+        F.col("session.end").alias("session_end"),
+        "n_events",
+        "session_value",
+    )
+
+
+def run_stream_to_memory(
+    spark: SparkSession, sf_dir: str, table_name: str = "windowed_events"
+):
+    """availableNow streaming run into an in-memory sink — exercises the
+    real streaming engine (micro-batch planner, state store) on the
+    fixture data; returns the query handle."""
+    events = with_watermark(read_events_stream(spark, sf_dir))
+    agg = windowed_counts_eventtime(events)
+    return (
+        agg.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,47 @@
+"""Dedup: cleaning UDFs, blocked pairs, connected components."""
+
+from puma_matcher_spark.operators import dedup as dd
+
+
+def test_clean_names_folds_diacritics_and_initials(spark):
+    persons = spark.createDataFrame(
+        [(1, "Jean-Pièrre  Müller"), (2, "J. P. Muller"), (3, None)],
+        ["id", "name"],
+    )
+    got = {r["id"]: (r["clean_name"], r["blocking_key"]) for r in dd.clean_names(persons).collect()}
+    assert got[1][0] == "jean-pierre muller"
+    assert got[2][0] == "muller"
+    assert got[1][1] == "jean-pierre#muller"
+
+
+def test_blocked_pairs_within_key_only(spark):
+    persons = spark.createDataFrame(
+        [(1, "k1"), (2, "k1"), (3, "k1"), (4, "k2")], ["id", "blocking_key"]
+    )
+    got = {(r["id1"], r["id2"]) for r in dd.blocked_pairs(persons).collect()}
+    assert got == {(2, 1), (3, 1), (3, 2)}
+
+
+def test_connected_components_transitive_chain(spark):
+    # chain 1-2, 2-3 plus separate 10-11; transitive closure must give
+    # {1,2,3} -> 1 and {10,11} -> 10
+    edges = spark.createDataFrame([(2, 1), (3, 2), (11, 10)], ["id1", "id2"])
+    got = {r["id"]: r["component"] for r in dd.connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_long_chain_converges(spark):
+    n = 12
+    edges = spark.createDataFrame(
+        [(i + 1, i) for i in range(n)], ["id1", "id2"]
+    )
+    got = {r["id"]: r["component"] for r in dd.connected_components(edges).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == n + 1
+
+
+def test_dedup_lookup_includes_singletons(spark):
+    persons = spark.createDataFrame([(1,), (2,), (3,), (9,)], ["id"])
+    edges = spark.createDataFrame([(2, 1)], ["id1", "id2"])
+    got = {r["person_id"]: r["lookup_id"] for r in dd.dedup_lookup(persons, edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 3, 9: 9}

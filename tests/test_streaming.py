@@ -1,0 +1,45 @@
+"""Streaming plane: the real Structured Streaming engine must produce the
+same windowed aggregates as the batch twin."""
+
+from pyspark.sql import functions as F
+
+from puma_matcher_spark.sources.testdata import load_tables
+from puma_matcher_spark.streaming import events as se
+
+
+def test_stream_matches_batch_windowed_counts(spark, sf_small):
+    q = se.run_stream_to_memory(spark, sf_small, table_name="t_windowed")
+    q.awaitTermination(120)
+    streamed = spark.sql(
+        "select window.start as ws, event_type, event_count from t_windowed"
+    )
+    batch = se.windowed_counts_eventtime(
+        load_tables(spark, sf_small).events()
+    ).select(
+        F.col("window.start").alias("ws"), "event_type", "event_count"
+    )
+    s = {(r["ws"], r["event_type"]): r["event_count"] for r in streamed.collect()}
+    b = {(r["ws"], r["event_type"]): r["event_count"] for r in batch.collect()}
+    assert s == b
+    assert len(b) > 100
+
+
+def test_sessionize_gap_semantics(spark):
+    rows = [
+        (1, "2024-01-01 00:00:00", 1.0),
+        (1, "2024-01-01 00:10:00", 2.0),   # same session (gap 10m < 30m)
+        (1, "2024-01-01 01:00:00", 3.0),   # new session (gap 50m)
+        (2, "2024-01-01 00:00:00", 4.0),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "value"]).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = se.sessionize(ev, gap="30 minutes").collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert len(by_user[1]) == 2
+    assert len(by_user[2]) == 1
+    first = sorted(by_user[1], key=lambda r: r["session_start"])[0]
+    assert first["n_events"] == 2
+    assert first["session_value"] == 3.0

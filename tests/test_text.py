@@ -1,0 +1,118 @@
+"""Text family: tokenizer, Porter stemmer, code regexes, text matchers."""
+
+from pyspark.sql import functions as F
+
+from puma_matcher_spark.functions import codes
+from puma_matcher_spark.functions.text import porter_stem, text_features, tokenize
+from puma_matcher_spark.operators import textmatch as tm
+
+
+def test_porter_stem_published_examples():
+    # examples from Porter (1980)
+    cases = {
+        "caresses": "caress",
+        "ponies": "poni",
+        "ties": "ti",
+        "caress": "caress",
+        "cats": "cat",
+        "feed": "feed",
+        "agreed": "agre",
+        "plastered": "plaster",
+        "motoring": "motor",
+        "sing": "sing",
+        "conflated": "conflat",
+        "troubled": "troubl",
+        "sized": "size",
+        "happy": "happi",
+        "relational": "relat",
+        "conditional": "condit",
+        "rational": "ration",
+        "digitizer": "digit",
+        "operator": "oper",
+        "feudalism": "feudal",
+        "probate": "probat",
+        "controll": "control",
+        "roll": "roll",
+    }
+    for word, want in cases.items():
+        assert porter_stem(word) == want, f"{word} -> {porter_stem(word)} != {want}"
+
+
+def test_tokenize_filters(spark):
+    df = spark.createDataFrame([("The QUICK-brown fox is on it xy",)], ["t"])
+    got = df.select(tokenize(F.col("t")).alias("toks")).first()["toks"]
+    # 'the'/'is'/'on'/'it' stopwords, 'xy' too short
+    assert got == ["quick", "brown", "fox"]
+
+
+def test_text_features_parallel_arrays(spark):
+    df = spark.createDataFrame([(1, "running quickly through forests")], ["doc_id", "text"])
+    r = text_features(df, id_col="doc_id").first()
+    assert r["words"] == ["running", "quickly", "through", "forests"]
+    assert r["feature"] == ["run", "quickli", "through", "forest"]
+    assert r["position"] == [0, 1, 2, 3]
+
+
+def test_proposal_code_and_doi_extraction(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "see proposal 7-02-1234 and CRG-881 plus doi 10.5291/ILL-DATA.4-01-1 end"),
+            (2, "no codes here"),
+        ],
+        ["document_version_id", "text"],
+    )
+    pcs = {
+        (r["document_version_id"], r["code"])
+        for r in codes.extract_proposal_codes(df, "text", "document_version_id").collect()
+    }
+    assert pcs == {(1, "7-02-1234"), (1, "CRG-881"), (1, "4-01-1")}
+    dois = {
+        (r["document_version_id"], r["doi"])
+        for r in codes.extract_dois(df, "text", "document_version_id").collect()
+    }
+    assert dois == {(1, "10.5291/ILL-DATA.4-01-1")}
+
+
+def test_referenced_minus_owned(spark):
+    ref = spark.createDataFrame(
+        [(1, "A"), (1, "B"), (2, "A")], ["document_version_id", "code"]
+    )
+    owned = spark.createDataFrame([(1, "A")], ["document_version_id", "code"])
+    got = {
+        (r["document_version_id"], r["code"])
+        for r in codes.referenced_minus_owned(ref, owned, "code").collect()
+    }
+    assert got == {(1, "B"), (2, "A")}
+
+
+def test_sentence_shingles_and_cap(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta zeta"),
+            (3, "unrelated words entirely different here"),
+        ],
+        ["document_version_id", "text"],
+    )
+    pairs = tm.text_match_pairs(docs, n=4).collect()
+    assert len(pairs) == 1
+    r = pairs[0]
+    # docs 1,2 share exactly the 4-gram 'alpha beta gamma delta'
+    assert (r["document_version1_id"], r["document_version2_id"], r["common_sentences"]) == (1, 2, 1)
+
+
+def test_cosine_identical_titles_score_one(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "neutron scattering study"),
+            (2, "neutron scattering study"),
+            (3, "crystal growth experiment"),
+        ],
+        ["document_version_id", "title"],
+    )
+    out = {
+        (r["document_version1_id"], r["document_version2_id"]): r["score"]
+        for r in tm.cosine_title_matches(docs, min_score=0.2).collect()
+    }
+    assert abs(out[(1, 2)] - 1.0) < 1e-9
+    assert (1, 3) not in out
