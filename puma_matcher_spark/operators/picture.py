@@ -1,0 +1,140 @@
+"""Picture matching family: perceptual-hash similarity.
+
+Reference:
+
+* ``PictureMatcher`` (matcher/PictureMatcher.scala:46-94, J5/M2) —
+  256-bit blockhash vectors → ``MinHashLSH(numHashTables=3)
+  .approxSimilarityJoin(0.15)``, post-filtered ``dv1 < dv2``, size filter
+  width/height ≥ 150.
+* ``PictureScorer`` (scorer/PictureScorer.scala:42-91) — Hamming distance
+  over the 256-char hash strings → score.
+* ``Level2PictureMatcher`` (matcher/Level2PictureMatcher.scala:39-56, J13)
+  — only re-scores pairs that already matched on other types.
+
+Rebuild: Hamming over hex-encoded hashes is a pure column expression —
+``bit_count(xor)`` per 60-bit chunk (codegen, no UDF).  The LSH path uses
+``pyspark.ml.feature.MinHashLSH`` on binarised vectors for parity with the
+reference; the portable SimHash/MinHash operators in llmdata.dedup are the
+oracle-checkable equivalents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hamming_hex(a: Column, b: Column, n_chunks: int = 5, chunk: int = 13) -> Column:
+    """Hamming distance between equal-length hex strings via chunked
+    hex→long conversion + xor + bit_count (Hamming.getDistance rebuild,
+    PictureScorer.scala:75-91 — theirs loops chars; this stays in codegen).
+
+    Chunks of 13 hex chars (52 bits) stay well inside long range.
+    """
+    total = F.lit(0)
+    for i in range(n_chunks):
+        start = i * chunk + 1
+        ca = F.conv(F.substring(a, start, chunk), 16, 10).cast("long")
+        cb = F.conv(F.substring(b, start, chunk), 16, 10).cast("long")
+        total = total + F.bit_count(ca.bitwiseXOR(cb))
+    return total
+
+
+def hamming_long(a: Column, b: Column) -> Column:
+    """Hamming distance between 64-bit fingerprints (SimHash pairs)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def picture_size_filter(pictures: DataFrame, min_size: int = 150) -> DataFrame:
+    """P11 — drop small images (PictureMatcher.scala:46)."""
+    return pictures.where(
+        (F.col("width") >= min_size) & (F.col("height") >= min_size)
+    )
+
+
+def score_picture_pairs(
+    pairs: DataFrame,
+    hashes: DataFrame,
+    max_distance: int = 30,
+    hash_bits: int = 256,
+) -> DataFrame:
+    """J13 + PictureScorer — attach both sides' hashes to candidate pairs,
+    score by Hamming distance (score = 1 - distance/bits), keep matches
+    under the threshold (config ``puma.matching.picture.maxdistance=30``).
+    """
+    h1 = hashes.select(
+        F.col("document_version_id").alias("document_version1_id"),
+        F.col("hash").alias("_h1"),
+    )
+    h2 = hashes.select(
+        F.col("document_version_id").alias("document_version2_id"),
+        F.col("hash").alias("_h2"),
+    )
+    n_chunks = (hash_bits // 4 + 12) // 13
+    dist = hamming_hex(F.col("_h1"), F.col("_h2"), n_chunks=n_chunks)
+    return (
+        pairs.join(h1, "document_version1_id")
+        .join(h2, "document_version2_id")
+        .withColumn("hamming", dist)
+        .where(F.col("hamming") <= max_distance)
+        .withColumn(
+            "score", F.lit(1.0) - F.col("hamming") / F.lit(float(hash_bits))
+        )
+        .drop("_h1", "_h2")
+    )
+
+
+def minhash_lsh_pairs(
+    hashes: DataFrame,
+    num_hash_tables: int = 3,
+    threshold: float = 0.15,
+    hash_bits: int = 256,
+) -> DataFrame:
+    """J5/M2 — ml.feature.MinHashLSH approximate Jaccard self-join over
+    binarised hash vectors (PictureMatcher.scala:54-67 port).
+
+    Input: (document_version_id, hash) with hex hashes.  Nondeterministic
+    across Spark versions only via LSH seed — pinned.
+    """
+    from pyspark.ml.feature import MinHashLSH
+    from pyspark.ml.functions import array_to_vector
+
+    n_chars = hash_bits // 4
+    # hex → per-bit 0/1 array → sparse-ish dense vector
+    bits = F.flatten(
+        F.transform(
+            F.filter(
+                F.split(F.substring("hash", 1, n_chars), "(?!^)"),
+                lambda c: c != F.lit(""),
+            ),
+            # bit b of hex nibble v = floor(v / 2^b) % 2 (shiftright needs a
+            # literal shift amount, so use arithmetic inside the lambda)
+            lambda c: F.transform(
+                F.sequence(F.lit(3), F.lit(0), F.lit(-1)),
+                lambda b: (
+                    F.floor(F.conv(c, 16, 10).cast("double") / F.pow(F.lit(2.0), b))
+                    % 2
+                ).cast("double"),
+            ),
+        )
+    )
+    feats = hashes.select(
+        "document_version_id", array_to_vector(bits).alias("features")
+    )
+    lsh = MinHashLSH(
+        inputCol="features",
+        outputCol="lsh",
+        numHashTables=num_hash_tables,
+        seed=9876547687 % (1 << 31),
+    )
+    model = lsh.fit(feats)
+    joined = model.approxSimilarityJoin(feats, feats, threshold, distCol="jaccard_dist")
+    return (
+        joined.select(
+            F.col("datasetA.document_version_id").alias("document_version1_id"),
+            F.col("datasetB.document_version_id").alias("document_version2_id"),
+            "jaccard_dist",
+        )
+        .where(F.col("document_version1_id") < F.col("document_version2_id"))
+        .distinct()
+    )

@@ -116,15 +116,31 @@ def _all_cand_ctes() -> str:
 # --------------------------------------------------------------------------
 
 
+# Scored-candidate frames are memoized per (session, sf_dir, family) and
+# persisted — the reference caches every stage output (Pipeline.scala:203)
+# and memoizes sources (SqlDataSource.scala:48); without this the TF chain
+# re-scans lineitem ~7× per consuming query.
+_CAND_CACHE: dict[tuple, DataFrame] = {}
+
+
 def _entity_candidates(t: Tables, which: str = "person") -> DataFrame:
     """Spark twin of _tf_chain's {p}cand."""
+    key = (t.spark.sparkContext.applicationId, t.sf_dir, which)
+    if key in _CAND_CACHE:
+        return _CAND_CACHE[key]
+    from pyspark import StorageLevel
+
     ents = t.entities() if which == "person" else t.entities_secondary_orders()
-    tf = m.entity_tf(ents)
+    tf = m.entity_tf(ents).persist(StorageLevel.MEMORY_AND_DISK)
     doc_count = ents.select("document_version_id").distinct().count()
     capped = m.cap_entity_frequency(tf, 2000, doc_count)
     pairs = m.entity_pairs(capped)
     pairs_idf = sc.with_idf(pairs, tf, doc_count)
-    return sc.score_entity_pairs(pairs_idf, tf, which, 1 if which == "person" else 10)
+    out = sc.score_entity_pairs(
+        pairs_idf, tf, which, 1 if which == "person" else 10
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    _CAND_CACHE[key] = out
+    return out
 
 
 def _all_candidates(t: Tables) -> DataFrame:
@@ -1208,6 +1224,241 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(256).alias("height"),
     )
     return extract_media_features(media)
+
+
+# ---------------- picture / hamming family ----------------
+
+
+@register(
+    "hamming_pairs",
+    f"""WITH {_LLM_SHINGLES},
+seeded AS (SELECT doc_id, shingle, unnest(range(8)) AS seed FROM sh),
+mh AS (
+  SELECT doc_id, seed,
+         MIN(('0x' || substr(md5(shingle || '#' || CAST(seed AS VARCHAR)), 1, 15))::BIGINT) AS minhash
+  FROM seeded GROUP BY 1, 2),
+bk AS (
+  SELECT doc_id, CAST(seed // 2 AS INTEGER) AS band,
+         md5(string_agg(CAST(minhash AS VARCHAR), '-' ORDER BY seed)) AS band_key
+  FROM mh GROUP BY 1, 2),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc1_id, b.doc_id AS doc2_id
+  FROM bk a JOIN bk b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+toks2 AS (SELECT doc_id, unnest({_LLM_TOKS}) AS tok FROM documents),
+tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks2 GROUP BY 1, 2),
+hashed AS (
+  SELECT doc_id, tf, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tf),
+bits AS (SELECT doc_id, tf, h, unnest(range(60)) AS bit FROM hashed),
+votes AS (
+  SELECT doc_id, bit,
+         SUM(CASE WHEN (h >> bit) & 1 = 1 THEN tf ELSE -tf END) AS vote
+  FROM bits GROUP BY 1, 2),
+simh AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY 1)
+SELECT c.doc1_id, c.doc2_id,
+       CAST(bit_count(xor(s1.simhash, s2.simhash)) AS BIGINT) AS hamming
+FROM cand c
+JOIN simh s1 ON c.doc1_id = s1.doc_id
+JOIN simh s2 ON c.doc2_id = s2.doc_id""",
+)
+def q_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PictureScorer pattern (J13 + Hamming): score MinHash candidate
+    pairs by fingerprint Hamming distance via bit_count(xor) — pure
+    codegen, no UDF. Ref: scorer/PictureScorer.scala:42-91,
+    matcher/Level2PictureMatcher.scala:43-56."""
+    from puma_matcher_spark.operators.picture import hamming_long
+
+    docs = load_tables(spark, sf_dir).llm_documents()
+    pairs = dd.minhash_dedup_pairs(docs)
+    sh = dd.simhash64(docs)
+    s1 = sh.select(F.col("doc_id").alias("doc1_id"), F.col("simhash").alias("_s1"))
+    s2 = sh.select(F.col("doc_id").alias("doc2_id"), F.col("simhash").alias("_s2"))
+    return (
+        pairs.join(s1, "doc1_id")
+        .join(s2, "doc2_id")
+        .select(
+            "doc1_id",
+            "doc2_id",
+            hamming_long(F.col("_s1"), F.col("_s2")).cast("long").alias("hamming"),
+        )
+    )
+
+
+@register("picture_lsh_pairs", None)  # ml MinHashLSH internal seeds → rows-only
+def q_picture_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5/M2 — ml.feature.MinHashLSH approxSimilarityJoin over binarised
+    fingerprints (PictureMatcher.scala:54-67 port; hash tables are
+    JVM-seeded → rows-only check, exactness covered by hamming_pairs)."""
+    from puma_matcher_spark.operators.picture import minhash_lsh_pairs
+
+    docs = load_tables(spark, sf_dir).llm_documents()
+    sh = dd.simhash64(docs)
+    hashes = sh.select(
+        F.col("doc_id").alias("document_version_id"),
+        F.lpad(F.conv(F.col("simhash").cast("string"), 10, 16), 16, "0").alias("hash"),
+    )
+    return minhash_lsh_pairs(hashes, num_hash_tables=3, threshold=0.3, hash_bits=64)
+
+
+# ---------------- context windows (J4 → frame specs) ----------------
+
+
+@register(
+    "context_windows",
+    f"""WITH toksl AS (SELECT doc_id, {_LLM_TOKS} AS tk FROM documents),
+toks AS (
+  SELECT doc_id, unnest(tk) AS tok, unnest(range(len(tk))) AS pos FROM toksl),
+ctx AS (
+  SELECT doc_id, pos, tok,
+         list(tok) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS context
+  FROM toks)
+SELECT doc_id AS document_version_id, pos, tok AS word, context
+FROM ctx WHERE tok IN ('spark', 'hash')""",
+)
+def q_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 rebuilt as a rowsBetween frame: ±3 words around target
+    mentions. Ref: InstrumentAnalyser.scala:66-71,
+    AdvancedInstrumentAnalyser.scala:478-504 (theta-join form)."""
+    from puma_matcher_spark.operators.context import mention_contexts
+
+    docs = load_tables(spark, sf_dir).llm_documents()
+    toks = docs.select(
+        F.col("doc_id").alias("document_version_id"),
+        F.posexplode(ts.tokens(F.col("text"))).alias("pos", "word"),
+    )
+    return mention_contexts(toks, ["spark", "hash"], k=3)
+
+
+@register(
+    "top_context_words",
+    f"""WITH toksl AS (SELECT doc_id, {_LLM_TOKS} AS tk FROM documents),
+toks AS (
+  SELECT doc_id, unnest(tk) AS tok, unnest(range(len(tk))) AS pos FROM toksl),
+ctx AS (
+  SELECT doc_id, pos, tok,
+         list(tok) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS context
+  FROM toks),
+mentions AS (
+  SELECT tok AS word, unnest(context) AS ctx_word
+  FROM ctx WHERE tok IN ('spark', 'hash')),
+counts AS (
+  SELECT word, ctx_word, CAST(COUNT(*) AS BIGINT) AS n
+  FROM mentions WHERE ctx_word <> word GROUP BY 1, 2)
+SELECT word, ctx_word, n,
+       CAST(RANK() OVER (PARTITION BY word ORDER BY n DESC, ctx_word ASC) AS BIGINT) AS rank
+FROM counts QUALIFY rank <= 20""",
+)
+def q_top_context_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 — top-20 context words per target.
+    Ref: AdvancedInstrumentAnalyser.scala:611-612."""
+    from puma_matcher_spark.operators.context import mention_contexts, top_context_words
+
+    docs = load_tables(spark, sf_dir).llm_documents()
+    toks = docs.select(
+        F.col("doc_id").alias("document_version_id"),
+        F.posexplode(ts.tokens(F.col("text"))).alias("pos", "word"),
+    )
+    mentions = mention_contexts(toks, ["spark", "hash"], k=3)
+    return top_context_words(mentions, top_n=20).select(
+        "word", "ctx_word", "n", F.col("rank").cast("long").alias("rank")
+    )
+
+
+# ---------------- evaluation / editor / indexing ----------------
+
+
+@register(
+    "rank_evaluation",
+    _all_cand_ctes()
+    + """,
+mirrored AS (
+  SELECT document_version1_id AS document_version_id,
+         document_version2_id AS partner_id, score_type, score FROM all_cand
+  UNION ALL
+  SELECT document_version2_id, document_version1_id, score_type, score FROM all_cand),
+ranked AS (
+  SELECT document_version_id, partner_id, score_type,
+         CAST(RANK() OVER (PARTITION BY document_version_id, score_type
+                           ORDER BY ROUND(score, 6) DESC, partner_id ASC) AS BIGINT) AS rank
+  FROM mirrored)
+SELECT score_type,
+       CAST(COUNT(*) AS BIGINT) AS n_accepted,
+       ROUND(AVG(rank), 4) AS avg_rank,
+       CAST(SUM(CASE WHEN rank <= 3 THEN 1 ELSE 0 END) AS BIGINT) AS top3
+FROM ranked
+WHERE (document_version_id + partner_id) % 7 = 0
+GROUP BY 1""",
+)
+def q_rank_evaluation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16 — RankEvaluatorApp: rank summary of known-good pairs per score
+    type. Ref: app/RankEvaluatorApp.scala:28-42."""
+    from pyspark.sql.window import Window
+
+    cand = _all_candidates(load_tables(spark, sf_dir))
+    mirrored = st.mirror_candidates(cand)
+    w = Window.partitionBy("document_version_id", "score_type").orderBy(
+        pround(F.col("score"), 6).desc(), F.col("partner_id").asc()
+    )
+    ranked = mirrored.withColumn("rank", F.rank().over(w).cast("long"))
+    return (
+        ranked.where(
+            (F.col("document_version_id") + F.col("partner_id")) % 7 == 0
+        )
+        .groupBy("score_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_accepted"),
+            pround(F.avg("rank"), 4).alias("avg_rank"),
+            F.sum(F.when(F.col("rank") <= 3, 1).otherwise(0))
+            .cast("long")
+            .alias("top3"),
+        )
+    )
+
+
+@register(
+    "hundred_editor",
+    _all_cand_ctes()
+    + """
+SELECT document_version1_id, document_version2_id, score_type,
+       CASE WHEN score_type = 'laboratory' THEN 100.0
+            ELSE ROUND(score, 4) END AS score
+FROM all_cand""",
+)
+def q_hundred_editor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HundredMatchEditor — force certain-match types to score 100."""
+    from puma_matcher_spark.operators.editors import hundred_match_editor
+
+    cand = _all_candidates(load_tables(spark, sf_dir)).withColumn(
+        "score", pround(F.col("score"), 4)
+    )
+    return hundred_match_editor(cand, ["laboratory"]).select(
+        "document_version1_id", "document_version2_id", "score_type", "score"
+    )
+
+
+@register(
+    "string_index",
+    """SELECT p_partkey, p_brand,
+       CAST(DENSE_RANK() OVER (ORDER BY p_brand) AS BIGINT) AS brand_id
+FROM part""",
+)
+def q_string_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StringIndexer equivalent — deterministic dense_rank over the label
+    (Ref: DoiAnalyser.scala:68-76 uses ml StringIndexer; dense_rank gives
+    reproducible ids without an ML fit)."""
+    from pyspark.sql.window import Window
+
+    part = load_tables(spark, sf_dir).raw("part")
+    return part.select(
+        "p_partkey",
+        "p_brand",
+        F.dense_rank().over(Window.orderBy("p_brand")).cast("long").alias("brand_id"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,135 @@
+"""Picture/hamming, context windows, editors, ML plane, file sources."""
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from puma_matcher_spark.operators import context as cx
+from puma_matcher_spark.operators import picture as pic
+from puma_matcher_spark.operators.editors import hundred_match_editor, score_override_editor
+from puma_matcher_spark.sources.files import clean_full_text, read_text_files
+
+
+def test_hamming_hex_known_distance(spark):
+    df = spark.createDataFrame([("f0", "0f"), ("ff", "ff")], ["a", "b"])
+    got = df.select(
+        pic.hamming_hex(F.col("a"), F.col("b"), n_chunks=1, chunk=2).alias("d")
+    ).collect()
+    assert [r["d"] for r in got] == [8, 0]
+
+
+def test_hamming_long(spark):
+    df = spark.createDataFrame([(0b1011, 0b0010)], ["a", "b"])
+    assert df.select(
+        pic.hamming_long(F.col("a"), F.col("b")).alias("d")
+    ).first()["d"] == 2
+
+
+def test_picture_pair_scoring_threshold(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3)], ["document_version1_id", "document_version2_id"]
+    )
+    hashes = spark.createDataFrame(
+        [(1, "ff" * 32), (2, "ff" * 32), (3, "00" * 32)],
+        ["document_version_id", "hash"],
+    )
+    out = pic.score_picture_pairs(pairs, hashes, max_distance=30)
+    rows = {
+        (r["document_version1_id"], r["document_version2_id"]): r["hamming"]
+        for r in out.collect()
+    }
+    assert rows == {(1, 2): 0}  # (1,3) distance 256 > 30 dropped
+
+
+def test_size_filter(spark):
+    pics = spark.createDataFrame(
+        [(1, 200, 200), (2, 100, 200)], ["id", "width", "height"]
+    )
+    assert [r["id"] for r in pic.picture_size_filter(pics).collect()] == [1]
+
+
+def test_context_windows_edges(spark):
+    toks = spark.createDataFrame(
+        [(1, i, w) for i, w in enumerate(["a", "b", "target", "c", "d", "e"])],
+        ["document_version_id", "pos", "word"],
+    )
+    out = cx.mention_contexts(toks, ["target"], k=2).collect()
+    assert len(out) == 1
+    assert out[0]["context"] == ["a", "b", "target", "c", "d"]
+
+
+def test_editors(spark):
+    cand = spark.createDataFrame(
+        [(10, "doi", 5.0), (11, "person", 5.0)],
+        ["pair_id", "score_type", "score"],
+    )
+    out = {r["pair_id"]: r["score"] for r in hundred_match_editor(cand, ["doi"]).collect()}
+    assert out == {10: 100.0, 11: 5.0}
+    overrides = spark.createDataFrame(
+        [(11, "person", 42.0)], ["pair_id", "score_type", "new_score"]
+    )
+    out2 = {r["pair_id"]: r["score"] for r in score_override_editor(cand, overrides).collect()}
+    assert out2 == {10: 5.0, 11: 42.0}
+
+
+def test_read_text_files_and_clean(spark):
+    with tempfile.TemporaryDirectory() as d:
+        p1 = os.path.join(d, "a.txt")
+        p2 = os.path.join(d, "b.txt")
+        with open(p1, "w") as f:
+            f.write("hello\x01  world\n")
+        with open(p2, "w") as f:
+            f.write("second doc")
+        path_map = spark.createDataFrame(
+            [(1, p1), (2, p2)], ["document_version_id", "file_path"]
+        )
+        out = clean_full_text(read_text_files(spark, path_map))
+        got = {r["document_version_id"]: r["text"] for r in out.collect()}
+        assert got == {1: "hello world", 2: "second doc"}
+
+
+def test_rf_classifier_learns_separable_data(spark):
+    rows = [(float(i % 2), float(i % 2) * 10 + (i % 3) * 0.1, float(i)) for i in range(200)]
+    df = spark.createDataFrame(rows, ["label", "f1", "f2"])
+    from puma_matcher_spark.operators.instrument_ml import train_rf_classifier
+
+    _, acc = train_rf_classifier(df, ["f1", "f2"], num_trees=20, max_depth=5)
+    assert acc > 0.95
+
+
+def test_word2vec_and_kmeans_run(spark):
+    from puma_matcher_spark.operators.instrument_ml import (
+        kmeans_clusters,
+        word2vec_embeddings,
+    )
+
+    sents = spark.createDataFrame(
+        [(1, ["neutron", "beam"]), (2, ["neutron", "source"]), (3, ["crystal", "growth"])],
+        ["id", "words"],
+    )
+    emb = word2vec_embeddings(sents, size=4)
+    assert "w2v" in emb.columns and emb.count() == 3
+    pts = spark.createDataFrame(
+        [(1, 0.0, 0.0), (2, 0.1, 0.1), (3, 9.0, 9.0), (4, 9.1, 9.1)],
+        ["id", "x", "y"],
+    )
+    clustered = kmeans_clusters(pts, ["x", "y"], k=2)
+    by_cluster = {
+        r["id"]: r["cluster"] for r in clustered.collect()
+    }
+    assert by_cluster[1] == by_cluster[2]
+    assert by_cluster[3] == by_cluster[4]
+    assert by_cluster[1] != by_cluster[3]
+
+
+def test_fpgrowth_finds_frequent_pair(spark):
+    from puma_matcher_spark.operators.instrument_ml import fpgrowth_itemsets
+
+    baskets = spark.createDataFrame(
+        [(1, ["a", "b"]), (2, ["a", "b"]), (3, ["a", "c"]), (4, ["a", "b", "c"])],
+        ["id", "items"],
+    )
+    freq = {tuple(sorted(r["items"])): r["freq"] for r in fpgrowth_itemsets(baskets, min_support=0.5).collect()}
+    assert freq[("a",)] == 4
+    assert freq[("a", "b")] == 3
