@@ -1,0 +1,169 @@
+"""Plan inspection, skew helpers, publish, formula/instrument analysers."""
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from puma_matcher_spark.functions.formula import extract_formulas, is_formula_candidate
+from puma_matcher_spark.operators import instrument as instr
+from puma_matcher_spark.operators import skew
+from puma_matcher_spark.plans import inspect as pi
+from puma_matcher_spark.sources import publish
+from puma_matcher_spark.sources.testdata import load_tables
+
+
+def test_flagship_plan_has_no_cartesian_and_prunes_columns(spark, sf_small):
+    from puma_matcher_spark.queries import REGISTRY
+
+    df = REGISTRY["match_candidates"].spark_fn(spark, sf_small)
+    pi.assert_no_cartesian(df, "match_candidates")
+    # the entity chain must never read lineitem's price columns
+    pi.assert_column_pruned(df, "lineitem", "l_extendedprice")
+
+
+def test_pricing_summary_pushes_filter_to_scan(spark, sf_small):
+    from puma_matcher_spark.queries import REGISTRY
+
+    df = REGISTRY["pricing_summary"].spark_fn(spark, sf_small)
+    pushed = " ".join(p for p in pi.pushed_filters(df))
+    assert "l_shipdate" in pushed
+
+
+def test_salted_join_matches_plain_join(spark):
+    left = spark.createDataFrame(
+        [(1, i) for i in range(100)] + [(2, i) for i in range(5)], ["k", "v"]
+    )
+    right = spark.createDataFrame([(1, "hot"), (2, "cold")], ["k", "name"])
+    plain = left.join(right, "k").groupBy("name").count()
+    salted = skew.salted_join(left, right, "k").groupBy("name").count()
+    assert {tuple(r) for r in plain.collect()} == {tuple(r) for r in salted.collect()}
+
+
+def test_salted_aggregate_matches_plain_sum(spark):
+    df = spark.createDataFrame([(1, float(i)) for i in range(50)], ["k", "v"])
+    got = skew.salted_aggregate(df, "k", "v").first()
+    assert got["sum_v"] == sum(range(50))
+
+
+def test_publish_blue_green_swap(spark):
+    with tempfile.TemporaryDirectory() as root:
+        df1 = spark.createDataFrame([(1, "a")], ["id", "val"])
+        publish.publish(df1, root)
+        assert publish.read_live(spark, root).first()["val"] == "a"
+        df2 = spark.createDataFrame([(1, "b")], ["id", "val"])
+        publish.publish(df2, root)
+        assert publish.read_live(spark, root).first()["val"] == "b"
+        # old version retained exactly one generation back
+        assert os.path.isdir(os.path.join(root, "old"))
+
+
+def test_formula_detection(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "samples of La2CuO4 and Fe3O4 were grown"),
+            (2, "the Final CoIn result was ordinary"),
+        ],
+        ["document_version_id", "text"],
+    )
+    got = {
+        (r["document_version_id"], r["formula"])
+        for r in extract_formulas(docs, dictionary=("coin", "final")).collect()
+    }
+    assert (1, "La2CuO4") in got
+    assert (1, "Fe3O4") in got
+    assert all(f not in {"CoIn", "Final"} for _, f in got)
+
+
+def test_is_formula_rejects_plain_words(spark):
+    df = spark.createDataFrame(
+        [("the",), ("was",), ("H2O",), ("NaCl",)], ["t"]
+    )
+    got = {
+        r["t"]: r["f"]
+        for r in df.select("t", is_formula_candidate(F.col("t")).alias("f")).collect()
+    }
+    assert got["H2O"] and got["NaCl"]
+    assert not got["the"] and not got["was"]
+
+
+def test_instrument_mentions_and_guard(spark):
+    tokens = spark.createDataFrame(
+        [(d, p, w) for d, p, w in [
+            (1, 0, "in5"), (1, 1, "data"), (2, 0, "in5"),
+            (3, 0, "d22"), (4, 0, "common"), (5, 0, "common"),
+            (6, 0, "common"), (7, 0, "common"),
+        ]],
+        ["document_version_id", "pos", "word"],
+    )
+    aliases = spark.createDataFrame(
+        [(100, "IN5"), (200, "D22"), (300, "common")],
+        ["instrument_id", "alias"],
+    )
+    mentions = instr.instrument_mentions(tokens, aliases)
+    assert mentions.count() == 7
+    # 'common' appears in 4/7 docs > 30% → guarded out
+    guarded = instr.instrument_frequency_guard(mentions, total_docs=7, max_frequency=0.3)
+    kept = {r["instrument_id"] for r in guarded.select("instrument_id").distinct().collect()}
+    assert kept == {100, 200}
+    rollup = {
+        (r["document_version_id"], r["instrument_id"]): r["mention_count"]
+        for r in instr.document_instruments(mentions).collect()
+    }
+    assert rollup[(1, 100)] == 1
+
+
+def test_duplicated_codes(spark):
+    aliases = spark.createDataFrame(
+        [(1, "X"), (2, "X"), (3, "Y")], ["instrument_id", "alias"]
+    )
+    got = [r["alias"] for r in instr.duplicated_codes(aliases).collect()]
+    assert got == ["X"]
+
+
+def test_bucketed_write_read_roundtrip(spark):
+    import uuid
+
+    tbl = f"bucketed_test_{uuid.uuid4().hex[:8]}"
+    df = spark.createDataFrame([(i % 10, i) for i in range(100)], ["k", "v"])
+    try:
+        skew.write_bucketed(df, tbl, "k", num_buckets=4)
+        back = skew.read_bucketed(spark, tbl)
+        assert back.count() == 100
+        # joining two bucketed reads on the bucket key plans no shuffle on
+        # the scan sides (bucket pruning keeps Exchange count low)
+        j = back.join(skew.read_bucketed(spark, tbl).withColumnRenamed("v", "v2"), "k")
+        assert j.count() == 1000
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+def test_technique_filter_semi_join(spark):
+    cand = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 10)], ["document_version_id", "technique_id"]
+    )
+    instrument_techniques = spark.createDataFrame(
+        [(100, 10)], ["instrument_id", "technique_id"]
+    )
+    doc_techniques = spark.createDataFrame(
+        [(1, 100)], ["document_version_id", "instrument_id"]
+    )
+    got = {
+        (r["document_version_id"], r["technique_id"])
+        for r in instr.technique_filter(cand, instrument_techniques, doc_techniques).collect()
+    }
+    assert got == {(1, 10)}
+
+
+def test_pos_filter_keeps_content_words(spark):
+    from puma_matcher_spark.functions.nlp import filter_by_pos
+
+    docs = spark.createDataFrame(
+        [(1, ["the", "neutron", "beam", "was", "scattering", "slowly"])],
+        ["doc_id", "words"],
+    )
+    r = filter_by_pos(docs).first()
+    assert "neutron" in r["content_words"]
+    assert "scattering" in r["content_words"]
+    assert "the" not in r["content_words"]
+    assert "slowly" not in r["content_words"]
