@@ -25,6 +25,13 @@ BENCH_QUERIES = [
     "dedup_exact",         # content-hash dedup
     "doc_token_stats",     # text-analysis plane
     "match_ranks",         # W6 global ranking
+    "minhash_pairs",       # MinHash-LSH near-dup candidates
+    "ngram_jaccard",       # exact shingle Jaccard
+    "simhash",             # 64-bit fingerprints (bit-vote)
+    "cosine_titles",       # J6 TF-IDF cosine self-join
+    "text_match_pairs",    # A6 sentence-shingle matching
+    "events_windowed",     # streaming-twin windowed aggregation
+    "events_sessions",     # session_window sessionization
 ]
 
 

@@ -40,13 +40,53 @@ def tokenize(
 ) -> Column:
     """lowercase → split on non-word runs → length + stopword filters.
 
-    TextDataSource.scala:42-54 as pure column expressions.
+    TextDataSource.scala:42-54 as pure column expressions.  The stopword
+    test is a precompiled regex alternation, not ``array_contains`` over a
+    literal array: CreateArray isn't constant-folded inside lambda
+    functions, so the array-literal variant rebuilt the 100-element array
+    per token (measured ~10× slowdown on the shingle path).
     """
-    sw = F.array(*[F.lit(s) for s in (stopwords or STOPWORDS)])
+    sw_re = "^(?:" + "|".join(stopwords or STOPWORDS) + ")$"
     toks = F.split(F.lower(text), r"[^a-z0-9]+")
     return F.filter(
         toks,
-        lambda x: (F.length(x) >= min_length) & ~F.array_contains(sw, x),
+        lambda x: (F.length(x) >= min_length) & ~x.rlike(sw_re),
+    )
+
+
+def exploded_tokens(
+    docs,
+    text_col: str = "text",
+    id_col: str = "document_version_id",
+    min_length: int = DEFAULT_MIN_WORD_LENGTH,
+    stopwords: tuple[str, ...] | None = None,
+):
+    """(document_version_id, pos, word) rows — same filter semantics as
+    ``tokenize`` but applied AFTER posexplode as a row-level predicate.
+
+    Prefer this on hot paths: predicates inside array lambdas are
+    interpreted and re-evaluate literal subtrees (regex compile, array
+    construction) per element, measured ~100× slower than the codegen'd
+    row-level WHERE this produces.  ``pos`` is renumbered to be
+    consecutive over surviving tokens (matching ``tokenize`` positions).
+    """
+    from pyspark.sql.window import Window
+
+    sw_re = "^(?:" + "|".join(stopwords or STOPWORDS) + ")$"
+    raw = docs.select(
+        F.col(id_col).alias("document_version_id"),
+        F.posexplode(F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+")).alias(
+            "_raw_pos", "word"
+        ),
+    )
+    kept = raw.where(
+        (F.length("word") >= min_length) & ~F.col("word").rlike(sw_re)
+    )
+    w = Window.partitionBy("document_version_id").orderBy("_raw_pos")
+    return kept.select(
+        "document_version_id",
+        (F.row_number().over(w) - 1).alias("pos"),
+        "word",
     )
 
 

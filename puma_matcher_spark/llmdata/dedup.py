@@ -141,12 +141,17 @@ def ngram_jaccard_pairs(
     produce quadratic pairs) but still counted in the per-doc sizes, so
     Jaccard stays exact for the pairs that survive.
     """
+    from pyspark.sql.window import Window
+
     sh = shingles(docs, shingle_n)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    sh_df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    rare = sh.join(
-        F.broadcast(sh_df.filter(F.col("df") <= max_shingle_df).select("shingle")),
-        "shingle",
+    # df cap via count-over-window: the kept-shingle set is nearly the full
+    # shingle dictionary, so a broadcast semi-join would ship it whole; the
+    # window shuffles on `shingle` once and the pair self-join reuses it.
+    rare = (
+        sh.withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
+        .where(F.col("_df") <= max_shingle_df)
+        .drop("_df")
     )
     a = rare.select("shingle", F.col("doc_id").alias("doc1_id"))
     b = rare.select("shingle", F.col("doc_id").alias("doc2_id"))

@@ -43,16 +43,26 @@ def sentence_shingles(
 
     Built with ``transform`` over an index sequence (single projection —
     no join, no extra shuffle) and exploded to (doc, pos, sentence).
+
+    Implemented over row-level exploded tokens + ``lead()`` windows (all
+    whole-stage codegen).  Array-lambda variants (transform+slice over the
+    tokenize expression) are interpreted and re-evaluate literal subtrees
+    per element — measured ~30× slower on the fixtures.
     """
-    toks = tokenize(F.col(text_col))
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1)))
-    sent = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    from pyspark.sql.window import Window
+
+    from puma_matcher_spark.functions.text import exploded_tokens
+
+    toks = exploded_tokens(docs, text_col, id_col)
+    w = Window.partitionBy("document_version_id").orderBy("pos")
+    parts = [F.col("word")] + [F.lead("word", i).over(w) for i in range(1, n)]
+    with_next = toks.select(
+        "document_version_id",
+        F.col("pos").alias("position"),
+        F.concat_ws(" ", *parts).alias("sentence"),
+        F.lead("word", n - 1).over(w).alias("_last"),
     )
-    return (
-        docs.select(F.col(id_col).alias("document_version_id"), sent.alias("_s"))
-        .select("document_version_id", F.posexplode("_s").alias("position", "sentence"))
-    )
+    return with_next.where(F.col("_last").isNotNull()).drop("_last")
 
 
 def text_match_pairs(
@@ -68,13 +78,20 @@ def text_match_pairs(
     the sentence-occurrence cap applied before the self-join (TextMatcher
     .scala:55 caps posting lists; the core anti-explosion guard).
     """
+    from pyspark.sql.window import Window
+
     sh = sentence_shingles(docs, n, text_col, id_col).select(
         "document_version_id", "sentence"
     ).distinct()
-    occ = sh.groupBy("sentence").agg(F.count(F.lit(1)).alias("occ"))
-    capped = sh.join(
-        F.broadcast(occ.where(F.col("occ") <= max_occurrence).select("sentence")),
-        "sentence",
+    # occurrence cap via count-over-window on the join key: one shuffle on
+    # `sentence` that the self-join below reuses.  (Broadcasting the kept-
+    # sentence set is an anti-pattern here — it is nearly the full shingle
+    # dictionary, i.e. huge.)
+    occ_w = Window.partitionBy("sentence")
+    capped = (
+        sh.withColumn("_occ", F.count(F.lit(1)).over(occ_w))
+        .where(F.col("_occ") <= max_occurrence)
+        .drop("_occ")
     )
     a = capped.select("sentence", F.col("document_version_id").alias("document_version1_id"))
     b = capped.select("sentence", F.col("document_version_id").alias("document_version2_id"))
@@ -141,9 +158,10 @@ def single_word_scores(
     keep pairs with ≥ min_matched_words common words
     (SingleWordMatcher.scala:53-54 + SingleWordScorer.scala:53-57).
     """
-    words = docs.select(
-        F.col(id_col).alias("document_version_id"),
-        F.explode(tokenize(F.col(text_col))).alias("word"),
+    from puma_matcher_spark.functions.text import exploded_tokens
+
+    words = exploded_tokens(docs, text_col, id_col).select(
+        "document_version_id", "word"
     )
     tf = words.groupBy("document_version_id", "word").agg(
         F.count(F.lit(1)).alias("tf")
@@ -227,9 +245,10 @@ def cosine_title_matches(
     (CosineMatcher.scala:64-114 semantics with an exact join instead of
     DIMSUM sampling).
     """
-    words = docs.select(
-        F.col(id_col).alias("document_version_id"),
-        F.explode(tokenize(F.col(text_col))).alias("word"),
+    from puma_matcher_spark.functions.text import exploded_tokens
+
+    words = exploded_tokens(docs, text_col, id_col).select(
+        "document_version_id", "word"
     )
     tf = words.groupBy("document_version_id", "word").agg(
         F.count(F.lit(1)).alias("tf")

@@ -659,7 +659,7 @@ sh AS (
 occ AS (SELECT sentence, COUNT(*) AS occ FROM sh GROUP BY 1),
 capped AS (
   SELECT sh.document_version_id, sh.sentence
-  FROM sh JOIN occ USING (sentence) WHERE occ <= 2000)"""
+  FROM sh JOIN occ USING (sentence) WHERE occ <= 100)"""
 
 
 @register(
@@ -678,7 +678,7 @@ def q_text_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from puma_matcher_spark.operators import textmatch as tm
 
     docs = load_tables(spark, sf_dir).llm_documents()
-    return tm.text_match_pairs(docs, id_col="doc_id")
+    return tm.text_match_pairs(docs, max_occurrence=100, id_col="doc_id")
 
 
 @register(
@@ -704,7 +704,7 @@ def q_text_match_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from puma_matcher_spark.operators import textmatch as tm
 
     docs = load_tables(spark, sf_dir).llm_documents()
-    out = tm.text_match_scores(docs, id_col="doc_id")
+    out = tm.text_match_scores(docs, max_occurrence=100, id_col="doc_id")
     return out.select(
         "document_version1_id",
         "document_version2_id",
@@ -1459,6 +1459,44 @@ def q_string_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_brand",
         F.dense_rank().over(Window.orderBy("p_brand")).cast("long").alias("brand_id"),
     )
+
+
+@register(
+    "events_rollup",
+    """SELECT event_type,
+       CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 4) AS value_sum
+FROM events
+GROUP BY ROLLUP (event_type, CAST(FLOOR(epoch(ts) / 86400) AS BIGINT))""",
+)
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP aggregation (additive — the reference has no
+    grouping sets, SURVEY.md §2.4; a 100 TB reporting pipeline needs
+    them).  Subtotals per event_type and a grand total in one pass."""
+    ev = load_tables(spark, sf_dir).events()
+    day = (F.floor(F.unix_timestamp("ts") / 86400)).cast("long")
+    return ev.rollup(F.col("event_type"), day.alias("day_bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        pround(F.sum("value"), 4).alias("value_sum"),
+    )
+
+
+@register("dedup_person_chain", None)  # CC fixpoint → rows-only
+def q_dedup_person_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full person-dedup chain (PersonDeduplicatorApp rebuild): clean →
+    blocking key → blocked pairs → heuristic predicate → connected
+    components → canonical lookup.  Rows-only (iterative CC); component
+    exactness is unit-tested on hand-built graphs."""
+    from puma_matcher_spark.operators.dedup import (
+        blocked_pairs,
+        clean_names,
+        dedup_lookup,
+    )
+
+    persons = clean_names(load_tables(spark, sf_dir).persons())
+    edges = blocked_pairs(persons)
+    return dedup_lookup(persons, edges)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -45,3 +45,18 @@ def test_dedup_lookup_includes_singletons(spark):
     edges = spark.createDataFrame([(2, 1)], ["id1", "id2"])
     got = {r["person_id"]: r["lookup_id"] for r in dd.dedup_lookup(persons, edges).collect()}
     assert got == {1: 1, 2: 1, 3: 3, 9: 9}
+
+
+def test_person_pair_predicate_initials(spark):
+    pairs = spark.createDataFrame(
+        [
+            (1, 2, "jean", "j", "muller", "muller"),      # initial match
+            (3, 4, "anna", "anna", "smith", "smith"),     # exact
+            (5, 6, "bob", "rob", "jones", "jones"),       # incompatible first
+            (7, 8, "", "carl", "young", "young"),         # empty side
+            (9, 10, "dora", "dora", "lee", "kim"),        # lastname differs
+        ],
+        ["id1", "id2", "firstname1", "firstname2", "lastname1", "lastname2"],
+    )
+    got = {(r["id1"], r["id2"]) for r in dd.person_pair_predicate(pairs).collect()}
+    assert got == {(1, 2), (3, 4), (7, 8)}

@@ -43,3 +43,25 @@ def test_sessionize_gap_semantics(spark):
     first = sorted(by_user[1], key=lambda r: r["session_start"])[0]
     assert first["n_events"] == 2
     assert first["session_value"] == 3.0
+
+
+def test_stateful_running_stats_matches_batch(spark, sf_small):
+    from puma_matcher_spark.streaming.stateful import run_stateful_stream_to_memory
+
+    q = run_stateful_stream_to_memory(spark, sf_small, table_name="t_stateful")
+    q.awaitTermination(120)
+    # last update per user == the batch aggregate over the whole fixture
+    streamed = {
+        r["user_id"]: (r["n_events"], round(r["value_sum"], 6))
+        for r in spark.sql("select * from t_stateful").collect()
+    }
+    batch = {
+        r["user_id"]: (r["n"], round(r["s"], 6))
+        for r in load_tables(spark, sf_small)
+        .events()
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert streamed == batch
+    assert len(batch) > 10
