@@ -51,7 +51,7 @@ def rewrite_rounds_sql(sql: str) -> str:
                     break
             elif ch == "," and depth == 1:
                 last_comma = k
-        expr = sql[j + len("ROUND(") : last_comma]
+        expr = rewrite_rounds_sql(sql[j + len("ROUND(") : last_comma])
         n = int(sql[last_comma + 1 : k].strip())
         scale = f"1e{n}"
         out.append(f"(FLOOR(({expr}) * {scale} + 0.5) / {scale})")

@@ -50,22 +50,24 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def shingles(docs: DataFrame, n: int = DEFAULT_SHINGLE, text_col: str = "text") -> DataFrame:
     """Distinct word n-gram shingles per document.
 
-    Built with a positional explode + self-equi-join on (doc, pos+i) —
-    identical shape in the SQL oracle.  (Spark alternative `transform` over
-    index sequences is equivalent; the join form keeps both engines
-    byte-identical.)
+    Row-level posexplode + ``lead()`` windows: one shuffle on doc_id,
+    whole-stage codegen throughout (the positional self-join formulation
+    the oracle uses is semantically identical but costs n-1 joins).
     """
+    from pyspark.sql.window import Window
+
     toks = docs.select(
-        "doc_id", F.posexplode(tokens(F.lower(F.col(text_col)))).alias("pos", "tok")
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col(text_col)), " ")).alias("pos", "tok"),
+    ).where(F.col("tok") != "")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
+    sh = toks.select(
+        "doc_id",
+        F.concat_ws(" ", *parts).alias("shingle"),
+        F.lead("tok", n - 1).over(w).alias("_last"),
     )
-    out = toks.select("doc_id", F.col("pos"), F.col("tok").alias("t0"))
-    for i in range(1, n):
-        nxt = toks.select(
-            "doc_id", (F.col("pos") - i).alias("pos"), F.col("tok").alias(f"t{i}")
-        )
-        out = out.join(nxt, ["doc_id", "pos"])
-    sh = F.concat_ws(" ", *[F.col(f"t{i}") for i in range(n)])
-    return out.select("doc_id", sh.alias("shingle")).distinct()
+    return sh.where(F.col("_last").isNotNull()).select("doc_id", "shingle").distinct()
 
 
 def minhash_signatures(

@@ -41,9 +41,6 @@ def sentence_shingles(
 ) -> DataFrame:
     """Positional n-word shingles from the filtered token stream.
 
-    Built with ``transform`` over an index sequence (single projection —
-    no join, no extra shuffle) and exploded to (doc, pos, sentence).
-
     Implemented over row-level exploded tokens + ``lead()`` windows (all
     whole-stage codegen).  Array-lambda variants (transform+slice over the
     tokenize expression) are interpreted and re-evaluate literal subtrees

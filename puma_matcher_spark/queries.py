@@ -1313,8 +1313,8 @@ toks AS (
   SELECT doc_id, unnest(tk) AS tok, unnest(range(len(tk))) AS pos FROM toksl),
 ctx AS (
   SELECT doc_id, pos, tok,
-         list(tok) OVER (PARTITION BY doc_id ORDER BY pos
-                         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS context
+         array_to_string(list(tok) OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), ' ') AS context
   FROM toks)
 SELECT doc_id AS document_version_id, pos, tok AS word, context
 FROM ctx WHERE tok IN ('spark', 'hash')""",
@@ -1330,7 +1330,10 @@ def q_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("document_version_id"),
         F.posexplode(ts.tokens(F.col("text"))).alias("pos", "word"),
     )
-    return mention_contexts(toks, ["spark", "hash"], k=3)
+    out = mention_contexts(toks, ["spark", "hash"], k=3)
+    # string-join the window: array columns stringify differently across
+    # engines in the driver's value hasher
+    return out.withColumn("context", F.concat_ws(" ", "context"))
 
 
 @register(
@@ -1497,6 +1500,155 @@ def q_dedup_person_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     persons = clean_names(load_tables(spark, sf_dir).persons())
     edges = blocked_pairs(persons)
     return dedup_lookup(persons, edges)
+
+
+@register(
+    "score_histogram",
+    f"""WITH {V_ENTITIES}, {_tf_chain('p_', 'entities')}
+SELECT CAST(FLOOR(score / 5.0) * 5 AS BIGINT) AS score_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM p_cand GROUP BY 1""",
+)
+def q_score_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15 — score histogram by fixed-width buckets
+    (PersonTechniqueFilter.scala:78-87 pattern: floor-bucket + count)."""
+    cand = _entity_candidates(load_tables(spark, sf_dir), "person")
+    bucket = (F.floor(F.col("score") / 5.0) * 5).cast("long")
+    return cand.groupBy(bucket.alias("score_bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+@register(
+    "score_pivot_labeled",
+    _all_cand_ctes()
+    + """,
+wide AS (
+  SELECT document_version1_id, document_version2_id,
+         ROUND(MAX(CASE WHEN score_type = 'person' THEN score END), 4) AS score_person,
+         ROUND(MAX(CASE WHEN score_type = 'laboratory' THEN score END), 4) AS score_laboratory
+  FROM all_cand GROUP BY 1, 2)
+SELECT w.*,
+       (w.document_version1_id + w.document_version2_id) % 7 = 0 AS accepted
+FROM wide w""",
+)
+def q_score_pivot_labeled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 + training-label join — the reference's final score list
+    carries the accepted label (ScoreListStage.scala:46-52,110)."""
+    cand = _all_candidates(load_tables(spark, sf_dir)).withColumn(
+        "pair_id",
+        pair_id(F.col("document_version1_id"), F.col("document_version2_id")),
+    )
+    wide = sl.score_list(cand, ["person", "laboratory"])
+    return wide.select(
+        "document_version1_id",
+        "document_version2_id",
+        pround("score_person", 4).alias("score_person"),
+        pround("score_laboratory", 4).alias("score_laboratory"),
+        (
+            (F.col("document_version1_id") + F.col("document_version2_id")) % 7 == 0
+        ).alias("accepted"),
+    )
+
+
+@register(
+    "instrument_matching",
+    """WITH aliases(instrument_id, alias) AS (
+  VALUES (1, 'spark'), (2, 'hash'), (3, 'merge'), (3, 'join')),
+toksl AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+  FROM documents),
+toks AS (SELECT doc_id, unnest(tk) AS word FROM toksl),
+mentions AS (
+  SELECT t.doc_id AS document_version_id, a.instrument_id
+  FROM toks t JOIN aliases a ON t.word = a.alias)
+SELECT document_version_id, instrument_id,
+       CAST(COUNT(*) AS BIGINT) AS mention_count
+FROM mentions GROUP BY 1, 2""",
+)
+def q_instrument_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instrument-mention roll-up: broadcast alias dim → token match →
+    per-doc counts (InstrumentAnalyser.scala:54-71 shape; alias dim is a
+    literal stand-in for the instrument table)."""
+    from puma_matcher_spark.operators.instrument import (
+        document_instruments,
+        instrument_mentions,
+    )
+
+    docs = load_tables(spark, sf_dir).llm_documents()
+    toks = docs.select(
+        F.col("doc_id").alias("document_version_id"),
+        F.explode(ts.tokens(F.lower(F.col("text")))).alias("word"),
+    )
+    aliases = spark.createDataFrame(
+        [(1, "spark"), (2, "hash"), (3, "merge"), (3, "join")],
+        ["instrument_id", "alias"],
+    )
+    return document_instruments(instrument_mentions(toks, aliases))
+
+
+@register("normalised_scores_approx", None)  # percentile_approx → rows-only
+def q_normalised_scores_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 scale path — percentile_approx normalisation (no global sort;
+    the exact twin is `normalised_scores`)."""
+    from puma_matcher_spark.operators.normaliser import (
+        normalisation_factor,
+        normalise_scores,
+    )
+
+    cand = _entity_candidates(load_tables(spark, sf_dir), "person")
+    factor = normalisation_factor(cand, percentile=0.99, exact=False)
+    return normalise_scores(cand, factor).select(
+        "document_version1_id", "document_version2_id", "score"
+    )
+
+
+@register(
+    "word_spec",
+    f"""WITH corpus AS (
+  SELECT doc_id AS document_version_id,
+         unnest(list_distinct({_TOKS_SQL.format(col='text')})) AS word
+  FROM documents WHERE doc_id % 2 = 0),
+cdf AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM corpus GROUP BY 1),
+cn AS (SELECT CAST(COUNT(DISTINCT document_version_id) AS BIGINT) AS n FROM corpus),
+refc AS (
+  SELECT doc_id AS document_version_id,
+         unnest(list_distinct({_TOKS_SQL.format(col='text')})) AS word
+  FROM documents WHERE doc_id % 2 = 1),
+rdf AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS ref_df FROM refc GROUP BY 1),
+rn AS (SELECT CAST(COUNT(DISTINCT document_version_id) AS BIGINT) AS n FROM refc)
+SELECT c.word, c.df, r.ref_df,
+       ROUND(ABS(LN((SELECT n FROM cn) / CAST(c.df AS DOUBLE))
+               - LN((SELECT n FROM rn) / CAST(r.ref_df AS DOUBLE))), 4) AS spec_distance
+FROM cdf c JOIN rdf r ON c.word = r.word""",
+)
+def q_word_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DocumentWordSpecAnalyser — corpus-vs-reference IDF distance
+    (analyser/DocumentWordSpecAnalyser.scala:73-160; the odd-doc half of
+    the corpus stands in for the reference English corpus)."""
+    from puma_matcher_spark.operators.wordspec import corpus_word_df, word_spec_distance
+
+    t = load_tables(spark, sf_dir)
+    all_docs = t.llm_documents()
+    docs = all_docs.where(F.col("doc_id") % 2 == 0)
+    ref_docs = all_docs.where(F.col("doc_id") % 2 == 1)
+    from puma_matcher_spark.functions.text import exploded_tokens
+
+    cdf = corpus_word_df(docs, "text", "doc_id")
+    rdf = corpus_word_df(ref_docs, "text", "doc_id")
+    # N = docs with ≥1 surviving token (matches the oracle's corpus CTE)
+    n_c = (
+        exploded_tokens(docs, "text", "doc_id")
+        .select("document_version_id").distinct().count()
+    )
+    n_r = (
+        exploded_tokens(ref_docs, "text", "doc_id")
+        .select("document_version_id").distinct().count()
+    )
+    out = word_spec_distance(cdf, n_c, rdf, n_r)
+    return out.select(
+        "word", "df", "ref_df", pround("spec_distance", 4).alias("spec_distance")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
