@@ -1,0 +1,135 @@
+"""End-to-end application flows — the rebuild of the reference's driver
+apps (app/FullMatcherApp.scala, OptimizerApp.scala,
+PersonDeduplicatorApp.scala).
+
+``run_full_matcher`` reproduces FullMatcherApp's shape on the fixture
+corpus:
+
+1. **match creator** pipeline — one PipelineConfig per entity family,
+   stages Matcher → Scorer (filters applied pair-level after the
+   aggregate, where they're cheapest);
+2. **match saver** — union across configs (``as_data_source``),
+   MultipleTypeMatchFilter, canonical persist + per-document statistics;
+3. **optimizer** — weight training against derived labels +
+   total/contextual scores.
+
+Everything returns DataFrames; callers choose sinks
+(persister.persist_parquet / sources.publish for blue/green).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from puma_matcher_spark.operators import filters as flt
+from puma_matcher_spark.operators import matcher as m
+from puma_matcher_spark.operators import scorer as sc
+from puma_matcher_spark.operators import stats as st
+from puma_matcher_spark.operators import weights as wt
+from puma_matcher_spark.operators.persister import canonicalize_pairs, dedup_candidates
+from puma_matcher_spark.pipeline import Pipeline, PipelineConfig, Stage
+from puma_matcher_spark.schemas import EntityType
+from puma_matcher_spark.sources.testdata import Tables, load_tables
+
+
+@dataclass
+class MatcherResult:
+    candidates: DataFrame          # canonical MATCH_CANDIDATE rows
+    statistics: DataFrame          # per-document stats
+    weights: DataFrame             # trained score weights
+    total_scores: DataFrame        # weighted totals per pair
+
+
+def _family_stages(t: Tables) -> list[Stage]:
+    """Matcher → Scorer → Filters for one entity family; family selection
+    comes from the PipelineConfig params (FullMatcherApp.scala:104-201
+    wires one config per entity type)."""
+
+    def matcher(config: PipelineConfig, inputs: dict) -> DataFrame:
+        if config.params["family"] == "person":
+            ents = t.entities()
+        else:
+            # lab links must span both customer parities or the type
+            # filter (XOR on custkey-parity-derived document_type) would
+            # drop every same-customer pair
+            ents = t.entities_secondary_orders().withColumn(
+                "entity_id", F.floor(F.col("entity_id") / 2).cast("long")
+            )
+        tf = m.entity_tf(ents)
+        doc_count = ents.select("document_version_id").distinct().count()
+        capped = m.cap_entity_frequency(tf, 2000, doc_count)
+        pairs = m.entity_pairs(capped)
+        scored = sc.score_entity_pairs(
+            sc.with_idf(pairs, tf, doc_count),
+            tf,
+            config.params["family"],
+            EntityType.from_string(
+                "person" if config.params["family"] == "person" else "laboratory"
+            ).type_id,
+        )
+        return scored
+
+    def filters(config: PipelineConfig, inputs: dict) -> DataFrame:
+        docs = t.documents_dim()
+        cand = inputs["scored"]
+        cand = flt.type_filter(cand, docs)
+        cand = flt.date_filter(cand, docs)
+        return flt.document_version_id_filter(
+            cand, docs.where(~F.col("obsolete"))
+        )
+
+    return [
+        Stage(name="matcher", input=[], output="scored", fn=matcher),
+        Stage(name="filters", input=["scored"], output="editor_output", fn=filters),
+    ]
+
+
+def run_full_matcher(
+    spark: SparkSession, sf_dir: str, train_weights: bool = True
+) -> MatcherResult:
+    t = load_tables(spark, sf_dir)
+
+    # pipeline 1 — match creator, one config per entity family
+    creator = Pipeline("match creator", _family_stages(t))
+    creator.run(
+        [
+            PipelineConfig(name="person", params={"family": "person"}),
+            PipelineConfig(name="laboratory", params={"family": "laboratory"}),
+        ],
+        parallel=True,
+    )
+
+    # pipeline 2 — match saver over the cross-config union
+    all_cand = creator.as_data_source("editor_output")
+    filtered = flt.multiple_type_match_filter(all_cand, ["laboratory"])
+    canonical = dedup_candidates(canonicalize_pairs(filtered))
+    statistics = st.match_statistics(canonical)
+
+    # optimizer — weights against derived accepted labels
+    if train_weights:
+        training = (
+            canonical.where(F.col("pair_id") % 7 == 0)
+            .select(
+                F.col("document_version1_id").alias("proposal_id"),
+                F.col("document_version2_id").alias("publication_id"),
+                F.lit(True).alias("accepted"),
+            )
+            .distinct()
+        )
+        weights = wt.best_weights(
+            spark, canonical, training, ["person", "laboratory"], step=0.25
+        )
+    else:
+        weights = spark.createDataFrame(
+            [("person", 0.5), ("laboratory", 0.5)], ["score_type", "weight"]
+        )
+    totals = st.total_score(canonical, weights)
+    return MatcherResult(
+        candidates=canonical,
+        statistics=statistics,
+        weights=weights,
+        total_scores=totals,
+    )

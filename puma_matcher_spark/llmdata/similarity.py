@@ -107,6 +107,81 @@ def sign_lsh_keys(
     return embeddings.select(F.col(id_col), key.alias("bucket"))
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: KMeans-partition the corpus into cells,
+    search each query only in its ``n_probe`` nearest cells, exact cosine
+    rerank inside.
+
+    The scale path alternative to sign-LSH: cell assignment is one ML
+    transform (no shuffle), the probe join shuffles on ``cell`` only, and
+    expected work per query is ``n_probe/n_cells`` of the corpus.  Recall
+    < 1 by construction; raise with n_probe.
+    """
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col).alias("_arr"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(feats)
+    assigned = model.transform(feats).select(
+        F.col(id_col), F.col("_arr"), F.col("prediction").alias("cell")
+    )
+    centers = np.array([np.asarray(c) for c in model.clusterCenters()])
+
+    # driver-side probe list for the (small) query set
+    q_rows = queries.select(id_col, vec_col).collect()
+    probe_rows = []
+    for r in q_rows:
+        v = np.array(r[vec_col], dtype=float)
+        d = ((centers - v) ** 2).sum(axis=1)
+        for cell in np.argsort(d)[:n_probe]:
+            probe_rows.append((r[id_col], int(cell)))
+    spark = embeddings.sparkSession
+    probes = spark.createDataFrame(probe_rows, ["query_id", "cell"])
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).join(F.broadcast(probes), "query_id")
+
+    cands = q.join(
+        assigned.select(
+            "cell", F.col(id_col).alias("neighbor_id"), F.col("_arr").alias("c_vec")
+        ),
+        "cell",
+    ).where(F.col("query_id") != F.col("neighbor_id"))
+    sims = cands.select(
+        "query_id",
+        "neighbor_id",
+        pround(
+            cosine(
+                F.col("q_vec").cast("array<double>"),
+                F.col("c_vec").cast("array<double>"),
+            ),
+            4,
+        ).alias("cosine_sim"),
+    ).distinct()
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 def lsh_bucketed_topk(
     embeddings: DataFrame,
     k: int = 10,

@@ -1191,6 +1191,15 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("embedding_ivf_topk", None)  # KMeans cells → rows-only
+def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN — KMeans cell partitioning + n_probe nearest-cell search
+    with exact rerank (recall vs brute force asserted in tests)."""
+    emb = load_tables(spark, sf_dir).llm_embeddings()
+    q = emb.where(F.col("vec_id") % 50 == 0)
+    return sim.ivf_topk(emb, q, k=10, n_cells=8, n_probe=3)
+
+
 @register("embedding_lsh_topk", None)  # driver-seeded hyperplanes → rows-only
 def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucketed ANN (approximate; recall tested against the

@@ -1,0 +1,47 @@
+"""End-to-end FullMatcherApp-shape integration over the fixture corpus."""
+
+from pyspark.sql import functions as F
+
+from puma_matcher_spark.apps import run_full_matcher
+
+
+def test_full_matcher_end_to_end(spark, sf_small):
+    result = run_full_matcher(spark, sf_small)
+
+    cand = result.candidates
+    n = cand.count()
+    assert n > 1000
+    # canonical: one row per (pair, type), dv1 < dv2
+    assert cand.where(
+        F.col("document_version1_id") >= F.col("document_version2_id")
+    ).count() == 0
+    assert (
+        cand.groupBy("pair_id", "score_type").count().where("count > 1").count() == 0
+    )
+    # multi-type filter semantics: person-only pairs are gone
+    types_per_pair = cand.groupBy("pair_id").agg(
+        F.collect_set("score_type").alias("ts")
+    )
+    person_only = types_per_pair.where(
+        (F.size("ts") == 1) & F.array_contains("ts", "person")
+    )
+    assert person_only.count() == 0
+
+    # stats cover every candidate document
+    assert result.statistics.count() > 0
+    stat_docs = {
+        r["document_version_id"]
+        for r in result.statistics.select("document_version_id").distinct().collect()
+    }
+    some_doc = cand.select(
+        F.col("document_version1_id").alias("d")
+    ).first()["d"]
+    assert some_doc in stat_docs
+
+    # weights: sum to 1 over the optimized types
+    w = {r["score_type"]: r["weight"] for r in result.weights.collect()}
+    assert abs(sum(w.values()) - 1.0) < 1e-9
+    assert set(w) == {"person", "laboratory"}
+
+    # totals exist for every surviving pair
+    assert result.total_scores.count() == types_per_pair.count()

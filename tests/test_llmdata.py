@@ -107,3 +107,30 @@ def test_lsh_bucketed_topk_recalls_identical_vector(spark):
         if r["rank"] == 1
     }
     assert top.get(100) == 5  # identical vectors always share every bucket
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    import random
+
+    rng = random.Random(3)
+    # three well-separated clusters, 60 vectors each
+    rows = []
+    vid = 0
+    for center in ((5.0, 0.0), (0.0, 5.0), (-5.0, -5.0)):
+        for _ in range(60):
+            rows.append(
+                (vid, [rng.gauss(center[0], 0.4), rng.gauss(center[1], 0.4), 1.0])
+            )
+            vid += 1
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = emb.where(F.col("vec_id") % 30 == 0)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.brute_force_topk(emb, q, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.ivf_topk(emb, q, k=5, n_cells=3, n_probe=2).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, recall
