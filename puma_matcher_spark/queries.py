@@ -969,19 +969,35 @@ sess AS (
                              ROWS UNBOUNDED PRECEDING) AS sid
   FROM marks)
 SELECT user_id,
-       MIN(ts) AS session_start,
-       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS session_start_epoch,
+       CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) + 1800 AS session_end_epoch,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        ROUND(SUM(value), 4) AS session_value
 FROM sess GROUP BY user_id, sid""",
 )
 def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization via session_window (streaming-capable
-    stateful operator; SQL twin uses the lag/cumsum formulation)."""
+    stateful operator; SQL twin uses the lag/cumsum formulation).
+    Timestamps are output as epoch seconds — collected datetimes pass
+    through the *OS* timezone in classic PySpark collect, so raw
+    timestamp columns are not portable across driver environments."""
     from puma_matcher_spark.streaming.events import sessionize
 
     ev = load_tables(spark, sf_dir).events()
-    return sessionize(ev, gap="30 minutes")
+    out = sessionize(ev, gap="30 minutes")
+    return out.select(
+        "user_id",
+        F.unix_timestamp("session_start").cast("long").alias("session_start_epoch"),
+        # session_window.end = last event + gap; epoch floor of (max+1800)
+        # == floor(max)+1800 since the gap is integral seconds
+        F.unix_timestamp(
+            F.col("session_end") - F.expr("INTERVAL 30 MINUTES")
+        ).cast("long").alias("_last_epoch"),
+        "n_events",
+        "session_value",
+    ).withColumn(
+        "session_end_epoch", F.col("_last_epoch") + 1800
+    ).drop("_last_epoch")
 
 
 @register(

@@ -133,6 +133,11 @@ class Tables:
         truncation DuckDB applies reading TIMESTAMP_NS, so both engines
         see identical microsecond timestamps.
         """
+        # defensive: the consuming session may not be ours (the external
+        # driver builds its own) — both confs are runtime-settable and
+        # required for correct nanos handling / UTC-stable collection
+        self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        self.spark.conf.set("spark.sql.session.timeZone", "UTC")
         ev = self.raw("events")
         if dict(ev.dtypes).get("ts") == "bigint":
             ev = ev.withColumn(
@@ -142,4 +147,8 @@ class Tables:
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> Tables:
+    # All query semantics (year(), unix_timestamp(), collected datetimes)
+    # assume UTC; the consuming session may be the external driver's, so
+    # pin it here rather than only in our session factory.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return Tables(spark=spark, sf_dir=sf_dir)
