@@ -81,9 +81,30 @@ def _family_stages(t: Tables) -> list[Stage]:
             cand, docs.where(~F.col("obsolete"))
         )
 
+    def normalisation(config: PipelineConfig, inputs: dict) -> DataFrame | None:
+        # optional stage (Pipeline passes input through on None) — the
+        # reference normalises per config before the editor; the approx
+        # percentile is the scale path (W1)
+        if not config.params.get("normalise", True):
+            return None
+        from puma_matcher_spark.operators.normaliser import (
+            normalisation_factor,
+            normalise_scores,
+        )
+
+        cand = inputs["filtered"]
+        factor = normalisation_factor(cand, percentile=0.99, exact=False)
+        return normalise_scores(cand, factor)
+
+    from puma_matcher_spark.schemas import FrameType
+
     return [
-        Stage(name="matcher", input=[], output="scored", fn=matcher),
-        Stage(name="filters", input=["scored"], output="editor_output", fn=filters),
+        Stage(name="matcher", input=[], output="scored", fn=matcher,
+              frame_type=FrameType.MATCH_CANDIDATE),
+        Stage(name="filters", input=["scored"], output="filtered", fn=filters,
+              frame_type=FrameType.MATCH_CANDIDATE),
+        Stage(name="normalisation", input=["filtered"], output="editor_output",
+              fn=normalisation, optional=True),
     ]
 
 

@@ -1207,6 +1207,38 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_near_dups",
+    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS vec1_id, b.vec_id AS vec2_id,
+         ROUND(list_dot_product(a.e, b.e) /
+               (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4)
+           AS cosine_sim
+  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+SELECT vec1_id, vec2_id, cosine_sim FROM pairs WHERE cosine_sim >= 0.35""",
+)
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact all-pairs baseline at
+    fixture scale; the sign-LSH / IVF variants are the 100 TB candidate-
+    generation path — embedding_lsh_topk / embedding_ivf_topk)."""
+    emb = load_tables(spark, sf_dir).llm_embeddings()
+    a = emb.select(F.col("vec_id").alias("vec1_id"), F.col("embedding").alias("e1"))
+    b = emb.select(F.col("vec_id").alias("vec2_id"), F.col("embedding").alias("e2"))
+    pairs = a.join(b, F.col("vec1_id") < F.col("vec2_id"))
+    out = pairs.select(
+        "vec1_id",
+        "vec2_id",
+        pround(
+            sim.cosine(
+                F.col("e1").cast("array<double>"), F.col("e2").cast("array<double>")
+            ),
+            4,
+        ).alias("cosine_sim"),
+    )
+    return out.where(F.col("cosine_sim") >= 0.35)
+
+
 @register("embedding_ivf_topk", None)  # KMeans cells → rows-only
 def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN — KMeans cell partitioning + n_probe nearest-cell search

@@ -88,6 +88,14 @@ def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def stream_dedup(events: DataFrame, key: str = "event_id", delay: str = "10 minutes") -> DataFrame:
+    """Streaming exactly-once ingestion: drop duplicate records by key
+    within the watermark horizon (state is bounded by the watermark —
+    the core dedup pattern for continuous corpus ingestion at 100 TB;
+    batch twin is ``dropDuplicates`` directly)."""
+    return events.withWatermark("ts", delay).dropDuplicates([key])
+
+
 def run_stream_to_memory(
     spark: SparkSession, sf_dir: str, table_name: str = "windowed_events"
 ):

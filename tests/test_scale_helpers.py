@@ -167,3 +167,38 @@ def test_pos_filter_keeps_content_words(spark):
     assert "scattering" in r["content_words"]
     assert "the" not in r["content_words"]
     assert "slowly" not in r["content_words"]
+
+
+def test_plan_sweep_no_accidental_cartesians(spark, sf_small):
+    """Every registered query must plan without a cartesian product,
+    except those that are intentionally all-pairs at fixture scale."""
+    from puma_matcher_spark.queries import REGISTRY
+
+    intentionally_quadratic = {
+        "embedding_topk",       # brute-force baseline (broadcast query set)
+        "embedding_near_dups",  # exact all-pairs baseline
+    }
+    skip_heavy = {"picture_lsh_pairs", "embedding_ivf_topk"}  # ML fits
+    failures = []
+    for name, spec in REGISTRY.items():
+        if name in intentionally_quadratic or name in skip_heavy:
+            continue
+        df = spec.spark_fn(spark, sf_small)
+        if pi.has_cartesian(df):
+            failures.append(name)
+    assert not failures, f"cartesian in plans: {failures}"
+
+
+def test_absolute_frequency_cap_at_reference_threshold(spark):
+    """An entity in >2000 docs must be dropped by the absolute guard
+    even when the relative guard would admit it."""
+    from puma_matcher_spark.operators import matcher as m
+
+    rows = [(d, 1) for d in range(2001)] + [(1, 2), (2, 2)]
+    ents = spark.createDataFrame(rows, ["document_version_id", "entity_id"])
+    tf = m.entity_tf(ents)
+    capped = m.cap_entity_frequency(tf, max_occurrence=2000, relative_cap_docs=None)
+    kept = {r["entity_id"] for r in capped.select("entity_id").distinct().collect()}
+    assert kept == {2}
+    pairs = m.entity_pairs(capped)
+    assert pairs.count() == 1  # linear, not 2001*2000/2

@@ -65,3 +65,25 @@ def test_stateful_running_stats_matches_batch(spark, sf_small):
     }
     assert streamed == batch
     assert len(batch) > 10
+
+
+def test_stream_dedup_drops_replayed_records(spark, sf_small):
+    from puma_matcher_spark.streaming.events import read_events_stream, stream_dedup
+
+    # replay the same file twice through the stream → dedup must collapse it
+    s1 = read_events_stream(spark, sf_small)
+    s2 = read_events_stream(spark, sf_small)
+    doubled = s1.union(s2)
+    q = (
+        stream_dedup(doubled)
+        .writeStream.format("memory")
+        .queryName("t_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n_stream = spark.sql("select count(distinct event_id) c, count(*) n from t_dedup").first()
+    n_batch = load_tables(spark, sf_small).events().count()
+    assert n_stream["n"] == n_batch
+    assert n_stream["c"] == n_batch
