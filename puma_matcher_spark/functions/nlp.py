@@ -55,6 +55,27 @@ def pos_tags(tokens: pd.Series) -> pd.Series:
     )
 
 
+@F.pandas_udf(ArrayType(StringType()))
+def ner_tags(tokens: pd.Series) -> pd.Series:
+    """Arrow-batched NER tagging — STAND-IN heuristic (capitalised,
+    non-sentence-initial tokens → ENTITY, else O, the reference's 'O'
+    whitelist class).  Swap for spaCy NER in production; the plumbing
+    (signature, whitelist filter shape) is identical."""
+
+    def tag(arr):
+        if arr is None:
+            return None
+        out = []
+        for i, t in enumerate(arr):
+            if i > 0 and t[:1].isupper():
+                out.append("ENTITY")
+            else:
+                out.append("O")
+        return out
+
+    return tokens.map(tag)
+
+
 def filter_by_pos(
     docs: DataFrame,
     tokens_col: str = "words",

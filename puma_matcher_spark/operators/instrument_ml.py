@@ -80,6 +80,25 @@ def train_rf_classifier(
     return model, acc
 
 
+def instrument_feature_table(
+    mentions: DataFrame,
+    doc_col: str = "document_version_id",
+) -> DataFrame:
+    """A14 — the big grouped feature table feeding the classifier
+    (AdvancedInstrumentAnalyser.scala:711-756: groupBy(doc, entity) with
+    first/collect_list/max/countDistinct batteries).  Trimmed to the
+    numeric features the RF pipeline consumes; collect_lists become
+    counts/extremes (the reference's lists were only consumed as such).
+    """
+    return mentions.groupBy(doc_col, "instrument_id").agg(
+        F.count(F.lit(1)).cast("long").alias("mention_count"),
+        F.countDistinct("word").alias("distinct_aliases"),
+        F.min("pos").alias("first_pos"),
+        F.max("pos").alias("last_pos"),
+        (F.max("pos") - F.min("pos")).alias("span"),
+    )
+
+
 def kmeans_clusters(df: DataFrame, feature_cols: list[str], k: int = 4) -> DataFrame:
     """M9 — KMeans over assembled features, seeded."""
     from pyspark.ml.clustering import KMeans

@@ -44,6 +44,20 @@ def read_text_files(
     )
 
 
+def read_csv_table(
+    spark: SparkSession, path: str, header: bool = True, schema=None
+) -> DataFrame:
+    """S9 — CSV reference-data source (InstrumentInsert.scala:24-112 reads
+    classpath instruments.csv row-by-row and JDBC-inserts; rebuild is one
+    distributed read + whatever sink the caller picks)."""
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
 def clean_full_text(df: DataFrame, text_col: str = "text") -> DataFrame:
     """The reference's full_text cleaning before materialisation
     (FullMatcherApp.scala:90-92): strip control chars / collapse

@@ -133,3 +133,41 @@ def test_fpgrowth_finds_frequent_pair(spark):
     freq = {tuple(sorted(r["items"])): r["freq"] for r in fpgrowth_itemsets(baskets, min_support=0.5).collect()}
     assert freq[("a",)] == 4
     assert freq[("a", "b")] == 3
+
+
+def test_csv_source_roundtrip(spark):
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "instruments.csv")
+        with open(p, "w") as f:
+            f.write("instrument_id,code\n1,IN5\n2,D22\n")
+        from puma_matcher_spark.sources.files import read_csv_table
+
+        df = read_csv_table(spark, p)
+        got = {(r["instrument_id"], r["code"]) for r in df.collect()}
+        assert got == {(1, "IN5"), (2, "D22")}
+
+
+def test_ner_stub_tags_capitalised_entities(spark):
+    from puma_matcher_spark.functions.nlp import ner_tags
+
+    df = spark.createDataFrame(
+        [(1, ["The", "sample", "from", "Grenoble", "used", "IN5"])],
+        ["id", "words"],
+    )
+    r = df.select(ner_tags(F.col("words")).alias("t")).first()["t"]
+    assert r == ["O", "O", "O", "ENTITY", "O", "ENTITY"]
+
+
+def test_instrument_feature_table(spark):
+    from puma_matcher_spark.operators.instrument_ml import instrument_feature_table
+
+    mentions = spark.createDataFrame(
+        [(1, 100, "in5", 2), (1, 100, "in5", 9), (1, 100, "thermal", 5)],
+        ["document_version_id", "instrument_id", "word", "pos"],
+    )
+    r = instrument_feature_table(mentions).first()
+    assert r["mention_count"] == 3
+    assert r["distinct_aliases"] == 2
+    assert (r["first_pos"], r["last_pos"], r["span"]) == (2, 9, 7)
