@@ -32,6 +32,8 @@ BENCH_QUERIES = [
     "text_match_pairs",    # A6 sentence-shingle matching
     "events_windowed",     # streaming-twin windowed aggregation
     "events_sessions",     # session_window sessionization
+    "shipping_priority",   # TPC-H Q3-style 3-way join
+    "local_supplier_volume",  # TPC-H Q5-style star join
 ]
 
 

@@ -568,6 +568,93 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "shipping_priority",
+    """SELECT l.l_orderkey,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(FLOOR(epoch(o.o_orderdate) / 86400) AS BIGINT) AS orderdate_epoch_day,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1995-03-15'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority""",
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style 3-way join + aggregate — multi-join throughput
+    anchor (customer dim broadcasts, orders↔lineitem co-shuffles)."""
+    t = load_tables(spark, sf_dir)
+    c = t.raw("customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = t.raw("orders").where(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    li = t.raw("lineitem").where(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            (F.floor(F.unix_timestamp("o_orderdate") / 86400))
+            .cast("long")
+            .alias("orderdate_epoch_day"),
+            "o_orderpriority",
+        )
+        .agg(
+            pround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "orderdate_epoch_day", "o_orderpriority")
+    )
+
+
+@register(
+    "local_supplier_volume",
+    """SELECT n.n_name,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name""",
+)
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style 6-way star join — dimension-chain broadcast anchor
+    (region→nation→supplier all broadcast; fact co-shuffle on orderkey)."""
+    t = load_tables(spark, sf_dir)
+    c, o, li = t.raw("customer"), t.raw("orders"), t.raw("lineitem")
+    s, n, r = t.raw("supplier"), t.raw("nation"), t.raw("region")
+    dims = (
+        s.join(
+            F.broadcast(n), s.s_nationkey == n.n_nationkey
+        ).join(
+            F.broadcast(r.where(F.col("r_name") == "ASIA")),
+            n.n_regionkey == r.r_regionkey,
+        )
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(dims),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .groupBy("n_name")
+        .agg(
+            pround(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
 # ---------------- LLM-data-pipeline plane ----------------
 
 
