@@ -108,6 +108,30 @@ def kmeans_clusters(df: DataFrame, feature_cols: list[str], k: int = 4) -> DataF
     return model.transform(data).withColumnRenamed("prediction", "cluster")
 
 
+def lda_topics(
+    docs: DataFrame,
+    words_col: str = "words",
+    n_topics: int = 3,
+    vocab_size: int = 1000,
+    max_iter: int = 20,
+):
+    """M9 — LDA topic model over tokenized docs (test/clustering port).
+
+    Returns (model, doc_topics): per-doc topic distribution column
+    ``topicDistribution``; seeded for reproducibility.
+    """
+    from pyspark.ml.clustering import LDA
+    from pyspark.ml.feature import CountVectorizer
+
+    cv = CountVectorizer(
+        inputCol=words_col, outputCol="features", vocabSize=vocab_size
+    ).fit(docs)
+    vectorized = cv.transform(docs)
+    lda = LDA(k=n_topics, maxIter=max_iter, seed=RF_SEED)
+    model = lda.fit(vectorized)
+    return model, model.transform(vectorized)
+
+
 def fpgrowth_itemsets(
     baskets: DataFrame, items_col: str = "items", min_support: float = 0.1
 ) -> DataFrame:

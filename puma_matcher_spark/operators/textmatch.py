@@ -26,7 +26,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from puma_matcher_spark.functions.text import tokenize
 
 DEFAULT_SENTENCE_LENGTH = 4       # puma.matching.textmatcher.sentence.length
 DEFAULT_SENTENCE_MAX_OCC = 2000   # puma.matching.textmatcher.sentence.maxoccurency

@@ -21,7 +21,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from puma_matcher_spark.functions.ids import candidate_id, pair_id
+from puma_matcher_spark.functions.ids import pair_id
 from puma_matcher_spark.functions.rounding import pround, rewrite_rounds_sql
 from puma_matcher_spark.functions.text import STOPWORDS
 from puma_matcher_spark.llmdata import dedup as dd

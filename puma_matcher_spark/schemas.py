@@ -14,7 +14,7 @@ from enum import Enum
 from pyspark.sql.types import (
     ArrayType,
     BooleanType,
-    DateType,
+
     DoubleType,
     IntegerType,
     LongType,

@@ -171,3 +171,20 @@ def test_instrument_feature_table(spark):
     assert r["mention_count"] == 3
     assert r["distinct_aliases"] == 2
     assert (r["first_pos"], r["last_pos"], r["span"]) == (2, 9, 7)
+
+
+def test_lda_topics_runs_seeded(spark):
+    from puma_matcher_spark.operators.instrument_ml import lda_topics
+
+    docs = spark.createDataFrame(
+        [
+            (1, ["neutron", "beam", "scattering", "neutron"]),
+            (2, ["crystal", "growth", "sample", "crystal"]),
+            (3, ["neutron", "scattering", "beam"]),
+        ],
+        ["id", "words"],
+    )
+    model, out = lda_topics(docs, n_topics=2, max_iter=10)
+    assert out.count() == 3
+    dist = out.select("topicDistribution").first()[0]
+    assert abs(sum(dist) - 1.0) < 1e-6

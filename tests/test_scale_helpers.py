@@ -10,7 +10,6 @@ from puma_matcher_spark.operators import instrument as instr
 from puma_matcher_spark.operators import skew
 from puma_matcher_spark.plans import inspect as pi
 from puma_matcher_spark.sources import publish
-from puma_matcher_spark.sources.testdata import load_tables
 
 
 def test_flagship_plan_has_no_cartesian_and_prunes_columns(spark, sf_small):
