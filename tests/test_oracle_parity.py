@@ -18,6 +18,19 @@ def test_all_queries_match_oracle(spark, sf_small):
     )
 
 
+@pytest.mark.slow
+def test_rows_only_queries_execute(spark, sf_small):
+    """Queries without oracles still must run and return a stable row
+    count twice (determinism smoke)."""
+    for name, spec in REGISTRY.items():
+        if spec.oracle is not None:
+            continue
+        n1 = spec.spark_fn(spark, sf_small).count()
+        n2 = spec.spark_fn(spark, sf_small).count()
+        assert n1 == n2, name
+        assert n1 >= 0
+
+
 def test_entry_smoke(spark):
     import importlib
     import sys
