@@ -102,6 +102,14 @@ class Pipeline:
                 return {name: f.result() for name, f in futs.items()}
         return {c.name: self.run_config(c) for c in configs}
 
+    def fork(self, name: str, stages: list[Stage]) -> "Pipeline":
+        """New pipeline sharing this one's accumulated results
+        (Pipeline.scala:237-246) — downstream pipelines consume upstream
+        outputs via ``as_data_source`` without rerunning them."""
+        child = Pipeline(name, stages)
+        child.results = self.results
+        return child
+
     def as_data_source(self, output: str) -> DataFrame:
         """Union one output across all configs — Pipeline.scala:69-94
         (column-aligned union; we use unionByName, safer than positional)."""

@@ -119,15 +119,21 @@ def _all_cand_ctes() -> str:
 # Scored-candidate frames are memoized per (session, sf_dir, family) and
 # persisted — the reference caches every stage output (Pipeline.scala:203)
 # and memoizes sources (SqlDataSource.scala:48); without this the TF chain
-# re-scans lineitem ~7× per consuming query.
+# re-scans lineitem ~7× per consuming query.  Lock: the driver may invoke
+# queries from several threads (Spark's scheduler is thread-safe; the dict
+# needs the same guarantee).
+import threading
+
 _CAND_CACHE: dict[tuple, DataFrame] = {}
+_CAND_LOCK = threading.Lock()
 
 
 def _entity_candidates(t: Tables, which: str = "person") -> DataFrame:
     """Spark twin of _tf_chain's {p}cand."""
     key = (t.spark.sparkContext.applicationId, t.sf_dir, which)
-    if key in _CAND_CACHE:
-        return _CAND_CACHE[key]
+    with _CAND_LOCK:
+        if key in _CAND_CACHE:
+            return _CAND_CACHE[key]
     from pyspark import StorageLevel
 
     ents = t.entities() if which == "person" else t.entities_secondary_orders()
@@ -139,8 +145,8 @@ def _entity_candidates(t: Tables, which: str = "person") -> DataFrame:
     out = sc.score_entity_pairs(
         pairs_idf, tf, which, 1 if which == "person" else 10
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    _CAND_CACHE[key] = out
-    return out
+    with _CAND_LOCK:
+        return _CAND_CACHE.setdefault(key, out)
 
 
 def _all_candidates(t: Tables) -> DataFrame:

@@ -153,3 +153,31 @@ def test_canonicalize_and_dedup(spark):
     }
     pid = 3 * 1_000_000 + 7
     assert rows == {(pid, "person"): (9.0, 6), (pid, "doi"): (1.0, 1)}
+
+
+def test_pipeline_fork_shares_results(spark):
+    from puma_matcher_spark.pipeline import Pipeline, PipelineConfig, Stage
+
+    def produce(config, inputs):
+        return spark.createDataFrame([(1,)], ["x"])
+
+    p1 = Pipeline("up", [Stage(name="s", input=[], output="out", fn=produce)])
+    p1.run([PipelineConfig(name="a"), PipelineConfig(name="b")])
+    p2 = p1.fork("down", [])
+    assert p2.as_data_source("out").count() == 2
+
+
+def test_concurrent_query_invocation_thread_safe(spark, sf_small):
+    # the driver may call queries from several threads at once
+    from concurrent.futures import ThreadPoolExecutor
+
+    from puma_matcher_spark.queries import REGISTRY
+
+    names = ["entity_scores", "matcher_number", "score_pivot", "total_score"]
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        futs = [
+            ex.submit(lambda n=n: REGISTRY[n].spark_fn(spark, sf_small).count())
+            for n in names
+        ]
+        counts = [f.result() for f in futs]
+    assert all(c > 0 for c in counts)
