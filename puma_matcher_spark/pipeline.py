@@ -17,6 +17,7 @@ the run's own dict.
 
 from __future__ import annotations
 
+import threading
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from typing import Callable
@@ -63,6 +64,9 @@ class Pipeline:
         if dupes:  # Pipeline.scala:38-52 uniqueness check
             raise ValueError(f"duplicate stage outputs: {sorted(dupes)}")
         self.results: dict[tuple[str, str], DataFrame] = {}
+        # parallel config runs insert concurrently (the reference guards its
+        # shared frame storage the same way, Pipeline.scala:58,206)
+        self._results_lock = threading.Lock()
 
     def run_config(self, config: PipelineConfig) -> dict[str, DataFrame]:
         frames: dict[str, DataFrame] = {}
@@ -87,7 +91,8 @@ class Pipeline:
                     out, stage.frame_type.schema, f"{self.name}/{stage.name}"
                 )
             frames[stage.output] = out
-            self.results[(config.name, stage.output)] = out
+            with self._results_lock:
+                self.results[(config.name, stage.output)] = out
         return frames
 
     def run(
@@ -103,17 +108,22 @@ class Pipeline:
         return {c.name: self.run_config(c) for c in configs}
 
     def fork(self, name: str, stages: list[Stage]) -> "Pipeline":
-        """New pipeline sharing this one's accumulated results
-        (Pipeline.scala:237-246) — downstream pipelines consume upstream
-        outputs via ``as_data_source`` without rerunning them."""
+        """New pipeline seeded with a snapshot of this one's accumulated
+        results (Pipeline.scala:237-246) — downstream pipelines consume
+        upstream outputs via ``as_data_source`` without rerunning them.
+        The snapshot is a copy: the child's own runs never mutate the
+        parent (and collide-by-name outputs stay isolated)."""
+        with self._results_lock:
+            snapshot = dict(self.results)
         child = Pipeline(name, stages)
-        child.results = self.results
+        child.results = snapshot
         return child
 
     def as_data_source(self, output: str) -> DataFrame:
         """Union one output across all configs — Pipeline.scala:69-94
         (column-aligned union; we use unionByName, safer than positional)."""
-        frames = [df for (cfg, out), df in self.results.items() if out == output]
+        with self._results_lock:
+            frames = [df for (cfg, out), df in self.results.items() if out == output]
         if not frames:
             raise KeyError(f"no results for output {output}")
         result = frames[0]

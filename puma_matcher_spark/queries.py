@@ -15,6 +15,7 @@ Conventions that keep the Spark↔DuckDB value-hash comparison exact:
 
 from __future__ import annotations
 
+import threading
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -119,34 +120,35 @@ def _all_cand_ctes() -> str:
 # Scored-candidate frames are memoized per (session, sf_dir, family) and
 # persisted — the reference caches every stage output (Pipeline.scala:203)
 # and memoizes sources (SqlDataSource.scala:48); without this the TF chain
-# re-scans lineitem ~7× per consuming query.  Lock: the driver may invoke
-# queries from several threads (Spark's scheduler is thread-safe; the dict
-# needs the same guarantee).
-import threading
-
+# re-scans lineitem ~7× per consuming query.  The lock is held across the
+# build: concurrent first callers would otherwise each run the chain and
+# leak duplicate persisted frames (only one setdefault winner would be
+# reachable); the brief serial section costs less than duplicated work.
 _CAND_CACHE: dict[tuple, DataFrame] = {}
 _CAND_LOCK = threading.Lock()
 
 
 def _entity_candidates(t: Tables, which: str = "person") -> DataFrame:
     """Spark twin of _tf_chain's {p}cand."""
+    from pyspark import StorageLevel
+
     key = (t.spark.sparkContext.applicationId, t.sf_dir, which)
     with _CAND_LOCK:
         if key in _CAND_CACHE:
             return _CAND_CACHE[key]
-    from pyspark import StorageLevel
-
-    ents = t.entities() if which == "person" else t.entities_secondary_orders()
-    tf = m.entity_tf(ents).persist(StorageLevel.MEMORY_AND_DISK)
-    doc_count = ents.select("document_version_id").distinct().count()
-    capped = m.cap_entity_frequency(tf, 2000, doc_count)
-    pairs = m.entity_pairs(capped)
-    pairs_idf = sc.with_idf(pairs, tf, doc_count)
-    out = sc.score_entity_pairs(
-        pairs_idf, tf, which, 1 if which == "person" else 10
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    with _CAND_LOCK:
-        return _CAND_CACHE.setdefault(key, out)
+        ents = (
+            t.entities() if which == "person" else t.entities_secondary_orders()
+        )
+        tf = m.entity_tf(ents).persist(StorageLevel.MEMORY_AND_DISK)
+        doc_count = ents.select("document_version_id").distinct().count()
+        capped = m.cap_entity_frequency(tf, 2000, doc_count)
+        pairs = m.entity_pairs(capped)
+        pairs_idf = sc.with_idf(pairs, tf, doc_count)
+        out = sc.score_entity_pairs(
+            pairs_idf, tf, which, 1 if which == "person" else 10
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        _CAND_CACHE[key] = out
+        return out
 
 
 def _all_candidates(t: Tables) -> DataFrame:

@@ -181,3 +181,32 @@ def test_concurrent_query_invocation_thread_safe(spark, sf_small):
         ]
         counts = [f.result() for f in futs]
     assert all(c > 0 for c in counts)
+    # the memo must hold exactly one frame per (app, sf, family) and
+    # concurrent callers must receive the identical cached object
+    from puma_matcher_spark.queries import _CAND_CACHE, _entity_candidates
+    from puma_matcher_spark.sources.testdata import load_tables
+
+    t = load_tables(spark, sf_small)
+    app = spark.sparkContext.applicationId
+    keys = [k for k in _CAND_CACHE if k[0] == app and k[1] == sf_small]
+    assert len(keys) == 2  # person + laboratory, no duplicates
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        frames = [f.result() for f in [ex.submit(_entity_candidates, t) for _ in range(4)]]
+    assert all(f is frames[0] for f in frames)
+
+
+def test_fork_child_does_not_mutate_parent(spark):
+    from puma_matcher_spark.pipeline import Pipeline, PipelineConfig, Stage
+
+    def produce(v):
+        def fn(config, inputs):
+            return spark.createDataFrame([(v,)], ["x"])
+        return fn
+
+    p1 = Pipeline("up", [Stage(name="s", input=[], output="out", fn=produce(1))])
+    p1.run([PipelineConfig(name="a")])
+    child = p1.fork("down", [Stage(name="s2", input=[], output="out", fn=produce(2))])
+    child.run([PipelineConfig(name="a")])  # same (config, output) key
+    # parent still sees its own frame
+    assert p1.as_data_source("out").first()["x"] == 1
+    assert child.as_data_source("out").first()["x"] == 2
