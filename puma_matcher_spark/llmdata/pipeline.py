@@ -1,0 +1,68 @@
+"""End-to-end training-data curation pipeline over the documents table.
+
+The 100 TB story this engine exists for: raw corpus → exact dedup →
+near-dup removal → quality filtering → clean corpus + per-stage counts.
+Each stage is one of the already-tested operators; this wires them the
+way a production curation job would, with the drop accounting a data
+pipeline needs for auditability.
+
+Scale shape: exact dedup is one hash shuffle; near-dup candidates come
+from MinHash-LSH band joins (never all-pairs); quality filters are
+map-side row predicates.  The expensive order — dedup before quality —
+follows the standard curation practice of deduping first so quality
+thresholds see one vote per unique document.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from puma_matcher_spark.llmdata import dedup as dd
+from puma_matcher_spark.llmdata import textstats as ts
+
+
+@dataclass
+class CurationResult:
+    clean: DataFrame                 # surviving documents
+    stage_counts: dict[str, int]     # audit trail: docs after each stage
+
+
+def curate_documents(
+    docs: DataFrame,
+    min_tokens: int = 5,
+    min_distinct_ratio: float = 0.05,
+    jaccard_threshold: float = 0.8,
+) -> CurationResult:
+    counts = {"input": docs.count()}
+
+    # 1. exact dedup — keep the min doc_id per content fingerprint
+    keep_exact = dd.exact_duplicates(docs).select(
+        F.col("keep_id").alias("doc_id")
+    )
+    docs1 = docs.join(keep_exact, "doc_id", "left_semi")
+    counts["after_exact_dedup"] = docs1.count()
+
+    # 2. near-dup removal — MinHash-LSH candidates verified by exact
+    #    Jaccard; drop the higher doc_id of each confirmed pair
+    cand = dd.minhash_dedup_pairs(docs1)
+    verified = (
+        dd.ngram_jaccard_pairs(docs1, min_jaccard=jaccard_threshold)
+        .join(cand, ["doc1_id", "doc2_id"], "left_semi")
+    )
+    drops = verified.select(F.col("doc2_id").alias("doc_id")).distinct()
+    docs2 = docs1.join(drops, "doc_id", "left_anti")
+    counts["after_near_dedup"] = docs2.count()
+
+    # 3. quality filter — token count + lexical diversity
+    stats = ts.with_token_stats(docs2)
+    good = stats.where(
+        (F.col("token_count") >= min_tokens)
+        & (F.col("distinct_ratio") >= min_distinct_ratio)
+    ).select("doc_id")
+    docs3 = docs2.join(good, "doc_id", "left_semi")
+    counts["after_quality"] = docs3.count()
+
+    return CurationResult(clean=docs3, stage_counts=counts)

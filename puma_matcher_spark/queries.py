@@ -1739,6 +1739,37 @@ def q_instrument_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
     return document_instruments(instrument_mentions(toks, aliases))
 
 
+@register(
+    "events_cube",
+    """SELECT event_type,
+       json_extract_string(props, '$.k') AS k,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+GROUP BY CUBE (event_type, json_extract_string(props, '$.k'))""",
+)
+def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping-sets aggregation (additive; pairs with events_rollup)."""
+    ev = load_tables(spark, sf_dir).events()
+    return ev.cube(
+        F.col("event_type"), F.get_json_object("props", "$.k").alias("k")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+@register("llm_curation", None)  # multi-stage pipeline → rows-only
+def q_llm_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation: exact dedup → LSH near-dup removal →
+    quality filter (llmdata/pipeline.py); returns the clean corpus ids
+    with per-stage audit counts as literal columns."""
+    from puma_matcher_spark.llmdata.pipeline import curate_documents
+
+    docs = load_tables(spark, sf_dir).llm_documents()
+    result = curate_documents(docs)
+    out = result.clean.select("doc_id")
+    for stage, n in result.stage_counts.items():
+        out = out.withColumn(f"n_{stage}", F.lit(n).cast("long"))
+    return out
+
+
 @register("normalised_scores_approx", None)  # percentile_approx → rows-only
 def q_normalised_scores_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1 scale path — percentile_approx normalisation (no global sort;

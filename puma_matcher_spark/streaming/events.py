@@ -88,6 +88,14 @@ def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def enrich_with_dim(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static join: each micro-batch joins against the (static,
+    broadcastable) dimension — the canonical enrichment pattern; the dim
+    is re-resolved per batch so slowly-changing dims pick up updates on
+    re-read sources."""
+    return events.join(F.broadcast(dim), "event_type", "left")
+
+
 def stream_dedup(events: DataFrame, key: str = "event_id", delay: str = "10 minutes") -> DataFrame:
     """Streaming exactly-once ingestion: drop duplicate records by key
     within the watermark horizon (state is bounded by the watermark —

@@ -134,3 +134,26 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.9, recall
+
+
+def test_curation_pipeline_end_to_end(spark):
+    from puma_matcher_spark.llmdata.pipeline import curate_documents
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    docs = spark.createDataFrame(
+        [
+            (1, base),                      # keeper
+            (2, base),                      # exact dup of 1 → dropped
+            (3, base + "lambda"),           # near-dup of 1 → dropped
+            (4, "tiny"),                    # too short → dropped
+            (5, "completely different words forming a unique document here"),
+        ],
+        ["doc_id", "text"],
+    )
+    result = curate_documents(docs, min_tokens=5, jaccard_threshold=0.5)
+    kept = {r["doc_id"] for r in result.clean.collect()}
+    assert kept == {1, 5}
+    assert result.stage_counts["input"] == 5
+    assert result.stage_counts["after_exact_dedup"] == 4
+    assert result.stage_counts["after_near_dedup"] == 3
+    assert result.stage_counts["after_quality"] == 2

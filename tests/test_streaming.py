@@ -87,3 +87,26 @@ def test_stream_dedup_drops_replayed_records(spark, sf_small):
     n_batch = load_tables(spark, sf_small).events().count()
     assert n_stream["n"] == n_batch
     assert n_stream["c"] == n_batch
+
+
+def test_stream_static_join_enrichment(spark, sf_small):
+    from puma_matcher_spark.streaming.events import enrich_with_dim, read_events_stream
+
+    dim = spark.createDataFrame(
+        [("click", 1.0), ("purchase", 10.0)], ["event_type", "weight"]
+    )
+    enriched = enrich_with_dim(read_events_stream(spark, sf_small), dim)
+    q = (
+        enriched.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("weight").alias("w"))
+        .writeStream.format("memory")
+        .queryName("t_enrich")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["event_type"]: (r["n"], r["w"]) for r in spark.sql("select * from t_enrich").collect()}
+    assert rows["click"][1] == 1.0
+    assert rows["purchase"][1] == 10.0
+    assert rows["view"][1] is None  # left join keeps unmatched types
