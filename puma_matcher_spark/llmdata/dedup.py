@@ -169,9 +169,11 @@ def ngram_jaccard_pairs(
     s2 = sizes.select(
         F.col("doc_id").alias("doc2_id"), F.col("n_shingles").alias("n2")
     )
+    # s1/s2 are per-document size frames — linear in the corpus, so no
+    # broadcast hint; AQE broadcasts only when the runtime size fits.
     return (
-        common.join(F.broadcast(s1), "doc1_id")
-        .join(F.broadcast(s2), "doc2_id")
+        common.join(s1, "doc1_id")
+        .join(s2, "doc2_id")
         .withColumn(
             "jaccard",
             pround(

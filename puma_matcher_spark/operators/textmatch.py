@@ -125,9 +125,12 @@ def text_match_scores(
         F.col("document_version_id").alias("document_version2_id"),
         F.col("n_sentences").alias("n2"),
     )
+    # c1/c2 are per-document frames — they grow linearly with the corpus,
+    # so no explicit broadcast hint: AQE broadcasts when the runtime size
+    # allows and shuffle-joins when it doesn't (100 TB-safe either way).
     return (
-        pairs.join(F.broadcast(c1), "document_version1_id")
-        .join(F.broadcast(c2), "document_version2_id")
+        pairs.join(c1, "document_version1_id")
+        .join(c2, "document_version2_id")
         .withColumn(
             "score",
             F.col("common_sentences") / F.least(F.col("n1"), F.col("n2")),
@@ -166,7 +169,9 @@ def single_word_scores(
     dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     keep = dfreq.where(F.col("df") <= max_occurrence)
     idf = keep.withColumn("idf", F.sqrt(F.lit(float(n_docs)) / F.col("df")))
-    tf_i = tf.join(F.broadcast(idf.select("word", "idf")), "word")
+    # idf keeps the *rare* words (df ≤ cap) — nearly the whole vocabulary,
+    # which grows with the corpus.  No broadcast hint; AQE decides.
+    tf_i = tf.join(idf.select("word", "idf"), "word")
     a = tf_i.select(
         "word", "idf",
         F.col("document_version_id").alias("document_version1_id"),
@@ -215,8 +220,11 @@ def rare_words(
         F.count(F.lit(1)).alias("tf")
     )
     dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    # dfreq is the full vocabulary — unbounded at scale, so no broadcast
+    # hint (the tf frame is already shuffled on `word` by its own groupBy,
+    # so this join reuses that partitioning under AQE).
     return (
-        tf.join(F.broadcast(dfreq), "word")
+        tf.join(dfreq, "word")
         .where(
             (F.col("tf") >= min_tf)
             & F.col("df").between(min_df, max_df)
@@ -252,7 +260,7 @@ def cosine_title_matches(
     n_docs = words.select("document_version_id").distinct().count()
     dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     w = (
-        tf.join(F.broadcast(dfreq.where(F.col("df") <= max_df)), "word")
+        tf.join(dfreq.where(F.col("df") <= max_df), "word")
         .withColumn(
             "weight", F.col("tf") * F.log10(F.lit(float(n_docs)) / F.col("df"))
         )
@@ -285,9 +293,11 @@ def cosine_title_matches(
         F.col("document_version_id").alias("document_version2_id"),
         F.col("norm").alias("norm2"),
     )
+    # n1/n2 are per-document norm frames (corpus-sized) — no broadcast
+    # hint, AQE picks the strategy from runtime sizes.
     return (
-        dots.join(F.broadcast(n1), "document_version1_id")
-        .join(F.broadcast(n2), "document_version2_id")
+        dots.join(n1, "document_version1_id")
+        .join(n2, "document_version2_id")
         .withColumn("score", F.col("dot") / (F.col("norm1") * F.col("norm2")))
         .where(F.col("score") > min_score)
         .select("document_version1_id", "document_version2_id", "score")

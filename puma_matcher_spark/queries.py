@@ -1354,11 +1354,21 @@ def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("text_features_stemmed", None)  # Porter stemming → rows-only
 def q_text_features_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3 — TextDataSource feature chain incl. Porter stemming (pandas
-    UDF kernel; stemmer unit-tested against published examples)."""
+    UDF kernel; stemmer unit-tested against published examples).
+
+    Array columns are string-joined for the rows-only gate: the driver
+    canonicalizer sorts output in pandas and cannot hash raw list cells
+    (repo parity rule — see spark-duckdb parity notes)."""
     from puma_matcher_spark.functions.text import text_features
 
     docs = load_tables(spark, sf_dir).llm_documents()
-    return text_features(docs, text_col="text", id_col="doc_id")
+    feats = text_features(docs, text_col="text", id_col="doc_id")
+    return feats.select(
+        "doc_id",
+        F.concat_ws(" ", "words").alias("words"),
+        F.concat_ws(" ", "feature").alias("feature"),
+        F.concat_ws(" ", F.col("position").cast("array<string>")).alias("position"),
+    )
 
 
 @register("media_features", None)  # mapInPandas stub kernel → rows-only

@@ -188,6 +188,56 @@ def test_plan_sweep_no_accidental_cartesians(spark, sf_small):
     assert not failures, f"cartesian in plans: {failures}"
 
 
+def test_no_forced_broadcast_on_unbounded_frames(spark, sf_small):
+    """The per-doc / vocabulary frames in the text-match and n-gram
+    Jaccard family grow linearly with the corpus, so they must NOT carry
+    explicit broadcast hints (a hint forces a broadcast regardless of
+    runtime size → driver/executor OOM at 100 TB).
+
+    With autoBroadcastJoinThreshold=-1 the only way a BroadcastExchange
+    can appear in these plans is an explicit hint, so asserting zero
+    BroadcastExchange under that setting proves the hints are gone while
+    leaving AQE free to broadcast at real runtime sizes.
+    """
+    from puma_matcher_spark.llmdata.dedup import ngram_jaccard_pairs
+    from puma_matcher_spark.operators import textmatch as tm
+    from puma_matcher_spark.sources.testdata import load_tables
+
+    docs = load_tables(spark, sf_small).llm_documents()
+    docs_dv = docs.select(
+        F.col("doc_id").alias("document_version_id"),
+        F.col("text"),
+        F.col("text").alias("title"),
+    )
+    frames = {
+        "text_match_scores": lambda: tm.text_match_scores(docs_dv),
+        "single_word_scores": lambda: tm.single_word_scores(docs_dv),
+        "rare_words": lambda: tm.rare_words(docs_dv),
+        "cosine_title_matches": lambda: tm.cosine_title_matches(docs_dv),
+        "ngram_jaccard_pairs": lambda: ngram_jaccard_pairs(docs),
+    }
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        offenders = {
+            name: pi.count_occurrences(make(), "BroadcastExchange")
+            for name, make in frames.items()
+        }
+        offenders = {n: c for n, c in offenders.items() if c > 0}
+        assert not offenders, f"forced broadcasts in: {offenders}"
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
+
+
 def test_absolute_frequency_cap_at_reference_threshold(spark):
     """An entity in >2000 docs must be dropped by the absolute guard
     even when the relative guard would admit it."""
