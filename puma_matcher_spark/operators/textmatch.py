@@ -144,6 +144,122 @@ def text_match_scores(
     )
 
 
+def text_match_merged(
+    docs: DataFrame,
+    n: int = DEFAULT_SENTENCE_LENGTH,
+    max_occurrence: int = DEFAULT_SENTENCE_MAX_OCC,
+    text_col: str = "text",
+    id_col: str = "document_version_id",
+) -> DataFrame:
+    """A6 run-merge — contiguous matched-passage extraction
+    (TextMatcher.scala:95-157 ``groupSentenceFMF``).
+
+    The reference walks each pair's matched shingles sorted by doc-1
+    position and merges a match into the current run when BOTH position
+    deltas vs the previous match are ≤ n; a merged run's word length is
+    its doc-1 position span + n.  That sequential scan is a
+    gaps-and-islands problem, so it stays fully in Catalyst: ``lag()``
+    flags run starts, a running ``sum()`` numbers the islands, and two
+    group-bys on the same (dv1, dv2) key — one shuffle — roll runs up to
+    the pair row.  Per reference semantics each shared sentence
+    contributes one match at its FIRST occurrence position in each doc
+    (``indexOf``), and a sentence participates only when it appears in
+    >1 and < max_occurrence distinct documents.
+
+    Output per pair: run start positions in both docs, run word sizes,
+    ``max_sentence_size`` (longest run), ``text_match_count`` (number of
+    runs), ``word_match_count`` (total matched words), and each doc's
+    total shingle count (``doc{1,2}_word_count``).
+    """
+    from pyspark.sql.window import Window
+
+    sh = sentence_shingles(docs, n, text_col, id_col)
+    first = sh.groupBy("document_version_id", "sentence").agg(
+        F.min("position").alias("pos")
+    )
+    occ_w = Window.partitionBy("sentence")
+    capped = (
+        first.withColumn("_occ", F.count(F.lit(1)).over(occ_w))
+        .where((F.col("_occ") > 1) & (F.col("_occ") < max_occurrence))
+        .drop("_occ")
+    )
+    a = capped.select(
+        "sentence",
+        F.col("document_version_id").alias("document_version1_id"),
+        F.col("pos").alias("pos1"),
+    )
+    b = capped.select(
+        "sentence",
+        F.col("document_version_id").alias("document_version2_id"),
+        F.col("pos").alias("pos2"),
+    )
+    m = (
+        a.join(b, "sentence")
+        .where(F.col("document_version1_id") < F.col("document_version2_id"))
+        .select("document_version1_id", "document_version2_id", "pos1", "pos2")
+    )
+    w = Window.partitionBy("document_version1_id", "document_version2_id").orderBy(
+        "pos1"
+    )
+    flagged = m.withColumn(
+        "new_run",
+        F.when(
+            F.lag("pos1").over(w).isNull()
+            | (F.col("pos1") - F.lag("pos1").over(w) > n)
+            | (F.col("pos2") - F.lag("pos2").over(w) > n),
+            1,
+        ).otherwise(0),
+    )
+    runs0 = flagged.withColumn(
+        "run_id",
+        F.sum("new_run").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    runs = runs0.groupBy(
+        "document_version1_id", "document_version2_id", "run_id"
+    ).agg(
+        F.min("pos1").alias("s1"),
+        F.min_by("pos2", "pos1").alias("s2"),
+        (F.max("pos1") - F.min("pos1") + n).cast("long").alias("run_size"),
+    )
+    merged = runs.groupBy("document_version1_id", "document_version2_id").agg(
+        F.sort_array(F.collect_list(F.struct("s1", "s2", "run_size"))).alias("runs")
+    )
+    pair_rows = merged.select(
+        "document_version1_id",
+        "document_version2_id",
+        F.transform("runs", lambda r: r["s1"]).alias("doc1_positions"),
+        F.transform("runs", lambda r: r["s2"]).alias("doc2_positions"),
+        F.transform("runs", lambda r: r["run_size"]).alias("run_sizes"),
+        F.array_max(F.transform("runs", lambda r: r["run_size"]))
+        .cast("long")
+        .alias("max_sentence_size"),
+        F.size("runs").cast("long").alias("text_match_count"),
+        F.aggregate(
+            F.transform("runs", lambda r: r["run_size"]),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("word_match_count"),
+    )
+    # per-doc total (non-distinct) shingle counts, as the reference's
+    # word-count join; per-doc frame → no broadcast hint, AQE decides.
+    counts = sh.groupBy("document_version_id").agg(
+        F.count(F.lit(1)).cast("long").alias("word_count")
+    )
+    c1 = counts.select(
+        F.col("document_version_id").alias("document_version1_id"),
+        F.col("word_count").alias("doc1_word_count"),
+    )
+    c2 = counts.select(
+        F.col("document_version_id").alias("document_version2_id"),
+        F.col("word_count").alias("doc2_word_count"),
+    )
+    return pair_rows.join(c1, "document_version1_id", "left").join(
+        c2, "document_version2_id", "left"
+    )
+
+
 def single_word_scores(
     docs: DataFrame,
     min_matched_words: int = DEFAULT_MIN_MATCHED_WORDS,

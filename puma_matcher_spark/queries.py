@@ -808,6 +808,107 @@ def q_text_match_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sentence_pos_ctes(src: str, id_col: str, text_col: str, n: int = 4) -> str:
+    """Shingles WITH positions (non-distinct) — the run-merge family
+    needs first-occurrence positions, unlike ``_sentence_ctes``."""
+    joins = "\n".join(
+        f"  JOIN toks t{i} ON t{i}.document_version_id = t0.document_version_id"
+        f" AND t{i}.pos = t0.pos + {i}"
+        for i in range(1, n)
+    )
+    concat = " || ' ' || ".join(f"t{i}.tok" for i in range(n))
+    return f"""toksl AS (
+  SELECT {id_col} AS document_version_id, {_TOKS_SQL.format(col=text_col)} AS tk
+  FROM {src}),
+toks AS (
+  SELECT document_version_id, unnest(tk) AS tok, unnest(range(len(tk))) AS pos
+  FROM toksl),
+shp AS (
+  SELECT t0.document_version_id, t0.pos, {concat} AS sentence
+  FROM toks t0
+{joins})"""
+
+
+@register(
+    "text_match_merged",
+    f"""WITH {_sentence_pos_ctes('documents', 'doc_id', 'text')},
+firstocc AS (
+  SELECT document_version_id, sentence, MIN(pos) AS pos
+  FROM shp GROUP BY 1, 2),
+occ AS (SELECT sentence, COUNT(*) AS occ FROM firstocc GROUP BY 1),
+capped AS (
+  SELECT f.document_version_id, f.sentence, f.pos
+  FROM firstocc f JOIN occ USING (sentence)
+  WHERE occ.occ > 1 AND occ.occ < 100),
+m AS (
+  SELECT a.document_version_id AS dv1, b.document_version_id AS dv2,
+         a.pos AS pos1, b.pos AS pos2
+  FROM capped a JOIN capped b
+    ON a.sentence = b.sentence AND a.document_version_id < b.document_version_id),
+flagged AS (
+  SELECT dv1, dv2, pos1, pos2,
+         CASE WHEN lag(pos1) OVER w IS NULL
+                OR pos1 - lag(pos1) OVER w > 4
+                OR pos2 - lag(pos2) OVER w > 4
+              THEN 1 ELSE 0 END AS new_run
+  FROM m
+  WINDOW w AS (PARTITION BY dv1, dv2 ORDER BY pos1)),
+runs0 AS (
+  SELECT *, SUM(new_run) OVER (
+    PARTITION BY dv1, dv2 ORDER BY pos1 ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM flagged),
+runs AS (
+  SELECT dv1, dv2, run_id, MIN(pos1) AS s1, arg_min(pos2, pos1) AS s2,
+         MAX(pos1) - MIN(pos1) + 4 AS run_size
+  FROM runs0 GROUP BY 1, 2, 3),
+wc AS (
+  SELECT document_version_id, CAST(COUNT(*) AS BIGINT) AS word_count
+  FROM shp GROUP BY 1),
+agg AS (
+  SELECT dv1 AS document_version1_id, dv2 AS document_version2_id,
+         string_agg(CAST(s1 AS VARCHAR), ' ' ORDER BY s1) AS doc1_positions,
+         string_agg(CAST(s2 AS VARCHAR), ' ' ORDER BY s1) AS doc2_positions,
+         string_agg(CAST(run_size AS VARCHAR), ' ' ORDER BY s1) AS run_sizes,
+         CAST(MAX(run_size) AS BIGINT) AS max_sentence_size,
+         CAST(COUNT(*) AS BIGINT) AS text_match_count,
+         CAST(SUM(run_size) AS BIGINT) AS word_match_count
+  FROM runs GROUP BY 1, 2)
+SELECT g.document_version1_id, g.document_version2_id,
+       g.doc1_positions, g.doc2_positions, g.run_sizes,
+       g.max_sentence_size, g.text_match_count, g.word_match_count,
+       w1.word_count AS doc1_word_count, w2.word_count AS doc2_word_count
+FROM agg g
+LEFT JOIN wc w1 ON g.document_version1_id = w1.document_version_id
+LEFT JOIN wc w2 ON g.document_version2_id = w2.document_version_id""",
+)
+def q_text_match_merged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 run-merge — overlapping matched n-gram runs merged into
+    contiguous passages (ref TextMatcher.scala:95-157); position/size
+    arrays string-joined per the parity rule."""
+    from puma_matcher_spark.operators import textmatch as tm
+
+    docs = load_tables(spark, sf_dir).llm_documents()
+    out = tm.text_match_merged(docs, max_occurrence=100, id_col="doc_id")
+    return out.select(
+        "document_version1_id",
+        "document_version2_id",
+        F.concat_ws(" ", F.col("doc1_positions").cast("array<string>")).alias(
+            "doc1_positions"
+        ),
+        F.concat_ws(" ", F.col("doc2_positions").cast("array<string>")).alias(
+            "doc2_positions"
+        ),
+        F.concat_ws(" ", F.col("run_sizes").cast("array<string>")).alias(
+            "run_sizes"
+        ),
+        "max_sentence_size",
+        "text_match_count",
+        "word_match_count",
+        "doc1_word_count",
+        "doc2_word_count",
+    )
+
+
 @register(
     "single_word_scores",
     f"""WITH toksl AS (

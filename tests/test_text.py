@@ -101,6 +101,51 @@ def test_sentence_shingles_and_cap(spark):
     assert (r["document_version1_id"], r["document_version2_id"], r["common_sentences"]) == (1, 2, 1)
 
 
+def test_text_match_merged_contiguous_run(spark):
+    """Two docs sharing a 6-word passage: the three overlapping 4-gram
+    matches must merge into ONE run of 6 words (TextMatcher.scala:95-157
+    semantics), not count as three separate matches."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "omega psi chi alpha beta gamma delta epsilon zeta"),
+        ],
+        ["document_version_id", "text"],
+    )
+    rows = tm.text_match_merged(docs, n=4).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["document_version1_id"], r["document_version2_id"]) == (1, 2)
+    assert r["doc1_positions"] == [0]
+    assert r["doc2_positions"] == [3]
+    assert r["run_sizes"] == [6]
+    assert r["max_sentence_size"] == 6
+    assert r["text_match_count"] == 1
+    assert r["word_match_count"] == 6
+    assert r["doc1_word_count"] == 3  # 6 tokens → 3 shingles
+    assert r["doc2_word_count"] == 6  # 9 tokens → 6 shingles
+
+
+def test_text_match_merged_distant_matches_stay_separate_runs(spark):
+    """Matches more than n positions apart must NOT merge."""
+    docs = spark.createDataFrame(
+        [
+            (3, "alpha beta gamma delta aaa bbb ccc ddd eee fff red green blue yellow"),
+            (4, "alpha beta gamma delta ggg hhh iii jjj kkk lll red green blue yellow"),
+        ],
+        ["document_version_id", "text"],
+    )
+    rows = tm.text_match_merged(docs, n=4).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["doc1_positions"] == [0, 10]
+    assert r["doc2_positions"] == [0, 10]
+    assert r["run_sizes"] == [4, 4]
+    assert r["text_match_count"] == 2
+    assert r["word_match_count"] == 8
+    assert r["max_sentence_size"] == 4
+
+
 def test_cosine_identical_titles_score_one(spark):
     docs = spark.createDataFrame(
         [
