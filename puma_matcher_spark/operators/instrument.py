@@ -88,3 +88,92 @@ def document_instruments(
     return mentions.groupBy(doc_col, "instrument_id").agg(
         F.count(F.lit(1)).cast("long").alias("mention_count")
     )
+
+
+def person_technique_probability(
+    doc_techniques: DataFrame,
+    doc_persons: DataFrame,
+) -> DataFrame:
+    """P8 — the person→technique probabilistic model
+    (filter/PersonTechniqueFilter.scala:25-62).
+
+    ``doc_techniques``: (document_version_id, technique_id);
+    ``doc_persons``: (document_version_id, person_id).  For every person,
+    probability(technique) = times the person co-occurs with the
+    technique / total technique observations for the person — two count
+    aggregations over the same (technique, doc, person) join, then a
+    ratio.
+
+    Scale: the join shuffles on document_version_id; both aggregations
+    shuffle on person_id, so AQE reuses one exchange between them.  No
+    broadcast hints — both inputs are corpus-sized.
+    """
+    tbpd = doc_techniques.select(
+        "document_version_id", "technique_id"
+    ).distinct().join(
+        doc_persons.select("document_version_id", "person_id").distinct(),
+        "document_version_id",
+    )
+    by_person_tech = tbpd.groupBy("person_id", "technique_id").agg(
+        F.count(F.lit(1)).cast("long").alias("person_technique_count")
+    )
+    by_person = tbpd.groupBy("person_id").agg(
+        F.count(F.lit(1)).cast("long").alias("person_total_technique_count")
+    )
+    return (
+        by_person_tech.join(by_person, "person_id")
+        .withColumn(
+            "person_technique_probability",
+            F.col("person_technique_count")
+            / F.col("person_total_technique_count"),
+        )
+    )
+
+
+def technique_document_stats(
+    model: DataFrame,
+    doc_techniques: DataFrame,
+    doc_persons: DataFrame,
+) -> DataFrame:
+    """P8 — per-(document, technique) probability roll-up
+    (PersonTechniqueFilter.scala:64-76): join the model back to the
+    document plane and aggregate the per-person probabilities."""
+    tbpd = doc_techniques.select(
+        "document_version_id", "technique_id"
+    ).distinct().join(
+        doc_persons.select("document_version_id", "person_id").distinct(),
+        "document_version_id",
+    )
+    return (
+        model.join(tbpd, ["technique_id", "person_id"])
+        .groupBy("document_version_id", "technique_id")
+        .agg(
+            F.sum("person_technique_probability").alias("total_probability"),
+            F.avg("person_technique_probability").alias("avg_probability"),
+            F.count("person_id").cast("long").alias("person_count"),
+        )
+    )
+
+
+def technique_probability_histogram(
+    doc_stats: DataFrame,
+    interval: float = 0.05,
+    min_count: int = 2,
+) -> DataFrame:
+    """P8/A15 — 0.05-wide histogram of per-(doc, technique) average
+    probability, persons-per-cell > min_count
+    (PersonTechniqueFilter.scala:78-87).
+
+    The bucket index is ``floor(avg * 20)`` — multiplying by the exact
+    integer 1/interval instead of dividing by the inexact double 0.05
+    keeps the bucket boundary bit-identical across engines (parity
+    rule).
+    """
+    per_bucket = F.floor(
+        F.col("avg_probability") * F.lit(round(1.0 / interval))
+    ).cast("long")
+    return (
+        doc_stats.where(F.col("person_count") > min_count)
+        .groupBy(per_bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )

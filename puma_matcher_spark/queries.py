@@ -1765,6 +1765,128 @@ def q_dedup_person_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_lookup(persons, edges)
 
 
+_PT_CTES = """tech AS (
+  SELECT DISTINCT l_orderkey AS document_version_id, l_suppkey AS technique_id
+  FROM lineitem),
+pers AS (
+  SELECT DISTINCT l_orderkey AS document_version_id, l_partkey AS person_id
+  FROM lineitem),
+tbpd AS (
+  SELECT t.technique_id, t.document_version_id, p.person_id
+  FROM tech t JOIN pers p USING (document_version_id)),
+bpt AS (
+  SELECT person_id, technique_id, CAST(COUNT(*) AS BIGINT) AS person_technique_count
+  FROM tbpd GROUP BY 1, 2),
+bp AS (
+  SELECT person_id, CAST(COUNT(*) AS BIGINT) AS person_total_technique_count
+  FROM tbpd GROUP BY 1),
+model AS (
+  SELECT bpt.person_id, bpt.technique_id, bpt.person_technique_count,
+         bp.person_total_technique_count,
+         bpt.person_technique_count / CAST(bp.person_total_technique_count AS DOUBLE)
+           AS p
+  FROM bpt JOIN bp USING (person_id))"""
+
+
+@register(
+    "person_technique_prob",
+    f"""WITH {_PT_CTES}
+SELECT person_id, technique_id, person_technique_count,
+       person_total_technique_count,
+       ROUND(p, 4) AS person_technique_probability
+FROM model""",
+)
+def q_person_technique_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 — person→technique probability model
+    (PersonTechniqueFilter.scala:25-62): technique = suppkey family,
+    person = partkey family."""
+    from puma_matcher_spark.operators.instrument import (
+        person_technique_probability,
+    )
+
+    t = load_tables(spark, sf_dir)
+    model = person_technique_probability(
+        t.entities_secondary().withColumnRenamed("entity_id", "technique_id"),
+        t.entities().withColumnRenamed("entity_id", "person_id"),
+    )
+    return model.select(
+        "person_id",
+        "technique_id",
+        "person_technique_count",
+        "person_total_technique_count",
+        pround("person_technique_probability", 4).alias(
+            "person_technique_probability"
+        ),
+    )
+
+
+@register(
+    "person_technique_doc_stats",
+    f"""WITH {_PT_CTES}
+SELECT d.document_version_id, d.technique_id,
+       ROUND(SUM(m.p), 4) AS total_probability,
+       ROUND(AVG(m.p), 4) AS avg_probability,
+       CAST(COUNT(m.person_id) AS BIGINT) AS person_count
+FROM model m JOIN tbpd d
+  ON m.technique_id = d.technique_id AND m.person_id = d.person_id
+GROUP BY 1, 2""",
+)
+def q_person_technique_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 — per-(document, technique) probability roll-up
+    (PersonTechniqueFilter.scala:64-76)."""
+    from puma_matcher_spark.operators.instrument import (
+        person_technique_probability,
+        technique_document_stats,
+    )
+
+    t = load_tables(spark, sf_dir)
+    tech = t.entities_secondary().withColumnRenamed("entity_id", "technique_id")
+    pers = t.entities().withColumnRenamed("entity_id", "person_id")
+    stats = technique_document_stats(
+        person_technique_probability(tech, pers), tech, pers
+    )
+    return stats.select(
+        "document_version_id",
+        "technique_id",
+        pround("total_probability", 4).alias("total_probability"),
+        pround("avg_probability", 4).alias("avg_probability"),
+        "person_count",
+    )
+
+
+@register(
+    "person_technique_hist",
+    f"""WITH {_PT_CTES},
+stats AS (
+  SELECT d.document_version_id, d.technique_id,
+         ROUND(AVG(m.p), 6) AS avg_probability,
+         COUNT(m.person_id) AS person_count
+  FROM model m JOIN tbpd d
+    ON m.technique_id = d.technique_id AND m.person_id = d.person_id
+  GROUP BY 1, 2)
+SELECT CAST(FLOOR(avg_probability * 20) AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM stats WHERE person_count > 2 GROUP BY 1""",
+)
+def q_person_technique_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8/A15 — 0.05-interval histogram of average technique probability
+    (PersonTechniqueFilter.scala:78-87); avg rounded to 6 decimals
+    before bucketing so engine ulp differences can't flip a bucket."""
+    from puma_matcher_spark.operators.instrument import (
+        person_technique_probability,
+        technique_document_stats,
+        technique_probability_histogram,
+    )
+
+    t = load_tables(spark, sf_dir)
+    tech = t.entities_secondary().withColumnRenamed("entity_id", "technique_id")
+    pers = t.entities().withColumnRenamed("entity_id", "person_id")
+    stats = technique_document_stats(
+        person_technique_probability(tech, pers), tech, pers
+    ).withColumn("avg_probability", pround("avg_probability", 6))
+    return technique_probability_histogram(stats)
+
+
 @register(
     "score_histogram",
     f"""WITH {V_ENTITIES}, {_tf_chain('p_', 'entities')}

@@ -168,6 +168,30 @@ def test_pos_filter_keeps_content_words(spark):
     assert "slowly" not in r["content_words"]
 
 
+def test_person_technique_probability_hand_computed(spark):
+    """P8 model on a tiny fixture: person 1 sees technique A twice and
+    B once → P(A)=2/3, P(B)=1/3 (PersonTechniqueFilter.scala:49-62)."""
+    tech = spark.createDataFrame(
+        [(10, "A"), (11, "A"), (12, "B")],
+        ["document_version_id", "technique_id"],
+    )
+    pers = spark.createDataFrame(
+        [(10, 1), (11, 1), (12, 1), (12, 2)],
+        ["document_version_id", "person_id"],
+    )
+    model = {
+        (r["person_id"], r["technique_id"]): (
+            r["person_technique_count"],
+            r["person_total_technique_count"],
+            r["person_technique_probability"],
+        )
+        for r in instr.person_technique_probability(tech, pers).collect()
+    }
+    assert model[(1, "A")] == (2, 3, 2 / 3)
+    assert model[(1, "B")] == (1, 3, 1 / 3)
+    assert model[(2, "B")] == (1, 1, 1.0)
+
+
 def test_plan_sweep_no_accidental_cartesians(spark, sf_small):
     """Every registered query must plan without a cartesian product,
     except those that are intentionally all-pairs at fixture scale."""
