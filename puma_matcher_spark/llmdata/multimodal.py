@@ -18,9 +18,9 @@ per-task batch; Arrow batch size bounds peak memory.
 
 from __future__ import annotations
 
-import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
@@ -50,21 +50,76 @@ FEATURE_SCHEMA = StructType(
 )
 
 
-def _fake_blockhash(payload: bytes) -> str:
-    """Deterministic stand-in for the 256-bit blockhash (PUBLIC algorithm;
-    real impl needs PIL — NOT available here).  Produces a stable
-    256-bit hex string from the payload so downstream Hamming machinery
-    is exercisable."""
-    h = hashlib.sha256(payload).hexdigest()
-    return h  # 256 bits as 64 hex chars
+BLOCKHASH_BITS = 16  # 16×16 blocks → 256-bit hash
+
+
+def blockhash_256(pixels: np.ndarray) -> str:
+    """REAL 256-bit block-mean-value perceptual hash.
+
+    Implements the published algorithm of Yang, Gu & Niu, *Block Mean
+    Value Based Image Perceptual Hashing* — the same algorithm the
+    reference ships as an embedded Python script and shells out to per
+    row (PictureHashAnalyser2.scala:48-125).  Even-block variant,
+    vectorised with numpy (the reference's per-pixel Python loops would
+    be the slow path inside an Arrow batch):
+
+    * pixel value = r+g+b, summed over each of the 16×16 blocks;
+    * per horizontal band of 64 blocks, bit = block > band median, with
+      the published tie-break for black/white-dominated images (emit the
+      median's side when |block − median| < 1, by whether the median is
+      above half the maximum block value).
+
+    ``pixels``: (H, W, 3) uint8 RGB array with H and W divisible by 16
+    (callers resize/crop first — the reference resizes via PIL).
+    """
+    bits = BLOCKHASH_BITS
+    h, w = pixels.shape[:2]
+    if h % bits or w % bits:
+        raise ValueError(f"blockhash_256 needs dims divisible by {bits}")
+    total = pixels.astype(np.int64).sum(axis=2)  # r+g+b per pixel
+    bh, bw = h // bits, w // bits
+    blocks = (
+        total.reshape(bits, bh, bits, bw).sum(axis=(1, 3)).reshape(-1)
+    ).astype(np.float64)
+    half_block_value = bh * bw * 256 * 3 / 2
+    out = np.zeros(bits * bits, dtype=np.uint8)
+    bandsize = (bits * bits) // 4
+    for i in range(4):
+        band = blocks[i * bandsize : (i + 1) * bandsize]
+        m = float(np.median(band))  # sorted mid-pair average, as published
+        out[i * bandsize : (i + 1) * bandsize] = (
+            (band > m) | ((np.abs(band - m) < 1) & (m > half_block_value))
+        )
+    value = 0
+    for b in out:
+        value = (value << 1) | int(b)
+    return format(value, "064x")
+
+
+def fake_decode_rgb(payload: bytes, width: int, height: int) -> np.ndarray:
+    """STUB codec: no PIL/ffmpeg in this container, so payload bytes are
+    tiled deterministically into an (height, width, 3) RGB array.  This
+    is the ONLY fake step — swap for a real decoder in production and
+    the hash kernel and Spark plumbing are unchanged."""
+    raw = np.frombuffer(payload, dtype=np.uint8) if payload else np.zeros(
+        1, dtype=np.uint8
+    )
+    return np.resize(raw, (height, width, 3))
 
 
 def extract_media_features(media: DataFrame) -> DataFrame:
-    """mapInPandas feature extraction: payload → (hash, size).
+    """mapInPandas feature extraction: payload → (blockhash, size).
 
-    Arrow-batched; one output row per input row; the codec call is the
-    single line to swap for a real decoder.
+    Arrow-batched; one output row per input row; ``fake_decode_rgb`` is
+    the single line to swap for a real decoder — the blockhash kernel
+    itself is the real published algorithm.
     """
+
+    def hash_row(payload: str, width, height) -> str:
+        bits = BLOCKHASH_BITS
+        w = max(int(width or 0) // bits, 1) * bits
+        h = max(int(height or 0) // bits, 1) * bits
+        return blockhash_256(fake_decode_rgb(payload.encode(), w, h))
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -72,9 +127,12 @@ def extract_media_features(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "perceptual_hash": payloads.map(
-                        lambda p: _fake_blockhash(p.encode())
-                    ),
+                    "perceptual_hash": [
+                        hash_row(p, w, h)
+                        for p, w, h in zip(
+                            payloads, pdf["width"], pdf["height"]
+                        )
+                    ],
                     "n_bytes": payloads.map(len).astype("int64"),
                 }
             )
@@ -86,6 +144,6 @@ def decode_image(payload: bytes):  # pragma: no cover - stub
     """Real image decode — requires PIL/opencv, not present in this
     container."""
     raise NotImplementedError(
-        "image decoding requires PIL/opencv; swap _fake_blockhash for the "
-        "real blockhash kernel in production"
+        "image decoding requires PIL/opencv; swap fake_decode_rgb for a "
+        "real decoder in production — blockhash_256 itself is real"
     )

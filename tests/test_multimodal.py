@@ -1,0 +1,97 @@
+"""Multimodal kernel: real blockhash-256 + mapInPandas plumbing.
+
+The hash kernel implements the published block-mean-value algorithm
+(Yang/Gu/Niu) that the reference shells out to per row
+(PictureHashAnalyser2.scala:48-125); tests pin it against a structural
+test vector and an independent straight-loop port of the published
+pseudocode.
+"""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from puma_matcher_spark.llmdata.multimodal import (
+    BLOCKHASH_BITS,
+    blockhash_256,
+    extract_media_features,
+    fake_decode_rgb,
+)
+
+
+def _blockhash_reference_loops(pixels: np.ndarray) -> str:
+    """Direct, unvectorised port of the published even-block algorithm
+    (independent of the numpy kernel under test)."""
+    bits = BLOCKHASH_BITS
+    height, width = pixels.shape[:2]
+    bx, by = width // bits, height // bits
+    blocks = []
+    for y in range(bits):
+        for x in range(bits):
+            value = 0
+            for iy in range(by):
+                for ix in range(bx):
+                    px = pixels[y * by + iy, x * bx + ix]
+                    value += int(px[0]) + int(px[1]) + int(px[2])
+            blocks.append(value)
+    half_block_value = bx * by * 256 * 3 / 2
+    bandsize = len(blocks) // 4
+    for i in range(4):
+        band = sorted(blocks[i * bandsize : (i + 1) * bandsize])
+        n = len(band)
+        m = (
+            (band[n // 2 - 1] + band[n // 2]) / 2.0
+            if n % 2 == 0
+            else band[n // 2]
+        )
+        for j in range(i * bandsize, (i + 1) * bandsize):
+            v = blocks[j]
+            blocks[j] = int(v > m or (abs(v - m) < 1 and m > half_block_value))
+    return format(int("".join(str(b) for b in blocks), 2), "064x")
+
+
+def test_blockhash_structural_vector():
+    """Top half black, bottom half white → first 128 bits 0 (median 0,
+    below half-max), last 128 bits 1 (median at max, above half-max):
+    hex '0'*32 + 'f'*32."""
+    img = np.zeros((32, 32, 3), dtype=np.uint8)
+    img[16:, :, :] = 255
+    assert blockhash_256(img) == "0" * 32 + "f" * 32
+
+
+def test_blockhash_matches_published_loop_port():
+    rng = np.random.default_rng(42)
+    img = rng.integers(0, 256, size=(48, 64, 3), dtype=np.uint8)
+    assert blockhash_256(img) == _blockhash_reference_loops(img)
+
+
+def test_blockhash_rejects_uneven_dims():
+    import pytest
+
+    with pytest.raises(ValueError):
+        blockhash_256(np.zeros((30, 32, 3), dtype=np.uint8))
+
+
+def test_fake_decode_deterministic_and_shaped():
+    a = fake_decode_rgb(b"hello world", 32, 16)
+    b = fake_decode_rgb(b"hello world", 32, 16)
+    assert a.shape == (16, 32, 3)
+    assert (a == b).all()
+
+
+def test_extract_media_features_end_to_end(spark):
+    media = spark.createDataFrame(
+        [(1, "text/plain", "payload-one", 64, 64),
+         (2, "text/plain", "payload-two", 64, 64)],
+        ["media_id", "mime_type", "payload", "width", "height"],
+    )
+    out = extract_media_features(media).orderBy("media_id").collect()
+    assert [r["media_id"] for r in out] == [1, 2]
+    for r in out:
+        assert len(r["perceptual_hash"]) == 64
+        int(r["perceptual_hash"], 16)  # valid hex
+    # deterministic across invocations (driver rows-only gate relies on it)
+    again = extract_media_features(media).orderBy("media_id").collect()
+    assert [r["perceptual_hash"] for r in out] == [
+        r["perceptual_hash"] for r in again
+    ]
+    assert out[0]["n_bytes"] == len("payload-one")
