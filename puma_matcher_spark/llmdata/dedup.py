@@ -104,8 +104,31 @@ def lsh_band_keys(
     )
 
 
-def lsh_candidate_pairs(band_keys: DataFrame) -> DataFrame:
-    """Docs sharing any band bucket → distinct candidate pairs (dv1 < dv2)."""
+DEFAULT_MAX_BUCKET = 2000  # same spirit as the sentence-occurrence cap
+
+
+def lsh_candidate_pairs(
+    band_keys: DataFrame, max_bucket_size: int | None = DEFAULT_MAX_BUCKET
+) -> DataFrame:
+    """Docs sharing any band bucket → distinct candidate pairs (dv1 < dv2).
+
+    ``max_bucket_size`` is the boilerplate guard: a (band, band_key)
+    bucket holding B docs yields B² pairs, so one giant cluster of
+    near-identical boilerplate (cookie banners, licence headers) would
+    go quadratic.  Buckets above the cap are dropped from candidate
+    generation — the same count-over-window trick as the sentence cap,
+    reusing the shuffle partitioning the self-join needs anyway (no
+    extra exchange, no broadcast dictionary).
+    """
+    from pyspark.sql.window import Window
+
+    if max_bucket_size is not None:
+        bucket_w = Window.partitionBy("band", "band_key")
+        band_keys = (
+            band_keys.withColumn("_n", F.count(F.lit(1)).over(bucket_w))
+            .where(F.col("_n") <= max_bucket_size)
+            .drop("_n")
+        )
     a = band_keys.select("band", "band_key", F.col("doc_id").alias("doc1_id"))
     b = band_keys.select("band", "band_key", F.col("doc_id").alias("doc2_id"))
     return (
@@ -121,12 +144,14 @@ def minhash_dedup_pairs(
     num_hashes: int = DEFAULT_NUM_HASHES,
     band_size: int = DEFAULT_BAND_SIZE,
     shingle_n: int = DEFAULT_SHINGLE,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup candidate pipeline."""
     return lsh_candidate_pairs(
         lsh_band_keys(
             minhash_signatures(shingles(docs, shingle_n), num_hashes), band_size
-        )
+        ),
+        max_bucket_size,
     )
 
 

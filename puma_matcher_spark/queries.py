@@ -1320,9 +1320,13 @@ mh AS (
 bk AS (
   SELECT doc_id, CAST(seed // 2 AS INTEGER) AS band,
          md5(string_agg(CAST(minhash AS VARCHAR), '-' ORDER BY seed)) AS band_key
-  FROM mh GROUP BY 1, 2)
+  FROM mh GROUP BY 1, 2),
+bkc AS (
+  SELECT doc_id, band, band_key
+  FROM (SELECT *, COUNT(*) OVER (PARTITION BY band, band_key) AS bn FROM bk)
+  WHERE bn <= 2000)
 SELECT DISTINCT a.doc_id AS doc1_id, b.doc_id AS doc2_id
-FROM bk a JOIN bk b
+FROM bkc a JOIN bkc b
   ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id""",
 )
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1504,9 +1508,13 @@ bk AS (
   SELECT doc_id, CAST(seed // 2 AS INTEGER) AS band,
          md5(string_agg(CAST(minhash AS VARCHAR), '-' ORDER BY seed)) AS band_key
   FROM mh GROUP BY 1, 2),
+bkc AS (
+  SELECT doc_id, band, band_key
+  FROM (SELECT *, COUNT(*) OVER (PARTITION BY band, band_key) AS bn FROM bk)
+  WHERE bn <= 2000),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc1_id, b.doc_id AS doc2_id
-  FROM bk a JOIN bk b
+  FROM bkc a JOIN bkc b
     ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
 toks2 AS (SELECT doc_id, unnest({_LLM_TOKS}) AS tok FROM documents),
 tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks2 GROUP BY 1, 2),

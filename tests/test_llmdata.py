@@ -47,6 +47,21 @@ def test_minhash_identical_docs_share_all_bands(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_lsh_bucket_guard_drops_boilerplate_cluster(spark):
+    """A bucket above max_bucket_size must produce no candidate pairs
+    (boilerplate guard); small buckets are unaffected."""
+    boiler = [(i, "same old cookie banner text repeated") for i in range(6)]
+    pair = [(100, "y1 y2 y3 y4 y5 y6"), (101, "y1 y2 y3 y4 y5 y6")]
+    docs = _docs(spark, boiler + pair)
+    guarded = {
+        (r["doc1_id"], r["doc2_id"])
+        for r in dd.minhash_dedup_pairs(docs, max_bucket_size=5).collect()
+    }
+    assert guarded == {(100, 101)}  # 6-doc cluster dropped, pair kept
+    unguarded = dd.minhash_dedup_pairs(docs, max_bucket_size=None).count()
+    assert unguarded == 15 + 1  # 6C2 boilerplate pairs + the real pair
+
+
 def test_ngram_jaccard_exact_value(spark):
     # doc1: shingles {a b c, b c d}; doc2: {a b c}; J = 1/2
     docs = _docs(spark, [(1, "a b c d"), (2, "a b c")])
