@@ -125,8 +125,13 @@ def ivf_topk(
     transform (no shuffle), the probe join shuffles on ``cell`` only, and
     expected work per query is ``n_probe/n_cells`` of the corpus.  Recall
     < 1 by construction; raise with n_probe.
+
+    Probe-cell assignment is fully distributed: the (tiny, n_cells×dim)
+    center matrix is folded into the plan as literal arrays and each
+    query row computes its ``n_probe`` nearest cells in Catalyst — no
+    driver collect, so ``queries`` may be the whole corpus (self-search)
+    without bottlenecking on the driver.
     """
-    import numpy as np
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -139,21 +144,31 @@ def ivf_topk(
     assigned = model.transform(feats).select(
         F.col(id_col), F.col("_arr"), F.col("prediction").alias("cell")
     )
-    centers = np.array([np.asarray(c) for c in model.clusterCenters()])
 
-    # driver-side probe list for the (small) query set
-    q_rows = queries.select(id_col, vec_col).collect()
-    probe_rows = []
-    for r in q_rows:
-        v = np.array(r[vec_col], dtype=float)
-        d = ((centers - v) ** 2).sum(axis=1)
-        for cell in np.argsort(d)[:n_probe]:
-            probe_rows.append((r[id_col], int(cell)))
-    spark = embeddings.sparkSession
-    probes = spark.createDataFrame(probe_rows, ["query_id", "cell"])
+    # distributed probe assignment: per-row distance to each literal
+    # center, sort_array over (dist, cell) structs — ties break on the
+    # lower cell index, matching a stable argsort
+    qv = F.col(vec_col).cast("array<double>")
+    dist_structs = []
+    for j, cvec in enumerate(model.clusterCenters()):
+        lit_c = F.array(*[F.lit(float(x)) for x in cvec])
+        d = F.aggregate(
+            F.zip_with(qv, lit_c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        dist_structs.append(
+            F.struct(d.alias("d"), F.lit(j).cast("int").alias("cell"))
+        )
+    probe_cells = F.transform(
+        F.slice(F.sort_array(F.array(*dist_structs)), 1, n_probe),
+        lambda s: s["cell"],
+    )
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    ).join(F.broadcast(probes), "query_id")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(probe_cells).alias("cell"),
+    )
 
     cands = q.join(
         assigned.select(

@@ -151,6 +151,27 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     assert recall >= 0.9, recall
 
 
+def test_ivf_topk_self_search_distributed(spark):
+    """query = corpus (self-search) must work without a driver collect —
+    the probe assignment is computed in-plan from literal centers."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.gauss(0, 1), rng.gauss(0, 1), rng.gauss(0, 1)])
+        for i in range(120)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = sim.ivf_topk(emb, emb, k=3, n_cells=4, n_probe=2)
+    from puma_matcher_spark.plans import inspect as pi
+
+    # plan sanity: no cartesian (probe join is an equi-join on cell)
+    assert not pi.has_cartesian(out)
+    got = out.collect()
+    assert len({r["query_id"] for r in got}) == 120  # every query served
+    assert all(r["query_id"] != r["neighbor_id"] for r in got)
+
+
 def test_curation_pipeline_end_to_end(spark):
     from puma_matcher_spark.llmdata.pipeline import curate_documents
 
