@@ -20,8 +20,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, StringType
 
-# reference whitelist (AdvancedInstrumentAnalyser.scala:553-554)
-POS_WHITELIST = ("FW", "MD", "NN", "NNS", "NNP", "RP", "PDT", "UH", "VB", "VBD", "VBG", "VBN")
+# reference whitelist (AdvancedInstrumentAnalyser.scala:553-554,
+# DocumentWordSpecAnalyser.scala:170)
+POS_WHITELIST = (
+    "FW", "MD", "NN", "NNS", "NNP", "NNPS", "RP", "PDT", "UH",
+    "VB", "VBD", "VBG", "VBN", "VBP", "VBZ",
+)
 
 _DETERMINERS = {"the", "a", "an", "this", "that", "these", "those"}
 _PREPOSITIONS = {"of", "in", "on", "at", "by", "for", "with", "from", "to", "as"}
@@ -74,6 +78,111 @@ def ner_tags(tokens: pd.Series) -> pd.Series:
         return out
 
     return tokens.map(tag)
+
+
+_VOWELS = set("aeiou")
+
+_IRREGULAR_LEMMAS = {
+    "is": "be", "are": "be", "am": "be", "was": "be", "were": "be",
+    "been": "be", "being": "be",
+    "has": "have", "had": "have", "having": "have",
+    "does": "do", "did": "do", "done": "do",
+    "went": "go", "gone": "go", "going": "go",
+    "children": "child", "men": "man", "women": "woman",
+    "feet": "foot", "teeth": "tooth", "mice": "mouse", "geese": "goose",
+    "people": "person", "data": "datum",
+    "better": "good", "best": "good", "worse": "bad", "worst": "bad",
+    "made": "make", "said": "say", "took": "take", "taken": "take",
+    "found": "find", "used": "use", "using": "use", "gave": "give",
+    "given": "give", "shown": "show", "showed": "show", "seen": "see",
+    "saw": "see",
+}
+
+
+def _heuristic_lemma(tok: str) -> str:
+    """Rule-based English lemmatiser — STAND-IN for CoreNLP ``lemma()``
+    (Document.sentences().lemmas(), DocumentWordSpecAnalyser.scala:190).
+    Irregular table + suffix rules with doubling/e-restore undo;
+    deterministic, accuracy-gated in tests against a hand-tagged
+    fixture rather than exact-matched (SURVEY §7.4)."""
+    t = tok.lower()
+    if t in _IRREGULAR_LEMMAS:
+        return _IRREGULAR_LEMMAS[t]
+    if len(t) > 4 and t.endswith("ies"):
+        return t[:-3] + "y"
+    if len(t) > 4 and (
+        t.endswith("sses") or t.endswith("ches") or t.endswith("shes")
+        or t.endswith("xes") or t.endswith("zes")
+    ):
+        return t[:-2]
+    if len(t) > 3 and t.endswith("s") and not t.endswith("ss") and not t.endswith("us"):
+        return t[:-1]
+    for suffix in ("ing", "ed"):
+        if len(t) > len(suffix) + 2 and t.endswith(suffix):
+            stem = t[: -len(suffix)]
+            if len(stem) > 2 and stem[-1] == stem[-2] and stem[-1] not in "lsz":
+                return stem[:-1]  # running → run
+            if (
+                len(stem) > 2
+                and stem[-1] not in _VOWELS
+                and stem[-2] in _VOWELS
+                and stem[-3] not in _VOWELS
+            ):
+                return stem + "e"  # making → make, scored → score
+            return stem  # reading → read
+    return t
+
+
+@F.pandas_udf(ArrayType(StringType()))
+def lemmas(tokens: pd.Series) -> pd.Series:
+    """Arrow-batched lemmatisation of token arrays."""
+    return tokens.map(
+        lambda arr: [_heuristic_lemma(t) for t in arr] if arr is not None else None
+    )
+
+
+def word_features(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "document_version_id",
+    min_lemma_len: int = 4,
+    whitelist: tuple[str, ...] = POS_WHITELIST,
+) -> DataFrame:
+    """Per-word NLP feature rows: (doc, word, lemma, pos_tag,
+    word_position), POS-whitelisted with lemma length ≥ min_lemma_len —
+    the DocumentWordSpecAnalyser.scala:166-220 extraction (one output
+    row per kept word, positions 1-based over the full token stream).
+    """
+    from puma_matcher_spark.functions.text import tokenize
+
+    toks = docs.select(
+        F.col(id_col).alias("document_version_id"),
+        tokenize(F.col(text_col)).alias("_words"),
+    )
+    tagged = toks.select(
+        "document_version_id",
+        F.posexplode(
+            F.arrays_zip(
+                F.col("_words").alias("word"),
+                lemmas(F.col("_words")).alias("lemma"),
+                pos_tags(F.col("_words")).alias("pos_tag"),
+            )
+        ).alias("pos", "z"),
+    )
+    wl = F.array(*[F.lit(t) for t in whitelist])
+    return (
+        tagged.where(
+            F.array_contains(wl, F.col("z.pos_tag"))
+            & (F.length("z.lemma") >= min_lemma_len)
+        )
+        .select(
+            "document_version_id",
+            F.col("z.word").alias("word"),
+            F.col("z.lemma").alias("lemma"),
+            F.col("z.pos_tag").alias("pos_tag"),
+            (F.col("pos") + 1).cast("long").alias("word_position"),
+        )
+    )
 
 
 def filter_by_pos(

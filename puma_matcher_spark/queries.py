@@ -2075,6 +2075,18 @@ def q_word_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("word_features", None)  # Python tagger kernels → rows-only
+def q_word_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 — per-word (word, lemma, pos_tag, position) features with the
+    POS whitelist + lemma-length filter
+    (DocumentWordSpecAnalyser.scala:166-220); heuristic tagger/lemma
+    kernels are accuracy-gated stand-ins (tests/test_nlp.py)."""
+    from puma_matcher_spark.functions.nlp import word_features
+
+    docs = load_tables(spark, sf_dir).llm_documents()
+    return word_features(docs, text_col="text", id_col="doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.spark_fn for name, spec in REGISTRY.items()}
 
