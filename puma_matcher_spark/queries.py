@@ -1295,6 +1295,39 @@ def q_weight_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("weight_refined", None)  # iterative coarse→fine search → rows-only
+def q_weight_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WeightTrainerStage coarse→fine optimisation
+    (WeightTrainerStage.scala:61-170): coarse 0.25-step grid, then two
+    halving-step refinement rounds around the winner.  Iterative driver
+    loop by design (the reference's optimizer is too); convergence is
+    unit-tested in tests/test_weights.py."""
+    from puma_matcher_spark.operators.weights import best_weights
+
+    cand = _all_candidates(load_tables(spark, sf_dir))
+    train = (
+        cand.where(
+            (F.col("document_version1_id") + F.col("document_version2_id")) % 7
+            == 0
+        )
+        .select(
+            F.col("document_version1_id").alias("proposal_id"),
+            F.col("document_version2_id").alias("publication_id"),
+            F.lit(True).alias("accepted"),
+        )
+        .distinct()
+    )
+    out = best_weights(
+        spark,
+        cand,
+        train,
+        ["person", "laboratory"],
+        step=0.25,
+        refine_rounds=2,
+    )
+    return out.select("score_type", pround("weight", 6).alias("weight"))
+
+
 # ---------------- near-dup / similarity plane ----------------
 
 _LLM_TOKS = "list_filter(string_split(lower(text), ' '), x -> x <> '')"

@@ -61,3 +61,63 @@ def test_evaluate_weights_error_counts_rank_misses(spark):
     assert out["error"] == 1
     assert out["hits_1"] == 0
     assert out["hits_3"] == 1
+
+
+def test_refinement_rounds_converge_toward_true_weights(spark):
+    """Coarse→fine search (WeightTrainerStage.scala:61-170): candidates
+    whose true ranking follows 0.75·A + 0.25·B — a 0.5-step coarse grid
+    cannot express (0.75, 0.25), two halving refinement rounds can.
+    Refined weights must score no worse than the coarse winner and land
+    strictly closer to the true vector."""
+    rows = []
+    # scores chosen so only weight_A in (0.7, 0.8) ranks proposal 1 first
+    # everywhere: pub pattern X needs w > 0.667, pattern Y needs w < 0.833
+    for pub in (100, 200, 300):
+        for prop, a_score, b_score in (
+            (1, 90.0, 30.0),
+            (2, 80.0, 50.0),   # beats 1 unless w_A > 2/3
+            (3, 10.0, 20.0),
+        ):
+            rows.append((prop, pub, "A", a_score))
+            rows.append((prop, pub, "B", b_score))
+    for pub in (400, 500):
+        for prop, a_score, b_score in (
+            (1, 60.0, 80.0),
+            (2, 70.0, 30.0),   # beats 1 unless w_A < 5/6
+            (3, 10.0, 20.0),
+        ):
+            rows.append((prop, pub, "A", a_score))
+            rows.append((prop, pub, "B", b_score))
+    cand = spark.createDataFrame(
+        rows,
+        ["document_version1_id", "document_version2_id", "score_type", "score"],
+    )
+    training = spark.createDataFrame(
+        [(1, p, True) for p in (100, 200, 300, 400, 500)],
+        ["proposal_id", "publication_id", "accepted"],
+    )
+
+    def error_of(weights: dict) -> int:
+        grid = spark.createDataFrame(
+            [(0, t, w) for t, w in weights.items()],
+            ["weight_id", "score_type", "weight"],
+        )
+        ctx = wt.contextual_scores(cand)
+        return wt.evaluate_weights(ctx, grid, training).first()["error"]
+
+    coarse = {
+        r["score_type"]: r["weight"]
+        for r in wt.best_weights(
+            spark, cand, training, ["A", "B"], step=0.5, refine_rounds=0
+        ).collect()
+    }
+    refined = {
+        r["score_type"]: r["weight"]
+        for r in wt.best_weights(
+            spark, cand, training, ["A", "B"], step=0.5, refine_rounds=2
+        ).collect()
+    }
+    assert error_of(refined) <= error_of(coarse)
+    # refinement reaches the (0.7, 0.8) optimum band the coarse grid misses
+    assert 0.667 < refined["A"] < 0.833
+    assert error_of(refined) == 0
