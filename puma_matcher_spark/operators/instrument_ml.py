@@ -140,3 +140,36 @@ def fpgrowth_itemsets(
 
     fp = FPGrowth(itemsCol=items_col, minSupport=min_support, minConfidence=0.3)
     return fp.fit(baskets).freqItemsets
+
+
+def pic_clusters(
+    pairs: DataFrame,
+    k: int = 4,
+    max_iter: int = 10,
+    src_col: str = "document_version1_id",
+    dst_col: str = "document_version2_id",
+    weight_col: str = "score",
+) -> DataFrame:
+    """M9 — PowerIterationClustering over the candidate similarity graph
+    (test/clustering/PICExample.scala:62-83: (dv1, dv2, score) edges →
+    cluster assignments).
+
+    The reference drops to the RDD mllib API; the rebuild uses the ml
+    ``assignClusters`` DataFrame entry point (stays in the SQL engine
+    until the iterative kernel, which is inherently distributed matrix
+    power iteration).  ``initMode='random'`` — mllib's random init is
+    internally seeded (repeat-run stable, verified in tests); degree
+    init is degenerate on near-regular similarity graphs (uniform
+    pseudo-eigenvector → one cluster).
+    """
+    from pyspark.ml.clustering import PowerIterationClustering
+
+    edges = pairs.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+        F.col(weight_col).cast("double").alias("weight"),
+    )
+    pic = PowerIterationClustering(
+        k=k, maxIter=max_iter, initMode="random", weightCol="weight"
+    )
+    return pic.assignClusters(edges)

@@ -1295,6 +1295,23 @@ def q_weight_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("pic_clusters", None)  # iterative power method → rows-only
+def q_pic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M9 — PowerIterationClustering over the match-candidate similarity
+    graph (test/clustering/PICExample.scala:62-83).  Output is the
+    cluster roster keyed by its minimum member id, so label permutations
+    between runs cannot change the result."""
+    from puma_matcher_spark.operators.instrument_ml import pic_clusters
+
+    cand = _entity_candidates(load_tables(spark, sf_dir), "person")
+    assigned = pic_clusters(cand, k=5, max_iter=8)
+    rep = assigned.groupBy("cluster").agg(
+        F.min("id").alias("cluster_rep"),
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+    )
+    return rep.select("cluster_rep", "n_members")
+
+
 @register("weight_refined", None)  # iterative coarse→fine search → rows-only
 def q_weight_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WeightTrainerStage coarse→fine optimisation
