@@ -1304,6 +1304,10 @@ def q_pic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from puma_matcher_spark.operators.instrument_ml import pic_clusters
 
     cand = _entity_candidates(load_tables(spark, sf_dir), "person")
+    # PIC's seeded random init depends on vertex partitioning; pin it so
+    # the result does not vary with the consuming session's
+    # shuffle-partition conf (the external driver builds its own session)
+    cand = cand.repartition(32, "document_version1_id")
     assigned = pic_clusters(cand, k=5, max_iter=8)
     rep = assigned.groupBy("cluster").agg(
         F.min("id").alias("cluster_rep"),
