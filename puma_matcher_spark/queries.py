@@ -1116,13 +1116,30 @@ def q_dedup_components_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_name_components(c, "c_nationkey", "c_custkey")
 
 
-@register("dedup_components_cc", None)  # iterative → rows-only check
+@register(
+    "dedup_components_cc",
+    """WITH RECURSIVE pairs AS (
+  SELECT a.c_custkey AS id1, b.c_custkey AS id2
+  FROM customer a JOIN customer b
+    ON a.c_nationkey = b.c_nationkey
+   AND a.c_custkey > b.c_custkey
+   AND ABS(a.c_acctbal - b.c_acctbal) <= 500.0),
+e AS (SELECT id1 AS a, id2 AS b FROM pairs
+      UNION SELECT id2, id1 FROM pairs),
+reach(id, r) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a)
+SELECT id, CAST(MIN(r) AS BIGINT) AS component
+FROM reach GROUP BY id""",
+)
 def q_dedup_components_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M8 — iterative min-label connected components over the blocked
     candidate-pair graph (GraphX connectedComponents rebuild;
-    PersonDeduplicationStage.scala:150-159).  Not SQL-expressible
-    (iterative fixpoint) → rows-only driver check; exactness is covered by
-    tests/test_dedup.py on hand-built graphs."""
+    PersonDeduplicationStage.scala:150-159).  The DuckDB twin computes
+    the same fixpoint as a recursive-CTE transitive closure — tractable
+    at gate scale, and an independent check that min-label propagation
+    converges to min-reachable-id."""
     from puma_matcher_spark.operators.dedup import connected_components
 
     edges = q_dedup_blocked_pairs(spark, sf_dir)
@@ -1810,12 +1827,28 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_person_chain", None)  # CC fixpoint → rows-only
+@register(
+    "dedup_person_chain",
+    """WITH cleaned AS (
+  SELECT c_custkey AS id,
+         trim(regexp_replace(regexp_replace(lower(trim(c_name)), '\\b\\w\\.', ' ', 'g'), '\\s+', ' ', 'g')) AS clean_name
+  FROM customer),
+keyed AS (
+  SELECT id,
+         list_extract(string_split(clean_name, ' '), 1) || '#' ||
+         list_extract(string_split(clean_name, ' '), -1) AS blocking_key
+  FROM cleaned)
+SELECT CAST(MIN(id) OVER (PARTITION BY blocking_key) AS BIGINT) AS lookup_id,
+       id AS person_id
+FROM keyed""",
+)
 def q_dedup_person_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full person-dedup chain (PersonDeduplicatorApp rebuild): clean →
-    blocking key → blocked pairs → heuristic predicate → connected
-    components → canonical lookup.  Rows-only (iterative CC); component
-    exactness is unit-tested on hand-built graphs."""
+    blocking key → blocked pairs → connected components → canonical
+    lookup.  The Spark side runs the real iterative CC; the oracle
+    exploits that blocked pairs form a clique per blocking key (one key
+    per person), so the expected component is min(id) per key — an
+    independent closed-form check of the fixpoint."""
     from puma_matcher_spark.operators.dedup import (
         blocked_pairs,
         clean_names,
