@@ -1519,12 +1519,51 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(emb, q, k=10, n_cells=8, n_probe=3)
 
 
-@register("embedding_lsh_topk", None)  # driver-seeded hyperplanes → rows-only
+def _lsh_bucket_sql(col: str, dim: int = 64, n_planes: int = 6) -> str:
+    """DuckDB twin of similarity.sign_lsh_keys: the seeded hyperplanes
+    are deterministic driver constants, so they fold into the oracle as
+    literal arrays (repr round-trips doubles exactly — both engines see
+    identical plane values)."""
+    from puma_matcher_spark.llmdata.similarity import _hyperplanes
+
+    terms = []
+    for i, p in enumerate(_hyperplanes(dim, n_planes, seed=42)):
+        arr = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({col}, {arr}) > 0"
+            f" THEN {1 << i} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+@register(
+    "embedding_lsh_topk",
+    f"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+keyed AS (SELECT vec_id, v, {_lsh_bucket_sql('v')} AS bucket FROM emb),
+sims AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         ROUND(list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4)
+           AS cosine_sim
+  FROM keyed a JOIN keyed b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cosine_sim DESC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM sims)
+SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= 10""",
+)
 def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH bucketed ANN (approximate; recall tested against the
-    brute-force baseline in tests/test_llmdata.py)."""
+    """Sign-LSH bucketed ANN; recall vs brute force tested in
+    tests/test_llmdata.py, exact values checked against a DuckDB twin
+    with the hyperplanes folded in as literals."""
     emb = load_tables(spark, sf_dir).llm_embeddings()
-    return sim.lsh_bucketed_topk(emb, k=10, dim=64, n_planes=6)
+    out = sim.lsh_bucketed_topk(emb, k=10, dim=64, n_planes=6)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        "cosine_sim",
+        F.col("rank").cast("long").alias("rank"),
+    )
 
 
 @register("text_features_stemmed", None)  # Porter stemming → rows-only
@@ -2083,11 +2122,76 @@ def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
 
 
-@register("llm_curation", None)  # multi-stage pipeline → rows-only
+@register(
+    "llm_curation",
+    """WITH fp AS (
+  SELECT doc_id,
+         md5(array_to_string(list_filter(string_split(lower(text), ' '), x -> x <> ''), ' ')) AS f
+  FROM documents),
+keep AS (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY f),
+d1 AS (SELECT d.doc_id, d.text FROM documents d JOIN keep USING (doc_id)),
+toksl AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+  FROM d1),
+tokp AS (
+  SELECT doc_id, unnest(tk) AS tok, unnest(range(len(tk))) AS pos FROM toksl),
+sh AS (
+  SELECT DISTINCT t0.doc_id, t0.tok || ' ' || t1.tok || ' ' || t2.tok AS shingle
+  FROM tokp t0
+  JOIN tokp t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+  JOIN tokp t2 ON t2.doc_id = t0.doc_id AND t2.pos = t0.pos + 2),
+seeded AS (SELECT doc_id, shingle, unnest(range(8)) AS seed FROM sh),
+mh AS (
+  SELECT doc_id, seed,
+         MIN(('0x' || substr(md5(shingle || '#' || CAST(seed AS VARCHAR)), 1, 15))::BIGINT) AS minhash
+  FROM seeded GROUP BY 1, 2),
+bk AS (
+  SELECT doc_id, CAST(seed // 2 AS INTEGER) AS band,
+         md5(string_agg(CAST(minhash AS VARCHAR), '-' ORDER BY seed)) AS band_key
+  FROM mh GROUP BY 1, 2),
+bkc AS (
+  SELECT doc_id, band, band_key
+  FROM (SELECT *, COUNT(*) OVER (PARTITION BY band, band_key) AS bn FROM bk)
+  WHERE bn <= 2000),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc1_id, b.doc_id AS doc2_id
+  FROM bkc a JOIN bkc b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+sdf AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
+rare AS (
+  SELECT sh.doc_id, sh.shingle FROM sh JOIN sdf USING (shingle) WHERE df <= 2000),
+common AS (
+  SELECT a.doc_id AS doc1_id, b.doc_id AS doc2_id, COUNT(*) AS c
+  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+jac AS (
+  SELECT c.doc1_id, c.doc2_id
+  FROM common c
+  JOIN sizes s1 ON c.doc1_id = s1.doc_id
+  JOIN sizes s2 ON c.doc2_id = s2.doc_id
+  WHERE ROUND(c.c / CAST(s1.n + s2.n - c.c AS DOUBLE), 4) >= 0.8),
+verified AS (SELECT j.doc1_id, j.doc2_id FROM jac j JOIN cand USING (doc1_id, doc2_id)),
+drops AS (SELECT DISTINCT doc2_id AS doc_id FROM verified),
+d2 AS (SELECT d1.doc_id, d1.text FROM d1 ANTI JOIN drops USING (doc_id)),
+tok2 AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk FROM d2),
+d3 AS (
+  SELECT doc_id FROM tok2
+  WHERE len(tk) >= 5
+    AND ROUND(len(list_distinct(tk)) / CAST(len(tk) AS DOUBLE), 4) >= 0.05)
+SELECT doc_id,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_input,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM d1) AS n_after_exact_dedup,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM d2) AS n_after_near_dedup,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM d3) AS n_after_quality
+FROM d3""",
+)
 def q_llm_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus curation: exact dedup → LSH near-dup removal →
     quality filter (llmdata/pipeline.py); returns the clean corpus ids
-    with per-stage audit counts as literal columns."""
+    with per-stage audit counts as literal columns.  The oracle replays
+    the full staged pipeline in SQL, audit counts as scalar subqueries."""
     from puma_matcher_spark.llmdata.pipeline import curate_documents
 
     docs = load_tables(spark, sf_dir).llm_documents()
