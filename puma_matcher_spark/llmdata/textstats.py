@@ -63,3 +63,22 @@ def with_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select(
         "doc_id", F.md5(normalised).alias("fingerprint")
     )
+
+
+# Pre-tokenizer shape of BPE vocabularies: letter runs, digit runs, and
+# individual punctuation marks.  Deliberately regex-only (identical RE2/
+# Java semantics) so the count is computable in any engine.
+BPE_TOKEN_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def with_bpe_token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting for training-data budgeting: whitespace words plus
+    a BPE-ish pre-tokenizer count (the unit LLM data pipelines budget
+    by).  Pure ``regexp_extract_all`` — map-side, no shuffle, linear at
+    any corpus size."""
+    pieces = F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), 0)
+    return docs.select(
+        "doc_id",
+        F.size(tokens(F.col(text_col))).cast("long").alias("word_count"),
+        F.size(pieces).cast("long").alias("bpe_token_count"),
+    )

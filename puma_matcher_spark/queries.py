@@ -2123,6 +2123,38 @@ def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bpe_token_stats",
+    r"""SELECT doc_id,
+       CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS word_count,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS bpe_token_count
+FROM documents""",
+)
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting for data budgeting: whitespace words + BPE-ish
+    pre-tokenizer pieces (llmdata/textstats.py, map-side only)."""
+    return ts.with_bpe_token_count(load_tables(spark, sf_dir).llm_documents())
+
+
+@register(
+    "corpus_split",
+    """SELECT doc_id,
+       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS b
+  FROM documents)""",
+)
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-bucket train/val/test assignment
+    (llmdata/sampling.py) — stable across engines, runs and cluster
+    layouts, unlike seeded ``sample()``."""
+    from puma_matcher_spark.llmdata.sampling import with_split
+
+    docs = load_tables(spark, sf_dir).llm_documents()
+    return with_split(docs).select("doc_id", "split")
+
+
+@register(
     "llm_curation",
     """WITH fp AS (
   SELECT doc_id,

@@ -193,3 +193,40 @@ def test_curation_pipeline_end_to_end(spark):
     assert result.stage_counts["after_exact_dedup"] == 4
     assert result.stage_counts["after_near_dedup"] == 3
     assert result.stage_counts["after_quality"] == 2
+
+
+def test_hash_split_deterministic_and_partition_invariant(spark):
+    """Split assignment must be a pure function of the key — identical
+    after any repartitioning (seeded sample() is NOT; that's the point)."""
+    from puma_matcher_spark.llmdata.sampling import hash_sample, with_split
+
+    docs = spark.range(500).select(F.col("id").alias("doc_id"))
+    a = {(r["doc_id"], r["split"]) for r in with_split(docs).collect()}
+    b = {
+        (r["doc_id"], r["split"])
+        for r in with_split(docs.repartition(13)).collect()
+    }
+    assert a == b
+    splits = {}
+    for _, s in a:
+        splits[s] = splits.get(s, 0) + 1
+    # ~80/10/10 with hash noise
+    assert 0.7 <= splits["train"] / 500 <= 0.9
+    assert splits["val"] > 0 and splits["test"] > 0
+    # sample is a subset and deterministic
+    s10 = {r["doc_id"] for r in hash_sample(docs, 10).collect()}
+    s20 = {r["doc_id"] for r in hash_sample(docs, 20).collect()}
+    assert s10 <= s20  # nested samples: growing pct only adds rows
+    assert 20 <= len(s10) <= 80
+
+
+def test_bpe_token_count_shapes(spark):
+    from puma_matcher_spark.llmdata.textstats import with_bpe_token_count
+
+    docs = spark.createDataFrame(
+        [(1, "it's 2024, tokenizer-ready text!")], ["doc_id", "text"]
+    )
+    r = with_bpe_token_count(docs).first()
+    # pieces: it ' s 2024 , tokenizer - ready text !  → 10
+    assert r["bpe_token_count"] == 10
+    assert r["word_count"] == 4
