@@ -260,3 +260,30 @@ def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return bit_votes.groupBy("doc_id").agg(
         F.sum(bit_val).cast("long").alias("simhash")
     )
+
+
+def contamination_check(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    shingle_n: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark-contamination scan: corpus documents sharing any word
+    n-gram with a held-out evaluation set — the standard pre-training
+    hygiene check before a data release.
+
+    Same scale shape as the dedup plane: one shingle equi-join (never
+    all-pairs); the benchmark side is usually tiny, so AQE broadcasts
+    it at runtime.  Output: (corpus_id, benchmark_id, shared_ngrams).
+    """
+    c = shingles(corpus, shingle_n, text_col).withColumnRenamed(
+        "doc_id", "corpus_id"
+    )
+    b = shingles(benchmark, shingle_n, text_col).withColumnRenamed(
+        "doc_id", "benchmark_id"
+    )
+    return (
+        c.join(b, "shingle")
+        .groupBy("corpus_id", "benchmark_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_ngrams"))
+    )

@@ -2123,6 +2123,56 @@ def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pii_audit",
+    r"""SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text, '\+?[0-9][0-9 ()-]{7,}[0-9]')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(text, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ip
+FROM documents""",
+)
+def q_pii_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII hit counts per document (llmdata/pii.py) — the audit pass of
+    the pre-training scrubbing hygiene step; map-side regex only."""
+    from puma_matcher_spark.llmdata.pii import with_pii_counts
+
+    return with_pii_counts(load_tables(spark, sf_dir).llm_documents())
+
+
+_CONTAM_SH = """tok{p} AS (
+  SELECT doc_id, unnest(tk) AS tok, unnest(range(len(tk))) AS pos
+  FROM (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+        FROM documents WHERE doc_id % 2 = {parity})),
+sh{p} AS (
+  SELECT DISTINCT t0.doc_id, t0.tok || ' ' || t1.tok || ' ' || t2.tok || ' ' || t3.tok || ' ' || t4.tok AS shingle
+  FROM tok{p} t0
+  JOIN tok{p} t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+  JOIN tok{p} t2 ON t2.doc_id = t0.doc_id AND t2.pos = t0.pos + 2
+  JOIN tok{p} t3 ON t3.doc_id = t0.doc_id AND t3.pos = t0.pos + 3
+  JOIN tok{p} t4 ON t4.doc_id = t0.doc_id AND t4.pos = t0.pos + 4)"""
+
+
+@register(
+    "contamination_check",
+    f"""WITH {_CONTAM_SH.format(p='c', parity=0)},
+{_CONTAM_SH.format(p='b', parity=1)}
+SELECT c.doc_id AS corpus_id, b.doc_id AS benchmark_id,
+       CAST(COUNT(*) AS BIGINT) AS shared_ngrams
+FROM shc c JOIN shb b ON c.shingle = b.shingle
+GROUP BY 1, 2""",
+)
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan (llmdata/dedup.py): corpus docs
+    sharing any 5-gram with a held-out set (odd doc ids stand in for the
+    benchmark).  One shingle equi-join, never all-pairs."""
+    docs = load_tables(spark, sf_dir).llm_documents()
+    return dd.contamination_check(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+        shingle_n=5,
+    )
+
+
+@register(
     "bpe_token_stats",
     r"""SELECT doc_id,
        CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS word_count,

@@ -230,3 +230,30 @@ def test_bpe_token_count_shapes(spark):
     # pieces: it ' s 2024 , tokenizer - ready text !  → 10
     assert r["bpe_token_count"] == 10
     assert r["word_count"] == 4
+
+
+def test_pii_scrub_and_counts(spark):
+    from puma_matcher_spark.llmdata.pii import scrub_pii, with_pii_counts
+
+    docs = spark.createDataFrame(
+        [(1, "mail alice@example.com or call +1-555-123-4567 from 10.0.0.1")],
+        ["doc_id", "text"],
+    )
+    counts = with_pii_counts(docs).first()
+    assert (counts["n_email"], counts["n_phone"], counts["n_ip"]) == (1, 1, 1)
+    scrubbed = scrub_pii(docs).first()["scrubbed_text"]
+    assert "<EMAIL>" in scrubbed and "<PHONE>" in scrubbed and "<IP>" in scrubbed
+    assert "alice@example.com" not in scrubbed
+
+
+def test_contamination_check_counts_shared_ngrams(spark):
+    corpus = _docs(spark, [(2, "one two three four five six unique tail")])
+    bench = _docs(
+        spark,
+        [(1, "one two three four five six other"), (3, "nothing in common here at all")],
+    )
+    rows = dd.contamination_check(corpus, bench, shingle_n=5).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # shared 5-grams: 'one..five' and 'two..six'
+    assert (r["corpus_id"], r["benchmark_id"], r["shared_ngrams"]) == (2, 1, 2)
