@@ -1958,8 +1958,10 @@ def q_person_technique_prob(spark: SparkSession, sf_dir: str) -> DataFrame:
     "person_technique_doc_stats",
     f"""WITH {_PT_CTES}
 SELECT d.document_version_id, d.technique_id,
-       ROUND(SUM(m.p), 4) AS total_probability,
-       ROUND(AVG(m.p), 4) AS avg_probability,
+       ROUND(SUM(CAST(FLOOR(m.p * 1000000 + 0.5) AS BIGINT)) / 1000000.0, 4)
+         AS total_probability,
+       ROUND(SUM(CAST(FLOOR(m.p * 1000000 + 0.5) AS BIGINT))
+             / (1000000.0 * COUNT(m.person_id)), 4) AS avg_probability,
        CAST(COUNT(m.person_id) AS BIGINT) AS person_count
 FROM model m JOIN tbpd d
   ON m.technique_id = d.technique_id AND m.person_id = d.person_id
@@ -1967,23 +1969,45 @@ GROUP BY 1, 2""",
 )
 def q_person_technique_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P8 — per-(document, technique) probability roll-up
-    (PersonTechniqueFilter.scala:64-76)."""
+    (PersonTechniqueFilter.scala:64-76).
+
+    Probabilities are quantized to integer micro-units BEFORE summing:
+    double addition is order-dependent, and these small-denominator
+    rationals land on 4-decimal rounding midpoints often enough that a
+    different partition count flips a digit (observed under a vanilla
+    16-core session).  Integer sums are exact and order-free in both
+    engines; each term's quantization is a single-value op, hence
+    engine-deterministic."""
     from puma_matcher_spark.operators.instrument import (
         person_technique_probability,
-        technique_document_stats,
     )
 
     t = load_tables(spark, sf_dir)
     tech = t.entities_secondary().withColumnRenamed("entity_id", "technique_id")
     pers = t.entities().withColumnRenamed("entity_id", "person_id")
-    stats = technique_document_stats(
-        person_technique_probability(tech, pers), tech, pers
+    model = person_technique_probability(tech, pers)
+    tbpd = tech.select("document_version_id", "technique_id").distinct().join(
+        pers.select("document_version_id", "person_id").distinct(),
+        "document_version_id",
+    )
+    p6 = F.floor(
+        F.col("person_technique_probability") * 1000000 + 0.5
+    ).cast("long")
+    stats = (
+        model.join(tbpd, ["technique_id", "person_id"])
+        .groupBy("document_version_id", "technique_id")
+        .agg(
+            F.sum(p6).alias("_p6"),
+            F.count("person_id").cast("long").alias("person_count"),
+        )
     )
     return stats.select(
         "document_version_id",
         "technique_id",
-        pround("total_probability", 4).alias("total_probability"),
-        pround("avg_probability", 4).alias("avg_probability"),
+        pround(F.col("_p6") / 1000000.0, 4).alias("total_probability"),
+        pround(
+            F.col("_p6") / (1000000.0 * F.col("person_count")), 4
+        ).alias("avg_probability"),
         "person_count",
     )
 
@@ -1993,32 +2017,52 @@ def q_person_technique_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""WITH {_PT_CTES},
 stats AS (
   SELECT d.document_version_id, d.technique_id,
-         ROUND(AVG(m.p), 6) AS avg_probability,
+         SUM(CAST(FLOOR(m.p * 1000000 + 0.5) AS BIGINT)) AS p6,
          COUNT(m.person_id) AS person_count
   FROM model m JOIN tbpd d
     ON m.technique_id = d.technique_id AND m.person_id = d.person_id
   GROUP BY 1, 2)
-SELECT CAST(FLOOR(avg_probability * 20) AS BIGINT) AS bucket,
+SELECT CAST(FLOOR(p6 * 20 / (1000000.0 * person_count)) AS BIGINT) AS bucket,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM stats WHERE person_count > 2 GROUP BY 1""",
 )
 def q_person_technique_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P8/A15 — 0.05-interval histogram of average technique probability
-    (PersonTechniqueFilter.scala:78-87); avg rounded to 6 decimals
-    before bucketing so engine ulp differences can't flip a bucket."""
+    (PersonTechniqueFilter.scala:78-87).  Buckets derive from the
+    order-free integer micro-unit sum (see person_technique_doc_stats)
+    and an exact ×20 so engine/partitioning differences can't flip a
+    bucket."""
     from puma_matcher_spark.operators.instrument import (
         person_technique_probability,
-        technique_document_stats,
-        technique_probability_histogram,
     )
 
     t = load_tables(spark, sf_dir)
     tech = t.entities_secondary().withColumnRenamed("entity_id", "technique_id")
     pers = t.entities().withColumnRenamed("entity_id", "person_id")
-    stats = technique_document_stats(
-        person_technique_probability(tech, pers), tech, pers
-    ).withColumn("avg_probability", pround("avg_probability", 6))
-    return technique_probability_histogram(stats)
+    model = person_technique_probability(tech, pers)
+    tbpd = tech.select("document_version_id", "technique_id").distinct().join(
+        pers.select("document_version_id", "person_id").distinct(),
+        "document_version_id",
+    )
+    p6 = F.floor(
+        F.col("person_technique_probability") * 1000000 + 0.5
+    ).cast("long")
+    stats = (
+        model.join(tbpd, ["technique_id", "person_id"])
+        .groupBy("document_version_id", "technique_id")
+        .agg(
+            F.sum(p6).alias("p6"),
+            F.count("person_id").cast("long").alias("person_count"),
+        )
+    )
+    bucket = F.floor(
+        F.col("p6") * 20 / (1000000.0 * F.col("person_count"))
+    ).cast("long")
+    return (
+        stats.where(F.col("person_count") > 2)
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
 
 
 @register(
