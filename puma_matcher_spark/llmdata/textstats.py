@@ -65,6 +65,102 @@ def with_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# Gopher/C4-style keep thresholds.  Applied to ROUNDED metrics so the
+# keep/drop verdict is reproducible across engines (both sides compare
+# the same 4-decimal values, never a raw binary double near a boundary).
+QUALITY_THRESHOLDS = {
+    "min_tokens": 10,
+    "mean_word_len": (3.0, 5.2),
+    "max_dup_bigram_frac": 0.05,
+    "max_symbol_ratio": 0.1,
+}
+
+
+def with_quality_flags(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic document-quality filter for pre-training curation
+    (Gopher-rules shape): token count, mean word length, duplicate-bigram
+    fraction (repetition proxy) and symbol-to-char ratio, plus a
+    keep/drop verdict.  Pure higher-order array expressions — map-side,
+    whole-stage codegen, no shuffle, linear at any corpus size."""
+    t = QUALITY_THRESHOLDS
+    d = docs.select(
+        "doc_id",
+        F.col(text_col).alias("_text"),
+        tokens(F.lower(F.col(text_col))).alias("_tk"),
+    )
+    # bigrams via zip_with over shifted slices (empty when < 2 tokens)
+    d = d.withColumn(
+        "_bg",
+        F.expr(
+            "CASE WHEN size(_tk) >= 2 THEN "
+            "zip_with(slice(_tk, 1, size(_tk)-1), slice(_tk, 2, size(_tk)-1), "
+            "(a, b) -> concat(a, ' ', b)) "
+            "ELSE array() END"
+        ),
+    )
+    n_tok = F.size("_tk")
+    mean_wl = pround(
+        F.expr("aggregate(_tk, 0, (acc, x) -> acc + length(x))").cast("double")
+        / n_tok,
+        4,
+    )
+    dup_bg = pround(
+        F.when(
+            F.size("_bg") > 0,
+            F.lit(1.0) - F.size(F.array_distinct("_bg")).cast("double") / F.size("_bg"),
+        ).otherwise(F.lit(0.0)),
+        4,
+    )
+    sym = pround(
+        (
+            F.length("_text")
+            - F.length(F.regexp_replace("_text", "[^a-zA-Z0-9 ]", ""))
+        ).cast("double")
+        / F.length("_text"),
+        4,
+    )
+    d = d.select(
+        "doc_id",
+        n_tok.cast("long").alias("token_count"),
+        mean_wl.alias("mean_word_len"),
+        dup_bg.alias("dup_bigram_frac"),
+        sym.alias("symbol_ratio"),
+    )
+    lo, hi = t["mean_word_len"]
+    keep = (
+        (F.col("token_count") >= t["min_tokens"])
+        & F.col("mean_word_len").between(lo, hi)
+        & (F.col("dup_bigram_frac") <= t["max_dup_bigram_frac"])
+        & (F.col("symbol_ratio") <= t["max_symbol_ratio"])
+    )
+    return d.withColumn(
+        "verdict", F.when(keep, F.lit("keep")).otherwise(F.lit("drop"))
+    )
+
+
+def source_mix(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source corpus mix report: document and token counts plus each
+    source's share of total tokens.  One hash aggregate; the global-share
+    window runs over the already-aggregated per-source frame (rows =
+    number of sources, i.e. tiny at any corpus scale)."""
+    from pyspark.sql import Window
+
+    agg = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(tokens(F.lower(F.col(text_col))))).cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    return agg.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        pround(
+            F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w).cast("double"),
+            4,
+        ).alias("token_share"),
+    )
+
+
 # Pre-tokenizer shape of BPE vocabularies: letter runs, digit runs, and
 # individual punctuation marks.  Deliberately regex-only (identical RE2/
 # Java semantics) so the count is computable in any engine.

@@ -2404,6 +2404,80 @@ def q_word_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return word_features(docs, text_col="text", id_col="doc_id")
 
 
+@register(
+    "doc_quality",
+    """WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+  FROM documents),
+bi AS (
+  SELECT doc_id, text, tk,
+         CASE WHEN len(tk) >= 2
+              THEN list_transform(range(len(tk) - 1), i -> tk[i+1] || ' ' || tk[i+2])
+              ELSE CAST([] AS VARCHAR[]) END AS bg
+  FROM toks),
+met AS (
+  SELECT doc_id,
+         CAST(len(tk) AS BIGINT) AS token_count,
+         ROUND(CAST(list_sum(list_transform(tk, x -> len(x))) AS DOUBLE) / len(tk), 4) AS mean_word_len,
+         ROUND(CASE WHEN len(bg) > 0
+                    THEN 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
+                    ELSE 0.0 END, 4) AS dup_bigram_frac,
+         ROUND(CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+               / length(text), 4) AS symbol_ratio
+  FROM bi)
+SELECT *,
+       CASE WHEN token_count >= 10
+             AND mean_word_len BETWEEN 3.0 AND 5.2
+             AND dup_bigram_frac <= 0.05
+             AND symbol_ratio <= 0.1
+            THEN 'keep' ELSE 'drop' END AS verdict
+FROM met""",
+)
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality filter (llmdata/textstats.py): repetition
+    (duplicate-bigram fraction), word-length and symbol-ratio heuristics
+    with a keep/drop verdict — the standard pre-training curation gate."""
+    return ts.with_quality_flags(load_tables(spark, sf_dir).llm_documents())
+
+
+@register(
+    "pii_scrub",
+    r"""SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\+?[0-9][0-9 ()-]{7,}[0-9]', '<PHONE>', 'g'),
+         '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS scrubbed_text
+FROM documents""",
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass (llmdata/pii.py): typed placeholder redaction,
+    same map-side regex chain the audit counts with."""
+    from puma_matcher_spark.llmdata.pii import scrub_pii
+
+    docs = load_tables(spark, sf_dir).llm_documents()
+    return scrub_pii(docs).select("doc_id", "scrubbed_text")
+
+
+@register(
+    "source_mix",
+    """WITH t AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len(list_filter(string_split(lower(text), ' '), x -> x <> ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1)
+SELECT source, n_docs, n_tokens,
+       ROUND(CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS DOUBLE), 4) AS token_share
+FROM t""",
+)
+def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mix report (llmdata/textstats.py): per-source doc/token
+    counts and token share — the data-mixture summary a training run is
+    budgeted against."""
+    return ts.source_mix(load_tables(spark, sf_dir).llm_documents())
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: spec.spark_fn for name, spec in REGISTRY.items()}
 

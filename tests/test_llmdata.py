@@ -257,3 +257,42 @@ def test_contamination_check_counts_shared_ngrams(spark):
     r = rows[0]
     # shared 5-grams: 'one..five' and 'two..six'
     assert (r["corpus_id"], r["benchmark_id"], r["shared_ngrams"]) == (2, 1, 2)
+
+
+def test_quality_flags_metrics_and_verdict(spark):
+    docs = _docs(
+        spark,
+        [
+            # 12 varied tokens, no repeated bigram, mean len in band → keep
+            (1, "alpha beta gamma delta epsi zeta etaa theta iota kappa lamda muon"),
+            # heavy bigram repetition → drop
+            (2, "spam ham spam ham spam ham spam ham spam ham spam ham"),
+            # too few tokens → drop
+            (3, "too short"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in ts.with_quality_flags(docs).collect()}
+    assert out[1]["verdict"] == "keep"
+    assert out[1]["dup_bigram_frac"] == 0.0
+    assert out[2]["verdict"] == "drop"
+    assert out[2]["dup_bigram_frac"] > 0.5
+    assert out[3]["verdict"] == "drop"
+    assert out[3]["token_count"] == 2
+    # single-token doc: bigram list empty, no division error
+    single = ts.with_quality_flags(_docs(spark, [(9, "word")])).first()
+    assert single["dup_bigram_frac"] == 0.0
+
+
+def test_source_mix_shares_sum_to_one(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d", "s1"),
+            (2, "e f", "s1"),
+            (3, "g h", "s2"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    rows = {r["source"]: r for r in ts.source_mix(docs).collect()}
+    assert rows["s1"]["n_docs"] == 2 and rows["s1"]["n_tokens"] == 6
+    assert rows["s2"]["n_tokens"] == 2
+    assert rows["s1"]["token_share"] == 0.75 and rows["s2"]["token_share"] == 0.25
