@@ -1,10 +1,11 @@
 """Candidate-pair filters (P2–P7).
 
 Each is a pure ``DataFrame -> DataFrame`` over MATCH_PAIR/MATCH_CANDIDATE
-rows; dimension lookups are broadcast joins (the doc dimension is tiny
-relative to the pair fact table — the reference broadcasts it explicitly at
-filter/TypeFilter.scala:26, we keep the hint for frames Catalyst can't
-size).
+rows.  The document dims joined here are one row per document — they grow
+linearly with the corpus, so unlike the reference (which broadcasts
+explicitly at filter/TypeFilter.scala:26 for its bounded ILL corpus) no
+forced broadcast hints are used: AQE broadcasts when the runtime size
+allows and shuffle-joins on the document key when it doesn't.
 """
 
 from __future__ import annotations
@@ -16,7 +17,7 @@ from pyspark.sql import functions as F
 def _dim_both_sides(
     pairs: DataFrame, dim: DataFrame, value_col: str, out1: str, out2: str
 ) -> DataFrame:
-    """Join a (document_version_id, value) dim to both pair sides, broadcast."""
+    """Join a (document_version_id, value) dim to both pair sides."""
     d1 = dim.select(
         F.col("document_version_id").alias("document_version1_id"),
         F.col(value_col).alias(out1),
@@ -25,8 +26,8 @@ def _dim_both_sides(
         F.col("document_version_id").alias("document_version2_id"),
         F.col(value_col).alias(out2),
     )
-    return pairs.join(F.broadcast(d1), "document_version1_id").join(
-        F.broadcast(d2), "document_version2_id"
+    return pairs.join(d1, "document_version1_id").join(
+        d2, "document_version2_id"
     )
 
 
@@ -68,8 +69,8 @@ def date_filter(pairs: DataFrame, documents: DataFrame) -> DataFrame:
         F.col("date").alias("_d2"),
         F.col("document_type").alias("_t2"),
     )
-    joined = pairs.join(F.broadcast(d1), "document_version1_id").join(
-        F.broadcast(d2), "document_version2_id"
+    joined = pairs.join(d1, "document_version1_id").join(
+        d2, "document_version2_id"
     )
     prop_year = F.when(F.col("_t1").startswith("PROPOSAL"), F.year("_d1")).otherwise(
         F.year("_d2")
@@ -92,8 +93,8 @@ def document_version_id_filter(pairs: DataFrame, valid_docs: DataFrame) -> DataF
     v2 = valid_docs.select(
         F.col("document_version_id").alias("document_version2_id")
     )
-    return pairs.join(F.broadcast(v1), "document_version1_id", "left_semi").join(
-        F.broadcast(v2), "document_version2_id", "left_semi"
+    return pairs.join(v1, "document_version1_id", "left_semi").join(
+        v2, "document_version2_id", "left_semi"
     )
 
 

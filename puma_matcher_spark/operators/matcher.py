@@ -67,10 +67,11 @@ def cap_entity_frequency(
     * relative "safe mode" cap — EntitiesMatcherV2.scala:44-52: drop
       entities present in ≥ ``relative_cap_docs / 20`` documents.
 
-    Implemented as an aggregation on the join key followed by a broadcast
-    semi-join of the (small) surviving-entity set — the df-filter frame is
-    tiny after aggregation, so Catalyst/AQE broadcasts it and no extra
-    shuffle of the fact table happens beyond the one the pair join needs.
+    Implemented as an aggregation on the join key followed by a semi-join
+    of the surviving-entity set.  The surviving set is one row per distinct
+    rare entity — it grows with the corpus, so no forced broadcast hint:
+    AQE broadcasts it when the runtime size allows and otherwise reuses the
+    entity_id shuffle the pair join needs anyway.
     """
     caps = []
     if max_occurrence is not None:
@@ -83,7 +84,7 @@ def cap_entity_frequency(
     for c in caps[1:]:
         pred = pred & c
     keep = entity_doc_frequency(tf).filter(pred).select("entity_id")
-    return tf.join(F.broadcast(keep), "entity_id", "inner")
+    return tf.join(keep, "entity_id", "inner")
 
 
 def excluded_entities(

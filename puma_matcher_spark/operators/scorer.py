@@ -12,9 +12,9 @@ Reference: scorer/EntitiesScorer.scala:39-67 (A3/A4):
 Spark shape: two chained hash aggregates on the pair key — partial
 aggregation happens map-side, so the shuffle carries one row per
 (pair, entity) then one per pair.  The doc-count scalar is computed once
-and folded in as a literal (driver scalar, not a cross join), and the
-per-doc entity counts join is a broadcast (post-agg frame is small
-relative to the pair fact table).
+and folded in as a literal (driver scalar, not a cross join).  The idf
+and per-doc count frames grow with the corpus, so they carry no forced
+broadcast hints — AQE chooses broadcast vs shuffle from runtime sizes.
 """
 
 from __future__ import annotations
@@ -33,7 +33,10 @@ def with_idf(pairs: DataFrame, tf: DataFrame, doc_count: int) -> DataFrame:
     idf = entity_doc_frequency(tf).withColumn(
         "idf", F.log10(F.lit(float(doc_count)) / F.col("df"))
     )
-    return pairs.join(F.broadcast(idf.select("entity_id", "idf")), "entity_id")
+    # idf is one row per distinct entity — the entity dictionary grows with
+    # the corpus, so no explicit broadcast hint: AQE broadcasts when the
+    # runtime size allows and shuffle-joins on entity_id when it doesn't.
+    return pairs.join(idf.select("entity_id", "idf"), "entity_id")
 
 
 def score_entity_pairs(
@@ -63,9 +66,11 @@ def score_entity_pairs(
         F.col("document_version_id").alias("document_version2_id"),
         F.col("doc_entity_count").alias("n2"),
     )
+    # n1/n2 are per-document frames (corpus-sized) — no broadcast hint,
+    # AQE picks the strategy from runtime sizes.
     scored = (
-        per_pair.join(F.broadcast(n1), "document_version1_id")
-        .join(F.broadcast(n2), "document_version2_id")
+        per_pair.join(n1, "document_version1_id")
+        .join(n2, "document_version2_id")
         .withColumn(
             "score",
             F.col("raw_score")

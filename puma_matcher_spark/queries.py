@@ -592,7 +592,8 @@ GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority""",
 )
 def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-style 3-way join + aggregate — multi-join throughput
-    anchor (customer dim broadcasts, orders↔lineitem co-shuffles)."""
+    anchor (orders↔lineitem co-shuffle; customer scales with SF so it
+    carries no forced broadcast hint — AQE broadcasts it at small SF)."""
     t = load_tables(spark, sf_dir)
     c = t.raw("customer").where(F.col("c_mktsegment") == "BUILDING")
     o = t.raw("orders").where(
@@ -603,7 +604,7 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy(
             "l_orderkey",
             (F.floor(F.unix_timestamp("o_orderdate") / 86400))
@@ -634,8 +635,10 @@ WHERE r.r_name = 'ASIA'
 GROUP BY n.n_name""",
 )
 def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5-style 6-way star join — dimension-chain broadcast anchor
-    (region→nation→supplier all broadcast; fact co-shuffle on orderkey)."""
+    """TPC-H Q5-style 6-way star join — dimension-chain anchor.  Only the
+    fixed-cardinality dims (nation=25, region=5 rows) carry broadcast
+    hints; customer and supplier scale with SF, so AQE sizes those joins
+    at runtime (broadcast at small SF, shuffle at cluster scale)."""
     t = load_tables(spark, sf_dir)
     c, o, li = t.raw("customer"), t.raw("orders"), t.raw("lineitem")
     s, n, r = t.raw("supplier"), t.raw("nation"), t.raw("region")
@@ -649,9 +652,9 @@ def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(dims),
+            dims,
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .groupBy("n_name")

@@ -262,6 +262,73 @@ def test_no_forced_broadcast_on_unbounded_frames(spark, sf_small):
                 spark.conf.set(k, v)
 
 
+def test_no_forced_broadcast_in_scoring_filter_and_tpch_plans(spark, sf_small):
+    """Same invariant for the entity-scoring spine, the filter chain, and
+    the TPC-H anchors: the idf / per-doc-count / document-dim / customer /
+    supplier frames all grow with the corpus, so none may carry a forced
+    broadcast hint.  Only fixed-cardinality dims (nation=25, region=5) keep
+    hints — local_supplier_volume is allowed exactly those two.
+
+    The scoring spine is composed directly from the operator functions
+    (not via the registry) because the registry memoizes + persists the
+    candidate frame: an InMemoryRelation compiled earlier in the pytest
+    session under the default threshold would leak stale BroadcastExchange
+    nodes into this test's explain output."""
+    from puma_matcher_spark.operators import matcher as m
+    from puma_matcher_spark.operators import scorer as sc
+    from puma_matcher_spark.queries import REGISTRY
+    from puma_matcher_spark.sources.testdata import load_tables
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        # CacheManager splices persisted InMemoryRelations into any new
+        # plan whose logical subtree matches — a candidate frame persisted
+        # by an earlier test was compiled under the default threshold and
+        # would leak its BroadcastExchange nodes into this explain.
+        spark.catalog.clearCache()
+
+        ents = load_tables(spark, sf_small).entities()
+        tf = m.entity_tf(ents)
+        doc_count = ents.select("document_version_id").distinct().count()
+        capped = m.cap_entity_frequency(tf, 2000, doc_count)
+        pairs_idf = sc.with_idf(m.entity_pairs(capped), tf, doc_count)
+        scored = sc.score_entity_pairs(pairs_idf, tf, "person", 1)
+
+        offenders = {
+            "entity_scoring_spine": pi.count_occurrences(
+                scored, "BroadcastExchange"
+            ),
+            "shipping_priority": pi.count_occurrences(
+                REGISTRY["shipping_priority"].spark_fn(spark, sf_small),
+                "BroadcastExchange",
+            ),
+        }
+        offenders = {n: c for n, c in offenders.items() if c > 0}
+        assert not offenders, f"forced broadcasts in: {offenders}"
+        q5 = REGISTRY["local_supplier_volume"].spark_fn(spark, sf_small)
+        # formatted explain names each node in the tree AND in the detail
+        # section — count detail headers "(n) BroadcastExchange" to get the
+        # physical node count (nation + region hints = at most 2 nodes).
+        import re
+
+        n_nodes = len(
+            re.findall(r"\(\d+\) BroadcastExchange", pi.formatted_plan(q5))
+        )
+        assert n_nodes <= 2, f"{n_nodes} BroadcastExchange nodes in Q5 plan"
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
+
+
 def test_absolute_frequency_cap_at_reference_threshold(spark):
     """An entity in >2000 docs must be dropped by the absolute guard
     even when the relative guard would admit it."""
