@@ -2481,11 +2481,73 @@ def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.source_mix(load_tables(spark, sf_dir).llm_documents())
 
 
+# --------------------------------------------------------------------------
+# Driver-window ordering.
+#
+# The round driver's CORRECTNESS gate checks the first 50 entries of
+# ``queries()``.  Registration order above is topical (spine first), which
+# left 22 round-2 registrations permanently outside the window.  We therefore
+# decouple *presentation* order from *registration* order: names listed in
+# ``_PRIORITY`` come first (never-driver-checked queries and anything whose
+# implementation changed this round), everything else keeps its registration
+# order after them.  Rotate this list each round so every query earns a hard
+# driver-side CORRECTNESS row, not just the local sf0.001 parity sweep.
+# --------------------------------------------------------------------------
+
+_PRIORITY: list[str] = [
+    # round-2 registrations that have never had a driver CORRECTNESS row
+    "hundred_editor",
+    "string_index",
+    "events_rollup",
+    "dedup_person_chain",
+    "person_technique_prob",
+    "person_technique_doc_stats",
+    "person_technique_hist",
+    "score_histogram",
+    "score_pivot_labeled",
+    "instrument_matching",
+    "events_cube",
+    "pii_audit",
+    "contamination_check",
+    "bpe_token_stats",
+    "corpus_split",
+    "llm_curation",
+    "normalised_scores_approx",
+    "word_spec",
+    "word_features",
+    "doc_quality",
+    "pii_scrub",
+    "source_mix",
+    # implementations changed in round 3 — must be re-verified by the driver
+    "picture_lsh_pairs",
+    "simhash",
+    "single_word_scores",
+    "cosine_titles",
+    # round-2 rows-only entries worth a fresh row alongside their new
+    # property twins
+    "pic_clusters",
+    "embedding_ivf_topk",
+    "weight_refined",
+    "text_features_stemmed",
+    "media_features",
+]
+
+
+def _ordered() -> dict[str, QuerySpec]:
+    missing = [n for n in _PRIORITY if n not in REGISTRY]
+    assert not missing, f"_PRIORITY names not registered: {missing}"
+    out = {n: REGISTRY[n] for n in _PRIORITY}
+    out.update((n, s) for n, s in REGISTRY.items() if n not in out)
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: spec.spark_fn for name, spec in REGISTRY.items()}
+    return {name: spec.spark_fn for name, spec in _ordered().items()}
 
 
 def oracle_sql() -> dict[str, str]:
     return {
-        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
+        name: spec.oracle
+        for name, spec in _ordered().items()
+        if spec.oracle is not None
     }

@@ -36,6 +36,12 @@ def read_events_stream(
     )
     if dict(stream.dtypes).get("ts") == "bigint":  # nanosAsLong source
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # withWatermark requires TIMESTAMP (with zone); parquet fixtures written
+    # with isolated local sessions read back as TIMESTAMP_NTZ, which the
+    # streaming event-time machinery rejects — normalise here, before any
+    # watermark is attached.
+    if dict(stream.dtypes).get("ts") == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
