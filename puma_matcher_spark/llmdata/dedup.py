@@ -230,6 +230,53 @@ def ngram_jaccard_pairs(
     )
 
 
+def jaccard_for_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    shingle_n: int = DEFAULT_SHINGLE,
+) -> DataFrame:
+    """Exact n-gram Jaccard computed ONLY for the given candidate pairs.
+
+    This is the scale-correct verifier for LSH output: work is
+    |pairs| × avg-shingles, not the shingle self-join's quadratic blowup.
+    The shingle table is first semi-joined to the doc ids that appear in
+    any pair, so at 100 TB the exact pass touches only the (tiny) LSH
+    candidate neighbourhood, which is the entire point of banding.
+
+    Pairs sharing zero shingles are absent from the output (their Jaccard
+    is 0 — callers threshold above that anyway).
+    """
+    sh = shingles(docs, shingle_n)
+    ids = (
+        pairs.select(F.col("doc1_id").alias("doc_id"))
+        .union(pairs.select(F.col("doc2_id").alias("doc_id")))
+        .distinct()
+    )
+    sh = sh.join(ids, "doc_id", "left_semi")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    s1 = sh.select(F.col("doc_id").alias("doc1_id"), "shingle")
+    s2 = sh.select(F.col("doc_id").alias("doc2_id"), "shingle")
+    common = (
+        pairs.join(s1, "doc1_id")
+        .join(s2, ["doc2_id", "shingle"])
+        .groupBy("doc1_id", "doc2_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+    )
+    n1 = sizes.select(F.col("doc_id").alias("doc1_id"), F.col("n_shingles").alias("n1"))
+    n2 = sizes.select(F.col("doc_id").alias("doc2_id"), F.col("n_shingles").alias("n2"))
+    return (
+        common.join(n1, "doc1_id")
+        .join(n2, "doc2_id")
+        .withColumn(
+            "jaccard",
+            pround(
+                F.col("common") / (F.col("n1") + F.col("n2") - F.col("common")), 4
+            ),
+        )
+        .select("doc1_id", "doc2_id", "common", "jaccard")
+    )
+
+
 def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """64-bit SimHash over tokens (weighted bit-vote, portable arithmetic).
 

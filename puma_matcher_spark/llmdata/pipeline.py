@@ -46,11 +46,12 @@ def curate_documents(
     counts["after_exact_dedup"] = docs1.count()
 
     # 2. near-dup removal — MinHash-LSH candidates verified by exact
-    #    Jaccard; drop the higher doc_id of each confirmed pair
+    #    Jaccard computed per candidate pair (never over the full
+    #    shingle-join product: LSH must actually prune the exact pass);
+    #    drop the higher doc_id of each confirmed pair
     cand = dd.minhash_dedup_pairs(docs1)
-    verified = (
-        dd.ngram_jaccard_pairs(docs1, min_jaccard=jaccard_threshold)
-        .join(cand, ["doc1_id", "doc2_id"], "left_semi")
+    verified = dd.jaccard_for_pairs(docs1, cand).where(
+        F.col("jaccard") >= jaccard_threshold
     )
     drops = verified.select(F.col("doc2_id").alias("doc_id")).distinct()
     docs2 = docs1.join(drops, "doc_id", "left_anti")

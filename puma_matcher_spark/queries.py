@@ -2287,20 +2287,18 @@ cand AS (
   FROM bkc a JOIN bkc b
     ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-sdf AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
-rare AS (
-  SELECT sh.doc_id, sh.shingle FROM sh JOIN sdf USING (shingle) WHERE df <= 2000),
 common AS (
-  SELECT a.doc_id AS doc1_id, b.doc_id AS doc2_id, COUNT(*) AS c
-  FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  SELECT c.doc1_id, c.doc2_id, COUNT(*) AS c
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc1_id
+  JOIN sh b ON b.doc_id = c.doc2_id AND b.shingle = a.shingle
   GROUP BY 1, 2),
-jac AS (
+verified AS (
   SELECT c.doc1_id, c.doc2_id
   FROM common c
   JOIN sizes s1 ON c.doc1_id = s1.doc_id
   JOIN sizes s2 ON c.doc2_id = s2.doc_id
   WHERE ROUND(c.c / CAST(s1.n + s2.n - c.c AS DOUBLE), 4) >= 0.8),
-verified AS (SELECT j.doc1_id, j.doc2_id FROM jac j JOIN cand USING (doc1_id, doc2_id)),
 drops AS (SELECT DISTINCT doc2_id AS doc_id FROM verified),
 d2 AS (SELECT d1.doc_id, d1.text FROM d1 ANTI JOIN drops USING (doc_id)),
 tok2 AS (

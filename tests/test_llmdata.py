@@ -195,6 +195,38 @@ def test_curation_pipeline_end_to_end(spark):
     assert result.stage_counts["after_quality"] == 2
 
 
+def test_jaccard_for_pairs_matches_full_join_on_candidates(spark):
+    """The pair-scoped exact verifier must agree with the full shingle
+    self-join formulation restricted to the same candidate set — i.e.
+    scoping the work to LSH candidates changes cost, never results."""
+    from puma_matcher_spark.llmdata import dedup as dd
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+    docs = spark.createDataFrame(
+        [
+            (1, base * 3),
+            (2, base * 3 + "lambda"),
+            (3, base + "mu nu xi omicron pi rho sigma tau"),
+            (4, "completely different words forming a unique document here"),
+            (5, base * 2 + "unrelated suffix tokens appended here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    cand = dd.minhash_dedup_pairs(docs)
+    scoped = {
+        (r["doc1_id"], r["doc2_id"], r["common"], r["jaccard"])
+        for r in dd.jaccard_for_pairs(docs, cand).collect()
+    }
+    full = {
+        (r["doc1_id"], r["doc2_id"], r["common"], r["jaccard"])
+        for r in dd.ngram_jaccard_pairs(docs)
+        .join(cand, ["doc1_id", "doc2_id"], "left_semi")
+        .collect()
+    }
+    assert scoped == full
+    assert scoped  # non-trivial: the fixture must produce candidates
+
+
 def test_hash_split_deterministic_and_partition_invariant(spark):
     """Split assignment must be a pure function of the key — identical
     after any repartitioning (seeded sample() is NOT; that's the point)."""
