@@ -84,6 +84,75 @@ def score_picture_pairs(
     )
 
 
+def minhash_lsh_pairs_portable(
+    fingerprints: DataFrame,
+    id_col: str = "document_version_id",
+    fp_col: str = "fingerprint",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    threshold: float = 0.3,
+    n_bits: int = 60,
+) -> DataFrame:
+    """J5/M2 on portable arithmetic (PictureMatcher.scala:54-67 rebuild).
+
+    The set-bit positions of the 64-bit fingerprint form the element set;
+    seed-suffixed md5 minhashes band into LSH buckets — the exact same
+    machinery as llmdata.dedup (minhash_signatures/lsh_band_keys), so a
+    DuckDB oracle reproduces every hash bit-for-bit.  Candidate pairs are
+    then verified with exact bit-set Jaccard and kept when
+    ``jaccard_dist <= threshold`` — the same output contract as
+    ``ml.feature.MinHashLSH.approxSimilarityJoin`` but with engine-
+    independent hashing (the ml implementation's hash functions are
+    JVM-seeded, which forced a rows-only correctness check).
+
+    Scale shape: bit explode is ≤64 rows/doc map-side; candidates come
+    from a band equi-join, never all-pairs; the exact verification only
+    touches candidate pairs.
+    """
+    from puma_matcher_spark.llmdata import dedup as dd
+    from puma_matcher_spark.functions.rounding import pround
+
+    bits = (
+        fingerprints.select(F.col(id_col).alias("doc_id"), F.col(fp_col).alias("_fp"))
+        .select(
+            "doc_id",
+            "_fp",
+            F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))).alias("bit"),
+        )
+        .where(F.expr("shiftright(_fp, bit) & 1 = 1"))
+        .select("doc_id", F.col("bit").cast("string").alias("shingle"))
+    )
+    sigs = dd.minhash_signatures(bits, num_hashes)
+    cand = dd.lsh_candidate_pairs(
+        dd.lsh_band_keys(sigs, band_size, num_hashes), max_bucket_size=None
+    )
+    sizes = bits.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    s1 = bits.select(F.col("doc_id").alias("doc1_id"), "shingle")
+    s2 = bits.select(F.col("doc_id").alias("doc2_id"), "shingle")
+    common = (
+        cand.join(s1, "doc1_id")
+        .join(s2, ["doc2_id", "shingle"])
+        .groupBy("doc1_id", "doc2_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+    )
+    n1 = sizes.select(F.col("doc_id").alias("doc1_id"), F.col("n").alias("n1"))
+    n2 = sizes.select(F.col("doc_id").alias("doc2_id"), F.col("n").alias("n2"))
+    dist = F.lit(1.0) - F.col("common") / (
+        F.col("n1") + F.col("n2") - F.col("common")
+    )
+    return (
+        common.join(n1, "doc1_id")
+        .join(n2, "doc2_id")
+        .withColumn("jaccard_dist", pround(dist, 4))
+        .where(F.col("jaccard_dist") <= threshold)
+        .select(
+            F.col("doc1_id").alias("document_version1_id"),
+            F.col("doc2_id").alias("document_version2_id"),
+            "jaccard_dist",
+        )
+    )
+
+
 def minhash_lsh_pairs(
     hashes: DataFrame,
     num_hash_tables: int = 3,

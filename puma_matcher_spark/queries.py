@@ -1671,20 +1671,67 @@ def q_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("picture_lsh_pairs", None)  # ml MinHashLSH internal seeds → rows-only
+@register(
+    "picture_lsh_pairs",
+    f"""WITH toksl AS (SELECT doc_id, {_LLM_TOKS} AS tk FROM documents),
+words AS (SELECT doc_id, unnest(tk) AS tok FROM toksl),
+tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM words GROUP BY 1, 2),
+hashed AS (
+  SELECT doc_id, tf, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tf),
+hbits AS (SELECT doc_id, tf, h, unnest(range(60)) AS bit FROM hashed),
+votes AS (
+  SELECT doc_id, bit,
+         SUM(CASE WHEN (h >> bit) & 1 = 1 THEN tf ELSE -tf END) AS vote
+  FROM hbits GROUP BY 1, 2),
+simh AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY 1),
+fb AS (
+  SELECT doc_id, bit
+  FROM (SELECT doc_id, simhash, unnest(range(60)) AS bit FROM simh)
+  WHERE (simhash >> bit) & 1 = 1),
+seeded AS (SELECT doc_id, bit, unnest(range(8)) AS seed FROM fb),
+mh AS (
+  SELECT doc_id, seed,
+         MIN(('0x' || substr(md5(CAST(bit AS VARCHAR) || '#' || CAST(seed AS VARCHAR)), 1, 15))::BIGINT) AS minhash
+  FROM seeded GROUP BY 1, 2),
+bk AS (
+  SELECT doc_id, CAST(seed // 2 AS INTEGER) AS band,
+         md5(string_agg(CAST(minhash AS VARCHAR), '-' ORDER BY seed)) AS band_key
+  FROM mh GROUP BY 1, 2),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc1_id, b.doc_id AS doc2_id
+  FROM bk a JOIN bk b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM fb GROUP BY 1),
+common AS (
+  SELECT c.doc1_id, c.doc2_id, CAST(COUNT(*) AS BIGINT) AS c
+  FROM cand c
+  JOIN fb a ON a.doc_id = c.doc1_id
+  JOIN fb b ON b.doc_id = c.doc2_id AND b.bit = a.bit
+  GROUP BY 1, 2)
+SELECT c.doc1_id AS document_version1_id, c.doc2_id AS document_version2_id,
+       ROUND(1 - c.c / CAST(s1.n + s2.n - c.c AS DOUBLE), 4) AS jaccard_dist
+FROM common c
+JOIN sizes s1 ON c.doc1_id = s1.doc_id
+JOIN sizes s2 ON c.doc2_id = s2.doc_id
+WHERE ROUND(1 - c.c / CAST(s1.n + s2.n - c.c AS DOUBLE), 4) <= 0.3""",
+)
 def q_picture_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J5/M2 — ml.feature.MinHashLSH approxSimilarityJoin over binarised
-    fingerprints (PictureMatcher.scala:54-67 port; hash tables are
-    JVM-seeded → rows-only check, exactness covered by hamming_pairs)."""
-    from puma_matcher_spark.operators.picture import minhash_lsh_pairs
+    """J5/M2 — MinHash-LSH approximate-Jaccard self-join over fingerprint
+    bit sets on portable md5 arithmetic (PictureMatcher.scala:54-67
+    rebuild).  Round 2 used ml.feature.MinHashLSH, whose JVM-seeded hash
+    tables forced a rows-only check; the portable minhash makes every
+    hash oracle-reproducible, upgrading this to a hard pass.  The ml
+    variant remains available as operators.picture.minhash_lsh_pairs."""
+    from puma_matcher_spark.operators.picture import minhash_lsh_pairs_portable
 
     docs = load_tables(spark, sf_dir).llm_documents()
     sh = dd.simhash64(docs)
-    hashes = sh.select(
-        F.col("doc_id").alias("document_version_id"),
-        F.lpad(F.conv(F.col("simhash").cast("string"), 10, 16), 16, "0").alias("hash"),
+    return minhash_lsh_pairs_portable(
+        sh, id_col="doc_id", fp_col="simhash", threshold=0.3
     )
-    return minhash_lsh_pairs(hashes, num_hash_tables=3, threshold=0.3, hash_bits=64)
 
 
 # ---------------- context windows (J4 → frame specs) ----------------
