@@ -1336,6 +1336,39 @@ def q_pic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rep.select("cluster_rep", "n_members")
 
 
+@register(
+    "pic_cluster_quality",
+    f"""WITH {V_ENTITIES}, {_tf_chain('p_', 'entities')},
+verts AS (
+  SELECT document_version1_id AS id FROM p_cand
+  UNION
+  SELECT document_version2_id FROM p_cand)
+SELECT CAST(5 AS BIGINT) AS n_clusters,
+       CAST((SELECT COUNT(*) FROM verts) AS BIGINT) AS n_vertices,
+       true AS partition_ok""",
+)
+def q_pic_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Property check for the seeded/iterative PIC path (`pic_clusters`
+    itself cannot be reproduced by another engine): the run must yield
+    exactly k non-empty clusters, and the rosters must partition the
+    vertex set of the similarity graph — the vertex count IS computed
+    independently by the oracle from the candidate-pair chain, so a
+    dropped or double-assigned vertex hash-mismatches."""
+    from puma_matcher_spark.operators.instrument_ml import pic_clusters
+
+    cand = _entity_candidates(load_tables(spark, sf_dir), "person")
+    cand = cand.repartition(32, "document_version1_id")
+    assigned = pic_clusters(cand, k=5, max_iter=8)
+    n_clusters = assigned.select("cluster").distinct().count()
+    n_assigned = assigned.count()
+    n_vertices = assigned.select("id").distinct().count()
+    return spark.range(1).select(
+        F.lit(n_clusters).cast("long").alias("n_clusters"),
+        F.lit(n_vertices).cast("long").alias("n_vertices"),
+        F.lit(bool(n_assigned == n_vertices)).alias("partition_ok"),
+    )
+
+
 @register("weight_refined", None)  # iterative coarse→fine search → rows-only
 def q_weight_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WeightTrainerStage coarse→fine optimisation
@@ -1520,6 +1553,40 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_tables(spark, sf_dir).llm_embeddings()
     q = emb.where(F.col("vec_id") % 50 == 0)
     return sim.ivf_topk(emb, q, k=10, n_cells=8, n_probe=3)
+
+
+@register(
+    "ivf_recall",
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       true AS all_served,
+       true AS recall_ok
+FROM embeddings WHERE vec_id % 50 = 0""",
+)
+def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Property check for the seeded/iterative IVF path (the hard-signal
+    twin `embedding_ivf_topk` cannot have, since KMeans centers are not
+    reproducible in another engine): every query must be served, and
+    recall@10 against the exact brute-force ranking must clear 0.5 —
+    a robust floor for the n_probe=3/8 config (measured 0.63 at sf0.01;
+    a broken probe selection lands near n_probe/n_cells of that) —
+    thresholded to booleans so the oracle stays engine-independent while
+    a clustering regression still hash-mismatches."""
+    emb = load_tables(spark, sf_dir).llm_embeddings()
+    q = emb.where(F.col("vec_id") % 50 == 0)
+    ivf = sim.ivf_topk(emb, q, k=10, n_cells=8, n_probe=3).select(
+        "query_id", "neighbor_id"
+    )
+    brute = sim.brute_force_topk(emb, q, k=10).select("query_id", "neighbor_id")
+    n_queries = q.count()
+    served = ivf.select("query_id").distinct().count()
+    n_true = brute.count()
+    hits = brute.join(ivf, ["query_id", "neighbor_id"], "left_semi").count()
+    recall = hits / n_true if n_true else 1.0
+    return spark.range(1).select(
+        F.lit(n_queries).cast("long").alias("n_queries"),
+        F.lit(served == n_queries).alias("all_served"),
+        F.lit(bool(recall >= 0.5)).alias("recall_ok"),
+    )
 
 
 def _lsh_bucket_sql(col: str, dim: int = 64, n_planes: int = 6) -> str:
@@ -2568,6 +2635,9 @@ _PRIORITY: list[str] = [
     "simhash",
     "single_word_scores",
     "cosine_titles",
+    # round-3 property twins for the seeded/iterative rows-only queries
+    "ivf_recall",
+    "pic_cluster_quality",
     # round-2 rows-only entries worth a fresh row alongside their new
     # property twins
     "pic_clusters",
