@@ -18,6 +18,8 @@ oracle can reproduce it bit-for-bit.  ``conv(substr(md5(x),1,15),16,10)``
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — resolves pandas_udf type hints at module scope
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -277,15 +279,28 @@ def jaccard_for_pairs(
     )
 
 
-def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def simhash64(
+    docs: DataFrame, text_col: str = "text", method: str = "explode"
+) -> DataFrame:
     """64-bit SimHash over tokens (weighted bit-vote, portable arithmetic).
 
     Per token: 60-bit md5 hash; for each bit position, vote +tf / -tf; the
-    sign vector is the fingerprint.  Expressed as explode(token) ×
-    explode(bit) → conditional sum → bit reassembly.  One shuffle on
-    (doc, bit); at 100 TB prefer the map-side variant with a pandas UDF if
-    the 60× row blowup dominates (documented trade-off).
+    sign vector is the fingerprint.  Two physical strategies behind one
+    signature, bit-identical outputs (same md5/hash60 arithmetic):
+
+    * ``method="explode"`` (default) — explode(token) × explode(bit) →
+      conditional sum → bit reassembly.  Pure Catalyst/codegen, but the
+      bit explode multiplies rows 60× and pays one (doc, bit) shuffle.
+    * ``method="mapside"`` — :func:`simhash64_mapside`: one Arrow-batched
+      pandas UDF computes the fingerprint per document with zero shuffle
+      and zero row blowup.  The 100 TB choice when the 60× explode
+      dominates (see scripts/stress_simhash.py for the measured
+      crossover); Python md5 == JVM md5, so the DuckDB oracle covers
+      both paths identically.
     """
+    if method == "mapside":
+        return simhash64_mapside(docs, text_col)
+    assert method == "explode", f"unknown simhash method: {method}"
     toks = docs.select(
         "doc_id", F.explode(tokens(F.lower(F.col(text_col)))).alias("tok")
     )
@@ -307,6 +322,50 @@ def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return bit_votes.groupBy("doc_id").agg(
         F.sum(bit_val).cast("long").alias("simhash")
     )
+
+
+def simhash64_mapside(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Explode-free SimHash: the whole fingerprint is computed inside one
+    Arrow-batched pandas UDF — no token explode, no 60× bit blowup, no
+    shuffle at all (a pure map stage Catalyst can pipeline with the scan).
+
+    Arithmetic is identical to the explode formulation: hash60(token) =
+    first 15 hex chars of md5 as an integer (Python md5 ≡ JVM md5 ≡
+    DuckDB md5), votes are ±tf per bit, fingerprint sets bits with a
+    positive vote.  Bit-for-bit equality with ``simhash64`` is asserted
+    in tests and holds by construction.
+    """
+    import hashlib
+    from collections import Counter
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    shifts = np.arange(60, dtype=np.uint64)
+
+    def _one(text: str) -> int:
+        toks = [t for t in (text or "").lower().split(" ") if t]
+        if not toks:
+            return 0
+        tf = Counter(toks)
+        hs = np.array(
+            [
+                int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+                for t in tf
+            ],
+            dtype=np.uint64,
+        )
+        cnt = np.fromiter(tf.values(), dtype=np.int64, count=len(tf))
+        bits = ((hs[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+        votes = ((2 * bits - 1) * cnt[:, None]).sum(axis=0)
+        return int(((votes > 0).astype(np.uint64) << shifts).sum())
+
+    @pandas_udf(LongType())
+    def _simhash(texts: pd.Series) -> pd.Series:
+        return texts.map(_one).astype("int64")
+
+    return docs.select("doc_id", _simhash(F.col(text_col)).alias("simhash"))
 
 
 def contamination_check(

@@ -195,6 +195,22 @@ def test_curation_pipeline_end_to_end(spark):
     assert result.stage_counts["after_quality"] == 2
 
 
+def test_simhash_mapside_matches_explode(spark):
+    """The explode-free pandas-UDF SimHash must be bit-identical to the
+    Catalyst explode formulation on real fixture text (same md5
+    arithmetic, different physical plan)."""
+    from puma_matcher_spark.llmdata import dedup as dd
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {(r["doc_id"], r["simhash"]) for r in dd.simhash64(docs).collect()}
+    b = {
+        (r["doc_id"], r["simhash"])
+        for r in dd.simhash64(docs, method="mapside").collect()
+    }
+    assert a == b
+    assert len(a) == docs.count()
+
+
 def test_jaccard_for_pairs_matches_full_join_on_candidates(spark):
     """The pair-scoped exact verifier must agree with the full shingle
     self-join formulation restricted to the same candidate set — i.e.
