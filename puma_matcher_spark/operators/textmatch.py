@@ -281,10 +281,21 @@ def single_word_scores(
     tf = words.groupBy("document_version_id", "word").agg(
         F.count(F.lit(1)).alias("tf")
     )
-    n_docs = words.select("document_version_id").distinct().count()
+    # N computed in-plan (1-row aggregate, broadcast cross-join) so building
+    # the query never scans the corpus eagerly — at 100 TB the old
+    # plan-build-time .count() was a full second pass over the token table
+    n_docs_df = (
+        tf.select("document_version_id")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("double").alias("_n_docs"))
+    )
     dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     keep = dfreq.where(F.col("df") <= max_occurrence)
-    idf = keep.withColumn("idf", F.sqrt(F.lit(float(n_docs)) / F.col("df")))
+    idf = (
+        keep.crossJoin(F.broadcast(n_docs_df))
+        .withColumn("idf", F.sqrt(F.col("_n_docs") / F.col("df")))
+        .drop("_n_docs")
+    )
     # idf keeps the *rare* words (df ≤ cap) — nearly the whole vocabulary,
     # which grows with the corpus.  No broadcast hint; AQE decides.
     tf_i = tf.join(idf.select("word", "idf"), "word")
@@ -373,12 +384,18 @@ def cosine_title_matches(
     tf = words.groupBy("document_version_id", "word").agg(
         F.count(F.lit(1)).alias("tf")
     )
-    n_docs = words.select("document_version_id").distinct().count()
+    # N in-plan (1-row broadcast aggregate) — see single_word_scores
+    n_docs_df = (
+        tf.select("document_version_id")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("double").alias("_n_docs"))
+    )
     dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     w = (
         tf.join(dfreq.where(F.col("df") <= max_df), "word")
+        .crossJoin(F.broadcast(n_docs_df))
         .withColumn(
-            "weight", F.col("tf") * F.log10(F.lit(float(n_docs)) / F.col("df"))
+            "weight", F.col("tf") * F.log10(F.col("_n_docs") / F.col("df"))
         )
         .select("document_version_id", "word", "weight")
     )
