@@ -1235,6 +1235,28 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_dedup",
+    """WITH doubled AS (SELECT * FROM events UNION ALL SELECT * FROM events)
+SELECT event_id, CAST(COUNT(*) AS BIGINT) AS n_seen, MIN(ts) AS ts,
+       CAST(MIN(user_id) AS BIGINT) AS user_id,
+       MIN(event_type) AS event_type,
+       ROUND(MIN(value), 4) AS value
+FROM doubled GROUP BY 1""",
+)
+def q_events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 — batch twin of the streaming exactly-once dedup path
+    (streaming/events.py stream_dedup): a replayed feed (the events table
+    unioned with itself) collapses to one first-seen row per event_id.
+    The streaming execution of the same semantics is exercised in
+    tests/test_streaming.py; this row gives the dedup plane a hard
+    driver-side signal."""
+    from puma_matcher_spark.streaming.events import dedup_events_batch
+
+    ev = load_tables(spark, sf_dir).events()
+    return dedup_events_batch(ev.unionByName(ev))
+
+
 # ---------------- weight optimizer ----------------
 
 
@@ -2638,6 +2660,8 @@ _PRIORITY: list[str] = [
     # round-3 property twins for the seeded/iterative rows-only queries
     "ivf_recall",
     "pic_cluster_quality",
+    # round-3 streaming-dedup batch twin
+    "events_dedup",
     # round-2 rows-only entries worth a fresh row alongside their new
     # property twins
     "pic_clusters",

@@ -110,6 +110,21 @@ def stream_dedup(events: DataFrame, key: str = "event_id", delay: str = "10 minu
     return events.withWatermark("ts", delay).dropDuplicates([key])
 
 
+def dedup_events_batch(events: DataFrame, key: str = "event_id") -> DataFrame:
+    """Deterministic batch twin of :func:`stream_dedup`: one row per key
+    carrying the first-seen (min-ts) values plus the replay count — the
+    record the streaming state would retain inside the watermark horizon.
+    Batch ``dropDuplicates`` keeps an arbitrary row, so the twin pins
+    keep-semantics with min aggregates to stay engine-reproducible."""
+    return events.groupBy(key).agg(
+        F.count(F.lit(1)).cast("long").alias("n_seen"),
+        F.min("ts").alias("ts"),
+        F.min("user_id").cast("long").alias("user_id"),
+        F.min("event_type").alias("event_type"),
+        pround(F.min("value"), 4).alias("value"),
+    )
+
+
 def run_stream_to_memory(
     spark: SparkSession, sf_dir: str, table_name: str = "windowed_events"
 ):

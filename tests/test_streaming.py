@@ -87,6 +87,20 @@ def test_stream_dedup_drops_replayed_records(spark, sf_small):
     n_batch = load_tables(spark, sf_small).events().count()
     assert n_stream["n"] == n_batch
     assert n_stream["c"] == n_batch
+    # kept rows must be the batch twin's first-seen records (replays are
+    # identical records, so the survivor is fully determined)
+    from puma_matcher_spark.streaming.events import dedup_events_batch
+
+    ev = load_tables(spark, sf_small).events()
+    twin = {
+        (r["event_id"], r["user_id"], r["event_type"])
+        for r in dedup_events_batch(ev.unionByName(ev)).collect()
+    }
+    kept = {
+        (r["event_id"], r["user_id"], r["event_type"])
+        for r in spark.sql("select event_id, user_id, event_type from t_dedup").collect()
+    }
+    assert kept == twin
 
 
 def test_stream_static_join_enrichment(spark, sf_small):
