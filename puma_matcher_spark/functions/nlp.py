@@ -1,19 +1,30 @@
-"""Lightweight NLP tagging (M7 stand-in).
+"""Lightweight NLP tagging (M7) with a pluggable real-tagger backend.
 
 Reference: Stanford CoreNLP ``pos()``/``ner()``/``lemma()`` columns with a
 POS whitelist ``FW, MD, NN*, RP, PDT, UH, VB*`` + NER 'O'
 (AdvancedInstrumentAnalyser.scala:553-571,
 DocumentWordSpecAnalyser.scala:166-220).
 
-CoreNLP/spaCy are not in this container; the *plumbing* (pandas-UDF
-signature, whitelist filtering, explode-as-UDTF shape) is real and the
-tagger is a deterministic suffix-rule heuristic clearly marked as a
-stand-in — swap ``_heuristic_pos`` for ``spacy`` in production and
-nothing else changes (SURVEY.md §7.4 accepts tagger divergence; gate with
-labelled metrics, not exact match).
+Two backends behind the same pandas-UDF signatures, selected at runtime:
+
+* ``heuristic`` — deterministic suffix-rule stand-ins (always available;
+  the only option in this container, which has neither CoreNLP nor
+  spaCy).  Accuracy-gated on a hand-tagged fixture (tests/test_nlp.py)
+  per SURVEY.md §7.4 — tagger divergence is expected, gate with labelled
+  metrics, not exact match.
+* ``spacy`` — a real statistical tagger/lemmatiser/NER, used
+  automatically when the package AND an English model are importable on
+  the executors.  Tokens are fed pre-tokenised (``spacy.tokens.Doc``) so
+  positions/whitelist plumbing is byte-identical across backends.
+
+``PUMA_NLP_BACKEND`` pins the choice (``heuristic`` | ``spacy`` |
+``auto``, default auto); a forced ``spacy`` in an env without it falls
+back to heuristic rather than failing the pipeline.
 """
 
 from __future__ import annotations
+
+import os
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -51,33 +62,92 @@ def _heuristic_pos(tok: str) -> str:
     return "NN"
 
 
+# ---- backend selection -----------------------------------------------------
+
+_SPACY_UNSET = object()
+_SPACY_NLP = _SPACY_UNSET
+
+
+def _load_spacy():
+    """The loaded spaCy English pipeline, or None when the package or its
+    model is absent (memoized; evaluated lazily on each executor)."""
+    global _SPACY_NLP
+    if _SPACY_NLP is _SPACY_UNSET:
+        try:
+            import spacy
+
+            try:
+                _SPACY_NLP = spacy.load("en_core_web_sm", exclude=["parser"])
+            except Exception:
+                _SPACY_NLP = None
+        except ImportError:
+            _SPACY_NLP = None
+    return _SPACY_NLP
+
+
+def nlp_backend() -> str:
+    """Resolve the active tagging backend: 'spacy' when requested-or-auto
+    AND actually loadable, else 'heuristic'."""
+    want = os.environ.get("PUMA_NLP_BACKEND", "auto")
+    if want == "heuristic":
+        return "heuristic"
+    if want in ("spacy", "auto"):
+        return "spacy" if _load_spacy() is not None else "heuristic"
+    raise ValueError(f"unknown PUMA_NLP_BACKEND: {want!r}")
+
+
+def _spacy_doc(nlp, arr):
+    """Run the pipeline on a pre-tokenised array (positions preserved)."""
+    from spacy.tokens import Doc
+
+    doc = Doc(nlp.vocab, words=list(arr))
+    for _name, proc in nlp.pipeline:
+        doc = proc(doc)
+    return doc
+
+
+def _pos_batch(arr):
+    if arr is None:
+        return None
+    nlp = _load_spacy() if nlp_backend() == "spacy" else None
+    if nlp is not None:
+        return [t.tag_ or "NN" for t in _spacy_doc(nlp, arr)]
+    return [_heuristic_pos(t) for t in arr]
+
+
+def _ner_batch(arr):
+    if arr is None:
+        return None
+    nlp = _load_spacy() if nlp_backend() == "spacy" else None
+    if nlp is not None:
+        return [t.ent_type_ or "O" for t in _spacy_doc(nlp, arr)]
+    out = []
+    for i, t in enumerate(arr):
+        out.append("ENTITY" if i > 0 and t[:1].isupper() else "O")
+    return out
+
+
+def _lemma_batch(arr):
+    if arr is None:
+        return None
+    nlp = _load_spacy() if nlp_backend() == "spacy" else None
+    if nlp is not None:
+        return [t.lemma_ or t.text for t in _spacy_doc(nlp, arr)]
+    return [_heuristic_lemma(t) for t in arr]
+
+
 @F.pandas_udf(ArrayType(StringType()))
 def pos_tags(tokens: pd.Series) -> pd.Series:
-    """Arrow-batched POS tagging of token arrays."""
-    return tokens.map(
-        lambda arr: [_heuristic_pos(t) for t in arr] if arr is not None else None
-    )
+    """Arrow-batched POS tagging of token arrays (backend-dispatched)."""
+    return tokens.map(_pos_batch)
 
 
 @F.pandas_udf(ArrayType(StringType()))
 def ner_tags(tokens: pd.Series) -> pd.Series:
-    """Arrow-batched NER tagging — STAND-IN heuristic (capitalised,
-    non-sentence-initial tokens → ENTITY, else O, the reference's 'O'
-    whitelist class).  Swap for spaCy NER in production; the plumbing
-    (signature, whitelist filter shape) is identical."""
-
-    def tag(arr):
-        if arr is None:
-            return None
-        out = []
-        for i, t in enumerate(arr):
-            if i > 0 and t[:1].isupper():
-                out.append("ENTITY")
-            else:
-                out.append("O")
-        return out
-
-    return tokens.map(tag)
+    """Arrow-batched NER tagging (backend-dispatched: spaCy entity types
+    when available, else the capitalisation heuristic with the
+    reference's 'O' default class)."""
+    return tokens.map(_ner_batch)
 
 
 _VOWELS = set("aeiou")
@@ -135,10 +205,8 @@ def _heuristic_lemma(tok: str) -> str:
 
 @F.pandas_udf(ArrayType(StringType()))
 def lemmas(tokens: pd.Series) -> pd.Series:
-    """Arrow-batched lemmatisation of token arrays."""
-    return tokens.map(
-        lambda arr: [_heuristic_lemma(t) for t in arr] if arr is not None else None
-    )
+    """Arrow-batched lemmatisation of token arrays (backend-dispatched)."""
+    return tokens.map(_lemma_batch)
 
 
 def word_features(

@@ -68,6 +68,45 @@ def test_lemma_accuracy_on_hand_tagged_fixture():
     assert acc >= 0.9, f"lemma accuracy {acc:.2f} below gate"
 
 
+def test_backend_resolution_and_forced_spacy_fallback(monkeypatch):
+    """Backend selection must degrade gracefully: a forced (or auto)
+    'spacy' in an env without the package resolves to heuristic instead
+    of failing the pipeline; 'heuristic' always pins the stand-in."""
+    from puma_matcher_spark.functions import nlp
+
+    spacy_available = nlp._load_spacy() is not None
+    for want in ("spacy", "auto"):
+        monkeypatch.setenv("PUMA_NLP_BACKEND", want)
+        assert nlp.nlp_backend() == ("spacy" if spacy_available else "heuristic")
+    monkeypatch.setenv("PUMA_NLP_BACKEND", "heuristic")
+    assert nlp.nlp_backend() == "heuristic"
+    # kernel dispatch honours the pinned heuristic backend
+    assert nlp._pos_batch(["the", "beams"]) == ["DT", "NNS"]
+
+
+def test_spacy_backend_accuracy_if_available(monkeypatch):
+    """Same labelled-fixture gate as the heuristics, applied to the real
+    tagger when present (skipped in this container — no spaCy)."""
+    import pytest
+
+    from puma_matcher_spark.functions import nlp
+
+    if nlp._load_spacy() is None:
+        pytest.skip("spaCy (or its English model) not installed")
+    monkeypatch.setenv("PUMA_NLP_BACKEND", "spacy")
+    toks = [t for t, _, _ in FIXTURE]
+    pos = nlp._pos_batch(toks)
+    lem = nlp._lemma_batch(toks)
+    pos_acc = sum(
+        1 for (t, gold, _), tag in zip(FIXTURE, pos) if _coarse(tag) == gold
+    ) / len(FIXTURE)
+    lem_acc = sum(
+        1 for (t, _, gold), l in zip(FIXTURE, lem) if l == gold
+    ) / len(FIXTURE)
+    assert pos_acc >= 0.85, f"spaCy POS accuracy {pos_acc:.2f} below gate"
+    assert lem_acc >= 0.9, f"spaCy lemma accuracy {lem_acc:.2f} below gate"
+
+
 def test_word_features_whitelist_and_positions(spark):
     docs = spark.createDataFrame(
         [(1, "The detectors were running experiments slowly")],
