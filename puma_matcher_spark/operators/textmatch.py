@@ -281,21 +281,18 @@ def single_word_scores(
     tf = words.groupBy("document_version_id", "word").agg(
         F.count(F.lit(1)).alias("tf")
     )
-    # N computed in-plan (1-row aggregate, broadcast cross-join) so building
-    # the query never scans the corpus eagerly — at 100 TB the old
-    # plan-build-time .count() was a full second pass over the token table
-    n_docs_df = (
+    # N computed in-plan as a scalar subquery so building the query never
+    # scans the corpus eagerly — at 100 TB the old plan-build-time
+    # .count() was a full second pass over the token table.  scalar()
+    # plans as a Subquery node (executed once, reused), adding no join.
+    n_docs = (
         tf.select("document_version_id")
         .distinct()
         .agg(F.count(F.lit(1)).cast("double").alias("_n_docs"))
     )
     dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     keep = dfreq.where(F.col("df") <= max_occurrence)
-    idf = (
-        keep.crossJoin(F.broadcast(n_docs_df))
-        .withColumn("idf", F.sqrt(F.col("_n_docs") / F.col("df")))
-        .drop("_n_docs")
-    )
+    idf = keep.withColumn("idf", F.sqrt(n_docs.scalar() / F.col("df")))
     # idf keeps the *rare* words (df ≤ cap) — nearly the whole vocabulary,
     # which grows with the corpus.  No broadcast hint; AQE decides.
     tf_i = tf.join(idf.select("word", "idf"), "word")
@@ -384,8 +381,8 @@ def cosine_title_matches(
     tf = words.groupBy("document_version_id", "word").agg(
         F.count(F.lit(1)).alias("tf")
     )
-    # N in-plan (1-row broadcast aggregate) — see single_word_scores
-    n_docs_df = (
+    # N in-plan as a scalar subquery — see single_word_scores
+    n_docs = (
         tf.select("document_version_id")
         .distinct()
         .agg(F.count(F.lit(1)).cast("double").alias("_n_docs"))
@@ -393,9 +390,8 @@ def cosine_title_matches(
     dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     w = (
         tf.join(dfreq.where(F.col("df") <= max_df), "word")
-        .crossJoin(F.broadcast(n_docs_df))
         .withColumn(
-            "weight", F.col("tf") * F.log10(F.col("_n_docs") / F.col("df"))
+            "weight", F.col("tf") * F.log10(n_docs.scalar() / F.col("df"))
         )
         .select("document_version_id", "word", "weight")
     )

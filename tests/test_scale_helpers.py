@@ -200,8 +200,9 @@ def test_plan_sweep_no_accidental_cartesians(spark, sf_small):
     intentionally_quadratic = {
         "embedding_topk",       # brute-force baseline (broadcast query set)
         "embedding_near_dups",  # exact all-pairs baseline
+        "ivf_recall",           # compares IVF against the brute-force baseline
     }
-    skip_heavy = {"picture_lsh_pairs", "embedding_ivf_topk"}  # ML fits
+    skip_heavy = {"picture_lsh_pairs", "embedding_ivf_topk", "pic_cluster_quality"}
     failures = []
     for name, spec in REGISTRY.items():
         if name in intentionally_quadratic or name in skip_heavy:
