@@ -41,3 +41,67 @@ def with_split(
 def hash_sample(docs: DataFrame, pct: int, key: str = "doc_id") -> DataFrame:
     """Keep a deterministic pct% sample (same rows every run/engine)."""
     return docs.where(hash_bucket(key) < pct)
+
+
+def temperature_mix(
+    docs: DataFrame, alpha: float = 0.5, text_col: str = "text"
+) -> DataFrame:
+    """Temperature-based source reweighting (the multinomial mixture
+    rule multilingual/multi-source pre-training uses: p_s ∝ n_s^alpha,
+    alpha<1 upsamples small sources).
+
+    Per source: token count, mixture weight p_s, the relative sampling
+    rate that realises the mix at constant total token budget
+    (rate_s = p_s · Σn / n_s, capped at 1 — down-sampling only, so the
+    pass stays single-scan), and the number of documents the
+    deterministic md5 gate keeps at that rate.  Everything is one
+    aggregate + one 20-row broadcastable join back; the keep decision is
+    a pure function of doc_id, so the realised sample is stable across
+    engines and repartitionings.
+    """
+    from puma_matcher_spark.llmdata.textstats import tokens
+    from puma_matcher_spark.functions.rounding import pround
+
+    n_tok = F.size(tokens(F.lower(F.col(text_col)))).cast("long")
+    per_doc = docs.select(
+        "doc_id", "source", n_tok.alias("n_tokens")
+    )
+    per_src = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+    tot = per_src.agg(F.sum("n_tokens").cast("double").alias("t"))
+    wsum = per_src.agg(
+        F.sum(F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))).alias("ws")
+    )
+    rate_raw = (
+        F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))
+        / wsum.scalar()
+        * tot.scalar()
+        / F.col("n_tokens").cast("double")
+    )
+    rated = per_src.withColumn("rate", F.least(F.lit(1.0), rate_raw))
+    # deterministic keep: md5 fraction of doc_id < rate  (2^60 ≡ the
+    # portable_hash60 range, so the fraction is uniform on [0, 1))
+    frac = portable_hash60(F.col("doc_id").cast("string")) / F.lit(float(1 << 60))
+    kept = (
+        per_doc.join(rated.select("source", "rate"), "source")
+        .where(frac < F.col("rate"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_kept"))
+    )
+    return (
+        rated.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            pround(
+                F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))
+                / wsum.scalar(),
+                4,
+            ).alias("mix_weight"),
+            pround(F.col("rate"), 4).alias("sample_rate"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )

@@ -167,6 +167,36 @@ def source_mix(docs: DataFrame, text_col: str = "text") -> DataFrame:
 BPE_TOKEN_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
 
 
+def char_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Shannon entropy of the character distribution per document — the
+    cheap compressibility proxy for boilerplate/garbage detection (very
+    low entropy → repeated filler; very high → binary noise in text
+    fields).  One (doc, char) aggregation; frequencies never leave the
+    engine.  Output: (doc_id, n_chars, distinct_chars, entropy_bits)."""
+    from pyspark.sql import Window
+
+    chars = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.col(text_col), "(?!^)"), lambda c: c != F.lit("")
+            )
+        ).alias("c"),
+    )
+    freq = chars.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("n"))
+    per_doc = Window.partitionBy("doc_id")
+    p = F.col("n") / F.sum("n").over(per_doc)
+    return (
+        freq.withColumn("_p", p)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("long").alias("n_chars"),
+            F.count(F.lit(1)).cast("long").alias("distinct_chars"),
+            pround(-F.sum(F.col("_p") * F.log2("_p")), 4).alias("entropy_bits"),
+        )
+    )
+
+
 def with_bpe_token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Token counting for training-data budgeting: whitespace words plus
     a BPE-ish pre-tokenizer count (the unit LLM data pipelines budget

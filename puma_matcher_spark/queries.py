@@ -2615,6 +2615,90 @@ def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.source_mix(load_tables(spark, sf_dir).llm_documents())
 
 
+@register(
+    "sequence_packing",
+    f"""WITH pd AS (
+  SELECT doc_id, source, CAST(len({_LLM_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents),
+cum AS (
+  SELECT doc_id, source, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS e
+  FROM pd)
+SELECT doc_id, source, n_tokens,
+       CAST((e - n_tokens) // 512 AS BIGINT) AS pack_id,
+       CAST((e - n_tokens) % 512 AS BIGINT) AS pack_offset,
+       CAST((e - 1) // 512 - (e - n_tokens) // 512 + 1 AS BIGINT) AS n_packs_spanned
+FROM cum""",
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing (llmdata/packing.py): deterministic
+    concatenate-then-chunk layout — each doc's context-window id, offset
+    and span from one running-total window over (source, doc_id)."""
+    from puma_matcher_spark.llmdata.packing import sequence_packing
+
+    return sequence_packing(load_tables(spark, sf_dir).llm_documents(), ctx_len=512)
+
+
+@register(
+    "source_sampling",
+    f"""WITH pd AS (
+  SELECT doc_id, source, CAST(len({_LLM_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents),
+ps AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+  FROM pd GROUP BY 1),
+tot AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS t FROM ps),
+ws AS (SELECT SUM(POW(CAST(n_tokens AS DOUBLE), 0.5)) AS w FROM ps),
+rated AS (
+  SELECT source, n_docs, n_tokens,
+         LEAST(1.0, POW(CAST(n_tokens AS DOUBLE), 0.5) / (SELECT w FROM ws)
+                    * (SELECT t FROM tot) / CAST(n_tokens AS DOUBLE)) AS rate
+  FROM ps),
+kept AS (
+  SELECT pd.source, CAST(COUNT(*) AS BIGINT) AS n_kept
+  FROM pd JOIN rated USING (source)
+  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        / 1152921504606846976.0 < rate
+  GROUP BY 1)
+SELECT r.source, r.n_docs, r.n_tokens,
+       ROUND(POW(CAST(r.n_tokens AS DOUBLE), 0.5) / (SELECT w FROM ws), 4) AS mix_weight,
+       ROUND(r.rate, 4) AS sample_rate,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+FROM rated r LEFT JOIN kept k USING (source)""",
+)
+def q_source_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mix (llmdata/sampling.py): p_s ∝ n_s^0.5
+    reweighting with a deterministic md5 keep-gate realising the rates —
+    the data-mixture resampling step of a multi-source training run."""
+    from puma_matcher_spark.llmdata.sampling import temperature_mix
+
+    return temperature_mix(load_tables(spark, sf_dir).llm_documents(), alpha=0.5)
+
+
+@register(
+    "char_entropy",
+    """WITH ch AS (
+  SELECT doc_id, unnest(string_split_regex(text, '')) AS c FROM documents),
+chf AS (
+  SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS n
+  FROM ch WHERE c <> '' GROUP BY 1, 2),
+withp AS (
+  SELECT doc_id, n,
+         CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY doc_id) AS p
+  FROM chf)
+SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_chars,
+       CAST(COUNT(*) AS BIGINT) AS distinct_chars,
+       ROUND(-SUM(p * log2(p)), 4) AS entropy_bits
+FROM withp GROUP BY 1""",
+)
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality signal (llmdata/textstats.py): Shannon
+    bits per char — the compressibility proxy for boilerplate/garbage
+    detection in curation."""
+    return ts.char_entropy(load_tables(spark, sf_dir).llm_documents())
+
+
 # --------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -2662,6 +2746,10 @@ _PRIORITY: list[str] = [
     "pic_cluster_quality",
     # round-3 streaming-dedup batch twin
     "events_dedup",
+    # round-3 new training-pipeline operators
+    "sequence_packing",
+    "source_sampling",
+    "char_entropy",
     # round-2 rows-only entries worth a fresh row alongside their new
     # property twins
     "pic_clusters",

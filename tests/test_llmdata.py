@@ -195,6 +195,69 @@ def test_curation_pipeline_end_to_end(spark):
     assert result.stage_counts["after_quality"] == 2
 
 
+def test_sequence_packing_layout(spark):
+    """Packing must be a gapless concatenate-then-chunk layout per
+    source: offsets advance by token counts, windows chain contiguously,
+    and spans cover exactly the doc's token range."""
+    from puma_matcher_spark.llmdata.packing import sequence_packing
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c", "s1"),            # 3 tokens → pack 0 offset 0
+            (2, "d e f g", "s1"),          # 4 tokens → pack 0 offset 3
+            (3, " ".join(["w"] * 10), "s1"),  # crosses the ctx=8 boundary
+            (4, "x y", "s2"),              # independent stream
+        ],
+        ["doc_id", "text", "source"],
+    )
+    rows = {
+        r["doc_id"]: r for r in sequence_packing(docs, ctx_len=8).collect()
+    }
+    assert (rows[1]["pack_id"], rows[1]["pack_offset"]) == (0, 0)
+    assert (rows[2]["pack_id"], rows[2]["pack_offset"]) == (0, 3)
+    # doc 3 starts at absolute token 7 → pack 0 offset 7, ends at 17 →
+    # spans packs 0..2
+    assert (rows[3]["pack_id"], rows[3]["pack_offset"]) == (0, 7)
+    assert rows[3]["n_packs_spanned"] == 3
+    assert (rows[4]["pack_id"], rows[4]["pack_offset"]) == (0, 0)
+
+
+def test_temperature_mix_invariants(spark):
+    """alpha=0.5 upsamples small sources: mix weights sum to 1, rates are
+    in (0, 1], the smallest source gets the largest rate, and the md5
+    keep-gate is consistent with the emitted rate."""
+    from puma_matcher_spark.llmdata.sampling import temperature_mix
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * (50 if i % 10 else 5), "big" if i % 10 else "small")
+         for i in range(200)],
+        ["doc_id", "text", "source"],
+    ).select("doc_id", F.rtrim("text").alias("text"), "source")
+    out = {r["source"]: r for r in temperature_mix(docs).collect()}
+    assert abs(sum(r["mix_weight"] for r in out.values()) - 1.0) < 1e-3
+    assert all(0 < r["sample_rate"] <= 1.0 for r in out.values())
+    # 'small' has far fewer tokens → temperature upsampling caps at 1,
+    # while the dominant source is down-sampled below 1
+    assert out["small"]["sample_rate"] == 1.0
+    assert out["big"]["sample_rate"] < 1.0
+    assert out["small"]["n_kept"] == out["small"]["n_docs"]
+    assert 0 < out["big"]["n_kept"] < out["big"]["n_docs"]
+
+
+def test_char_entropy_known_values(spark):
+    from puma_matcher_spark.llmdata.textstats import char_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in char_entropy(docs).collect()}
+    assert rows[1]["entropy_bits"] == 0.0
+    assert rows[2]["entropy_bits"] == 1.0
+    assert rows[3]["entropy_bits"] == 2.0
+    assert rows[3]["distinct_chars"] == 4
+    assert rows[1]["n_chars"] == 4
+
+
 def test_simhash_mapside_matches_explode(spark):
     """The explode-free pandas-UDF SimHash must be bit-identical to the
     Catalyst explode formulation on real fixture text (same md5
