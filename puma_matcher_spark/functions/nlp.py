@@ -106,19 +106,26 @@ def _spacy_doc(nlp, arr):
     return doc
 
 
-def _pos_batch(arr):
+def _resolve(backend: str | None):
+    """The spaCy pipeline to use, or None for heuristics.  ``backend``
+    pins the choice ('heuristic'/'spacy'); None defers to the env."""
+    want = backend or nlp_backend()
+    return _load_spacy() if want == "spacy" else None
+
+
+def _pos_batch(arr, backend: str | None = None):
     if arr is None:
         return None
-    nlp = _load_spacy() if nlp_backend() == "spacy" else None
+    nlp = _resolve(backend)
     if nlp is not None:
         return [t.tag_ or "NN" for t in _spacy_doc(nlp, arr)]
     return [_heuristic_pos(t) for t in arr]
 
 
-def _ner_batch(arr):
+def _ner_batch(arr, backend: str | None = None):
     if arr is None:
         return None
-    nlp = _load_spacy() if nlp_backend() == "spacy" else None
+    nlp = _resolve(backend)
     if nlp is not None:
         return [t.ent_type_ or "O" for t in _spacy_doc(nlp, arr)]
     out = []
@@ -127,13 +134,24 @@ def _ner_batch(arr):
     return out
 
 
-def _lemma_batch(arr):
+def _lemma_batch(arr, backend: str | None = None):
     if arr is None:
         return None
-    nlp = _load_spacy() if nlp_backend() == "spacy" else None
+    nlp = _resolve(backend)
     if nlp is not None:
         return [t.lemma_ or t.text for t in _spacy_doc(nlp, arr)]
     return [_heuristic_lemma(t) for t in arr]
+
+
+def make_tag_udf(kernel, backend: str | None = None):
+    """Arrow-batched array→array tagging UDF with a pinned backend (None
+    → resolve from PUMA_NLP_BACKEND at batch time on the executor)."""
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def _udf(tokens: pd.Series) -> pd.Series:
+        return tokens.map(lambda arr: kernel(arr, backend))
+
+    return _udf
 
 
 @F.pandas_udf(ArrayType(StringType()))
@@ -209,20 +227,85 @@ def lemmas(tokens: pd.Series) -> pd.Series:
     return tokens.map(_lemma_batch)
 
 
+def heuristic_pos_sql(col: str) -> str:
+    """DuckDB CASE expression mirroring ``_heuristic_pos`` rule-for-rule
+    (generated from the same word sets, so the oracle cannot drift)."""
+    d = ", ".join(f"'{w}'" for w in sorted(_DETERMINERS))
+    p = ", ".join(f"'{w}'" for w in sorted(_PREPOSITIONS))
+    m = ", ".join(f"'{w}'" for w in sorted(_MODALS))
+    return (
+        f"CASE WHEN {col} IN ({d}) THEN 'DT'"
+        f" WHEN {col} IN ({p}) THEN 'IN'"
+        f" WHEN {col} IN ({m}) THEN 'MD'"
+        f" WHEN {col} LIKE '%ing' THEN 'VBG'"
+        f" WHEN {col} LIKE '%ed' THEN 'VBD'"
+        f" WHEN {col} LIKE '%ly' THEN 'RB'"
+        f" WHEN {col} LIKE '%s' AND len({col}) > 3 THEN 'NNS'"
+        f" ELSE 'NN' END"
+    )
+
+
+def heuristic_lemma_sql(col: str) -> str:
+    """DuckDB CASE expression mirroring ``_heuristic_lemma`` (irregular
+    table + suffix rules incl. doubling/e-restore undo), generated from
+    the same ``_IRREGULAR_LEMMAS`` dict.  Assumes ``col`` is already
+    lowercase (tokenize output)."""
+    irr = " ".join(
+        f"WHEN {col} = '{k}' THEN '{v}'" for k, v in _IRREGULAR_LEMMAS.items()
+    )
+    vowels = "('a','e','i','o','u')"
+
+    def stem_rules(stem: str) -> str:
+        last = f"substr({stem}, len({stem}), 1)"
+        last2 = f"substr({stem}, len({stem})-1, 1)"
+        last3 = f"substr({stem}, len({stem})-2, 1)"
+        return (
+            f"CASE WHEN len({stem}) > 2 AND {last} = {last2}"
+            f" AND {last} NOT IN ('l','s','z')"
+            f" THEN left({stem}, len({stem})-1)"
+            f" WHEN len({stem}) > 2 AND {last} NOT IN {vowels}"
+            f" AND {last2} IN {vowels} AND {last3} NOT IN {vowels}"
+            f" THEN {stem} || 'e'"
+            f" ELSE {stem} END"
+        )
+
+    ing = stem_rules(f"left({col}, len({col})-3)")
+    ed = stem_rules(f"left({col}, len({col})-2)")
+    return (
+        f"CASE {irr}"
+        f" WHEN len({col}) > 4 AND {col} LIKE '%ies'"
+        f" THEN left({col}, len({col})-3) || 'y'"
+        f" WHEN len({col}) > 4 AND (right({col}, 4) IN ('sses','ches','shes')"
+        f" OR right({col}, 3) IN ('xes','zes'))"
+        f" THEN left({col}, len({col})-2)"
+        f" WHEN len({col}) > 3 AND {col} LIKE '%s'"
+        f" AND right({col}, 2) <> 'ss' AND right({col}, 2) <> 'us'"
+        f" THEN left({col}, len({col})-1)"
+        f" WHEN len({col}) > 5 AND {col} LIKE '%ing' THEN {ing}"
+        f" WHEN len({col}) > 4 AND {col} LIKE '%ed' THEN {ed}"
+        f" ELSE {col} END"
+    )
+
+
 def word_features(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "document_version_id",
     min_lemma_len: int = 4,
     whitelist: tuple[str, ...] = POS_WHITELIST,
+    backend: str | None = None,
 ) -> DataFrame:
     """Per-word NLP feature rows: (doc, word, lemma, pos_tag,
     word_position), POS-whitelisted with lemma length ≥ min_lemma_len —
     the DocumentWordSpecAnalyser.scala:166-220 extraction (one output
     row per kept word, positions 1-based over the full token stream).
+    ``backend`` pins the tagger ('heuristic' gives the oracle-
+    reproducible rule path); None resolves from the environment.
     """
     from puma_matcher_spark.functions.text import tokenize
 
+    lemma_udf = make_tag_udf(_lemma_batch, backend)
+    pos_udf = make_tag_udf(_pos_batch, backend)
     toks = docs.select(
         F.col(id_col).alias("document_version_id"),
         tokenize(F.col(text_col)).alias("_words"),
@@ -232,8 +315,8 @@ def word_features(
         F.posexplode(
             F.arrays_zip(
                 F.col("_words").alias("word"),
-                lemmas(F.col("_words")).alias("lemma"),
-                pos_tags(F.col("_words")).alias("pos_tag"),
+                lemma_udf(F.col("_words")).alias("lemma"),
+                pos_udf(F.col("_words")).alias("pos_tag"),
             )
         ).alias("pos", "z"),
     )

@@ -2529,16 +2529,47 @@ def q_word_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("word_features", None)  # Python tagger kernels → rows-only
+def _word_features_oracle() -> str:
+    """Oracle for word_features pinned to the heuristic backend: the SQL
+    CASE twins are *generated from the same rule tables* as the Python
+    kernels (functions/nlp.py heuristic_pos_sql / heuristic_lemma_sql),
+    so tagger and oracle cannot drift apart."""
+    from puma_matcher_spark.functions.nlp import (
+        POS_WHITELIST,
+        heuristic_lemma_sql,
+        heuristic_pos_sql,
+    )
+
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS)
+    wl = ", ".join(f"'{t}'" for t in POS_WHITELIST)
+    return f"""WITH toksl AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         x -> len(x) >= 3 AND x NOT IN ({sw})) AS tk
+  FROM documents),
+toks AS (
+  SELECT doc_id, unnest(tk) AS word, unnest(range(len(tk))) AS pos FROM toksl),
+tagged AS (
+  SELECT doc_id AS document_version_id, word,
+         {heuristic_lemma_sql('word')} AS lemma,
+         {heuristic_pos_sql('word')} AS pos_tag,
+         CAST(pos + 1 AS BIGINT) AS word_position
+  FROM toks)
+SELECT document_version_id, word, lemma, pos_tag, word_position
+FROM tagged WHERE pos_tag IN ({wl}) AND len(lemma) >= 4"""
+
+
+@register("word_features", _word_features_oracle())
 def q_word_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M7 — per-word (word, lemma, pos_tag, position) features with the
     POS whitelist + lemma-length filter
-    (DocumentWordSpecAnalyser.scala:166-220); heuristic tagger/lemma
-    kernels are accuracy-gated stand-ins (tests/test_nlp.py)."""
+    (DocumentWordSpecAnalyser.scala:166-220).  Pinned to the heuristic
+    backend so the generated SQL rule twins give it a hard oracle (the
+    spaCy backend remains available via word_features(backend=...) and
+    stays accuracy-gated rather than oracle-checked)."""
     from puma_matcher_spark.functions.nlp import word_features
 
     docs = load_tables(spark, sf_dir).llm_documents()
-    return word_features(docs, text_col="text", id_col="doc_id")
+    return word_features(docs, text_col="text", id_col="doc_id", backend="heuristic")
 
 
 @register(
