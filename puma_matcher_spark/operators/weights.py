@@ -98,16 +98,20 @@ def best_weights(
     score_types: list[str],
     step: float = 0.1,
     refine_rounds: int = 0,
+    error_trace: list | None = None,
 ) -> DataFrame:
     """Coarse grid search (+ optional halving-step refinement around the
     winner) → (score_type, weight) rows, the reference's score_weight
-    output (WeightTrainerStage.scala:158-166)."""
+    output (WeightTrainerStage.scala:158-166).  Pass a list as
+    ``error_trace`` to receive the best error after the coarse pass and
+    after each refinement round (convergence property checks)."""
     ctx = contextual_scores(candidates)
     grid = weight_grid(spark, score_types, step)
     scores = evaluate_weights(ctx, grid, training_pairs)
-    best_id = scores.orderBy(F.col("error").asc(), F.col("weight_id").asc()).first()[
-        "weight_id"
-    ]
+    first = scores.orderBy(F.col("error").asc(), F.col("weight_id").asc()).first()
+    best_id = first["weight_id"]
+    if error_trace is not None:
+        error_trace.append(first["error"])
     best = grid.where(F.col("weight_id") == best_id)
     for _ in range(refine_rounds):
         step = step / 2
@@ -127,8 +131,11 @@ def best_weights(
             wid += 1
         grid = spark.createDataFrame(rows, ["weight_id", "score_type", "weight"])
         scores = evaluate_weights(ctx, grid, training_pairs)
-        best_id = scores.orderBy(
+        first = scores.orderBy(
             F.col("error").asc(), F.col("weight_id").asc()
-        ).first()["weight_id"]
+        ).first()
+        best_id = first["weight_id"]
+        if error_trace is not None:
+            error_trace.append(first["error"])
         best = grid.where(F.col("weight_id") == best_id)
     return best.select("score_type", "weight")

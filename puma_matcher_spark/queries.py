@@ -1424,6 +1424,51 @@ def q_weight_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("score_type", pround("weight", 6).alias("weight"))
 
 
+@register(
+    "weight_refined_convergence",
+    """SELECT CAST(2 AS BIGINT) AS n_score_types,
+       true AS converged, true AS weights_normalised""",
+)
+def q_weight_refined_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Property check for the iterative coarse→fine optimiser
+    (`weight_refined` itself is rows-only — a driver loop no other
+    engine replays): each refinement round's best error must be
+    monotonically ≤ the previous round's, and the winning weight vector
+    must stay on the simplex (sums to 1)."""
+    from puma_matcher_spark.operators.weights import best_weights
+
+    cand = _all_candidates(load_tables(spark, sf_dir))
+    train = (
+        cand.where(
+            (F.col("document_version1_id") + F.col("document_version2_id")) % 7
+            == 0
+        )
+        .select(
+            F.col("document_version1_id").alias("proposal_id"),
+            F.col("document_version2_id").alias("publication_id"),
+            F.lit(True).alias("accepted"),
+        )
+        .distinct()
+    )
+    trace: list = []
+    out = best_weights(
+        spark,
+        cand,
+        train,
+        ["person", "laboratory"],
+        step=0.25,
+        refine_rounds=2,
+        error_trace=trace,
+    )
+    weights = [r["weight"] for r in out.collect()]
+    monotone = all(b <= a for a, b in zip(trace, trace[1:]))
+    return spark.range(1).select(
+        F.lit(len(weights)).cast("long").alias("n_score_types"),
+        F.lit(bool(monotone and len(trace) == 3)).alias("converged"),
+        F.lit(bool(abs(sum(weights) - 1.0) < 1e-9)).alias("weights_normalised"),
+    )
+
+
 # ---------------- near-dup / similarity plane ----------------
 
 _LLM_TOKS = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
@@ -2482,6 +2527,35 @@ def q_normalised_scores_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "normalised_approx_bounds",
+    f"""WITH {V_ENTITIES}, {_tf_chain('p_', 'entities')}
+SELECT CAST(COUNT(*) AS BIGINT) AS n_scores,
+       true AS within_bounds, true AS factor_positive
+FROM p_cand""",
+)
+def q_normalised_approx_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Property check for the approx-percentile scale path: the t-digest
+    p99 factor must land between the exact p98.5 and p99.5 order
+    statistics (percentile_approx's rank error at default accuracy is
+    ~1e-4, far inside these bounds), thresholded to booleans so the
+    oracle stays engine-independent while an approximation regression
+    hash-mismatches.  n_scores is counted independently by the oracle
+    from the candidate chain."""
+    from puma_matcher_spark.operators.normaliser import normalisation_factor
+
+    cand = _entity_candidates(load_tables(spark, sf_dir), "person")
+    approx = normalisation_factor(cand, percentile=0.99, exact=False)
+    lo = normalisation_factor(cand, percentile=0.985, exact=True)
+    hi = normalisation_factor(cand, percentile=0.995, exact=True)
+    n = cand.count()
+    return spark.range(1).select(
+        F.lit(n).cast("long").alias("n_scores"),
+        F.lit(bool(lo <= approx <= hi)).alias("within_bounds"),
+        F.lit(bool(approx > 0)).alias("factor_positive"),
+    )
+
+
+@register(
     "word_spec",
     f"""WITH corpus AS (
   SELECT doc_id AS document_version_id,
@@ -2762,6 +2836,7 @@ _PRIORITY: list[str] = [
     "corpus_split",
     "llm_curation",
     "normalised_scores_approx",
+    "normalised_approx_bounds",
     "word_spec",
     "word_features",
     "doc_quality",
@@ -2786,6 +2861,7 @@ _PRIORITY: list[str] = [
     "pic_clusters",
     "embedding_ivf_topk",
     "weight_refined",
+    "weight_refined_convergence",
     "text_features_stemmed",
     "media_features",
 ]
