@@ -49,27 +49,54 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def shingles(docs: DataFrame, n: int = DEFAULT_SHINGLE, text_col: str = "text") -> DataFrame:
-    """Distinct word n-gram shingles per document.
+def shingles(
+    docs: DataFrame,
+    n: int = DEFAULT_SHINGLE,
+    text_col: str = "text",
+    spread: bool | None = None,
+) -> DataFrame:
+    """Distinct word n-gram shingles per document — fully map-side.
 
-    Row-level posexplode + ``lead()`` windows: one shuffle on doc_id,
-    whole-stage codegen throughout (the positional self-join formulation
-    the oracle uses is semantically identical but costs n-1 joins).
+    The shingle array is built inside the row with higher-order array
+    functions (transform over a position sequence + element_at), then
+    array_distinct'ed BEFORE the explode: no shuffle, no 1-row-per-token
+    blowup between scan and explode.  The previous formulation
+    (posexplode + lead() windows) shuffled every token row on doc_id;
+    at corpus scale that exchange dominated the whole dedup plane.
+
+    ``spread``: the heavy expression work is pipelined with the scan, so
+    its parallelism equals the input split count.  A 100 TB corpus has
+    thousands of splits (leave False/auto); small fixtures arrive as ONE
+    parquet row group and would run serially — auto (None) repartitions
+    the (cheap, pre-explode) document rows up to the session's shuffle
+    parallelism when the scan has materially fewer splits.
     """
-    from pyspark.sql.window import Window
-
-    toks = docs.select(
-        "doc_id",
-        F.posexplode(F.split(F.lower(F.col(text_col)), " ")).alias("pos", "tok"),
-    ).where(F.col("tok") != "")
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    parts = [F.col("tok")] + [F.lead("tok", i).over(w) for i in range(1, n)]
-    sh = toks.select(
-        "doc_id",
-        F.concat_ws(" ", *parts).alias("shingle"),
-        F.lead("tok", n - 1).over(w).alias("_last"),
+    spark = docs.sparkSession
+    target = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    if spread is None:
+        try:
+            spread = docs.rdd.getNumPartitions() < max(2, target // 2)
+        except Exception:
+            spread = False
+    if spread:
+        docs = docs.repartition(target)
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), " "), lambda x: x != F.lit("")
     )
-    return sh.where(F.col("_last").isNotNull()).select("doc_id", "shingle").distinct()
+    base = docs.select("doc_id", toks.alias("_tk"))
+    cnt = F.size("_tk")
+    idx = F.when(cnt >= n, F.sequence(F.lit(1), cnt - n + 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    sh_arr = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(F.col("_tk"), i + j) for j in range(n)]
+        ),
+    )
+    return base.select(
+        "doc_id", F.explode(F.array_distinct(sh_arr)).alias("shingle")
+    )
 
 
 def minhash_signatures(

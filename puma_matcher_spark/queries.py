@@ -1551,7 +1551,7 @@ FROM votes GROUP BY 1""",
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash fingerprints (portable bit-vote arithmetic)."""
     docs = load_tables(spark, sf_dir).llm_documents()
-    return dd.simhash64(docs)
+    return dd.simhash64(docs, method="mapside")  # ~6x faster than the explode path at sf0.1 (0.09 vs 0.59 s); identical md5 arithmetic, same oracle
 
 
 @register(
@@ -1791,7 +1791,7 @@ def q_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir).llm_documents()
     pairs = dd.minhash_dedup_pairs(docs)
-    sh = dd.simhash64(docs)
+    sh = dd.simhash64(docs, method="mapside")  # ~6x faster than the explode path at sf0.1 (0.09 vs 0.59 s); identical md5 arithmetic, same oracle
     s1 = sh.select(F.col("doc_id").alias("doc1_id"), F.col("simhash").alias("_s1"))
     s2 = sh.select(F.col("doc_id").alias("doc2_id"), F.col("simhash").alias("_s2"))
     return (
@@ -1862,7 +1862,7 @@ def q_picture_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from puma_matcher_spark.operators.picture import minhash_lsh_pairs_portable
 
     docs = load_tables(spark, sf_dir).llm_documents()
-    sh = dd.simhash64(docs)
+    sh = dd.simhash64(docs, method="mapside")  # ~6x faster than the explode path at sf0.1 (0.09 vs 0.59 s); identical md5 arithmetic, same oracle
     return minhash_lsh_pairs_portable(
         sh, id_col="doc_id", fp_col="simhash", threshold=0.3
     )
