@@ -142,6 +142,26 @@ def _cvc(word: str) -> bool:
     )
 
 
+# rule tables shared by porter_stem AND the generated SQL twin
+# (porter_sql_ctes) — single source of truth, drift-proof
+STEP2_RULES = (
+    ("ational", "ate"), ("tional", "tion"), ("enci", "ence"),
+    ("anci", "ance"), ("izer", "ize"), ("abli", "able"), ("alli", "al"),
+    ("entli", "ent"), ("eli", "e"), ("ousli", "ous"), ("ization", "ize"),
+    ("ation", "ate"), ("ator", "ate"), ("alism", "al"), ("iveness", "ive"),
+    ("fulness", "ful"), ("ousness", "ous"), ("aliti", "al"),
+    ("iviti", "ive"), ("biliti", "ble"),
+)
+STEP3_RULES = (
+    ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+    ("ical", "ic"), ("ful", ""), ("ness", ""),
+)
+STEP4_SUFFIXES = (
+    "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
+    "ment", "ent", "ou", "ism", "ate", "iti", "ous", "ive", "ize",
+)
+
+
 def porter_stem(word: str) -> str:
     """Classic Porter steps 1a-5b."""
     if len(word) <= 2:
@@ -178,34 +198,21 @@ def porter_stem(word: str) -> str:
         w = w[:-1] + "i"
 
     # step 2
-    for suf, rep in (
-        ("ational", "ate"), ("tional", "tion"), ("enci", "ence"),
-        ("anci", "ance"), ("izer", "ize"), ("abli", "able"), ("alli", "al"),
-        ("entli", "ent"), ("eli", "e"), ("ousli", "ous"), ("ization", "ize"),
-        ("ation", "ate"), ("ator", "ate"), ("alism", "al"), ("iveness", "ive"),
-        ("fulness", "ful"), ("ousness", "ous"), ("aliti", "al"),
-        ("iviti", "ive"), ("biliti", "ble"),
-    ):
+    for suf, rep in STEP2_RULES:
         if w.endswith(suf):
             if _measure(w[: -len(suf)]) > 0:
                 w = w[: -len(suf)] + rep
             break
 
     # step 3
-    for suf, rep in (
-        ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
-        ("ical", "ic"), ("ful", ""), ("ness", ""),
-    ):
+    for suf, rep in STEP3_RULES:
         if w.endswith(suf):
             if _measure(w[: -len(suf)]) > 0:
                 w = w[: -len(suf)] + rep
             break
 
     # step 4
-    for suf in (
-        "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
-        "ment", "ent", "ou", "ism", "ate", "iti", "ous", "ive", "ize",
-    ):
+    for suf in STEP4_SUFFIXES:
         if w.endswith(suf):
             if _measure(w[: -len(suf)]) > 1:
                 w = w[: -len(suf)]
@@ -224,6 +231,162 @@ def porter_stem(word: str) -> str:
     if _measure(w) > 1 and _ends_double_cons(w) and w.endswith("l"):
         w = w[:-1]
     return w
+
+
+# ---------------------------------------------------------------------------
+# Porter stemmer → DuckDB SQL twin (generated from the SAME rule tables)
+# ---------------------------------------------------------------------------
+
+
+def _cv_sql(col: str) -> str:
+    """Consonant/vowel canonicalisation: vowels → 'a'; then 'y' preceded
+    by a consonant becomes a vowel.  RE2 has no lookbehind, but the
+    sequential non-overlapping scan of ``([^a])y → \\1a`` implements
+    exactly the alternating y-classification Porter defines (each match
+    consumes its predecessor, so a 'y' following a just-vowelised 'y'
+    correctly stays a consonant).  cv of any prefix == prefix of cv,
+    which the per-step expressions below rely on."""
+    return (
+        f"regexp_replace(regexp_replace({col}, '[aeiou]', 'a', 'g'),"
+        f" '([^a])y', '\\1a', 'g')"
+    )
+
+
+def porter_sql_ctes(src: str, word_col: str = "word") -> tuple[str, str]:
+    """CTE chain stemming ``word_col`` of CTE/table ``src`` — returns
+    (sql_text, final_cte_name); the final CTE carries ``src``'s columns
+    plus ``stem``.  Generated from STEP2_RULES/STEP3_RULES/STEP4_SUFFIXES
+    so the SQL cannot drift from ``porter_stem``."""
+
+    def m(cv: str, k) -> str:  # measure of the stem obtained dropping k chars
+        return (
+            f"len(regexp_extract_all(left({cv}, len({cv})-{k}), 'a+[^a]+'))"
+        )
+
+    def hasv(cv: str, k) -> str:
+        return f"contains(left({cv}, len({cv})-{k}), 'a')"
+
+    def dbl(w: str, cv: str, k) -> str:  # stem ends in doubled consonant
+        last = f"(len({w})-{k})"
+        return (
+            f"({last} >= 2 AND substr({w}, {last}-1, 1) = substr({w}, {last}, 1)"
+            f" AND substr({cv}, {last}, 1) <> 'a')"
+        )
+
+    def cvc(w: str, cv: str, k) -> str:  # stem ends consonant-vowel-consonant
+        last = f"(len({w})-{k})"
+        return (
+            f"({last} >= 3 AND substr({cv}, {last}-2, 1) <> 'a'"
+            f" AND substr({cv}, {last}-1, 1) = 'a'"
+            f" AND substr({cv}, {last}, 1) <> 'a'"
+            f" AND substr({w}, {last}, 1) NOT IN ('w','x','y'))"
+        )
+
+    def cut(w: str, k) -> str:
+        return f"left({w}, len({w})-{k})"
+
+    w, cv = word_col, None
+    ctes: list[str] = []
+
+    def emit(name: str, expr: str) -> str:
+        ctes.append(f"{name} AS (SELECT *, {expr} AS _{name} FROM {src_ref[0]})")
+        src_ref[0] = name
+        return f"_{name}"
+
+    src_ref = [src]
+
+    # step 1a
+    w = emit(
+        "p1a",
+        f"CASE WHEN right({w}, 4) = 'sses' THEN {cut(w, 2)}"
+        f" WHEN right({w}, 3) = 'ies' THEN {cut(w, 2)}"
+        f" WHEN right({w}, 2) = 'ss' THEN {w}"
+        f" WHEN right({w}, 1) = 's' THEN {cut(w, 1)}"
+        f" ELSE {w} END",
+    )
+    cv = emit("c1a", _cv_sql(w))
+
+    # step 1b (with the at/bl/iz + doubling + cvc post-adjustments)
+    def post(k: int) -> str:
+        stem = cut(w, k)
+        return (
+            f"CASE WHEN right({stem}, 2) IN ('at','bl','iz') THEN {stem} || 'e'"
+            f" WHEN {dbl(w, cv, k)} AND right({stem}, 1) NOT IN ('l','s','z')"
+            f" THEN {cut(w, k + 1)}"
+            f" WHEN {m(cv, k)} = 1 AND {cvc(w, cv, k)} THEN {stem} || 'e'"
+            f" ELSE {stem} END"
+        )
+
+    w = emit(
+        "p1b",
+        f"CASE WHEN right({w}, 3) = 'eed' THEN"
+        f" (CASE WHEN {m(cv, 3)} > 0 THEN {cut(w, 1)} ELSE {w} END)"
+        f" WHEN right({w}, 2) = 'ed' AND {hasv(cv, 2)} THEN {post(2)}"
+        f" WHEN right({w}, 3) = 'ing' AND {hasv(cv, 3)} THEN {post(3)}"
+        f" ELSE {w} END",
+    )
+    cv = emit("c1b", _cv_sql(w))
+
+    # step 1c
+    w = emit(
+        "p1c",
+        f"CASE WHEN right({w}, 1) = 'y' AND {hasv(cv, 1)}"
+        f" THEN {cut(w, 1)} || 'i' ELSE {w} END",
+    )
+    cv = emit("c1c", _cv_sql(w))
+
+    # steps 2 and 3 (first matching suffix wins; replace only when m > 0)
+    def rule_case(rules, min_m: int) -> str:
+        whens = []
+        for suf, rep in rules:
+            k = len(suf)
+            out = f"{cut(w, k)} || '{rep}'" if rep else cut(w, k)
+            whens.append(
+                f"WHEN right({w}, {k}) = '{suf}' THEN"
+                f" (CASE WHEN {m(cv, k)} > {min_m} THEN {out} ELSE {w} END)"
+            )
+        return "CASE " + " ".join(whens) + f" ELSE {w} END"
+
+    w = emit("p2", rule_case(STEP2_RULES, 0))
+    cv = emit("c2", _cv_sql(w))
+    w = emit("p3", rule_case(STEP3_RULES, 0))
+    cv = emit("c3", _cv_sql(w))
+
+    # step 4 (m > 1 deletions, with the trailing s/t + 'ion' special case)
+    whens = []
+    for suf in STEP4_SUFFIXES:
+        k = len(suf)
+        whens.append(
+            f"WHEN right({w}, {k}) = '{suf}' THEN"
+            f" (CASE WHEN {m(cv, k)} > 1 THEN {cut(w, k)} ELSE {w} END)"
+        )
+    whens.append(
+        f"WHEN right({w}, 3) = 'ion' AND len({w}) > 3"
+        f" AND substr({w}, len({w})-3, 1) IN ('s','t') THEN"
+        f" (CASE WHEN {m(cv, 3)} > 1 THEN {cut(w, 3)} ELSE {w} END)"
+    )
+    w = emit("p4", "CASE " + " ".join(whens) + f" ELSE {w} END")
+    cv = emit("c4", _cv_sql(w))
+
+    # step 5a
+    w = emit(
+        "p5a",
+        f"CASE WHEN right({w}, 1) = 'e' AND ({m(cv, 1)} > 1 OR"
+        f" ({m(cv, 1)} = 1 AND NOT {cvc(w, cv, 1)}))"
+        f" THEN {cut(w, 1)} ELSE {w} END",
+    )
+    cv = emit("c5a", _cv_sql(w))
+
+    # step 5b + the ≤2-char passthrough guard
+    w = emit(
+        "p5b",
+        f"CASE WHEN len({word_col}) <= 2 THEN {word_col}"
+        f" WHEN {m(cv, 0)} > 1 AND {dbl(w, cv, 0)} AND right({w}, 1) = 'l'"
+        f" THEN {cut(w, 1)} ELSE {w} END",
+    )
+    final = f"stemmed AS (SELECT *, {w} AS stem FROM {src_ref[0]})"
+    ctes.append(final)
+    return ",\n".join(ctes), "stemmed"
 
 
 @F.pandas_udf(ArrayType(StringType()))

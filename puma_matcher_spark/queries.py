@@ -1703,14 +1703,41 @@ def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("text_features_stemmed", None)  # Porter stemming → rows-only
+def _text_features_oracle() -> str:
+    """Oracle for the Porter-stemmed feature chain: porter_sql_ctes
+    generates the full 1a-5b algorithm as DuckDB CTEs from the SAME rule
+    tables the Python kernel uses (measure/cvc/double-consonant checks
+    via a consonant-vowel canonicalisation whose prefix property lets
+    every per-stem condition reuse one regex pass per step).  Stemming
+    runs over the distinct vocabulary, then joins back to positions."""
+    from puma_matcher_spark.functions.text import porter_sql_ctes
+
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS)
+    ctes, final = porter_sql_ctes("dw")
+    return f"""WITH toksl AS (
+  SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+         x -> len(x) >= 3 AND x NOT IN ({sw})) AS tk
+  FROM documents),
+tok AS (SELECT doc_id, unnest(tk) AS word, unnest(range(len(tk))) AS pos FROM toksl),
+dw AS (SELECT DISTINCT word FROM tok),
+{ctes},
+j AS (SELECT t.doc_id, t.pos, t.word, s.stem FROM tok t JOIN {final} s USING (word))
+SELECT doc_id,
+       string_agg(word, ' ' ORDER BY pos) AS words,
+       string_agg(stem, ' ' ORDER BY pos) AS feature,
+       string_agg(CAST(pos AS VARCHAR), ' ' ORDER BY pos) AS position
+FROM j GROUP BY doc_id"""
+
+
+@register("text_features_stemmed", _text_features_oracle())
 def q_text_features_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3 — TextDataSource feature chain incl. Porter stemming (pandas
-    UDF kernel; stemmer unit-tested against published examples).
+    UDF kernel; stemmer unit-tested against published examples AND
+    hash-checked against a generated SQL twin of the full algorithm —
+    see _text_features_oracle).
 
-    Array columns are string-joined for the rows-only gate: the driver
-    canonicalizer sorts output in pandas and cannot hash raw list cells
-    (repo parity rule — see spark-duckdb parity notes)."""
+    Array columns are string-joined so the driver canonicalizer can
+    hash them (it sorts output in pandas and cannot hash list cells)."""
     from puma_matcher_spark.functions.text import text_features
 
     docs = load_tables(spark, sf_dir).llm_documents()

@@ -38,6 +38,51 @@ def test_porter_stem_published_examples():
         assert porter_stem(word) == want, f"{word} -> {porter_stem(word)} != {want}"
 
 
+def test_porter_sql_twin_matches_python_kernel():
+    """The generated DuckDB CTE chain must agree with porter_stem on the
+    published examples AND on fuzzed words covering every rule family
+    (plurals, eed/ed/ing with doubling and e-restore, y-vowel chains,
+    step-2/3/4 suffixes, 5a/5b) — this equivalence is what upgrades
+    text_features_stemmed from rows-only to hash-checked."""
+    import random
+
+    import duckdb
+
+    from puma_matcher_spark.functions.text import porter_sql_ctes
+
+    rng = random.Random(42)
+    stems = [
+        "caress", "poni", "cat", "agree", "plaster", "motor", "conflat",
+        "hop", "tan", "fall", "hiss", "fizz", "fail", "file", "happ",
+        "rel", "condit", "valenc", "digit", "oper", "feudal", "triplic",
+        "electric", "hope", "good", "reviv", "allow", "infer", "syzyg",
+        "day", "cry", "controll", "roll", "yy", "a", "xx",
+    ]
+    sufs = [
+        "", "s", "es", "ses", "ies", "sses", "ed", "eed", "ing", "y",
+        "ational", "tional", "enci", "izer", "ousli", "ization", "ator",
+        "iveness", "biliti", "icate", "ative", "ful", "ness", "al",
+        "ance", "er", "ic", "able", "ant", "ement", "ent", "sion",
+        "tion", "ion", "ism", "ate", "iti", "ous", "ive", "ize", "e", "l",
+    ]
+    words = sorted(
+        {s + x for s in stems for x in sufs}
+        | {
+            "".join(rng.choice("abcdefilmnorstuyz") for _ in range(rng.randint(1, 12)))
+            for _ in range(3000)
+        }
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE w AS SELECT unnest($1::VARCHAR[]) AS word", [words]
+    )
+    ctes, final = porter_sql_ctes("w")
+    rows = con.execute(f"WITH {ctes} SELECT word, stem FROM {final}").fetchall()
+    assert len(rows) == len(words)
+    bad = [(w, porter_stem(w), s) for w, s in rows if porter_stem(w) != s]
+    assert not bad, f"{len(bad)} SQL/python stem mismatches, first: {bad[:5]}"
+
+
 def test_tokenize_filters(spark):
     df = spark.createDataFrame([("The QUICK-brown fox is on it xy",)], ["t"])
     got = df.select(tokenize(F.col("t")).alias("toks")).first()["toks"]
