@@ -54,6 +54,31 @@ def tokenize(
     )
 
 
+def tokenize_string_deletions(
+    text: Column,
+    min_length: int = DEFAULT_MIN_WORD_LENGTH,
+    stopwords: tuple[str, ...] | None = None,
+) -> Column:
+    """``tokenize`` with the filters applied at the STRING level: two
+    codegen regexp_replace passes delete stopword tokens and short
+    tokens before the split, so the array lambda is a trivial
+    non-empty check (no per-element regex — the cost that made
+    array-lambda tokenization ~10× slower).  Token boundaries are
+    explicit ``[a-z0-9]`` lookarounds, not ``\\b`` (underscore is a word
+    char to \\b but a delimiter to this tokenizer).  Output is
+    element-for-element identical to ``tokenize`` (asserted in tests).
+    Used by the map-side shingle path where the token array must be
+    materialised in-row.
+    """
+    sw = "|".join(stopwords or STOPWORDS)
+    t = F.lower(text)
+    t = F.regexp_replace(t, f"(?<![a-z0-9])(?:{sw})(?![a-z0-9])", " ")
+    t = F.regexp_replace(
+        t, "(?<![a-z0-9])[a-z0-9]{1," + str(min_length - 1) + "}(?![a-z0-9])", " "
+    )
+    return F.filter(F.split(t, "[^a-z0-9]+"), lambda x: x != F.lit(""))
+
+
 def exploded_tokens(
     docs,
     text_col: str = "text",

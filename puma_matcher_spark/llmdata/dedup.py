@@ -71,15 +71,14 @@ def shingles(
     the (cheap, pre-explode) document rows up to the session's shuffle
     parallelism when the scan has materially fewer splits.
     """
-    spark = docs.sparkSession
-    target = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    from puma_matcher_spark.operators.skew import spread_input
+
     if spread is None:
-        try:
-            spread = docs.rdd.getNumPartitions() < max(2, target // 2)
-        except Exception:
-            spread = False
-    if spread:
-        docs = docs.repartition(target)
+        docs = spread_input(docs)
+    elif spread:
+        docs = docs.repartition(
+            int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+        )
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), " "), lambda x: x != F.lit("")
     )

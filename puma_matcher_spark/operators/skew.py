@@ -23,6 +23,25 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def spread_input(df: DataFrame) -> DataFrame:
+    """Raise scan parallelism for heavy map-side expression work.
+
+    Map-side operators (shingling, fingerprinting) pipeline their heavy
+    expressions with the scan, so their parallelism equals the input
+    split count.  A 100 TB corpus has thousands of splits (this becomes
+    a no-op); small single-row-group fixtures would run serially — when
+    the scan has materially fewer splits than the session's shuffle
+    parallelism, round-robin repartition the (cheap, pre-explode) rows.
+    """
+    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    try:
+        if df.rdd.getNumPartitions() >= max(2, target // 2):
+            return df
+    except Exception:
+        return df
+    return df.repartition(target)
+
+
 def salted_join(
     skewed: DataFrame,
     other: DataFrame,

@@ -38,27 +38,44 @@ def sentence_shingles(
     text_col: str = "text",
     id_col: str = "document_version_id",
 ) -> DataFrame:
-    """Positional n-word shingles from the filtered token stream.
+    """Positional n-word shingles from the filtered token stream — fully
+    map-side.
 
-    Implemented over row-level exploded tokens + ``lead()`` windows (all
-    whole-stage codegen).  Array-lambda variants (transform+slice over the
-    tokenize expression) are interpreted and re-evaluate literal subtrees
-    per element — measured ~30× slower on the fixtures.
+    The token array is materialised in-row by the string-level tokenizer
+    (stopword/length deletion as two codegen regex passes — a per-element
+    regex in the array lambda was ~10× slower, which is why the earlier
+    formulation exploded tokens and used lead() windows, paying a
+    full per-token shuffle).  Shingles come from transform over a
+    position sequence + element_at: zero exchange between scan and the
+    posting-list aggregation.  ``spread_input`` restores parallelism on
+    single-split fixture scans.
     """
-    from pyspark.sql.window import Window
+    from puma_matcher_spark.functions.text import tokenize_string_deletions
+    from puma_matcher_spark.operators.skew import spread_input
 
-    from puma_matcher_spark.functions.text import exploded_tokens
-
-    toks = exploded_tokens(docs, text_col, id_col)
-    w = Window.partitionBy("document_version_id").orderBy("pos")
-    parts = [F.col("word")] + [F.lead("word", i).over(w) for i in range(1, n)]
-    with_next = toks.select(
-        "document_version_id",
-        F.col("pos").alias("position"),
-        F.concat_ws(" ", *parts).alias("sentence"),
-        F.lead("word", n - 1).over(w).alias("_last"),
+    base = spread_input(docs).select(
+        F.col(id_col).alias("document_version_id"),
+        tokenize_string_deletions(F.col(text_col)).alias("_tk"),
     )
-    return with_next.where(F.col("_last").isNotNull()).drop("_last")
+    cnt = F.size("_tk")
+    idx = F.when(cnt >= n, F.sequence(F.lit(1), cnt - n + 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    sh = F.transform(
+        idx,
+        lambda i: F.struct(
+            (i - 1).cast("int").alias("position"),  # matches row_number()'s int
+            F.concat_ws(
+                " ", *[F.element_at(F.col("_tk"), i + j) for j in range(n)]
+            ).alias("sentence"),
+        ),
+    )
+    ex = base.select("document_version_id", F.explode(sh).alias("_s"))
+    return ex.select(
+        "document_version_id",
+        F.col("_s.position").alias("position"),
+        F.col("_s.sentence").alias("sentence"),
+    )
 
 
 def text_match_pairs(

@@ -38,6 +38,31 @@ def test_porter_stem_published_examples():
         assert porter_stem(word) == want, f"{word} -> {porter_stem(word)} != {want}"
 
 
+def test_string_level_tokenizer_matches_tokenize(spark):
+    """The string-deletion tokenizer must be element-for-element equal to
+    tokenize on real fixture text plus underscore/punctuation edges."""
+    from puma_matcher_spark.functions.text import tokenize_string_deletions
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    edge = spark.createDataFrame(
+        [
+            (10_001, "The_quick the_brown fox-and-the dog; a an of IN by"),
+            (10_002, "x yy zzz the123 123the abc_the_def  double  spaces"),
+            (10_003, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    both = docs.unionByName(edge).select(
+        "doc_id",
+        tokenize(F.col("text")).alias("a"),
+        tokenize_string_deletions(F.col("text")).alias("b"),
+    )
+    diff = both.where(F.col("a") != F.col("b")).count()
+    assert diff == 0
+
+
 def test_porter_sql_twin_matches_python_kernel():
     """The generated DuckDB CTE chain must agree with porter_stem on the
     published examples AND on fuzzed words covering every rule family
