@@ -53,6 +53,8 @@ V_ENTITIES = """entities AS (
 V_ENTITIES2 = """entities2 AS (
   SELECT o_orderkey AS document_version_id, o_custkey AS entity_id FROM orders)"""
 
+_LLM_TOKS = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+
 
 def _tf_chain(p: str, src: str) -> str:
     """CTE chain: tf → df → frequency guard → pair self-join → TF-IDF score.
@@ -1236,6 +1238,93 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "date_doc_type_filter",
+    f"""WITH {V_DOCS}
+SELECT document_version_id, document_type, date
+FROM documents_dim
+WHERE NOT (document_type LIKE 'PUBLICATION%')
+   OR YEAR(date) BETWEEN 1994 AND 1996""",
+)
+def q_date_doc_type_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 — DateDocumentTypeFilter with the intended semantics (the
+    reference's filter/DateDocumentTypeFilter.scala:24-35 compares inside
+    year(), a latent bug rebuilt correctly)."""
+    docs = load_tables(spark, sf_dir).documents_dim()
+    return flt.date_document_type_filter(docs, 1994, 1996).select(
+        "document_version_id", "document_type", "date"
+    )
+
+
+@register(
+    "picture_size",
+    """SELECT doc_id AS document_version_id,
+       CAST(100 + doc_id % 200 AS INT) AS width,
+       CAST(120 + doc_id % 180 AS INT) AS height
+FROM documents
+WHERE 100 + doc_id % 200 >= 150 AND 120 + doc_id % 180 >= 150""",
+)
+def q_picture_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11 — picture size filter (PictureMatcher.scala:46) over a
+    deterministic synthetic dimension table (doc_id-derived sizes)."""
+    from puma_matcher_spark.operators.picture import picture_size_filter
+
+    docs = load_tables(spark, sf_dir).llm_documents()
+    pics = docs.select(
+        F.col("doc_id").alias("document_version_id"),
+        (F.lit(100) + F.col("doc_id") % 200).cast("int").alias("width"),
+        (F.lit(120) + F.col("doc_id") % 180).cast("int").alias("height"),
+    )
+    return picture_size_filter(pics, min_size=150)
+
+
+@register(
+    "instrument_features",
+    f"""WITH aliases(instrument_id, alias) AS (
+  VALUES (1, 'spark'), (2, 'hash'), (3, 'merge'), (3, 'join')),
+toksl AS (SELECT doc_id, {_LLM_TOKS} AS tk FROM documents),
+toks AS (SELECT doc_id, unnest(tk) AS word, unnest(range(len(tk))) AS pos FROM toksl),
+m AS (
+  SELECT t.doc_id AS document_version_id, a.instrument_id, t.word, t.pos
+  FROM toks t JOIN aliases a ON t.word = a.alias)
+SELECT document_version_id, instrument_id,
+       CAST(COUNT(*) AS BIGINT) AS mention_count,
+       CAST(COUNT(DISTINCT word) AS BIGINT) AS distinct_aliases,
+       CAST(MIN(pos) AS BIGINT) AS first_pos,
+       CAST(MAX(pos) AS BIGINT) AS last_pos,
+       CAST(MAX(pos) - MIN(pos) AS BIGINT) AS span
+FROM m GROUP BY 1, 2""",
+)
+def q_instrument_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 — the grouped feature table feeding the instrument classifier
+    (AdvancedInstrumentAnalyser.scala:711-756 batteries: counts,
+    distinct aliases, positional extremes/span per (doc, instrument))."""
+    from puma_matcher_spark.operators.instrument_ml import instrument_feature_table
+
+    docs = load_tables(spark, sf_dir).llm_documents()
+    toks = docs.select(
+        F.col("doc_id").alias("document_version_id"),
+        F.posexplode(ts.tokens(F.lower(F.col("text")))).alias("pos", "word"),
+    )
+    aliases = spark.createDataFrame(
+        [(1, "spark"), (2, "hash"), (3, "merge"), (3, "join")],
+        ["instrument_id", "alias"],
+    )
+    mentions = toks.join(
+        F.broadcast(aliases), toks["word"] == aliases["alias"]
+    ).select("document_version_id", "instrument_id", "word", "pos")
+    out = instrument_feature_table(mentions)
+    return out.select(
+        "document_version_id",
+        "instrument_id",
+        "mention_count",
+        F.col("distinct_aliases").cast("long").alias("distinct_aliases"),
+        F.col("first_pos").cast("long").alias("first_pos"),
+        F.col("last_pos").cast("long").alias("last_pos"),
+        F.col("span").cast("long").alias("span"),
+    )
+
+
+@register(
     "events_dedup",
     """WITH doubled AS (SELECT * FROM events UNION ALL SELECT * FROM events)
 SELECT event_id, CAST(COUNT(*) AS BIGINT) AS n_seen, MIN(ts) AS ts,
@@ -1470,8 +1559,6 @@ def q_weight_refined_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------- near-dup / similarity plane ----------------
-
-_LLM_TOKS = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
 
 _LLM_SHINGLES = f"""toksl AS (SELECT doc_id, {_LLM_TOKS} AS tk FROM documents),
 toks AS (
@@ -2883,6 +2970,10 @@ _PRIORITY: list[str] = [
     "sequence_packing",
     "source_sampling",
     "char_entropy",
+    # round-3 upgrades of unit-only operators to driver-checked queries
+    "date_doc_type_filter",
+    "picture_size",
+    "instrument_features",
     # round-2 rows-only entries worth a fresh row alongside their new
     # property twins
     "pic_clusters",
