@@ -1325,6 +1325,42 @@ def q_instrument_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "frequent_itemsets",
+    """WITH b AS (
+  SELECT user_id, list_distinct(list(event_type)) AS items FROM events GROUP BY 1),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM b),
+e1 AS (SELECT user_id, unnest(items) AS x FROM b),
+f1 AS (
+  SELECT x AS itemset, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM e1 GROUP BY 1 HAVING COUNT(*) >= 0.4 * (SELECT c FROM n)),
+p AS (
+  SELECT a.x AS x, bb.x AS y
+  FROM e1 a JOIN e1 bb ON a.user_id = bb.user_id AND a.x < bb.x),
+f2 AS (
+  SELECT x || ' ' || y AS itemset, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM p GROUP BY 1 HAVING COUNT(*) >= 0.4 * (SELECT c FROM n))
+SELECT itemset, freq FROM f1 UNION ALL SELECT itemset, freq FROM f2""",
+)
+def q_frequent_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M9 — FPGrowth frequent itemsets over per-user event-type baskets
+    (FPGrowthExample port).  Output restricted to itemsets of size ≤ 2,
+    which are exactly enumerable in SQL (singleton counts + within-basket
+    pair co-occurrence), giving the FP-tree mining a hard oracle; larger
+    itemsets remain covered by the unit test."""
+    from puma_matcher_spark.operators.instrument_ml import fpgrowth_itemsets
+
+    ev = load_tables(spark, sf_dir).events()
+    baskets = ev.groupBy("user_id").agg(
+        F.array_distinct(F.collect_list("event_type")).alias("items")
+    )
+    out = fpgrowth_itemsets(baskets, min_support=0.4)
+    return out.where(F.size("items") <= 2).select(
+        F.concat_ws(" ", F.sort_array("items")).alias("itemset"),
+        F.col("freq").cast("long").alias("freq"),
+    )
+
+
+@register(
     "events_dedup",
     """WITH doubled AS (SELECT * FROM events UNION ALL SELECT * FROM events)
 SELECT event_id, CAST(COUNT(*) AS BIGINT) AS n_seen, MIN(ts) AS ts,
@@ -2974,6 +3010,7 @@ _PRIORITY: list[str] = [
     "date_doc_type_filter",
     "picture_size",
     "instrument_features",
+    "frequent_itemsets",
     # round-2 rows-only entries worth a fresh row alongside their new
     # property twins
     "pic_clusters",
