@@ -192,6 +192,27 @@ def test_person_technique_probability_hand_computed(spark):
     assert model[(2, "B")] == (1, 1, 1.0)
 
 
+def test_mapside_operators_shuffle_budget(spark, sf_small):
+    """Scale-shape invariants for the round-3 operators: the map-side
+    shingle/fingerprint kernels must plan ZERO exchanges (their whole
+    point — the heavy work pipelines with the scan), packing exactly one
+    (the per-source running-total window), entropy at most two (the
+    (doc, char) aggregation + the per-doc window; the final per-doc
+    aggregate must reuse the window's partitioning).  num_shuffles
+    counts each Exchange node twice in formatted plans (tree + detail
+    line), hence the doubled budgets."""
+    from puma_matcher_spark.llmdata import dedup as dd
+    from puma_matcher_spark.llmdata.packing import sequence_packing
+    from puma_matcher_spark.llmdata.textstats import char_entropy
+    from puma_matcher_spark.sources.testdata import load_tables
+
+    docs = load_tables(spark, sf_small).llm_documents()
+    assert pi.num_shuffles(dd.shingles(docs, spread=False)) == 0
+    assert pi.num_shuffles(dd.simhash64(docs, method="mapside")) == 0
+    assert pi.num_shuffles(sequence_packing(docs)) <= 2
+    assert pi.num_shuffles(char_entropy(docs)) <= 4
+
+
 def test_plan_sweep_no_accidental_cartesians(spark, sf_small):
     """Every registered query must plan without a cartesian product,
     except those that are intentionally all-pairs at fixture scale."""
