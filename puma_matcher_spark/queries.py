@@ -1325,6 +1325,75 @@ def q_instrument_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rf_classifier_accuracy",
+    """SELECT CAST(3 AS BIGINT) AS n_labels,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       true AS accuracy_ok
+FROM orders WHERE o_orderkey % 10 = 0""",
+)
+def q_rf_classifier_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4/M5 property twin — the assembler + seeded RandomForest +
+    evaluator pipeline (AdvancedInstrumentAnalyser.scala:185-359) on a
+    deterministic, separable labelled set derived from orders: accuracy
+    on the held-out split must clear 0.9 (thresholded to a boolean —
+    tree ensembles are seeded, not engine-replayable).  Row and label
+    counts are computed independently by the oracle."""
+    from puma_matcher_spark.operators.instrument_ml import train_rf_classifier
+
+    o = load_tables(spark, sf_dir).raw("orders").where(F.col("o_orderkey") % 10 == 0)
+    labeled = o.select(
+        (F.col("o_orderkey") % 3).cast("double").alias("label"),
+        (
+            (F.col("o_orderkey") % 3) * 10 + (F.col("o_custkey") % 7) * 0.3
+        ).alias("f1"),
+        (
+            (F.col("o_orderkey") % 3) * -4 + (F.col("o_orderkey") % 5) * 0.2
+        ).alias("f2"),
+    )
+    n_rows = labeled.count()
+    n_labels = labeled.select("label").distinct().count()
+    _, acc = train_rf_classifier(labeled, ["f1", "f2"], num_trees=20, max_depth=5)
+    return spark.range(1).select(
+        F.lit(n_labels).cast("long").alias("n_labels"),
+        F.lit(n_rows).cast("long").alias("n_rows"),
+        F.lit(bool(acc >= 0.9)).alias("accuracy_ok"),
+    )
+
+
+@register(
+    "w2v_shape",
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(10 AS BIGINT) AS vec_dim, true AS vectors_nonzero
+FROM documents""",
+)
+def q_w2v_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 property twin — seeded Word2Vec over tokenized documents
+    (AdvancedInstrumentAnalyser.scala:170-182): every document gets an
+    embedding of the configured size with at least one non-degenerate
+    vector; the row count is oracle-independent."""
+    from pyspark.ml.functions import vector_to_array
+
+    from puma_matcher_spark.operators.instrument_ml import word2vec_embeddings
+
+    docs = load_tables(spark, sf_dir).llm_documents()
+    sent = docs.select("doc_id", ts.tokens(F.lower(F.col("text"))).alias("words"))
+    emb = word2vec_embeddings(sent, text_col="words", size=10)
+    arr = emb.select(
+        "doc_id", vector_to_array(F.col("w2v")).alias("v")
+    )
+    n_rows = arr.count()
+    dims = arr.select(F.size("v").alias("d")).distinct().collect()
+    nonzero = arr.where(
+        F.aggregate("v", F.lit(0.0), lambda a, x: a + F.abs(x)) > 0
+    ).count()
+    return spark.range(1).select(
+        F.lit(n_rows).cast("long").alias("n_rows"),
+        F.lit(dims[0]["d"] if len(dims) == 1 else -1).cast("long").alias("vec_dim"),
+        F.lit(bool(nonzero > 0)).alias("vectors_nonzero"),
+    )
+
+
+@register(
     "frequent_itemsets",
     """WITH b AS (
   SELECT user_id, list_distinct(list(event_type)) AS items FROM events GROUP BY 1),
@@ -3011,6 +3080,8 @@ _PRIORITY: list[str] = [
     "picture_size",
     "instrument_features",
     "frequent_itemsets",
+    "rf_classifier_accuracy",
+    "w2v_shape",
     # round-2 rows-only entries worth a fresh row alongside their new
     # property twins
     "pic_clusters",
