@@ -1959,6 +1959,46 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_media_features(media)
 
 
+@register(
+    "media_features_shape",
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(64 AS BIGINT) AS hash_len,
+       true AS all_hex, true AS deterministic
+FROM documents""",
+)
+def q_media_features_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 property twin — the mapInPandas extraction must emit exactly
+    one 64-hex-char blockhash per media row (the real published
+    blockhash algorithm over the deterministic stand-in decode), and two
+    independent runs must agree row-for-row; the row count is computed
+    independently by the oracle.  Only the codec itself stays un-gated
+    (no PIL in this environment)."""
+    from puma_matcher_spark.llmdata.multimodal import extract_media_features
+
+    docs = load_tables(spark, sf_dir).llm_documents()
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("application/octet-stream").alias("mime_type"),
+        F.col("text").alias("payload"),
+        F.lit(256).alias("width"),
+        F.lit(256).alias("height"),
+    )
+    a = extract_media_features(media).select("media_id", "perceptual_hash")
+    n_rows = a.count()
+    bad_hex = a.where(~F.col("perceptual_hash").rlike("^[0-9a-f]{64}$")).count()
+    lens = a.select(F.length("perceptual_hash").alias("l")).distinct().collect()
+    b = extract_media_features(media.repartition(7)).select(
+        "media_id", "perceptual_hash"
+    )
+    diff = a.exceptAll(b).count() + b.exceptAll(a).count()
+    return spark.range(1).select(
+        F.lit(n_rows).cast("long").alias("n_rows"),
+        F.lit(lens[0]["l"] if len(lens) == 1 else -1).cast("long").alias("hash_len"),
+        F.lit(bool(bad_hex == 0)).alias("all_hex"),
+        F.lit(bool(diff == 0)).alias("deterministic"),
+    )
+
+
 # ---------------- picture / hamming family ----------------
 
 
@@ -3090,6 +3130,7 @@ _PRIORITY: list[str] = [
     "weight_refined_convergence",
     "text_features_stemmed",
     "media_features",
+    "media_features_shape",
 ]
 
 
