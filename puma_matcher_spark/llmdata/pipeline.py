@@ -26,8 +26,12 @@ from puma_matcher_spark.llmdata import textstats as ts
 
 @dataclass
 class CurationResult:
-    clean: DataFrame                 # surviving documents
-    stage_counts: dict[str, int]     # audit trail: docs after each stage
+    clean: DataFrame
+    # audit trail: docs after each stage — ints when eager (default), or
+    # 1-row count DataFrames when lazy (fold with .scalar() into the
+    # output plan: the whole pipeline incl. audit runs as ONE job, no
+    # driver round-trips — the 100 TB path)
+    stage_counts: dict
 
 
 def curate_documents(
@@ -35,15 +39,21 @@ def curate_documents(
     min_tokens: int = 5,
     min_distinct_ratio: float = 0.05,
     jaccard_threshold: float = 0.8,
+    eager_counts: bool = True,
 ) -> CurationResult:
-    counts = {"input": docs.count()}
+    def stage_count(df: DataFrame):
+        if eager_counts:
+            return df.count()
+        return df.agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+    counts = {"input": stage_count(docs)}
 
     # 1. exact dedup — keep the min doc_id per content fingerprint
     keep_exact = dd.exact_duplicates(docs).select(
         F.col("keep_id").alias("doc_id")
     )
     docs1 = docs.join(keep_exact, "doc_id", "left_semi")
-    counts["after_exact_dedup"] = docs1.count()
+    counts["after_exact_dedup"] = stage_count(docs1)
 
     # 2. near-dup removal — MinHash-LSH candidates verified by exact
     #    Jaccard computed per candidate pair (never over the full
@@ -55,7 +65,7 @@ def curate_documents(
     )
     drops = verified.select(F.col("doc2_id").alias("doc_id")).distinct()
     docs2 = docs1.join(drops, "doc_id", "left_anti")
-    counts["after_near_dedup"] = docs2.count()
+    counts["after_near_dedup"] = stage_count(docs2)
 
     # 3. quality filter — token count + lexical diversity
     stats = ts.with_token_stats(docs2)
@@ -64,6 +74,6 @@ def curate_documents(
         & (F.col("distinct_ratio") >= min_distinct_ratio)
     ).select("doc_id")
     docs3 = docs2.join(good, "doc_id", "left_semi")
-    counts["after_quality"] = docs3.count()
+    counts["after_quality"] = stage_count(docs3)
 
     return CurationResult(clean=docs3, stage_counts=counts)

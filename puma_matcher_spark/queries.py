@@ -2757,15 +2757,17 @@ FROM d3""",
 def q_llm_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end corpus curation: exact dedup → LSH near-dup removal →
     quality filter (llmdata/pipeline.py); returns the clean corpus ids
-    with per-stage audit counts as literal columns.  The oracle replays
-    the full staged pipeline in SQL, audit counts as scalar subqueries."""
+    with per-stage audit counts.  Counts are folded in as scalar
+    subqueries (eager_counts=False) so the whole pipeline including the
+    audit trail runs as ONE job — no driver round-trips between stages,
+    mirroring how the oracle computes them."""
     from puma_matcher_spark.llmdata.pipeline import curate_documents
 
     docs = load_tables(spark, sf_dir).llm_documents()
-    result = curate_documents(docs)
+    result = curate_documents(docs, eager_counts=False)
     out = result.clean.select("doc_id")
-    for stage, n in result.stage_counts.items():
-        out = out.withColumn(f"n_{stage}", F.lit(n).cast("long"))
+    for stage, cdf in result.stage_counts.items():
+        out = out.withColumn(f"n_{stage}", cdf.scalar())
     return out
 
 
