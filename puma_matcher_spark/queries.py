@@ -1394,6 +1394,65 @@ def q_w2v_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_attribution",
+    """WITH c AS (
+  SELECT user_id, event_id AS click_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'),
+p AS (
+  SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+         value AS purchase_value
+  FROM events WHERE event_type = 'purchase')
+SELECT c.user_id, c.click_id, p.purchase_id, c.click_ts, p.purchase_ts,
+       ROUND(p.purchase_value, 4) AS purchase_value
+FROM c JOIN p ON c.user_id = p.user_id
+ AND p.purchase_ts >= c.click_ts
+ AND p.purchase_ts <= c.click_ts + INTERVAL 300 SECONDS""",
+)
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 — batch twin of the stream-stream interval join
+    (streaming/events.py attribution_join): purchases attributed to the
+    same user's click within a 5-minute horizon.  The streaming
+    execution with dual watermarks is exercised in
+    tests/test_streaming.py."""
+    from puma_matcher_spark.streaming.events import attribution_join
+
+    ev = load_tables(spark, sf_dir).events()
+    out = attribution_join(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "purchase"),
+        horizon_seconds=300,
+    )
+    return out.withColumn("purchase_value", pround("purchase_value", 4))
+
+
+@register(
+    "events_approx_users",
+    """SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       true AS approx_within_5pct
+FROM events GROUP BY 1""",
+)
+def q_events_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-distinct escape hatch (HLL++): per event_type, the
+    approx_count_distinct estimate must land within 5% of the exact
+    count (HLL sketches are engine-internal, so the estimate itself is
+    not oracle-replayable — the exact counts are)."""
+    ev = load_tables(spark, sf_dir).events()
+    both = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+    )
+    return both.select(
+        "event_type",
+        F.col("exact_users").cast("long").alias("exact_users"),
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("approx_within_5pct"),
+    )
+
+
+@register(
     "frequent_itemsets",
     """WITH b AS (
   SELECT user_id, list_distinct(list(event_type)) AS items FROM events GROUP BY 1),
@@ -3113,6 +3172,8 @@ _PRIORITY: list[str] = [
     "pic_cluster_quality",
     # round-3 streaming-dedup batch twin
     "events_dedup",
+    "events_attribution",
+    "events_approx_users",
     # round-3 new training-pipeline operators
     "sequence_packing",
     "source_sampling",

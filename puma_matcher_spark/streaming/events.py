@@ -125,6 +125,46 @@ def dedup_events_batch(events: DataFrame, key: str = "event_id") -> DataFrame:
     )
 
 
+def attribution_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon_seconds: int = 300,
+) -> DataFrame:
+    """Stream-stream interval join: purchases attributed to the same
+    user's click within the horizon.  On streaming inputs both sides
+    must carry watermarks (state is then bounded by the horizon +
+    watermark delay — the canonical two-stream join pattern); on batch
+    inputs the identical expression is a plain range join.
+    """
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return c.join(
+        p,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr(f"INTERVAL {horizon_seconds} SECONDS")
+        ),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        "purchase_value",
+    )
+
+
 def run_stream_to_memory(
     spark: SparkSession, sf_dir: str, table_name: str = "windowed_events"
 ):

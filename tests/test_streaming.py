@@ -103,6 +103,45 @@ def test_stream_dedup_drops_replayed_records(spark, sf_small):
     assert kept == twin
 
 
+def test_stream_stream_attribution_join_matches_batch(spark, sf_small):
+    """The dual-watermark stream-stream interval join must produce the
+    same attributed (click, purchase) pairs as the batch twin."""
+    from puma_matcher_spark.streaming.events import attribution_join, read_events_stream
+
+    clicks = read_events_stream(spark, sf_small).where(F.col("event_type") == "click")
+    purchases = read_events_stream(spark, sf_small).where(
+        F.col("event_type") == "purchase"
+    )
+    joined = attribution_join(
+        clicks.withWatermark("ts", "10 minutes"),
+        purchases.withWatermark("ts", "10 minutes"),
+        horizon_seconds=300,
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_attrib")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["click_id"], r["purchase_id"])
+        for r in spark.sql("select click_id, purchase_id from t_attrib").collect()
+    }
+    ev = load_tables(spark, sf_small).events()
+    batch = {
+        (r["click_id"], r["purchase_id"])
+        for r in attribution_join(
+            ev.where(F.col("event_type") == "click"),
+            ev.where(F.col("event_type") == "purchase"),
+            horizon_seconds=300,
+        ).collect()
+    }
+    assert streamed == batch
+    assert batch  # fixture must actually produce attributed pairs
+
+
 def test_stream_static_join_enrichment(spark, sf_small):
     from puma_matcher_spark.streaming.events import enrich_with_dim, read_events_stream
 
