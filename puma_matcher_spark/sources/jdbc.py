@@ -5,10 +5,11 @@ pushdown subquery ``(select ...) alias``; large tables use a partitioned
 read whose upper bound comes from a driver-side scalar query
 (DbManager.runIntQuery, utils/database/DbManager.scala:584-634).
 
-No database exists in the build environment, so these are thin, untested-
-against-live-DB wrappers over ``spark.read.jdbc`` preserving the
-reference's semantics; the parquet-backed Tables in sources.testdata is
-the fixture-facing twin.
+Exercised end-to-end against embedded Derby (shipped in Spark's jars) in
+tests/test_jdbc.py: overwrite/append sinks, the driver-side scalar
+query, and the partitioned scan with driver-computed bounds; the
+parquet-backed Tables in sources.testdata remains the fixture-facing
+twin for the correctness gate.
 """
 
 from __future__ import annotations
@@ -19,9 +20,16 @@ from pyspark.sql import DataFrame, SparkSession
 def scalar_int_query(
     spark: SparkSession, url: str, sql: str, properties: dict | None = None
 ) -> int:
-    """Driver-side scalar query (DbManager.runIntQuery rebuild)."""
+    """Driver-side scalar query (DbManager.runIntQuery rebuild).
+
+    Subquery alias is a plain letter identifier — leading-underscore
+    aliases are rejected by SQL-standard-strict engines (Derby).  The
+    scalar expression in ``sql`` must itself be aliased (``count(*) AS
+    c``): engines name unaliased aggregates arbitrarily (Derby: '1'),
+    and Spark re-selects by that name on fetch.
+    """
     row = (
-        spark.read.jdbc(url, f"({sql}) _scalar", properties=properties or {})
+        spark.read.jdbc(url, f"({sql}) sq", properties=properties or {})
         .collect()
     )
     return int(row[0][0]) if row else 0
@@ -44,7 +52,7 @@ def partitioned_jdbc_read(
         upper = scalar_int_query(
             spark,
             url,
-            f"select max({partition_column}) from ({subquery}) b",
+            f"select max({partition_column}) as mx from ({subquery}) b",
             props,
         )
         return spark.read.jdbc(
