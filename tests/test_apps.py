@@ -1,8 +1,40 @@
 """End-to-end FullMatcherApp-shape integration over the fixture corpus."""
 
+import tempfile
+
 from pyspark.sql import functions as F
 
 from puma_matcher_spark.apps import run_full_matcher
+
+
+def test_full_matcher_publishes_to_jdbc(spark, sf_small):
+    """The reference's actual deployment shape: the match pipeline's
+    MATCH_CANDIDATE output is published over JDBC and read back with the
+    partitioned scan — exercised against embedded Derby end-to-end."""
+    from puma_matcher_spark.sources.jdbc import partitioned_jdbc_read, write_jdbc
+
+    result = run_full_matcher(spark, sf_small, train_weights=False)
+    out = result.candidates.select(
+        F.col("pair_id").alias("PAIR_ID"),
+        F.col("score_type").alias("SCORE_TYPE"),
+        F.col("score").alias("SCORE"),
+    )
+    with tempfile.TemporaryDirectory() as root:
+        url = f"jdbc:derby:{root}/db;create=true"
+        props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+        write_jdbc(out, url, "match_candidate", mode="overwrite", properties=props)
+        back = partitioned_jdbc_read(
+            spark,
+            url,
+            "select pair_id, score_type, score from match_candidate",
+            partition_column="PAIR_ID",
+            num_partitions=8,
+            properties=props,
+        )
+        assert back.count() == out.count()
+        sent = out.agg(F.sum("SCORE")).first()[0]
+        got = back.agg(F.sum("SCORE")).first()[0]
+        assert abs(sent - got) < 1e-6
 
 
 def test_full_matcher_end_to_end(spark, sf_small):
