@@ -1325,6 +1325,86 @@ def q_instrument_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "near_dup_clusters",
+    """WITH RECURSIVE toksl AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+  FROM documents),
+toks AS (
+  SELECT doc_id, unnest(tk) AS tok, unnest(range(len(tk))) AS pos FROM toksl),
+sh AS (
+  SELECT DISTINCT t0.doc_id, t0.tok || ' ' || t1.tok || ' ' || t2.tok AS shingle
+  FROM toks t0
+  JOIN toks t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+  JOIN toks t2 ON t2.doc_id = t0.doc_id AND t2.pos = t0.pos + 2),
+seeded AS (SELECT doc_id, shingle, unnest(range(8)) AS seed FROM sh),
+mh AS (
+  SELECT doc_id, seed,
+         MIN(('0x' || substr(md5(shingle || '#' || CAST(seed AS VARCHAR)), 1, 15))::BIGINT) AS minhash
+  FROM seeded GROUP BY 1, 2),
+bk AS (
+  SELECT doc_id, CAST(seed // 2 AS INTEGER) AS band,
+         md5(string_agg(CAST(minhash AS VARCHAR), '-' ORDER BY seed)) AS band_key
+  FROM mh GROUP BY 1, 2),
+bkc AS (
+  SELECT doc_id, band, band_key
+  FROM (SELECT *, COUNT(*) OVER (PARTITION BY band, band_key) AS bn FROM bk)
+  WHERE bn <= 2000),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc1_id, b.doc_id AS doc2_id
+  FROM bkc a JOIN bkc b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+common AS (
+  SELECT c.doc1_id, c.doc2_id, COUNT(*) AS c
+  FROM cand c
+  JOIN sh a ON a.doc_id = c.doc1_id
+  JOIN sh b ON b.doc_id = c.doc2_id AND b.shingle = a.shingle
+  GROUP BY 1, 2),
+verified AS (
+  SELECT c.doc1_id, c.doc2_id
+  FROM common c
+  JOIN sizes s1 ON c.doc1_id = s1.doc_id
+  JOIN sizes s2 ON c.doc2_id = s2.doc_id
+  WHERE ROUND(c.c / CAST(s1.n + s2.n - c.c AS DOUBLE), 4) >= 0.5),
+e AS (SELECT doc1_id AS a, doc2_id AS b FROM verified
+      UNION SELECT doc2_id, doc1_id FROM verified),
+reach(id, r) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a),
+comp AS (SELECT id, MIN(r) AS canonical FROM reach GROUP BY id)
+SELECT d.doc_id,
+       CAST(COALESCE(c.canonical, d.doc_id) AS BIGINT) AS canonical_id,
+       COALESCE(c.canonical, d.doc_id) = d.doc_id AS is_canonical
+FROM documents d LEFT JOIN comp c ON d.doc_id = c.id""",
+)
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalable near-dup canonicalisation — the production composition of
+    the whole dedup plane: MinHash-LSH candidates → per-pair exact
+    Jaccard verification (≥0.5) → connected components over the verified
+    graph → canonical (min doc_id) per cluster; docs with no near-dup
+    map to themselves.  The oracle replays every stage including the
+    component fixpoint as a recursive-CTE transitive closure."""
+    from puma_matcher_spark.operators.dedup import connected_components
+
+    docs = load_tables(spark, sf_dir).llm_documents()
+    cand = dd.minhash_dedup_pairs(docs)
+    verified = dd.jaccard_for_pairs(docs, cand).where(F.col("jaccard") >= 0.5)
+    edges = verified.select(
+        F.col("doc1_id").alias("id1"), F.col("doc2_id").alias("id2")
+    )
+    comp = connected_components(edges).withColumnRenamed("id", "doc_id")
+    out = docs.select("doc_id").join(comp, "doc_id", "left")
+    return out.select(
+        "doc_id",
+        F.coalesce("component", F.col("doc_id")).cast("long").alias("canonical_id"),
+        (
+            F.coalesce("component", F.col("doc_id")) == F.col("doc_id")
+        ).alias("is_canonical"),
+    )
+
+
+@register(
     "rf_classifier_accuracy",
     """SELECT CAST(3 AS BIGINT) AS n_labels,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -3185,6 +3265,7 @@ _PRIORITY: list[str] = [
     "frequent_itemsets",
     "rf_classifier_accuracy",
     "w2v_shape",
+    "near_dup_clusters",
     # round-2 rows-only entries worth a fresh row alongside their new
     # property twins
     "pic_clusters",
