@@ -3266,14 +3266,12 @@ _PRIORITY: list[str] = [
     "rf_classifier_accuracy",
     "w2v_shape",
     "near_dup_clusters",
-    # round-2 rows-only entries worth a fresh row alongside their new
-    # property twins
-    "pic_clusters",
-    "embedding_ivf_topk",
-    "weight_refined",
+    # rows-only entries whose hard signal is their in-window property
+    # twin; the rows-only originals (pic_clusters, embedding_ivf_topk,
+    # weight_refined, media_features) already carry round-2 driver rows
+    # and cede their slots to the twins
     "weight_refined_convergence",
-    "text_features_stemmed",
-    "media_features",
+    "text_features_stemmed",  # changed: now oracle-checked (Porter SQL twin)
     "media_features_shape",
 ]
 
