@@ -42,12 +42,17 @@ def get_spark(
         .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1024")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.files.ignoreCorruptFiles", "true")
+        # NOTE: ignoreCorruptFiles stays at its default (false) on purpose.
+        # For a training-data engine, silently dropping unreadable inputs
+        # is data loss masquerading as success — at 100 TB a corrupt
+        # shard must fail the job loudly, not vanish from the corpus.
         .config("spark.sql.session.timeZone", "UTC")
         # events.parquet carries TIMESTAMP(NANOS); Spark has no nanos type —
         # read as long and convert (sources.testdata.Tables.events)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # single-JVM local mode: driver heap IS the executor heap; 16g on
+        # the 128 GiB box keeps GC out of the bench numbers
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
