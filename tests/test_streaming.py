@@ -67,6 +67,46 @@ def test_stateful_running_stats_matches_batch(spark, sf_small):
     assert len(batch) > 10
 
 
+def test_stream_sessionize_matches_batch(spark, sf_small):
+    """session_window on the real streaming engine (stateful session
+    merging in the state store) must agree with the batch twin once the
+    availableNow run drains."""
+    events = se.with_watermark(se.read_events_stream(spark, sf_small))
+    q = (
+        se.sessionize(events, gap="30 minutes")
+        .writeStream.format("memory")
+        .queryName("t_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    import datetime
+
+    streamed = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in spark.sql(
+            "select user_id, session_start, n_events from t_sessions"
+        ).collect()
+    }
+    ev = load_tables(spark, sf_small).events()
+    batch_rows = se.sessionize(ev, gap="30 minutes").collect()
+    batch = {(r["user_id"], r["session_start"], r["n_events"]) for r in batch_rows}
+    # append mode emits a session only once the watermark passes its end;
+    # after the drain the watermark sits at max(ts) - delay, so sessions
+    # ending inside that final horizon legitimately stay in state
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    horizon = max_ts - datetime.timedelta(minutes=10)
+    finalized = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in batch_rows
+        if r["session_end"] <= horizon
+    }
+    assert streamed <= batch  # nothing invented by the streaming path
+    assert finalized <= streamed  # everything finalizable was emitted
+    assert len(finalized) > 100
+
+
 def test_stream_dedup_drops_replayed_records(spark, sf_small):
     from puma_matcher_spark.streaming.events import read_events_stream, stream_dedup
 
