@@ -9,10 +9,11 @@ follow arithmetically.  Everything is one window function over
 the assignment is a pure function of the input (stable under
 repartitioning, unlike any accumulate-in-a-loop packer).
 
-Scale note: parallelism is bounded by the number of sources; at 100 TB
-shard each source into ``salt = pmod(hash(doc_id), k)`` sub-streams
-first (documented here, not needed at fixture scale — the window spec
-stays identical with ``partitionBy(source, salt)``).
+Scale note: parallelism is bounded by the number of pack streams.  With
+``n_salts > 1`` each source shards into deterministic sub-streams
+(``salt = doc_id mod n_salts``) that pack independently — any
+deterministic partition of documents into streams is a valid training
+layout, and the window then parallelises across sources × salts.
 """
 
 from __future__ import annotations
@@ -25,7 +26,10 @@ from puma_matcher_spark.llmdata.textstats import tokens
 
 
 def sequence_packing(
-    docs: DataFrame, ctx_len: int = 512, text_col: str = "text"
+    docs: DataFrame,
+    ctx_len: int = 512,
+    text_col: str = "text",
+    n_salts: int = 1,
 ) -> DataFrame:
     """Per-document packing assignment: (doc_id, source, n_tokens,
     pack_id, pack_offset, n_packs_spanned).
@@ -35,17 +39,27 @@ def sequence_packing(
     ``n_packs_spanned`` how many windows it crosses (documents longer
     than the remaining window space wrap — chunking semantics, no
     padding waste).
+
+    ``n_salts > 1`` is the 100 TB parallelism path: each source splits
+    into ``doc_id % n_salts`` sub-streams packed independently (pack_id
+    is then unique per (source, stream_salt)); the assignment stays a
+    pure function of the input.
     """
-    w = Window.partitionBy("source").orderBy("doc_id")
     n_tok = F.size(tokens(F.lower(F.col(text_col))))
-    out = docs.select(
-        "doc_id", "source", n_tok.cast("long").alias("n_tokens")
-    ).withColumn("_end", F.sum("n_tokens").over(w))
+    base = docs.select("doc_id", "source", n_tok.cast("long").alias("n_tokens"))
+    if n_salts > 1:
+        base = base.withColumn(
+            "stream_salt", F.pmod(F.col("doc_id"), F.lit(n_salts)).cast("int")
+        )
+        w = Window.partitionBy("source", "stream_salt").orderBy("doc_id")
+    else:
+        w = Window.partitionBy("source").orderBy("doc_id")
+    out = base.withColumn("_end", F.sum("n_tokens").over(w))
     start = F.col("_end") - F.col("n_tokens")
+    cols = ["doc_id", "source"] + (["stream_salt"] if n_salts > 1 else [])
     return out.select(
-        "doc_id",
-        "source",
-        "n_tokens",
+        *cols,
+        F.col("n_tokens"),
         F.floor(start / ctx_len).cast("long").alias("pack_id"),
         (start % ctx_len).cast("long").alias("pack_offset"),
         (

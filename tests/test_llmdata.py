@@ -222,6 +222,36 @@ def test_sequence_packing_layout(spark):
     assert (rows[4]["pack_id"], rows[4]["pack_offset"]) == (0, 0)
 
 
+def test_sequence_packing_salted_streams(spark):
+    """The salted scale path must still be a gapless layout per
+    (source, salt) stream, conserve every document and token, and stay a
+    pure function of the input (same doc → same stream every run)."""
+    from puma_matcher_spark.llmdata.packing import sequence_packing
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (3 + i % 5)), f"s{i % 2}") for i in range(40)],
+        ["doc_id", "text", "source"],
+    )
+    flat = sequence_packing(docs, ctx_len=16)
+    salted = sequence_packing(docs, ctx_len=16, n_salts=4)
+    rows = salted.collect()
+    assert len(rows) == 40
+    assert {r["stream_salt"] for r in rows} == {0, 1, 2, 3}
+    assert all(r["doc_id"] % 4 == r["stream_salt"] for r in rows)
+    # token totals are conserved across layouts
+    assert sum(r["n_tokens"] for r in rows) == sum(
+        r["n_tokens"] for r in flat.collect()
+    )
+    # per-stream layout is gapless: offsets chain by token count mod ctx
+    by_stream = {}
+    for r in sorted(rows, key=lambda r: (r["source"], r["stream_salt"], r["doc_id"])):
+        key = (r["source"], r["stream_salt"])
+        pos = by_stream.get(key, 0)
+        assert r["pack_id"] == pos // 16
+        assert r["pack_offset"] == pos % 16
+        by_stream[key] = pos + r["n_tokens"]
+
+
 def test_temperature_mix_invariants(spark):
     """alpha=0.5 upsamples small sources: mix weights sum to 1, rates are
     in (0, 1], the smallest source gets the largest rate, and the md5
