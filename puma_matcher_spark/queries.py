@@ -2752,8 +2752,18 @@ def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pii_audit",
     r"""SELECT doc_id,
        CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text, '[0-9](?:[ -]?[0-9]){12,18}')) AS BIGINT) AS n_card,
        CAST(len(regexp_extract_all(text, '\+?[0-9][0-9 ()-]{7,}[0-9]')) AS BIGINT) AS n_phone,
-       CAST(len(regexp_extract_all(text, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ip
+       CAST(len(regexp_extract_all(text, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ip,
+       CAST(len(list_filter(
+         list_transform(regexp_extract_all(text, '[0-9](?:[ -]?[0-9]){12,18}'),
+                        x -> regexp_replace(x, '[ -]', '', 'g')),
+         d -> list_sum(list_transform(string_split_regex(reverse(d), ''), (c, i) ->
+                CASE WHEN (i - 1) % 2 = 1
+                     THEN CASE WHEN CAST(c AS INT) * 2 > 9
+                               THEN CAST(c AS INT) * 2 - 9
+                               ELSE CAST(c AS INT) * 2 END
+                     ELSE CAST(c AS INT) END)) % 10 = 0)) AS BIGINT) AS n_card_valid
 FROM documents""",
 )
 def q_pii_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3088,8 +3098,10 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""SELECT doc_id,
        regexp_replace(
          regexp_replace(
-           regexp_replace(text,
-             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '[0-9](?:[ -]?[0-9]){12,18}', '<CARD>', 'g'),
            '\+?[0-9][0-9 ()-]{7,}[0-9]', '<PHONE>', 'g'),
          '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS scrubbed_text
 FROM documents""",

@@ -387,6 +387,31 @@ def test_pii_scrub_and_counts(spark):
     assert "alice@example.com" not in scrubbed
 
 
+def test_pii_card_detection_with_luhn(spark):
+    """Card-shaped digit runs are counted and scrubbed; only
+    checksum-valid ones count as n_card_valid (they carry the real leak
+    risk), and card runs are redacted BEFORE the shorter phone rule can
+    eat a prefix of them."""
+    from puma_matcher_spark.llmdata.pii import scrub_pii, with_pii_counts
+
+    docs = spark.createDataFrame(
+        [
+            (1, "pay with 4532 0151 1283 0366 thanks"),   # Luhn-valid
+            (2, "fake number 4532 0151 1283 0367 here"),  # checksum fails
+            (3, "call +1-555-123-4567 maybe"),            # phone, not card
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in with_pii_counts(docs).collect()}
+    assert (rows[1]["n_card"], rows[1]["n_card_valid"]) == (1, 1)
+    assert (rows[2]["n_card"], rows[2]["n_card_valid"]) == (1, 0)
+    assert rows[3]["n_card"] == 0 and rows[3]["n_phone"] == 1
+    scrubbed = {r["doc_id"]: r["scrubbed_text"] for r in scrub_pii(docs).collect()}
+    assert "<CARD>" in scrubbed[1] and "0366" not in scrubbed[1]
+    assert "<CARD>" in scrubbed[2]
+    assert "<PHONE>" in scrubbed[3] and "<CARD>" not in scrubbed[3]
+
+
 def test_contamination_check_counts_shared_ngrams(spark):
     corpus = _docs(spark, [(2, "one two three four five six unique tail")])
     bench = _docs(
