@@ -43,6 +43,48 @@ def hash_sample(docs: DataFrame, pct: int, key: str = "doc_id") -> DataFrame:
     return docs.where(hash_bucket(key) < pct)
 
 
+def deterministic_shuffle(
+    docs: DataFrame, key: str = "doc_id", n_ranges: int = 32
+) -> DataFrame:
+    """Global training-order randomization: every row gets a total-order
+    ``shuffle_rank`` by md5-hash of its key — a deterministic permutation
+    that is identical across engines, runs and cluster layouts.
+
+    Scale shape: a naive ``row_number() OVER (ORDER BY hash)`` funnels
+    the corpus through ONE task.  Instead: range-repartition on the hash,
+    sort within partitions (Spark's distributed sort), then add each
+    range's cumulative row offset (a tiny driver-side frame, broadcast
+    back).  Rank is independent of the sampled range boundaries, so the
+    result is stable even though the partitioner samples.
+    """
+    from pyspark.sql.window import Window
+
+    h = portable_hash60(F.col(key).cast("string"))
+    parted = (
+        docs.withColumn("_h", h)
+        .repartitionByRange(n_ranges, "_h", key)
+        .sortWithinPartitions("_h", key)
+        .withColumn("_pid", F.spark_partition_id())
+        # materialize once: the size pass and the rank pass below must see
+        # the SAME range boundaries (the partitioner samples its bounds)
+        .localCheckpoint()
+    )
+    sizes = parted.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    off_w = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.withColumn(
+        "_offset", F.coalesce(F.sum("_n").over(off_w), F.lit(0))
+    ).select("_pid", "_offset")
+    in_part = Window.partitionBy("_pid").orderBy("_h", key)
+    return (
+        parted.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            "shuffle_rank",
+            (F.row_number().over(in_part) + F.col("_offset") - 1).cast("long"),
+        )
+        .drop("_h", "_pid", "_offset")
+    )
+
+
 def temperature_mix(
     docs: DataFrame, alpha: float = 0.5, text_col: str = "text"
 ) -> DataFrame:

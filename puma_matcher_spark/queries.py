@@ -1325,6 +1325,26 @@ def q_instrument_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_shuffle",
+    """SELECT doc_id, source,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+                  doc_id) - 1 AS BIGINT) AS shuffle_rank
+FROM documents""",
+)
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order randomization (llmdata/sampling.py):
+    a total-order md5 permutation computed with the scalable
+    range-partition + offset pattern (never a single-partition global
+    window); the oracle is the naive global ROW_NUMBER, which must agree
+    exactly."""
+    from puma_matcher_spark.llmdata.sampling import deterministic_shuffle
+
+    docs = load_tables(spark, sf_dir).llm_documents()
+    return deterministic_shuffle(docs).select("doc_id", "source", "shuffle_rank")
+
+
+@register(
     "near_dup_clusters",
     """WITH RECURSIVE toksl AS (
   SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
@@ -3278,6 +3298,7 @@ _PRIORITY: list[str] = [
     "rf_classifier_accuracy",
     "w2v_shape",
     "near_dup_clusters",
+    "corpus_shuffle",
     # rows-only entries whose hard signal is their in-window property
     # twin; the rows-only originals (pic_clusters, embedding_ivf_topk,
     # weight_refined, media_features) already carry round-2 driver rows

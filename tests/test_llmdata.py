@@ -336,6 +336,34 @@ def test_jaccard_for_pairs_matches_full_join_on_candidates(spark):
     assert scoped  # non-trivial: the fixture must produce candidates
 
 
+def test_deterministic_shuffle_total_order_and_stability(spark):
+    """The distributed rank must be a permutation of 0..n-1, identical
+    across input repartitionings, and equal to the naive global ordering
+    by (hash, key)."""
+    from puma_matcher_spark.llmdata.dedup import portable_hash60
+    from puma_matcher_spark.llmdata.sampling import deterministic_shuffle
+
+    docs = spark.range(500).select(F.col("id").alias("doc_id"))
+    a = {(r["doc_id"], r["shuffle_rank"]) for r in deterministic_shuffle(docs).collect()}
+    b = {
+        (r["doc_id"], r["shuffle_rank"])
+        for r in deterministic_shuffle(docs.repartition(13)).collect()
+    }
+    assert a == b
+    ranks = sorted(r for _, r in a)
+    assert ranks == list(range(500))
+    naive = sorted(
+        (
+            (r["h"], r["doc_id"])
+            for r in docs.select(
+                "doc_id", portable_hash60(F.col("doc_id").cast("string")).alias("h")
+            ).collect()
+        )
+    )
+    expected = {doc: i for i, (_, doc) in enumerate(naive)}
+    assert dict(a) == expected
+
+
 def test_hash_split_deterministic_and_partition_invariant(spark):
     """Split assignment must be a pure function of the key — identical
     after any repartitioning (seeded sample() is NOT; that's the point)."""
