@@ -1425,6 +1425,66 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_dup_clusters",
+    """WITH RECURSIVE emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2
+  FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+  WHERE ROUND(list_dot_product(a.v, b.v) /
+        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4)
+        >= 0.35),
+e AS (SELECT id1 AS a, id2 AS b FROM pairs
+      UNION SELECT id2, id1 FROM pairs),
+reach(id, r) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a),
+comp AS (SELECT id, MIN(r) AS canonical FROM reach GROUP BY id)
+SELECT m.vec_id,
+       CAST(COALESCE(c.canonical, m.vec_id) AS BIGINT) AS canonical_id,
+       COALESCE(c.canonical, m.vec_id) = m.vec_id AS is_canonical
+FROM emb m LEFT JOIN comp c ON m.vec_id = c.id""",
+)
+def q_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-plane near-dup canonicalisation: cosine-similar pairs
+    (the exact baseline; the LSH/IVF variants generate the same
+    candidates at scale) → connected components → min-id canonical per
+    cluster, singletons mapping to themselves — the semantic-dedup twin
+    of the lexical near_dup_clusters."""
+    from puma_matcher_spark.operators.dedup import connected_components
+
+    emb = load_tables(spark, sf_dir).llm_embeddings()
+    a = emb.select(F.col("vec_id").alias("vec1_id"), F.col("embedding").alias("e1"))
+    b = emb.select(F.col("vec_id").alias("vec2_id"), F.col("embedding").alias("e2"))
+    pairs = (
+        a.join(b, F.col("vec1_id") < F.col("vec2_id"))
+        .select(
+            "vec1_id",
+            "vec2_id",
+            pround(
+                sim.cosine(
+                    F.col("e1").cast("array<double>"),
+                    F.col("e2").cast("array<double>"),
+                ),
+                4,
+            ).alias("cos"),
+        )
+        .where(F.col("cos") >= 0.35)
+    )
+    edges = pairs.select(F.col("vec1_id").alias("id1"), F.col("vec2_id").alias("id2"))
+    comp = connected_components(edges).withColumnRenamed("id", "vec_id")
+    out = emb.select("vec_id").join(comp, "vec_id", "left")
+    return out.select(
+        "vec_id",
+        F.coalesce("component", F.col("vec_id")).cast("long").alias("canonical_id"),
+        (
+            F.coalesce("component", F.col("vec_id")) == F.col("vec_id")
+        ).alias("is_canonical"),
+    )
+
+
+@register(
     "rf_classifier_accuracy",
     """SELECT CAST(3 AS BIGINT) AS n_labels,
        CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -3299,6 +3359,7 @@ _PRIORITY: list[str] = [
     "w2v_shape",
     "near_dup_clusters",
     "corpus_shuffle",
+    "embedding_dup_clusters",
     # rows-only entries whose hard signal is their in-window property
     # twin; the rows-only originals (pic_clusters, embedding_ivf_topk,
     # weight_refined, media_features) already carry round-2 driver rows
