@@ -31,6 +31,25 @@ def test_rows_only_queries_execute(spark, sf_small):
         assert n1 >= 0
 
 
+def test_driver_window_budget():
+    """The external driver's CORRECTNESS gate covers only the first 50
+    entries of queries().  Every _PRIORITY name must exist, the list
+    must fit inside the window (an overflow silently costs the last
+    entries their driver row), and presentation order must start with
+    exactly the priority list."""
+    from puma_matcher_spark.queries import _PRIORITY, queries
+
+    q = list(queries())
+    missing = [n for n in _PRIORITY if n not in q]
+    assert not missing, f"_PRIORITY names not registered: {missing}"
+    assert len(_PRIORITY) <= 50, (
+        f"_PRIORITY has {len(_PRIORITY)} entries — the driver checks only "
+        "the first 50 queries; trim already-green names"
+    )
+    assert q[: len(_PRIORITY)] == _PRIORITY
+    assert len(set(_PRIORITY)) == len(_PRIORITY)
+
+
 def test_entry_smoke(spark):
     import importlib
     import sys
