@@ -222,6 +222,7 @@ def test_plan_sweep_no_accidental_cartesians(spark, sf_small):
         "embedding_topk",       # brute-force baseline (broadcast query set)
         "embedding_near_dups",  # exact all-pairs baseline
         "ivf_recall",           # compares IVF against the brute-force baseline
+        "embedding_dup_clusters",  # clusters over the exact all-pairs baseline
     }
     skip_heavy = {"picture_lsh_pairs", "embedding_ivf_topk", "pic_cluster_quality"}
     failures = []
