@@ -197,6 +197,32 @@ def char_entropy(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    token distribution — the cheap perplexity proxy used to rank
+    documents by "typicality" (very low → noise/garbage; very high →
+    repetitive boilerplate).  Needs no external model: p(tok) is the
+    corpus relative frequency, folded in as a scalar-subquery total.
+
+    Scale shape: one (doc, tok) aggregation, one token-frequency
+    aggregation, an equi-join on tok, and a per-doc roll-up — all
+    shuffle-partitioned, nothing driver-side.
+    Output: (doc_id, n_tokens, avg_logprob)."""
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col(text_col)))).alias("tok")
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    gf = tf.groupBy("tok").agg(F.sum("tf").alias("gf"))
+    total = gf.agg(F.sum("gf").cast("double").alias("t"))
+    scored = tf.join(gf, "tok").withColumn(
+        "_lp", F.col("tf") * F.log10(F.col("gf") / total.scalar())
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        pround(F.sum("_lp") / F.sum("tf"), 4).alias("avg_logprob"),
+    )
+
+
 def with_bpe_token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Token counting for training-data budgeting: whitespace words plus
     a BPE-ish pre-tokenizer count (the unit LLM data pipelines budget

@@ -3213,6 +3213,27 @@ def q_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "unigram_logprob",
+    f"""WITH toksl AS (SELECT doc_id, {_LLM_TOKS} AS tk FROM documents),
+toks AS (SELECT doc_id, unnest(tk) AS tok FROM toksl),
+tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+gf AS (SELECT tok, CAST(SUM(tf) AS BIGINT) AS gf FROM tf GROUP BY 1),
+tot AS (SELECT CAST(SUM(gf) AS DOUBLE) AS t FROM gf)
+SELECT tf.doc_id,
+       CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+       ROUND(SUM(tf.tf * log10(gf.gf / (SELECT t FROM tot))) / SUM(tf.tf), 4)
+         AS avg_logprob
+FROM tf JOIN gf USING (tok)
+GROUP BY 1""",
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality signal (llmdata/textstats.py): per-doc
+    mean unigram log-probability under the corpus token distribution —
+    ranks documents by typicality with no external model."""
+    return ts.unigram_logprob(load_tables(spark, sf_dir).llm_documents())
+
+
+@register(
     "sequence_packing",
     f"""WITH pd AS (
   SELECT doc_id, source, CAST(len({_LLM_TOKS}) AS BIGINT) AS n_tokens
@@ -3360,6 +3381,7 @@ _PRIORITY: list[str] = [
     "near_dup_clusters",
     "corpus_shuffle",
     "embedding_dup_clusters",
+    "unigram_logprob",
     # rows-only entries whose hard signal is their in-window property
     # twin; the rows-only originals (pic_clusters, embedding_ivf_topk,
     # weight_refined, media_features) already carry round-2 driver rows
