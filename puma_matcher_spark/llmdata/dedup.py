@@ -419,3 +419,23 @@ def contamination_check(
         .groupBy("corpus_id", "benchmark_id")
         .agg(F.count(F.lit(1)).cast("long").alias("shared_ngrams"))
     )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    shingle_n: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """Drop every corpus document sharing any word n-gram with the
+    held-out benchmark — the *action* :func:`contamination_check`'s scan
+    implies, as one plan: shingle equi-join → distinct hit ids →
+    left-anti join back onto the corpus.  The anti-join keys on doc_id,
+    so the expensive shingle comparison happens exactly once and the
+    corpus rows are never widened."""
+    hits = (
+        contamination_check(corpus, benchmark, shingle_n, text_col)
+        .select(F.col("corpus_id").alias("doc_id"))
+        .distinct()
+    )
+    return corpus.join(hits, "doc_id", "left_anti")

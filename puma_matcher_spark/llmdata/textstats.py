@@ -161,6 +161,131 @@ def source_mix(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def ngram_array(col: str, n: int) -> Column:
+    """Space-joined word n-grams from a token-array column, empty array
+    when the document has fewer than n tokens.  Pure higher-order
+    expression (sequence + transform + element_at) — map-side, no
+    explode until the caller asks for one."""
+    elems = ", ".join(f"element_at({col}, i + {j})" for j in range(n))
+    return F.expr(
+        f"CASE WHEN size({col}) >= {n} THEN "
+        f"transform(sequence(1, size({col}) - {n - 1}), "
+        f"i -> concat_ws(' ', {elems})) "
+        f"ELSE array() END"
+    )
+
+
+def repetition_metrics(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals per document (beyond the simple
+    distinct-bigram ratio in :func:`with_quality_flags`):
+
+    * ``top_bigram_char_frac`` — characters covered by the single most
+      frequent bigram over all bigram-occurrence characters (ties broken
+      to the lexicographically smallest gram, so the row is
+      deterministic).
+    * ``dup_trigram_char_frac`` — characters covered by trigrams that
+      occur more than once, over all trigram-occurrence characters.
+
+    Both numerator and denominator are exact integer sums (character
+    counts), divided only at the end — so the result is reproducible
+    across engines and partition layouts, with no float-sum ordering
+    hazard.  Scale shape: two (doc, gram) hash aggregations plus per-doc
+    roll-ups, all shuffle-partitioned by doc/gram; nothing driver-side.
+    """
+    base = docs.select(
+        "doc_id", tokens(F.lower(F.col(text_col))).alias("_tk")
+    )
+
+    bgc = (
+        base.select("doc_id", F.explode(ngram_array("_tk", 2)).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    chars = F.col("cnt") * F.length("gram")
+    top = (
+        bgc.groupBy("doc_id")
+        .agg(
+            # min of (-cnt, gram) = highest count, then smallest gram
+            F.min(
+                F.struct(
+                    (-F.col("cnt")).alias("nc"), F.col("gram").alias("g")
+                )
+            ).alias("_top"),
+            F.sum(chars).alias("_tw"),
+        )
+        .select(
+            "doc_id",
+            F.col("_top.g").alias("top_bigram"),
+            pround(
+                (-F.col("_top.nc") * F.length("_top.g")).cast("double")
+                / F.col("_tw").cast("double"),
+                4,
+            ).alias("top_bigram_char_frac"),
+        )
+    )
+
+    tgc = (
+        base.select("doc_id", F.explode(ngram_array("_tk", 3)).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    dup = tgc.groupBy("doc_id").agg(
+        pround(
+            F.sum(F.when(F.col("cnt") > 1, chars).otherwise(F.lit(0)))
+            .cast("double")
+            / F.sum(chars).cast("double"),
+            4,
+        ).alias("dup_trigram_char_frac")
+    )
+
+    return (
+        docs.select("doc_id")
+        .join(top, "doc_id", "left")
+        .join(dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            "top_bigram",
+            F.coalesce("top_bigram_char_frac", F.lit(0.0)).alias(
+                "top_bigram_char_frac"
+            ),
+            F.coalesce("dup_trigram_char_frac", F.lit(0.0)).alias(
+                "dup_trigram_char_frac"
+            ),
+        )
+    )
+
+
+def vocab_topk(
+    docs: DataFrame, k: int = 100, n: int = 2, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-wide top-k word n-gram vocabulary with a deterministic
+    (count desc, gram asc) order — the first step of building a tokenizer
+    merge table or a boilerplate blocklist from the corpus itself.
+
+    Scale shape: one partial-aggregated gram count (map-side combine)
+    followed by a TakeOrdered top-k — the rank window only ever sees the
+    k surviving rows, so the single-partition window is safe at any
+    corpus size.
+    """
+    from pyspark.sql import Window
+
+    base = docs.select(tokens(F.lower(F.col(text_col))).alias("_tk"))
+    counts = (
+        base.select(F.explode(ngram_array("_tk", n)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+    )
+    order = [F.col("n_occurrences").desc(), F.col("gram").asc()]
+    top = counts.orderBy(*order).limit(k)
+    return top.select(
+        F.row_number().over(Window.orderBy(*order)).cast("long").alias(
+            "vocab_rank"
+        ),
+        "gram",
+        "n_occurrences",
+    )
+
+
 # Pre-tokenizer shape of BPE vocabularies: letter runs, digit runs, and
 # individual punctuation marks.  Deliberately regex-only (identical RE2/
 # Java semantics) so the count is computable in any engine.

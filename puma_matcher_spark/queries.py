@@ -2902,6 +2902,95 @@ def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "repetition_metrics",
+    """WITH tk AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+  FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS gram
+  FROM tk),
+bgc AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM bg GROUP BY 1, 2),
+bgt AS (
+  SELECT doc_id, gram, cnt,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn,
+         SUM(cnt * length(gram)) OVER (PARTITION BY doc_id) AS tw
+  FROM bgc),
+topg AS (
+  SELECT doc_id, gram AS top_bigram,
+         ROUND(CAST(cnt * length(gram) AS DOUBLE) / CAST(tw AS DOUBLE), 4) AS top_bigram_char_frac
+  FROM bgt WHERE rn = 1),
+tg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(tk) - 1),
+                i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS gram
+  FROM tk),
+tgc AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM tg GROUP BY 1, 2),
+dup AS (
+  SELECT doc_id,
+         ROUND(CAST(SUM(CASE WHEN cnt > 1 THEN cnt * length(gram) ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(cnt * length(gram)) AS DOUBLE), 4) AS dup_trigram_char_frac
+  FROM tgc GROUP BY 1)
+SELECT d.doc_id, topg.top_bigram,
+       COALESCE(topg.top_bigram_char_frac, 0.0) AS top_bigram_char_frac,
+       COALESCE(dup.dup_trigram_char_frac, 0.0) AS dup_trigram_char_frac
+FROM documents d
+LEFT JOIN topg ON topg.doc_id = d.doc_id
+LEFT JOIN dup ON dup.doc_id = d.doc_id""",
+)
+def q_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (llmdata/textstats.py): top-bigram
+    character coverage + duplicated-trigram character fraction, exact
+    integer character sums divided only at the end."""
+    return ts.repetition_metrics(load_tables(spark, sf_dir).llm_documents())
+
+
+@register(
+    "vocab_topk",
+    """WITH tk AS (
+  SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+  FROM documents),
+bg AS (
+  SELECT unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS gram
+  FROM tk),
+c AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS n_occurrences FROM bg GROUP BY 1)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, gram ASC) AS BIGINT) AS vocab_rank,
+       gram, n_occurrences
+FROM c ORDER BY n_occurrences DESC, gram ASC LIMIT 100""",
+)
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus top-100 bigram vocabulary (llmdata/textstats.py) with a
+    deterministic (count desc, gram asc) order — tokenizer-merge /
+    boilerplate-blocklist seed.  Partial-agg + TakeOrdered; the rank
+    window sees only the k survivors."""
+    return ts.vocab_topk(load_tables(spark, sf_dir).llm_documents(), k=100, n=2)
+
+
+@register(
+    "decontaminated_corpus",
+    f"""WITH {_CONTAM_SH.format(p='c', parity=0)},
+{_CONTAM_SH.format(p='b', parity=1)},
+hits AS (SELECT DISTINCT c.doc_id FROM shc c JOIN shb b ON c.shingle = b.shingle)
+SELECT d.doc_id, d.lang, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
+FROM documents d
+WHERE d.doc_id % 2 = 0 AND d.doc_id NOT IN (SELECT doc_id FROM hits)""",
+)
+def q_decontaminated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus after benchmark decontamination (llmdata/dedup.py
+    ``decontaminate``): even doc ids = corpus, odd = benchmark stand-in,
+    5-gram overlap → drop.  Shingle equi-join + left-anti on doc_id."""
+    docs = load_tables(spark, sf_dir).llm_documents()
+    clean = dd.decontaminate(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+        shingle_n=5,
+    )
+    return clean.select(
+        "doc_id", "lang", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+
+@register(
     "corpus_split",
     """SELECT doc_id,
        CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
@@ -3382,6 +3471,9 @@ _PRIORITY: list[str] = [
     "corpus_shuffle",
     "embedding_dup_clusters",
     "unigram_logprob",
+    "repetition_metrics",
+    # (vocab_topk / decontaminated_corpus are registered behind the
+    # window this round — rotate them in next round)
     # rows-only entries whose hard signal is their in-window property
     # twin; the rows-only originals (pic_clusters, embedding_ivf_topk,
     # weight_refined, media_features) already carry round-2 driver rows

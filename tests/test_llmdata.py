@@ -490,3 +490,63 @@ def test_source_mix_shares_sum_to_one(spark):
     assert rows["s1"]["n_docs"] == 2 and rows["s1"]["n_tokens"] == 6
     assert rows["s2"]["n_tokens"] == 2
     assert rows["s1"]["token_share"] == 0.75 and rows["s2"]["token_share"] == 0.25
+
+
+def test_repetition_metrics_known_values(spark):
+    docs = _docs(
+        spark,
+        [
+            # bigrams: 'a b','b a','a b','b c' -> top 'a b' cnt 2, chars 2*3=6
+            # of total 3+3+3+3=12 -> 0.5
+            # trigrams: 'a b a','b a b','a b c' all unique -> dup frac 0.0
+            (1, "a b a b c"),
+            # 'x y x y x y': bigrams 'x y'(3),'y x'(2) -> top 3*3=9 of 15 -> 0.6
+            # trigrams 'x y x'(2),'y x y'(2) -> all duplicated -> 1.0
+            (2, "x y x y x y"),
+            # one token: no grams at all
+            (3, "solo"),
+        ],
+    )
+    out = {r["doc_id"]: r for r in ts.repetition_metrics(docs).collect()}
+    assert out[1]["top_bigram"] == "a b"
+    assert out[1]["top_bigram_char_frac"] == 0.5
+    assert out[1]["dup_trigram_char_frac"] == 0.0
+    assert out[2]["top_bigram"] == "x y"
+    assert out[2]["top_bigram_char_frac"] == 0.6
+    assert out[2]["dup_trigram_char_frac"] == 1.0
+    assert out[3]["top_bigram"] is None
+    assert out[3]["top_bigram_char_frac"] == 0.0
+
+
+def test_repetition_metrics_tie_breaks_lexicographically(spark):
+    # 'b a' and 'a b' both occur once -> top must be the smaller gram 'a b'
+    out = ts.repetition_metrics(_docs(spark, [(1, "b a b")])).first()
+    assert out["top_bigram"] == "a b"
+
+
+def test_vocab_topk_order_and_rank(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "a b a b"),   # 'a b' x2, 'b a' x1
+            (2, "a b c"),     # 'a b' x1, 'b c' x1
+        ],
+    )
+    rows = ts.vocab_topk(docs, k=2, n=2).collect()
+    assert [(r["vocab_rank"], r["gram"], r["n_occurrences"]) for r in rows] == [
+        (1, "a b", 3),
+        (2, "b a", 1),  # ties with 'b c' broken lexicographically
+    ]
+
+
+def test_decontaminate_drops_only_overlapping_docs(spark):
+    corpus = _docs(
+        spark,
+        [
+            (2, "one two three four five clean tail"),
+            (4, "totally different words here again ok"),
+        ],
+    )
+    bench = _docs(spark, [(1, "one two three four five other thing")])
+    kept = {r["doc_id"] for r in dd.decontaminate(corpus, bench, shingle_n=5).collect()}
+    assert kept == {4}
