@@ -439,3 +439,30 @@ def decontaminate(
         .distinct()
     )
     return corpus.join(hits, "doc_id", "left_anti")
+
+
+def incremental_ingest(
+    new_docs: DataFrame, corpus: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Ingestion-time exact dedup for a continuously growing corpus:
+    drop new-batch documents whose normalised content fingerprint
+    already exists in the corpus (left-anti on the hash — the
+    "already processed" pattern the reference uses for picture hashes,
+    PictureHashAnalyser2.scala:57), then keep one representative per
+    fingerprint *within* the batch (min doc_id).
+
+    Scale shape: the corpus side reduces to distinct fingerprints
+    before the anti-join, so the join key set is |unique contents|, and
+    both sides shuffle only md5 strings — never text.  Output:
+    (doc_id, fingerprint) for the surviving new documents.
+    """
+    from puma_matcher_spark.llmdata.textstats import with_fingerprint
+
+    newf = with_fingerprint(new_docs, text_col)
+    oldf = with_fingerprint(corpus, text_col).select("fingerprint").distinct()
+    fresh = newf.join(oldf, "fingerprint", "left_anti")
+    return (
+        fresh.groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "fingerprint")
+    )

@@ -66,3 +66,42 @@ def sequence_packing(
             F.floor((F.col("_end") - 1) / ctx_len) - F.floor(start / ctx_len) + 1
         ).cast("long").alias("n_packs_spanned"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_len: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document's token stream into fixed-size overlapping
+    chunks — the pre-tokenization step that turns long documents into
+    training sequences (stride = chunk_len - overlap; the final chunk
+    keeps the tail and may be shorter).
+
+    Chunk starts are ``1 + k*stride`` for
+    ``k in [0, ceil(max(0, n - chunk_len) / stride)]`` — a pure function
+    of the token count, so the layout is stable across engines and
+    partitionings.  Everything is one higher-order expression plus a
+    posexplode: map-side only, no shuffle, linear at any corpus size.
+
+    Output: (doc_id, chunk_id, n_tokens, chunk_text).
+    """
+    if not 0 <= overlap < chunk_len:
+        raise ValueError("need 0 <= overlap < chunk_len")
+    stride = chunk_len - overlap
+    base = docs.select(
+        "doc_id", tokens(F.lower(F.col(text_col))).alias("_tk")
+    )
+    chunks = F.expr(
+        f"transform(sequence(0, cast(ceil(greatest(0, size(_tk) - {chunk_len}) / {stride}) as int)), "
+        f"k -> slice(_tk, 1 + k * {stride}, {chunk_len}))"
+    )
+    return base.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_id", "_chunk")
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size("_chunk").cast("long").alias("n_tokens"),
+        F.concat_ws(" ", "_chunk").alias("chunk_text"),
+    )

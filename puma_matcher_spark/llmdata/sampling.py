@@ -147,3 +147,41 @@ def temperature_mix(
             F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
         )
     )
+
+
+def quality_stratified_sample(
+    docs: DataFrame, per_source: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """Top-N documents per source by lexical diversity (distinct-token
+    ratio, deterministic doc_id tie-break) — the "best of each stream"
+    selection step of a curation mix.
+
+    The rank runs on the ROUNDED ratio so the keep set is identical in
+    any engine.  Scale note: rank-over-partition sorts each source's
+    rows; with extreme per-source cardinality swap in a two-phase
+    partial top-k (per-partition TakeOrdered, then merge) behind the
+    same output contract — for realistic source counts the window is the
+    simpler, AQE-balanced plan.
+    """
+    from pyspark.sql.window import Window
+
+    from puma_matcher_spark.functions.rounding import pround
+    from puma_matcher_spark.llmdata.textstats import tokens
+
+    toks = tokens(F.lower(F.col(text_col)))
+    m = docs.select(
+        "doc_id",
+        "source",
+        pround(
+            F.size(F.array_distinct(toks)).cast("double")
+            / F.size(toks).cast("double"),
+            4,
+        ).alias("distinct_ratio"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("distinct_ratio").desc(), F.col("doc_id").asc()
+    )
+    return (
+        m.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .where(F.col("sample_rank") <= per_source)
+    )

@@ -2991,6 +2991,81 @@ def q_decontaminated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_chunks",
+    """WITH tk AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+  FROM documents),
+ch AS (
+  SELECT doc_id,
+         unnest(range(0, CAST(1 + ceil(greatest(0, len(tk) - 64) / 48.0) AS INT))) AS chunk_id,
+         unnest(list_transform(range(0, CAST(1 + ceil(greatest(0, len(tk) - 64) / 48.0) AS INT)),
+                k -> list_slice(tk, 1 + k * 48, k * 48 + 64))) AS chunk
+  FROM tk)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(len(chunk) AS BIGINT) AS n_tokens,
+       array_to_string(chunk, ' ') AS chunk_text
+FROM ch""",
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping training chunks (llmdata/packing.py
+    ``chunk_documents``, 64-token chunks, 16 overlap): map-side
+    higher-order slice + posexplode, stable under repartitioning."""
+    from puma_matcher_spark.llmdata.packing import chunk_documents
+
+    return chunk_documents(
+        load_tables(spark, sf_dir).llm_documents(), chunk_len=64, overlap=16
+    )
+
+
+@register(
+    "quality_sample",
+    """WITH m AS (
+  SELECT doc_id, source,
+         ROUND(CAST(len(list_distinct(tk)) AS DOUBLE) / CAST(len(tk) AS DOUBLE), 4) AS distinct_ratio
+  FROM (SELECT doc_id, source,
+               list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+        FROM documents)),
+r AS (
+  SELECT doc_id, source, distinct_ratio,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                 ORDER BY distinct_ratio DESC, doc_id ASC) AS BIGINT) AS sample_rank
+  FROM m)
+SELECT doc_id, source, distinct_ratio, sample_rank FROM r WHERE sample_rank <= 20""",
+)
+def q_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source stratified quality sample (llmdata/sampling.py): top-20
+    docs per source by rounded distinct-token ratio, doc_id tie-break."""
+    from puma_matcher_spark.llmdata.sampling import quality_stratified_sample
+
+    return quality_stratified_sample(
+        load_tables(spark, sf_dir).llm_documents(), per_source=20
+    )
+
+
+@register(
+    "incremental_ingest",
+    """WITH fp AS (
+  SELECT doc_id,
+         md5(array_to_string(list_filter(string_split(lower(text), ' '), x -> x <> ''), ' ')) AS fingerprint
+  FROM documents),
+oldf AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 2 = 0),
+freshf AS (
+  SELECT * FROM fp
+  WHERE doc_id % 2 = 1 AND fingerprint NOT IN (SELECT fingerprint FROM oldf))
+SELECT MIN(doc_id) AS doc_id, fingerprint FROM freshf GROUP BY fingerprint""",
+)
+def q_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time exact dedup of a new batch (odd ids) against the
+    existing corpus (even ids): fingerprint anti-join + in-batch min-id
+    keep (llmdata/dedup.py ``incremental_ingest``)."""
+    docs = load_tables(spark, sf_dir).llm_documents()
+    return dd.incremental_ingest(
+        docs.where(F.col("doc_id") % 2 == 1),
+        docs.where(F.col("doc_id") % 2 == 0),
+    )
+
+
+@register(
     "corpus_split",
     """SELECT doc_id,
        CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split

@@ -550,3 +550,54 @@ def test_decontaminate_drops_only_overlapping_docs(spark):
     bench = _docs(spark, [(1, "one two three four five other thing")])
     kept = {r["doc_id"] for r in dd.decontaminate(corpus, bench, shingle_n=5).collect()}
     assert kept == {4}
+
+
+def test_chunk_documents_layout(spark):
+    from puma_matcher_spark.llmdata.packing import chunk_documents
+
+    docs = _docs(spark, [(1, " ".join(f"t{i}" for i in range(10)))])
+    rows = sorted(
+        chunk_documents(docs, chunk_len=4, overlap=1).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    # stride 3: starts 1,4,7,10 -> ceil((10-4)/3)=2 -> chunks at k=0,1,2
+    assert [(r["chunk_id"], r["n_tokens"], r["chunk_text"]) for r in rows] == [
+        (0, 4, "t0 t1 t2 t3"),
+        (1, 4, "t3 t4 t5 t6"),
+        (2, 4, "t6 t7 t8 t9"),
+    ]
+    # short doc -> one (short) chunk
+    one = chunk_documents(_docs(spark, [(2, "a b")]), chunk_len=4, overlap=1).collect()
+    assert len(one) == 1 and one[0]["chunk_text"] == "a b"
+
+
+def test_quality_stratified_sample_rank_and_ties(spark):
+    from puma_matcher_spark.llmdata.sampling import quality_stratified_sample
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d", "s1"),       # ratio 1.0
+            (2, "a a a a", "s1"),       # ratio 0.25
+            (3, "a b a b", "s1"),       # ratio 0.5
+            (4, "x y", "s2"),           # ratio 1.0
+        ],
+        ["doc_id", "text", "source"],
+    )
+    rows = quality_stratified_sample(docs, per_source=2).collect()
+    got = {(r["source"], r["sample_rank"]): r["doc_id"] for r in rows}
+    assert got == {("s1", 1): 1, ("s1", 2): 3, ("s2", 1): 4}
+
+
+def test_incremental_ingest_drops_known_and_batch_dups(spark):
+    corpus = _docs(spark, [(2, "known doc text")])
+    new = _docs(
+        spark,
+        [
+            (1, "Known  DOC text"),   # same normalised content as corpus -> drop
+            (3, "fresh content one"),
+            (5, "fresh content one"), # in-batch dup -> keep min id 3
+            (7, "fresh content two"),
+        ],
+    )
+    kept = {r["doc_id"] for r in dd.incremental_ingest(new, corpus).collect()}
+    assert kept == {3, 7}
