@@ -3547,8 +3547,11 @@ _PRIORITY: list[str] = [
     "embedding_dup_clusters",
     "unigram_logprob",
     "repetition_metrics",
-    # (vocab_topk / decontaminated_corpus are registered behind the
-    # window this round — rotate them in next round)
+    "doc_chunks",
+    # (vocab_topk / decontaminated_corpus / quality_sample /
+    # incremental_ingest are registered behind the 50-slot window this
+    # round — rotate them in next round; the 2-round-green spine
+    # anchors cede the slots)
     # rows-only entries whose hard signal is their in-window property
     # twin; the rows-only originals (pic_clusters, embedding_ivf_topk,
     # weight_refined, media_features) already carry round-2 driver rows
