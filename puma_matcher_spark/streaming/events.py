@@ -165,6 +165,38 @@ def attribution_join(
     )
 
 
+def write_stream_idempotent(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    query_name: str = "idempotent_sink",
+):
+    """Exactly-once file sink via ``foreachBatch``: every micro-batch
+    lands in its own ``batch_id=<id>`` partition directory with
+    ``overwrite`` mode, so a batch replayed after a failure overwrites
+    *its own* output instead of appending duplicates — the standard
+    idempotent-sink recipe when the target store isn't transactional.
+    Combined with the checkpoint (which makes batch ids stable across
+    restarts), downstream readers of ``path`` see each input record
+    exactly once.
+
+    At production scale the same shape targets an object store; the
+    per-batch directory also gives free incremental-load bookkeeping
+    (consumers track the max batch_id they've ingested).
+    """
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{path}/batch_id={batch_id}")
+
+    return (
+        df.writeStream.foreachBatch(_write_batch)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_stream_to_memory(
     spark: SparkSession, sf_dir: str, table_name: str = "windowed_events"
 ):

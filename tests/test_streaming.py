@@ -203,3 +203,20 @@ def test_stream_static_join_enrichment(spark, sf_small):
     assert rows["click"][1] == 1.0
     assert rows["purchase"][1] == 10.0
     assert rows["view"][1] is None  # left join keeps unmatched types
+
+
+def test_idempotent_sink_exactly_once(spark, sf_small, tmp_path):
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    ev = se.read_events_stream(spark, sf_small)
+    q = se.write_stream_idempotent(ev, out, ckpt, query_name="t_sink")
+    q.awaitTermination(120)
+    written = spark.read.parquet(out)
+    batch = load_tables(spark, sf_small).events()
+    assert written.count() == batch.count()
+    # replaying a batch overwrites its own directory — no duplication
+    some_batch = written.select("batch_id").distinct().limit(1).collect()[0][0]
+    replay = spark.read.parquet(f"{out}/batch_id={some_batch}")
+    materialised = spark.createDataFrame(replay.collect(), replay.schema)
+    materialised.write.mode("overwrite").parquet(f"{out}/batch_id={some_batch}")
+    assert spark.read.parquet(out).count() == batch.count()
