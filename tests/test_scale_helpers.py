@@ -129,10 +129,21 @@ def test_bucketed_write_read_roundtrip(spark):
         skew.write_bucketed(df, tbl, "k", num_buckets=4)
         back = skew.read_bucketed(spark, tbl)
         assert back.count() == 100
-        # joining two bucketed reads on the bucket key plans no shuffle on
-        # the scan sides (bucket pruning keeps Exchange count low)
-        j = back.join(skew.read_bucketed(spark, tbl).withColumnRenamed("v", "v2"), "k")
-        assert j.count() == 1000
+        # joining two bucketed reads on the bucket key must be fully
+        # co-located: with broadcast disabled, the sort-merge join plans
+        # ZERO shuffle exchanges — the whole point of bucketing at 100 TB
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = back.join(
+                skew.read_bucketed(spark, tbl).withColumnRenamed("v", "v2"), "k"
+            )
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "ShuffleExchange" not in plan.replace(
+                "ShuffleExchangeExec", "X"
+            ) and "Exchange hashpartitioning" not in plan, plan
+            assert j.count() == 1000
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
 
