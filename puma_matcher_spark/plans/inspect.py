@@ -53,6 +53,16 @@ def scan_read_schemas(df: DataFrame) -> list[tuple[str, str]]:
     return out
 
 
+def partition_filters(df: DataFrame) -> list[str]:
+    """PartitionFilters lines per file scan — non-empty entries mean the
+    scan prunes whole partition directories before reading any data."""
+    return [
+        line.strip()
+        for line in formatted_plan(df).splitlines()
+        if "PartitionFilters" in line
+    ]
+
+
 def pushed_filters(df: DataFrame) -> list[str]:
     return [
         line.strip()

@@ -376,3 +376,23 @@ def test_absolute_frequency_cap_at_reference_threshold(spark):
     assert kept == {2}
     pairs = m.entity_pairs(capped)
     assert pairs.count() == 1  # linear, not 2001*2000/2
+
+
+def test_partitioned_sink_prunes_partitions(spark, tmp_path):
+    from puma_matcher_spark.operators.persister import persist_partitioned
+
+    df = spark.createDataFrame(
+        [(i, f"src{i % 4}", float(i)) for i in range(100)],
+        ["doc_id", "source", "v"],
+    )
+    path = str(tmp_path / "part")
+    persist_partitioned(df, path, ["source"])
+    # four partition directories exist
+    dirs = {d for d in os.listdir(path) if d.startswith("source=")}
+    assert dirs == {f"source=src{i}" for i in range(4)}
+    # a filter on the partition column reaches PartitionFilters (pruning
+    # whole directories), not just PushedFilters
+    rd = spark.read.parquet(path).where(F.col("source") == "src1")
+    pf = pi.partition_filters(rd)
+    assert pf and any("src1" in line for line in pf), pf
+    assert rd.count() == 25
