@@ -147,3 +147,124 @@ def decode_image(payload: bytes):  # pragma: no cover - stub
         "image decoding requires PIL/opencv; swap fake_decode_rgb for a "
         "real decoder in production — blockhash_256 itself is real"
     )
+
+
+def resize_rgb(pixels: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """REAL nearest-neighbour resize (pure numpy index arithmetic — no
+    codec involved): the resize step the reference performs via PIL
+    before hashing (PictureHashAnalyser2.scala's embedded script resizes
+    to a block-aligned raster)."""
+    h, w = pixels.shape[:2]
+    rows = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+    cols = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+    return pixels[rows][:, cols]
+
+
+def decode_pcm16(payload: bytes) -> np.ndarray:
+    """REAL raw-PCM decode: interpret bytes as little-endian signed
+    16-bit mono samples (the actual wire format of WAV data chunks) —
+    unlike the image path, no external codec is needed, so the audio
+    plane is fully real in this environment."""
+    usable = len(payload) - (len(payload) % 2)
+    if usable <= 0:
+        return np.zeros(0, dtype=np.int16)
+    return np.frombuffer(payload[:usable], dtype="<i2")
+
+
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("rms", StringType()),       # fixed 6-dec string: exact
+        StructField("zcr", StringType()),       # cross-engine comparison
+    ]
+)
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """mapInPandas audio features over raw-PCM payloads: sample count,
+    root-mean-square level, zero-crossing rate.  Real DSP end-to-end
+    (decode_pcm16 is a true PCM decoder); Arrow-batched, one output row
+    per input row, features shuffled instead of payloads.  Float results
+    are emitted as fixed 6-decimal strings so the values are
+    reproducible byte-for-byte across engines and partitionings."""
+
+    def one(payload: str):
+        x = decode_pcm16((payload or "").encode()).astype(np.float64)
+        n = x.size
+        if n == 0:
+            return 0, "0.000000", "0.000000"
+        rms = float(np.sqrt(np.mean(x * x)))
+        zc = int(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1])))
+        zcr = zc / (n - 1) if n > 1 else 0.0
+        return n, f"{rms:.6f}", f"{zcr:.6f}"
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [one(p) for p in pdf["payload"].fillna("")]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_samples": [f[0] for f in feats],
+                    "rms": [f[1] for f in feats],
+                    "zcr": [f[2] for f in feats],
+                }
+            )
+
+    return media.mapInPandas(process, AUDIO_FEATURE_SCHEMA)
+
+
+def sample_frame_offsets(n_bytes: int, frame_bytes: int, n_frames: int) -> list[int]:
+    """REAL uniform frame-sampling policy: byte offsets of ``n_frames``
+    frames spread evenly over the payload (fewer when the payload holds
+    fewer whole frames).  Pure arithmetic — the part of video sampling
+    that is engine logic rather than codec work."""
+    total = n_bytes // frame_bytes
+    if total <= 0:
+        return []
+    k = min(n_frames, total)
+    return [(i * total // k) * frame_bytes for i in range(k)]
+
+
+VIDEO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_frames_sampled", IntegerType()),
+        StructField("frame_hashes", StringType()),  # '|'-joined blockhashes
+    ]
+)
+
+
+def extract_video_features(
+    media: DataFrame,
+    frame_bytes: int = 768,
+    n_frames: int = 4,
+    frame_dim: int = 16,
+) -> DataFrame:
+    """mapInPandas video plumbing: uniformly sample frames from each
+    payload (real policy), decode each frame (STUB — fake_decode_rgb,
+    same single swap point as images), resize (real numpy) and blockhash
+    (real published algorithm).  Emits compact per-frame hashes — the
+    keyframe-dedup/similarity input — so binary payloads never shuffle."""
+
+    def one(payload: str):
+        data = (payload or "").encode()
+        offs = sample_frame_offsets(len(data), frame_bytes, n_frames)
+        hashes = []
+        for o in offs:
+            frame = fake_decode_rgb(data[o : o + frame_bytes], frame_dim, frame_dim)
+            hashes.append(blockhash_256(resize_rgb(frame, BLOCKHASH_BITS, BLOCKHASH_BITS)))
+        return len(offs), "|".join(hashes)
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [one(p) for p in pdf["payload"].fillna("")]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_frames_sampled": [f[0] for f in feats],
+                    "frame_hashes": [f[1] for f in feats],
+                }
+            )
+
+    return media.mapInPandas(process, VIDEO_FEATURE_SCHEMA)

@@ -2218,6 +2218,57 @@ def q_media_features_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "av_features_shape",
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       true AS samples_match, true AS frames_match, true AS deterministic
+FROM documents""",
+)
+def q_av_features_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio/video plumbing property twin: the PCM sample count must
+    equal floor(len(payload)/2) and the sampled frame count
+    min(4, floor(len/768)) for EVERY row (both recomputed independently
+    by the oracle-checkable formulas), and the extraction must be
+    repartition-invariant.  The audio path is fully real (raw-PCM
+    decode + RMS/ZCR); video frame decode shares the image stub."""
+    from puma_matcher_spark.llmdata.multimodal import (
+        extract_audio_features,
+        extract_video_features,
+    )
+
+    docs = load_tables(spark, sf_dir).llm_documents()
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").alias("payload"),
+        F.length("text").alias("_len"),
+    )
+    au = extract_audio_features(media).join(
+        media.select("media_id", "_len"), "media_id"
+    )
+    bad_samples = au.where(
+        F.col("n_samples") != F.floor(F.col("_len") / 2)
+    ).count()
+    vi = extract_video_features(media).join(
+        media.select("media_id", "_len"), "media_id"
+    )
+    bad_frames = vi.where(
+        F.col("n_frames_sampled")
+        != F.least(F.lit(4), F.floor(F.col("_len") / 768))
+    ).count()
+    a = extract_audio_features(media).select("media_id", "rms", "zcr")
+    b = extract_audio_features(media.repartition(7)).select(
+        "media_id", "rms", "zcr"
+    )
+    diff = a.exceptAll(b).count() + b.exceptAll(a).count()
+    n_rows = au.count()
+    return spark.range(1).select(
+        F.lit(n_rows).cast("long").alias("n_rows"),
+        F.lit(bool(bad_samples == 0)).alias("samples_match"),
+        F.lit(bool(bad_frames == 0)).alias("frames_match"),
+        F.lit(bool(diff == 0)).alias("deterministic"),
+    )
+
+
 # ---------------- picture / hamming family ----------------
 
 

@@ -95,3 +95,74 @@ def test_extract_media_features_end_to_end(spark):
         r["perceptual_hash"] for r in again
     ]
     assert out[0]["n_bytes"] == len("payload-one")
+
+
+def test_resize_rgb_nearest_neighbour():
+    import numpy as np
+
+    from puma_matcher_spark.llmdata.multimodal import resize_rgb
+
+    px = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    up = resize_rgb(px, 4, 4)
+    assert up.shape == (4, 4, 3)
+    # each source pixel tiles a 2x2 block
+    assert (up[0, 0] == px[0, 0]).all() and (up[3, 3] == px[1, 1]).all()
+    down = resize_rgb(up, 2, 2)
+    assert (down == px).all()
+
+
+def test_decode_pcm16_little_endian():
+    import numpy as np
+
+    from puma_matcher_spark.llmdata.multimodal import decode_pcm16
+
+    x = decode_pcm16(b"\x01\x00\xff\xff\x00\x80")
+    assert x.tolist() == [1, -1, -32768]
+    # odd trailing byte ignored; empty payload -> empty
+    assert decode_pcm16(b"\x01\x00\x02").tolist() == [1]
+    assert decode_pcm16(b"").size == 0
+
+
+def test_audio_features_hand_computed(spark):
+    import math
+
+    from puma_matcher_spark.llmdata.multimodal import extract_audio_features
+
+    # 'ab' -> int16 LE 0x6261 = 25185; 'abab' -> [25185, 25185]
+    media = spark.createDataFrame(
+        [(1, "abab"), (2, "")], ["media_id", "payload"]
+    )
+    rows = {r["media_id"]: r for r in extract_audio_features(media).collect()}
+    assert rows[1]["n_samples"] == 2
+    assert rows[1]["rms"] == f"{25185.0:.6f}"
+    assert rows[1]["zcr"] == "0.000000"
+    assert rows[2]["n_samples"] == 0
+
+
+def test_frame_sampling_policy():
+    from puma_matcher_spark.llmdata.multimodal import sample_frame_offsets
+
+    # 10 whole frames of 100 bytes, sample 4 -> evenly spread offsets
+    assert sample_frame_offsets(1000, 100, 4) == [0, 200, 500, 700]
+    # fewer frames than requested -> all of them
+    assert sample_frame_offsets(250, 100, 4) == [0, 100]
+    # payload smaller than one frame -> nothing
+    assert sample_frame_offsets(50, 100, 4) == []
+
+
+def test_video_features_shapes_and_determinism(spark):
+    from puma_matcher_spark.llmdata.multimodal import extract_video_features
+
+    media = spark.createDataFrame(
+        [(1, "x" * 4000), (2, "y" * 800), (3, "")], ["media_id", "payload"]
+    )
+    rows = {r["media_id"]: r for r in extract_video_features(media).collect()}
+    assert rows[1]["n_frames_sampled"] == 4
+    assert len(rows[1]["frame_hashes"].split("|")) == 4
+    assert all(len(h) == 64 for h in rows[1]["frame_hashes"].split("|"))
+    assert rows[2]["n_frames_sampled"] == 1
+    assert rows[3]["n_frames_sampled"] == 0 and rows[3]["frame_hashes"] == ""
+    again = {r["media_id"]: r for r in extract_video_features(media.repartition(3)).collect()}
+    assert {k: (v["n_frames_sampled"], v["frame_hashes"]) for k, v in rows.items()} == {
+        k: (v["n_frames_sampled"], v["frame_hashes"]) for k, v in again.items()
+    }
