@@ -1586,6 +1586,43 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_asof",
+    """WITH c AS (
+  SELECT user_id, ts, MAX(event_id) AS click_id
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+p AS (
+  SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+  FROM events WHERE event_type = 'purchase')
+SELECT p.user_id, p.purchase_id, p.purchase_ts, c.ts AS asof_ts,
+       c.click_id AS asof_click_id
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.purchase_ts >= c.ts""",
+)
+def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (point-in-time) join — additive operator the reference
+    lacks (operators/asof.py): each purchase picks up the same user's
+    latest click at-or-before it, via the union-and-window formulation
+    (one shuffle, no pair explosion).  Oracle: DuckDB's native ASOF
+    LEFT JOIN."""
+    from puma_matcher_spark.operators.asof import asof_join
+
+    ev = load_tables(spark, sf_dir).events()
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    out = asof_join(purchases, clicks, on="user_id", ts="ts")
+    return out.select(
+        "user_id",
+        "purchase_id",
+        F.col("ts").alias("purchase_ts"),
+        "asof_ts",
+        "asof_click_id",
+    )
+
+
+@register(
     "events_approx_users",
     """SELECT event_type,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,

@@ -210,3 +210,34 @@ def test_fork_child_does_not_mutate_parent(spark):
     # parent still sees its own frame
     assert p1.as_data_source("out").first()["x"] == 1
     assert child.as_data_source("out").first()["x"] == 2
+
+
+def test_asof_join_picks_latest_prior_row(spark):
+    from puma_matcher_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "p1"), (1, 25, "p2"), (2, 5, "p3")],
+        ["user_id", "ts", "label"],
+    )
+    right = spark.createDataFrame(
+        [(1, 8, 100.0), (1, 10, 200.0), (1, 20, 300.0), (2, 9, 400.0)],
+        ["user_id", "ts", "v"],
+    )
+    rows = {r["label"]: r for r in asof_join(left, right).collect()}
+    # p1 at ts=10: right rows at 8 and 10 -> inclusive tie picks ts=10
+    assert rows["p1"]["asof_ts"] == 10 and rows["p1"]["asof_v"] == 200.0
+    # p2 at ts=25: latest prior is ts=20
+    assert rows["p2"]["asof_ts"] == 20 and rows["p2"]["asof_v"] == 300.0
+    # p3 at ts=5: right row at 9 is AFTER -> no match
+    assert rows["p3"]["asof_ts"] is None and rows["p3"]["asof_v"] is None
+
+
+def test_asof_join_dedups_equal_ts_right_rows(spark):
+    from puma_matcher_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10)], ["user_id", "ts"])
+    right = spark.createDataFrame(
+        [(1, 10, 1.0), (1, 10, 9.0)], ["user_id", "ts", "v"]
+    )
+    r = asof_join(left, right).first()
+    assert r["asof_v"] == 9.0  # max payload per (key, ts) wins deterministically
