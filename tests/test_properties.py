@@ -1,0 +1,124 @@
+"""Property-based tests (hypothesis) for the pure kernels.
+
+These pin the *invariants* the oracle-parity gate relies on — portable
+rounding, portable hashing, codec-free media kernels — across thousands
+of generated inputs, with no SparkSession in the example loop (so the
+whole file runs in seconds).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import duckdb
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from puma_matcher_spark.functions.rounding import rewrite_rounds_sql
+from puma_matcher_spark.llmdata.multimodal import (
+    blockhash_256,
+    decode_pcm16,
+    resize_rgb,
+    sample_frame_offsets,
+)
+
+
+# ---------------- portable rounding ----------------
+
+
+@given(st.floats(min_value=-1e6, max_value=1e6, allow_nan=False), st.integers(0, 6))
+@settings(max_examples=300, deadline=None)
+def test_pround_formula_matches_duckdb(x, n):
+    """The floor-based round formula must evaluate identically in Python
+    and DuckDB on the same double — the exact property the oracle gate
+    depends on for every float column."""
+    s = float(10**n)
+    py = math.floor(x * s + 0.5) / s
+    (dk,) = duckdb.sql(f"SELECT FLOOR(CAST({x!r} AS DOUBLE) * {s} + 0.5) / {s}").fetchone()
+    assert py == dk
+
+
+@given(st.integers(0, 4))
+@settings(max_examples=20, deadline=None)
+def test_rewrite_rounds_handles_nesting(depth):
+    """ROUND() rewriting must survive arbitrary nesting and leave no
+    ROUND( behind, with balanced parentheses."""
+    expr = "x"
+    for _ in range(depth):
+        expr = f"ROUND({expr} + SUM(a, {expr}), 4)"
+    out = rewrite_rounds_sql(expr)
+    assert "ROUND(" not in out
+    assert out.count("(") == out.count(")")
+
+
+# ---------------- portable hashing ----------------
+
+
+@given(st.text(min_size=0, max_size=40))
+@settings(max_examples=200, deadline=None)
+def test_portable_hash60_matches_duckdb(s):
+    """hash60 = first 15 md5 hex chars as int must agree between
+    hashlib (what Spark's conv(substr(md5)) computes) and DuckDB's
+    ('0x' || substr(md5, 1, 15))::BIGINT — the arithmetic every minhash
+    and split bucket rides on."""
+    py = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+    (dk,) = duckdb.execute(
+        "SELECT ('0x' || substr(md5(?), 1, 15))::BIGINT", [s]
+    ).fetchone()
+    assert py == dk
+
+
+# ---------------- media kernels ----------------
+
+
+@given(st.integers(1, 4), st.integers(1, 4), st.data())
+@settings(max_examples=50, deadline=None)
+def test_blockhash_shape_and_determinism(hb, wb, data):
+    h, w = 16 * hb, 16 * wb
+    raw = data.draw(
+        st.binary(min_size=h * w * 3, max_size=h * w * 3)
+    )
+    px = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+    out = blockhash_256(px)
+    assert len(out) == 64 and set(out) <= set("0123456789abcdef")
+    assert blockhash_256(px.copy()) == out
+
+
+@given(
+    st.integers(1, 20),
+    st.integers(1, 20),
+    st.integers(1, 32),
+    st.integers(1, 32),
+)
+@settings(max_examples=100, deadline=None)
+def test_resize_rgb_shape_and_value_provenance(h, w, oh, ow):
+    px = np.arange(h * w * 3, dtype=np.int64).reshape(h, w, 3) % 256
+    out = resize_rgb(px, oh, ow)
+    assert out.shape == (oh, ow, 3)
+    # nearest-neighbour: every output pixel is some input pixel
+    flat_in = {tuple(p) for p in px.reshape(-1, 3)}
+    assert all(tuple(p) in flat_in for p in out.reshape(-1, 3))
+    # same-size resize is identity
+    assert (resize_rgb(px, h, w) == px).all()
+
+
+@given(st.binary(min_size=0, max_size=64))
+@settings(max_examples=200, deadline=None)
+def test_decode_pcm16_roundtrip(payload):
+    x = decode_pcm16(payload)
+    assert x.size == len(payload) // 2
+    assert x.tobytes() == payload[: x.size * 2]
+
+
+@given(st.integers(0, 10_000), st.integers(1, 500), st.integers(1, 16))
+@settings(max_examples=300, deadline=None)
+def test_frame_offsets_invariants(n_bytes, frame_bytes, n_frames):
+    offs = sample_frame_offsets(n_bytes, frame_bytes, n_frames)
+    total = n_bytes // frame_bytes
+    assert len(offs) == min(n_frames, total)
+    # strictly increasing, frame-aligned, every frame fully inside payload
+    assert all(b > a for a, b in zip(offs, offs[1:]))
+    assert all(o % frame_bytes == 0 for o in offs)
+    assert all(o + frame_bytes <= n_bytes for o in offs)
