@@ -466,3 +466,84 @@ def incremental_ingest(
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id", "fingerprint")
     )
+
+
+def duplicate_spans(
+    docs: DataFrame, shingle_n: int = 10, text_col: str = "text"
+) -> DataFrame:
+    """Exact-substring duplicate spans: token ranges covered by any
+    ``shingle_n``-gram that occurs more than once in the corpus
+    (within- or cross-document) — the span-level dedup signal
+    "exact substring deduplication" pipelines cut from training data,
+    at word-shingle granularity instead of a suffix array.
+
+    Shape: positional shingles map-side (transform over a sequence, no
+    token explode), one gram-count aggregation, a semi-join back onto
+    occurrences, then a gaps-and-islands merge of overlapping/adjacent
+    hits per document (windowed running max — same pattern as the
+    text-match run merger).  All shuffle-partitioned; the gram count has
+    the same skew profile as the shingle df-cap and needs no driver
+    state.
+
+    Output: (doc_id, span_start, span_end, span_len) with 0-based
+    inclusive token positions, spans merged when they overlap or touch.
+    """
+    from pyspark.sql.window import Window
+
+    base = docs.select(
+        "doc_id", tokens(F.lower(F.col(text_col))).alias("_tk")
+    )
+    n = shingle_n
+    elems = [F.element_at(F.col("_tk"), F.col("_i") + j) for j in range(n)]
+    occ = (
+        base.select(
+            "doc_id",
+            F.posexplode(
+                F.when(
+                    F.size("_tk") >= n,
+                    F.sequence(F.lit(1), F.size("_tk") - n + 1),
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("_p", "_i"),
+            F.col("_tk"),
+        )
+        .select(
+            "doc_id",
+            (F.col("_i") - 1).alias("start"),
+            F.concat_ws(" ", *elems).alias("shingle"),
+        )
+    )
+    dup = (
+        occ.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .where(F.col("_c") > 1)
+        .select("shingle")
+    )
+    hits = occ.join(dup, "shingle", "left_semi").select(
+        "doc_id", "start", (F.col("start") + n - 1).alias("end")
+    )
+    w = Window.partitionBy("doc_id").orderBy("start")
+    prev_max_end = F.max("end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = hits.withColumn(
+        "_new",
+        F.when(
+            prev_max_end.isNull() | (F.col("start") > prev_max_end + 1), 1
+        ).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        flagged.groupBy("doc_id", "island")
+        .agg(
+            F.min("start").cast("long").alias("span_start"),
+            F.max("end").cast("long").alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
+        )
+    )

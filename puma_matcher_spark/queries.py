@@ -2990,6 +2990,46 @@ def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dup_substring_spans",
+    """WITH tk AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+  FROM documents),
+occ0 AS (SELECT doc_id, tk, unnest(range(1, len(tk) - 3)) AS i FROM tk),
+occ AS (
+  SELECT doc_id, i - 1 AS s,
+         array_to_string(list_slice(tk, i, i + 4), ' ') AS shingle
+  FROM occ0),
+dup AS (SELECT shingle FROM occ GROUP BY 1 HAVING COUNT(*) > 1),
+hits AS (SELECT o.doc_id, o.s, o.s + 4 AS e FROM occ o JOIN dup USING (shingle)),
+fl AS (
+  SELECT doc_id, s, e,
+         CASE WHEN MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR s > MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+         THEN 1 ELSE 0 END AS new_island
+  FROM hits),
+isl AS (
+  SELECT doc_id, s, e,
+         SUM(new_island) OVER (PARTITION BY doc_id ORDER BY s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM fl)
+SELECT doc_id, CAST(MIN(s) AS BIGINT) AS span_start,
+       CAST(MAX(e) AS BIGINT) AS span_end,
+       CAST(MAX(e) - MIN(s) + 1 AS BIGINT) AS span_len
+FROM isl GROUP BY doc_id, island""",
+)
+def q_dup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate spans (llmdata/dedup.py
+    ``duplicate_spans``, 5-gram granularity): merged token ranges covered
+    by any shingle occurring more than once in the corpus — the
+    span-level cut list of exact-substring training-data dedup."""
+    return dd.duplicate_spans(
+        load_tables(spark, sf_dir).llm_documents(), shingle_n=5
+    )
+
+
+@register(
     "repetition_metrics",
     """WITH tk AS (
   SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk

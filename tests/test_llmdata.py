@@ -601,3 +601,35 @@ def test_incremental_ingest_drops_known_and_batch_dups(spark):
     )
     kept = {r["doc_id"] for r in dd.incremental_ingest(new, corpus).collect()}
     assert kept == {3, 7}
+
+
+def test_duplicate_spans_merges_overlaps(spark):
+    docs = _docs(
+        spark,
+        [
+            # docs 1 and 2 share the 3-gram runs 'a b c' and 'b c d'
+            # (overlapping -> one merged span per doc)
+            (1, "a b c d x y z"),
+            (2, "q a b c d r s"),
+            (3, "nothing shared here at all"),
+        ],
+    )
+    rows = {
+        (r["doc_id"]): (r["span_start"], r["span_end"], r["span_len"])
+        for r in dd.duplicate_spans(docs, shingle_n=3).collect()
+    }
+    # doc1: 'a b c' at 0, 'b c d' at 1 -> merged span [0, 3]
+    assert rows[1] == (0, 3, 4)
+    # doc2: same grams at 1 and 2 -> merged span [1, 4]
+    assert rows[2] == (1, 4, 4)
+    assert 3 not in rows
+
+
+def test_duplicate_spans_within_single_doc(spark):
+    # the repeated 3-gram 'x y z' inside ONE doc also counts (positions 0 and 4)
+    docs = _docs(spark, [(1, "x y z q x y z")])
+    spans = sorted(
+        (r["span_start"], r["span_end"])
+        for r in dd.duplicate_spans(docs, shingle_n=3).collect()
+    )
+    assert spans == [(0, 2), (4, 6)]
