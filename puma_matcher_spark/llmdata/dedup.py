@@ -547,3 +547,44 @@ def duplicate_spans(
             (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
         )
     )
+
+
+def cut_spans(
+    docs: DataFrame, spans: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Apply a duplicate-span cut list (:func:`duplicate_spans`) to the
+    corpus: drop every token whose 0-based position falls inside any of
+    the document's spans and re-join the survivors — the action
+    exact-substring dedup takes on training text.
+
+    The span list rides a per-doc array (collect_list → typically a few
+    entries), so the cut itself is a map-side nested higher-order filter;
+    the only shuffle is the doc_id join against the (small) span table.
+
+    Output: (doc_id, clean_text, n_tokens_removed).
+    """
+    sp = spans.groupBy("doc_id").agg(
+        F.collect_list(
+            F.struct(
+                F.col("span_start").alias("s"), F.col("span_end").alias("e")
+            )
+        ).alias("_spans")
+    )
+    base = docs.join(sp, "doc_id", "left").select(
+        "doc_id",
+        tokens(F.lower(F.col(text_col))).alias("_tk"),
+        F.coalesce(
+            "_spans", F.array().cast("array<struct<s:bigint,e:bigint>>")
+        ).alias("_spans"),
+    )
+    kept = F.filter(
+        "_tk",
+        lambda x, i: ~F.exists(
+            "_spans", lambda sp_: (i >= sp_["s"]) & (i <= sp_["e"])
+        ),
+    )
+    return base.select(
+        "doc_id",
+        F.concat_ws(" ", kept).alias("clean_text"),
+        (F.size("_tk") - F.size(kept)).cast("long").alias("n_tokens_removed"),
+    )

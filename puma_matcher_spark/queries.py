@@ -3030,6 +3030,58 @@ def q_dup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "span_cut_corpus",
+    """WITH tk AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+  FROM documents),
+occ0 AS (SELECT doc_id, tk, unnest(range(1, len(tk) - 3)) AS i FROM tk),
+occ AS (
+  SELECT doc_id, i - 1 AS s,
+         array_to_string(list_slice(tk, i, i + 4), ' ') AS shingle
+  FROM occ0),
+dup AS (SELECT shingle FROM occ GROUP BY 1 HAVING COUNT(*) > 1),
+hits AS (SELECT o.doc_id, o.s, o.s + 4 AS e FROM occ o JOIN dup USING (shingle)),
+fl AS (
+  SELECT doc_id, s, e,
+         CASE WHEN MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR s > MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+         THEN 1 ELSE 0 END AS new_island
+  FROM hits),
+isl AS (
+  SELECT doc_id, s, e,
+         SUM(new_island) OVER (PARTITION BY doc_id ORDER BY s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM fl),
+spans AS (
+  SELECT doc_id, MIN(s) AS ss, MAX(e) AS se
+  FROM isl GROUP BY doc_id, island),
+spl AS (
+  SELECT doc_id, list({'s': ss, 'e': se}) AS spans
+  FROM spans GROUP BY doc_id)
+SELECT t.doc_id,
+       COALESCE(array_to_string(
+         list_filter(t.tk, (x, i) ->
+           len(list_filter(COALESCE(spl.spans, []),
+               sp -> i - 1 >= sp.s AND i - 1 <= sp.e)) = 0), ' '), '') AS clean_text,
+       CAST(len(t.tk) - len(
+         list_filter(t.tk, (x, i) ->
+           len(list_filter(COALESCE(spl.spans, []),
+               sp -> i - 1 >= sp.s AND i - 1 <= sp.e)) = 0)) AS BIGINT)
+         AS n_tokens_removed
+FROM tk t LEFT JOIN spl ON spl.doc_id = t.doc_id""",
+)
+def q_span_cut_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus after exact-substring span cutting (llmdata/dedup.py
+    ``cut_spans`` over ``duplicate_spans``): duplicated 5-gram runs are
+    removed from every document's token stream."""
+    docs = load_tables(spark, sf_dir).llm_documents()
+    spans = dd.duplicate_spans(docs, shingle_n=5)
+    return dd.cut_spans(docs, spans)
+
+
+@register(
     "repetition_metrics",
     """WITH tk AS (
   SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk

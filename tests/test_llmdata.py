@@ -633,3 +633,15 @@ def test_duplicate_spans_within_single_doc(spark):
         for r in dd.duplicate_spans(docs, shingle_n=3).collect()
     )
     assert spans == [(0, 2), (4, 6)]
+
+
+def test_cut_spans_removes_marked_tokens(spark):
+    docs = _docs(spark, [(1, "a b c d e"), (2, "clean doc here")])
+    spans = spark.createDataFrame(
+        [(1, 1, 2)], ["doc_id", "span_start", "span_end"]
+    )
+    rows = {r["doc_id"]: r for r in dd.cut_spans(docs, spans).collect()}
+    assert rows[1]["clean_text"] == "a d e"
+    assert rows[1]["n_tokens_removed"] == 2
+    assert rows[2]["clean_text"] == "clean doc here"
+    assert rows[2]["n_tokens_removed"] == 0
