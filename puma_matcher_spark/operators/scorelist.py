@@ -45,3 +45,22 @@ def score_list(
             "left",
         )
     return wide
+
+
+def melt_score_list(wide: DataFrame, score_types: list[str]) -> DataFrame:
+    """Inverse of :func:`score_list` — unpivot the wide per-pair row back
+    to long (pair, score_type, score) form, dropping empty cells.  Uses
+    the native ``unpivot`` (stack) operator: map-side row expansion, no
+    shuffle, so wide→long restructuring is free at any scale."""
+    out = wide.unpivot(
+        ids=["document_version1_id", "document_version2_id"],
+        values=[f"score_{t}" for t in score_types],
+        variableColumnName="score_type",
+        valueColumnName="score",
+    )
+    return out.select(
+        "document_version1_id",
+        "document_version2_id",
+        F.regexp_replace("score_type", "^score_", "").alias("score_type"),
+        "score",
+    ).where(F.col("score").isNotNull())

@@ -466,6 +466,70 @@ def q_score_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "score_unpivot",
+    _all_cand_ctes()
+    + """,
+wide AS (
+  SELECT document_version1_id, document_version2_id,
+         ROUND(MAX(CASE WHEN score_type = 'person' THEN score END), 4) AS score_person,
+         ROUND(MAX(CASE WHEN score_type = 'laboratory' THEN score END), 4) AS score_laboratory
+  FROM all_cand GROUP BY 1, 2)
+SELECT document_version1_id, document_version2_id, 'person' AS score_type,
+       score_person AS score
+FROM wide WHERE score_person IS NOT NULL
+UNION ALL
+SELECT document_version1_id, document_version2_id, 'laboratory' AS score_type,
+       score_laboratory AS score
+FROM wide WHERE score_laboratory IS NOT NULL""",
+)
+def q_score_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12 inverse — native ``unpivot`` (stack) melting the wide score
+    list back to long form (operators/scorelist.py melt_score_list);
+    map-side row expansion, no shuffle."""
+    cand = _all_candidates(load_tables(spark, sf_dir)).withColumn(
+        "pair_id",
+        pair_id(F.col("document_version1_id"), F.col("document_version2_id")),
+    )
+    wide = sl.score_list(cand, ["person", "laboratory"])
+    wide = wide.select(
+        "document_version1_id",
+        "document_version2_id",
+        pround("score_person", 4).alias("score_person"),
+        pround("score_laboratory", 4).alias("score_laboratory"),
+    )
+    return sl.melt_score_list(wide, ["person", "laboratory"])
+
+
+@register(
+    "events_resampled",
+    """WITH b AS (
+  SELECT CAST(FLOOR(epoch(MIN(ts)) / 3600) * 3600 AS BIGINT) AS lo,
+         CAST(FLOOR(epoch(MAX(ts)) / 3600) * 3600 AS BIGINT) AS hi
+  FROM events),
+t AS (SELECT DISTINCT event_type FROM events),
+g AS (
+  SELECT t.event_type,
+         CAST(unnest(generate_series(b.lo, b.hi, 3600)) AS BIGINT) AS bucket_epoch
+  FROM t, b),
+a AS (
+  SELECT event_type,
+         CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket_epoch,
+         CAST(COUNT(*) AS BIGINT) AS event_count
+  FROM events GROUP BY 1, 2)
+SELECT g.event_type, g.bucket_epoch,
+       CAST(COALESCE(a.event_count, 0) AS BIGINT) AS event_count
+FROM g LEFT JOIN a USING (event_type, bucket_epoch)""",
+)
+def q_events_resampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly series per event_type (streaming/events.py
+    ``resample_counts``): dense grid from an in-plan min/max bound,
+    zeros where no events landed."""
+    from puma_matcher_spark.streaming.events import resample_counts
+
+    return resample_counts(load_tables(spark, sf_dir).events())
+
+
+@register(
     "total_score",
     _all_cand_ctes()
     + """,

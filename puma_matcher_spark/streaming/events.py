@@ -94,6 +94,47 @@ def sessionize(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def resample_counts(events: DataFrame, bucket_seconds: int = 3600) -> DataFrame:
+    """Gap-filled (dense) time series: per event_type, event counts for
+    EVERY bucket between the corpus min and max bucket — zeros where no
+    events landed — the resample step downstream trend/anomaly jobs
+    need before differencing.
+
+    Scale shape: the fact aggregation is one hash shuffle; the dense
+    grid is (types × buckets), built from a 1-row min/max aggregate
+    cross-joined with the distinct types and an exploded sequence —
+    tiny versus the fact table at any scale, and broadcast into the
+    final left join by AQE.
+    """
+    bucket = (
+        F.floor(F.unix_timestamp("ts") / bucket_seconds) * bucket_seconds
+    ).cast("long")
+    actual = events.groupBy(
+        F.col("event_type"), bucket.alias("bucket_epoch")
+    ).agg(F.count(F.lit(1)).cast("long").alias("event_count"))
+    bounds = events.agg(
+        F.min(bucket).alias("_lo"), F.max(bucket).alias("_hi")
+    )
+    grid = (
+        events.select("event_type")
+        .distinct()
+        .crossJoin(bounds)
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(
+                    F.col("_lo"), F.col("_hi"), F.lit(bucket_seconds)
+                )
+            ).alias("bucket_epoch"),
+        )
+    )
+    return grid.join(actual, ["event_type", "bucket_epoch"], "left").select(
+        "event_type",
+        "bucket_epoch",
+        F.coalesce("event_count", F.lit(0)).cast("long").alias("event_count"),
+    )
+
+
 def enrich_with_dim(events: DataFrame, dim: DataFrame) -> DataFrame:
     """Stream-static join: each micro-batch joins against the (static,
     broadcastable) dimension — the canonical enrichment pattern; the dim
