@@ -530,6 +530,25 @@ def q_events_resampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_rolling",
+    """SELECT event_id, event_type,
+       CAST(COUNT(*) OVER w AS BIGINT) AS trailing_count,
+       ROUND(SUM(value) OVER w, 4) AS trailing_value_sum
+FROM (SELECT event_id, event_type, value,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec
+      FROM events)
+WINDOW w AS (PARTITION BY event_type ORDER BY sec
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""",
+)
+def q_events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-family frame spec the reference lacks: trailing-hour RANGE
+    frame per event_type (streaming/events.py ``rolling_counts``)."""
+    from puma_matcher_spark.streaming.events import rolling_counts
+
+    return rolling_counts(load_tables(spark, sf_dir).events())
+
+
+@register(
     "total_score",
     _all_cand_ctes()
     + """,

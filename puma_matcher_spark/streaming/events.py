@@ -135,6 +135,31 @@ def resample_counts(events: DataFrame, bucket_seconds: int = 3600) -> DataFrame:
     )
 
 
+def rolling_counts(events: DataFrame, horizon_seconds: int = 3600) -> DataFrame:
+    """Trailing moving aggregate at every event: count and value sum of
+    the same event_type within the past ``horizon_seconds`` (inclusive),
+    via a RANGE frame over epoch seconds — the event-time frame-spec
+    windowing the reference never uses (SURVEY.md §2.5 notes no
+    ``rowsBetween``/``rangeBetween`` anywhere; this is the idiomatic
+    Spark form).  One shuffle+sort per event_type partition; rows with
+    equal timestamps all see the same frame, so the result is
+    deterministic under ties."""
+    from pyspark.sql.window import Window
+
+    sec = F.unix_timestamp("ts")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(sec)
+        .rangeBetween(-horizon_seconds, 0)
+    )
+    return events.select(
+        "event_id",
+        "event_type",
+        F.count(F.lit(1)).over(w).cast("long").alias("trailing_count"),
+        pround(F.sum("value").over(w), 4).alias("trailing_value_sum"),
+    )
+
+
 def enrich_with_dim(events: DataFrame, dim: DataFrame) -> DataFrame:
     """Stream-static join: each micro-batch joins against the (static,
     broadcastable) dimension — the canonical enrichment pattern; the dim
