@@ -57,3 +57,38 @@ def referenced_minus_owned(
     return referenced.join(
         owned, ["document_version_id", entity_col], "left_anti"
     )
+
+
+def code_extractor_udtf():
+    """True Python UDTF twin of the code extraction — the reference's
+    CodeAnalyserService is exactly a UDTF shape (one document row in,
+    N (code, type) rows out; the reference fakes it with a
+    tuple-array UDF + explode, DocumentWordSpecAnalyser.scala:89-98).
+
+    API-parity demonstration: the PRODUCTION path stays the codegen'd
+    ``regexp_extract_all`` above (a row-at-a-time Python UDTF is the
+    slow path at 100 TB); use this form when per-row logic genuinely
+    can't be expressed as expressions.  Returns the UDTF (created
+    lazily so importing this module never requires an active session).
+    """
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    prop_re = re.compile(PROPOSAL_CODE_RE)
+    doi_re = re.compile(DOI_RE)
+
+    @udtf(returnType="code: string, code_type: string")
+    class ExtractCodes:
+        def eval(self, doc_id, text: str):
+            seen = set()
+            for m in prop_re.finditer(text or ""):
+                if (m.group(1), "proposal") not in seen:
+                    seen.add((m.group(1), "proposal"))
+                    yield m.group(1), "proposal"
+            for m in doi_re.finditer(text or ""):
+                if (m.group(1), "doi") not in seen:
+                    seen.add((m.group(1), "doi"))
+                    yield m.group(1), "doi"
+
+    return ExtractCodes

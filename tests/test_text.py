@@ -231,3 +231,34 @@ def test_cosine_identical_titles_score_one(spark):
     }
     assert abs(out[(1, 2)] - 1.0) < 1e-9
     assert (1, 3) not in out
+
+
+def test_code_extractor_udtf_matches_expression_path(spark):
+    """The Python UDTF twin must emit exactly the rows the codegen
+    regexp_extract_all path produces."""
+    from puma_matcher_spark.functions import codes as C
+
+    docs = spark.createDataFrame(
+        [
+            (1, "see proposal 4-01-123 and doi 10.1234/abc.5 here"),
+            (2, "no codes at all"),
+        ],
+        ["document_version_id", "text"],
+    )
+    ExtractCodes = C.code_extractor_udtf()
+    docs.createOrReplaceTempView("udtf_docs")
+    spark.udtf.register("extract_codes", ExtractCodes)
+    got = {
+        (r["code"], r["code_type"])
+        for r in spark.sql(
+            "SELECT t.code, t.code_type FROM udtf_docs, "
+            "LATERAL extract_codes(document_version_id, text) t"
+        ).collect()
+    }
+    assert got == {("4-01-123", "proposal"), ("10.1234/abc.5", "doi")}
+    # expression-path equivalence on the proposal side
+    expr_side = {
+        r["code"]
+        for r in C.extract_proposal_codes(docs, "text", "document_version_id").collect()
+    }
+    assert expr_side == {c for c, t in got if t == "proposal"}
