@@ -244,3 +244,78 @@ def lsh_bucketed_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+def label_centroids(embeddings: DataFrame) -> DataFrame:
+    """Per-label centroid (element-wise mean) of the embedding vectors —
+    the prototype/class-center computation behind nearest-centroid
+    classification, IVF coarse quantizers and cluster summaries.
+
+    Shape: posexplode to (label, dim, value) → one hash aggregate on
+    (label, dim) → re-assemble the vector with
+    sort_array(collect_list(struct(dim, avg))) per label.  Both
+    aggregations are shuffle-partitioned; the collect_list group is
+    exactly ``dim`` entries, bounded by the embedding width, never by
+    corpus size.  Output: (label, centroid, n_vectors).
+    """
+    from puma_matcher_spark.functions.rounding import pround
+
+    e = embeddings.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    )
+    m = e.groupBy("label", "dim").agg(F.avg("v").alias("av"))
+    cent = m.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "av"))),
+            lambda s: pround(s["av"], 4),
+        ).alias("centroid")
+    )
+    counts = embeddings.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors")
+    )
+    return cent.join(counts, "label")
+
+
+def nearest_centroid_confusion(embeddings: DataFrame) -> DataFrame:
+    """Nearest-centroid classification check: assign every vector to its
+    closest label centroid (squared L2 over the 4-dec-rounded centroids,
+    ties to the smallest label) and roll up the (true, assigned)
+    confusion counts.
+
+    The centroid side is K rows (bounded by the label count), so the
+    vector×centroid pairing is a broadcast of a constant-size frame —
+    linear in corpus, never quadratic.  The distance folds in a FIXED
+    evaluation order (zip_with + sequential aggregate), so the argmin is
+    reproducible across engines.
+    """
+    from puma_matcher_spark.functions.rounding import pround
+
+    cents = label_centroids(embeddings).select(
+        F.col("label").alias("c_label"), "centroid"
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            F.col("centroid"),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        embeddings.select("vec_id", "label", "embedding")
+        .crossJoin(F.broadcast(cents))
+        .withColumn("_d2", pround(d2, 6))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("_d2").asc(), F.col("c_label").asc()
+    )
+    best = scored.withColumn("_rn", F.row_number().over(w)).where(
+        F.col("_rn") == 1
+    )
+    return best.groupBy(
+        F.col("label").alias("true_label"),
+        F.col("c_label").alias("assigned_label"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))

@@ -2086,6 +2086,58 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "label_centroids",
+    """WITH e AS (
+  SELECT label, unnest(embedding::DOUBLE[]) AS v,
+         generate_subscripts(embedding, 1) AS dim
+  FROM embeddings),
+m AS (SELECT label, dim, AVG(v) AS av FROM e GROUP BY 1, 2),
+c AS (SELECT label, list(ROUND(av, 4) ORDER BY dim) AS centroid
+      FROM m GROUP BY label),
+n AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors
+      FROM embeddings GROUP BY label)
+SELECT c.label, c.centroid, n.n_vectors FROM c JOIN n USING (label)""",
+)
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (llmdata/similarity.py) — the
+    prototype-vector computation; collect_list groups bounded by the
+    embedding width, never corpus size."""
+    return sim.label_centroids(load_tables(spark, sf_dir).llm_embeddings())
+
+
+@register(
+    "centroid_confusion",
+    """WITH e AS (
+  SELECT label, unnest(embedding::DOUBLE[]) AS v,
+         generate_subscripts(embedding, 1) AS dim
+  FROM embeddings),
+m AS (SELECT label, dim, AVG(v) AS av FROM e GROUP BY 1, 2),
+c AS (SELECT label AS c_label, list(ROUND(av, 4) ORDER BY dim) AS centroid
+      FROM m GROUP BY label),
+sc AS (
+  SELECT emb.vec_id, emb.label, c.c_label,
+         ROUND(list_sum(list_transform(range(1, len(c.centroid) + 1),
+               i -> (emb.embedding[i]::DOUBLE - c.centroid[i]) *
+                    (emb.embedding[i]::DOUBLE - c.centroid[i]))), 6) AS d2
+  FROM embeddings emb, c),
+best AS (
+  SELECT vec_id, label, c_label,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, c_label ASC) AS rn
+  FROM sc)
+SELECT label AS true_label, c_label AS assigned_label,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors
+FROM best WHERE rn = 1 GROUP BY 1, 2""",
+)
+def q_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification confusion counts
+    (llmdata/similarity.py): K-row centroid broadcast, fixed-order L2,
+    deterministic argmin."""
+    return sim.nearest_centroid_confusion(
+        load_tables(spark, sf_dir).llm_embeddings()
+    )
+
+
+@register(
     "embedding_topk",
     """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
            FROM embeddings WHERE vec_id % 50 = 0),

@@ -234,6 +234,7 @@ def test_plan_sweep_no_accidental_cartesians(spark, sf_small):
         "embedding_near_dups",  # exact all-pairs baseline
         "ivf_recall",           # compares IVF against the brute-force baseline
         "embedding_dup_clusters",  # clusters over the exact all-pairs baseline
+        "centroid_confusion",   # K-row centroid broadcast (bounded by labels)
     }
     skip_heavy = {"picture_lsh_pairs", "embedding_ivf_topk", "pic_cluster_quality"}
     failures = []
