@@ -359,3 +359,48 @@ def with_bpe_token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.size(tokens(F.col(text_col))).cast("long").alias("word_count"),
         F.size(pieces).cast("long").alias("bpe_token_count"),
     )
+
+
+def bpe_top_merges(docs: DataFrame, k: int = 50, text_col: str = "text") -> DataFrame:
+    """Top-k BPE merge candidates: corpus-wide counts of adjacent
+    character pairs, weighted by word frequency — the inner-loop
+    statistic of byte-pair-encoding tokenizer training (the classic
+    formulation aggregates per DISTINCT word first, so the pair scan
+    touches |vocabulary| rows, not |corpus| tokens — the same
+    distinct-before-expensive-work shape as the dedup plane).
+
+    Output: (merge_rank, pair, pair_count), ties broken to the
+    lexicographically smallest pair.
+    """
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    pairs = vocab.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN length(tok) >= 2 THEN "
+                "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2)) "
+                "ELSE array() END"
+            )
+        ).alias("pair"),
+        "c",
+    )
+    counts = pairs.groupBy("pair").agg(
+        F.sum("c").cast("long").alias("pair_count")
+    )
+    order = [F.col("pair_count").desc(), F.col("pair").asc()]
+    return (
+        counts.orderBy(*order)
+        .limit(k)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(*order))
+            .cast("long")
+            .alias("merge_rank"),
+            "pair",
+            "pair_count",
+        )
+    )

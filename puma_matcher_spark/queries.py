@@ -549,6 +549,44 @@ def q_events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "score_deciles",
+    _all_cand_ctes()
+    + """
+SELECT score_type, CAST(decile AS BIGINT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(MIN(score), 4) AS min_score,
+       ROUND(MAX(score), 4) AS max_score,
+       ROUND(AVG(score), 4) AS mean_score
+FROM (
+  SELECT score_type, score,
+         NTILE(10) OVER (PARTITION BY score_type
+           ORDER BY score, document_version1_id, document_version2_id) AS decile
+  FROM all_cand)
+GROUP BY 1, 2""",
+)
+def q_score_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Score-calibration deciles via the NTILE window (the one ranking
+    window family the engine had not yet exercised): per score_type,
+    count/min/max/mean per decile with a fully deterministic tie order."""
+    from pyspark.sql.window import Window
+
+    cand = _all_candidates(load_tables(spark, sf_dir))
+    w = Window.partitionBy("score_type").orderBy(
+        "score", "document_version1_id", "document_version2_id"
+    )
+    return (
+        cand.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("score_type", F.col("decile").cast("long").alias("decile"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            pround(F.min("score"), 4).alias("min_score"),
+            pround(F.max("score"), 4).alias("max_score"),
+            pround(F.avg("score"), 4).alias("mean_score"),
+        )
+    )
+
+
+@register(
     "total_score",
     _all_cand_ctes()
     + """,
@@ -3214,6 +3252,26 @@ def q_span_cut_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir).llm_documents()
     spans = dd.duplicate_spans(docs, shingle_n=5)
     return dd.cut_spans(docs, spans)
+
+
+@register(
+    "bpe_merges",
+    """WITH tk AS (
+  SELECT unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS tok
+  FROM documents),
+vocab AS (SELECT tok, COUNT(*) AS c FROM tk GROUP BY tok),
+pos AS (SELECT tok, c, unnest(range(1, length(tok))) AS i FROM vocab),
+pairs AS (SELECT substr(tok, i, 2) AS pair, c FROM pos),
+counts AS (SELECT pair, CAST(SUM(c) AS BIGINT) AS pair_count FROM pairs GROUP BY pair)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY pair_count DESC, pair ASC) AS BIGINT) AS merge_rank,
+       pair, pair_count
+FROM counts ORDER BY pair_count DESC, pair ASC LIMIT 50""",
+)
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 BPE merge candidates (llmdata/textstats.py
+    ``bpe_top_merges``): adjacent-character-pair counts weighted by word
+    frequency, aggregated per distinct word first."""
+    return ts.bpe_top_merges(load_tables(spark, sf_dir).llm_documents(), k=50)
 
 
 @register(
