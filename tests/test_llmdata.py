@@ -645,3 +645,35 @@ def test_cut_spans_removes_marked_tokens(spark):
     assert rows[1]["n_tokens_removed"] == 2
     assert rows[2]["clean_text"] == "clean doc here"
     assert rows[2]["n_tokens_removed"] == 0
+
+
+def test_label_centroids_elementwise_mean(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, 2.0], 0), (2, [3.0, 6.0], 0), (3, [5.0, 5.0], 1)],
+        ["vec_id", "embedding", "label"],
+    )
+    rows = {r["label"]: r for r in sim.label_centroids(emb).collect()}
+    assert rows[0]["centroid"] == [2.0, 4.0] and rows[0]["n_vectors"] == 2
+    assert rows[1]["centroid"] == [5.0, 5.0] and rows[1]["n_vectors"] == 1
+
+
+def test_nearest_centroid_confusion_separable(spark):
+    # two tight clusters -> perfect diagonal confusion
+    emb = spark.createDataFrame(
+        [(1, [0.0, 0.1], 0), (2, [0.1, 0.0], 0),
+         (3, [9.0, 9.1], 1), (4, [9.1, 9.0], 1)],
+        ["vec_id", "embedding", "label"],
+    )
+    got = {
+        (r["true_label"], r["assigned_label"]): r["n_vectors"]
+        for r in sim.nearest_centroid_confusion(emb).collect()
+    }
+    assert got == {(0, 0): 2, (1, 1): 2}
+
+
+def test_bpe_top_merges_weighted_by_word_frequency(spark):
+    docs = _docs(spark, [(1, "aab aab ab"), (2, "aab")])
+    rows = ts.bpe_top_merges(docs, k=3).collect()
+    # 'aab' x3 contributes pairs aa,ab each x3; 'ab' x1 contributes ab x1
+    got = [(r["merge_rank"], r["pair"], r["pair_count"]) for r in rows]
+    assert got == [(1, "ab", 4), (2, "aa", 3)]

@@ -220,3 +220,37 @@ def test_idempotent_sink_exactly_once(spark, sf_small, tmp_path):
     materialised = spark.createDataFrame(replay.collect(), replay.schema)
     materialised.write.mode("overwrite").parquet(f"{out}/batch_id={some_batch}")
     assert spark.read.parquet(out).count() == batch.count()
+
+
+def test_resample_fills_gaps_with_zeros(spark):
+    rows = [
+        (1, "2024-01-01 00:10:00", "a", 1.0),
+        (2, "2024-01-01 03:20:00", "a", 1.0),  # hours 1 and 2 are gaps
+        (3, "2024-01-01 01:00:00", "b", 1.0),
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "ts", "event_type", "value"]) \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {(r["event_type"], r["bucket_epoch"]): r["event_count"]
+           for r in se.resample_counts(ev).collect()}
+    # grid = 2 types x 4 hourly buckets
+    assert len(out) == 8
+    assert sum(out.values()) == 3
+    a_counts = [v for (t, _), v in sorted(out.items()) if t == "a"]
+    assert a_counts == [1, 0, 0, 1]
+
+
+def test_rolling_counts_trailing_window(spark):
+    rows = [
+        (1, "2024-01-01 00:00:00", "a", 2.0),
+        (2, "2024-01-01 00:30:00", "a", 3.0),   # within 1h of e1
+        (3, "2024-01-01 02:00:00", "a", 5.0),   # alone
+        (4, "2024-01-01 00:30:00", "b", 7.0),
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "ts", "event_type", "value"]) \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r["event_id"]: (r["trailing_count"], r["trailing_value_sum"])
+           for r in se.rolling_counts(ev).collect()}
+    assert out[1] == (1, 2.0)
+    assert out[2] == (2, 5.0)
+    assert out[3] == (1, 5.0)
+    assert out[4] == (1, 7.0)
