@@ -3921,10 +3921,14 @@ _PRIORITY: list[str] = [
     "unigram_logprob",
     "repetition_metrics",
     "doc_chunks",
-    # (vocab_topk / decontaminated_corpus / quality_sample /
-    # incremental_ingest are registered behind the 50-slot window this
-    # round — rotate them in next round; the 2-round-green spine
-    # anchors cede the slots)
+    # ROUND-4 ROTATION LIST — registered behind the 50-slot window this
+    # round, never driver-checked, each already green in the local
+    # sf0.001+sf0.01 parity sweeps; promote these next round (the
+    # multi-round-green spine anchors cede the slots): events_asof,
+    # dup_substring_spans, span_cut_corpus, bpe_merges, vocab_topk,
+    # decontaminated_corpus, quality_sample, incremental_ingest,
+    # label_centroids, centroid_confusion, av_features_shape,
+    # score_unpivot, events_resampled, events_rolling, score_deciles.
     # rows-only entries whose hard signal is their in-window property
     # twin; the rows-only originals (pic_clusters, embedding_ivf_topk,
     # weight_refined, media_features) already carry round-2 driver rows
