@@ -1,0 +1,65 @@
+"""Event-analytics operators over the events table: ordered funnels and
+retention cohorts — the classic product-analytics aggregations, additive
+to the reference (which has no event plane at all).
+
+Both are compositions of hash aggregates and equi-joins on ``user_id``:
+shuffle-partitioned by user, no windows over unbounded histories, so the
+plans scale with the event volume like any other keyed aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_counts(
+    events: DataFrame, steps: tuple[str, ...] = ("view", "click", "purchase")
+) -> DataFrame:
+    """Strictly-ordered funnel: a user reaches step k only with an event
+    of type ``steps[k]`` at-or-after their step-(k-1) arrival time.
+
+    Implementation: per-step conditional min-timestamp chained through
+    ``user_id`` joins — k tiny aggregates over the type-filtered slices,
+    never a per-user event sort.  Output: (step_index, step, n_users).
+    """
+    spark = events.sparkSession
+    reached = events.where(F.col("event_type") == steps[0]).groupBy(
+        "user_id"
+    ).agg(F.min("ts").alias("_t"))
+    rows = [(0, steps[0], reached.count())]
+    for k, step in enumerate(steps[1:], start=1):
+        nxt = (
+            events.where(F.col("event_type") == step)
+            .join(reached, "user_id")
+            .where(F.col("ts") >= F.col("_t"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("_t"))
+        )
+        reached = nxt
+        rows.append((k, step, reached.count()))
+    return spark.createDataFrame(
+        [(int(i), s, int(n)) for i, s, n in rows],
+        "step_index INT, step STRING, n_users BIGINT",
+    )
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """Day-granularity retention cohorts: users grouped by their
+    first-active day, counted on each later active day as an offset.
+
+    One distinct (user, day) aggregate, one per-user min, one join —
+    all keyed on user_id.  Output: (cohort_day, day_offset, n_users).
+    """
+    active = events.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    first = active.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        active.join(first, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff("day", "cohort_day").cast("long").alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    )

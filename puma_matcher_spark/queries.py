@@ -1744,6 +1744,54 @@ def q_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_funnel",
+    """WITH s0 AS (
+  SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = 'view' GROUP BY 1),
+s1 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN s0 ON e.user_id = s0.user_id AND e.ts >= s0.t
+  WHERE e.event_type = 'click' GROUP BY 1),
+s2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN s1 ON e.user_id = s1.user_id AND e.ts >= s1.t
+  WHERE e.event_type = 'purchase' GROUP BY 1)
+SELECT 0 AS step_index, 'view' AS step,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM s0) AS n_users
+UNION ALL
+SELECT 1, 'click', (SELECT CAST(COUNT(*) AS BIGINT) FROM s1)
+UNION ALL
+SELECT 2, 'purchase', (SELECT CAST(COUNT(*) AS BIGINT) FROM s2)""",
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered view→click→purchase funnel
+    (operators/events_analytics.py): chained conditional-min joins on
+    user_id, no per-user event sort."""
+    from puma_matcher_spark.operators.events_analytics import funnel_counts
+
+    return funnel_counts(load_tables(spark, sf_dir).events())
+
+
+@register(
+    "events_cohorts",
+    """WITH active AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+firstd AS (SELECT user_id, MIN(day) AS cohort_day FROM active GROUP BY 1)
+SELECT f.cohort_day,
+       CAST(date_diff('day', f.cohort_day, a.day) AS BIGINT) AS day_offset,
+       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM active a JOIN firstd f USING (user_id)
+GROUP BY 1, 2""",
+)
+def q_events_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-granularity retention cohorts
+    (operators/events_analytics.py): first-active day × active-day
+    offset × distinct users."""
+    from puma_matcher_spark.operators.events_analytics import retention_cohorts
+
+    return retention_cohorts(load_tables(spark, sf_dir).events())
+
+
+@register(
     "events_approx_users",
     """SELECT event_type,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,

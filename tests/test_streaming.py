@@ -254,3 +254,47 @@ def test_rolling_counts_trailing_window(spark):
     assert out[2] == (2, 5.0)
     assert out[3] == (1, 5.0)
     assert out[4] == (1, 7.0)
+
+
+def test_funnel_strict_ordering(spark):
+    from puma_matcher_spark.operators.events_analytics import funnel_counts
+
+    rows = [
+        # user 1 completes the funnel in order
+        (1, 1, "2024-01-01 00:00:00", "view"),
+        (2, 1, "2024-01-01 00:05:00", "click"),
+        (3, 1, "2024-01-01 00:10:00", "purchase"),
+        # user 2 purchases BEFORE clicking -> reaches click, not purchase
+        (4, 2, "2024-01-01 00:00:00", "view"),
+        (5, 2, "2024-01-01 00:01:00", "purchase"),
+        (6, 2, "2024-01-01 00:02:00", "click"),
+        # user 3 never views -> reaches nothing
+        (7, 3, "2024-01-01 00:00:00", "click"),
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts", "event_type"]
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r["step"]: r["n_users"] for r in funnel_counts(ev).collect()}
+    assert got == {"view": 2, "click": 2, "purchase": 1}
+
+
+def test_retention_cohorts_offsets(spark):
+    from puma_matcher_spark.operators.events_analytics import retention_cohorts
+
+    rows = [
+        (1, 1, "2024-01-01 10:00:00"), (2, 1, "2024-01-03 10:00:00"),
+        (3, 2, "2024-01-01 11:00:00"),
+        (4, 3, "2024-01-02 09:00:00"), (5, 3, "2024-01-02 23:00:00"),
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "user_id", "ts"]).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    got = {
+        (str(r["cohort_day"]), r["day_offset"]): r["n_users"]
+        for r in retention_cohorts(ev).collect()
+    }
+    assert got == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 2): 1,
+        ("2024-01-02", 0): 1,
+    }
