@@ -3976,7 +3976,8 @@ _PRIORITY: list[str] = [
     # dup_substring_spans, span_cut_corpus, bpe_merges, vocab_topk,
     # decontaminated_corpus, quality_sample, incremental_ingest,
     # label_centroids, centroid_confusion, av_features_shape,
-    # score_unpivot, events_resampled, events_rolling, score_deciles.
+    # score_unpivot, events_resampled, events_rolling, score_deciles,
+    # events_funnel, events_cohorts.
     # rows-only entries whose hard signal is their in-window property
     # twin; the rows-only originals (pic_clusters, embedding_ivf_topk,
     # weight_refined, media_features) already carry round-2 driver rows
