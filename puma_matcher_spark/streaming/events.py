@@ -141,7 +141,15 @@ def rolling_counts(events: DataFrame, horizon_seconds: int = 3600) -> DataFrame:
     ``rowsBetween``/``rangeBetween`` anywhere; this is the idiomatic
     Spark form).  One shuffle+sort per event_type partition; rows with
     equal timestamps all see the same frame, so the result is
-    deterministic under ties."""
+    deterministic under ties.
+
+    Scale note: partitioning only by event_type concentrates each type
+    into ONE sort partition — fine for bounded type cardinality and
+    bounded history, but at 100 TB repartition by (event_type, day)
+    first and compute the frame within day boundaries plus a horizon
+    overlap carried from the previous day (the standard windowed-
+    overlap split), or keep the trailing stat incrementally via the
+    streaming plane instead of recomputing it in batch."""
     from pyspark.sql.window import Window
 
     sec = F.unix_timestamp("ts")
