@@ -174,3 +174,32 @@ def exact_name_components(persons: DataFrame, key_col: str, id_col: str = "id") 
     return persons.select(
         F.col(id_col).alias("person_id"), w.alias("lookup_id")
     )
+
+
+def enumerate_triangles(edges: DataFrame) -> DataFrame:
+    """Triangle enumeration over an undirected edge list — the standard
+    graph-quality diagnostic for a duplicate-pair graph (connected
+    components say WHICH records merge; the triangle density says how
+    mutually-confirmed those merges are; components glued by a single
+    low-triangle bridge edge deserve review before a destructive merge).
+
+    ``edges`` must carry (src, dst); edges are canonicalised to
+    src < dst, so each triangle (a < b < c) is emitted exactly once.
+    Shape: two self-equi-joins on node keys — the join order (ab ⋈ bc
+    on b, then ⋈ ac) is the classic triangle-join; worst-case output is
+    bounded by the graph's arboricity-weighted edge count, and the hot-
+    node skew is the same frequency-cap problem as the entity matcher
+    (cap degrees upstream for adversarial graphs).
+    """
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("src"),
+            F.greatest("src", "dst").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    ab = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    bc = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    ac = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    return ab.join(bc, "b").join(ac, ["a", "c"]).select("a", "b", "c")

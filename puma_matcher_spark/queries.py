@@ -1195,6 +1195,30 @@ def q_person_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_triangles",
+    """WITH e AS (
+  SELECT b.c_custkey AS src, a.c_custkey AS dst
+  FROM customer a JOIN customer b
+    ON a.c_nationkey = b.c_nationkey AND a.c_custkey > b.c_custkey
+   AND ABS(a.c_acctbal - b.c_acctbal) <= 500.0)
+SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+FROM e e1
+JOIN e e2 ON e2.src = e1.dst
+JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst""",
+)
+def q_dedup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration over the blocked duplicate-pair graph
+    (operators/dedup.py ``enumerate_triangles``): mutual-confirmation
+    diagnostic for merge decisions, classic two-join triangle listing."""
+    from puma_matcher_spark.operators.dedup import enumerate_triangles
+
+    pairs = q_dedup_blocked_pairs(spark, sf_dir).select(
+        F.col("id2").alias("src"), F.col("id1").alias("dst")
+    )
+    return enumerate_triangles(pairs)
+
+
+@register(
     "dedup_blocked_pairs",
     """SELECT a.c_custkey AS id1, b.c_custkey AS id2
 FROM customer a JOIN customer b

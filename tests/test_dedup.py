@@ -60,3 +60,16 @@ def test_person_pair_predicate_initials(spark):
     )
     got = {(r["id1"], r["id2"]) for r in dd.person_pair_predicate(pairs).collect()}
     assert got == {(1, 2), (3, 4), (7, 8)}
+
+
+def test_enumerate_triangles_canonical(spark):
+    from puma_matcher_spark.operators.dedup import enumerate_triangles
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 2), (5, 6)], ["src", "dst"]
+    )
+    got = {
+        (r["a"], r["b"], r["c"]) for r in enumerate_triangles(edges).collect()
+    }
+    # triangles: (1,2,3) and (2,3,4); each listed once, a<b<c
+    assert got == {(1, 2, 3), (2, 3, 4)}
