@@ -94,8 +94,10 @@ def chunk_documents(
         "doc_id", tokens(F.lower(F.col(text_col))).alias("_tk")
     )
     chunks = F.expr(
+        # zero-token documents yield NO chunks (not one empty chunk)
+        f"CASE WHEN size(_tk) = 0 THEN cast(array() as array<array<string>>) ELSE "
         f"transform(sequence(0, cast(ceil(greatest(0, size(_tk) - {chunk_len}) / {stride}) as int)), "
-        f"k -> slice(_tk, 1 + k * {stride}, {chunk_len}))"
+        f"k -> slice(_tk, 1 + k * {stride}, {chunk_len})) END"
     )
     return base.select(
         "doc_id", F.posexplode(chunks).alias("chunk_id", "_chunk")

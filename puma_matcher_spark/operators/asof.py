@@ -45,18 +45,18 @@ def asof_join(
         right_cols = [c for c in right.columns if c not in (on, ts)]
 
     # one right row per (key, ts): keep the max payload tuple, so the
-    # carried value is deterministic under ts collisions
-    r = right.groupBy(on, ts).agg(
-        *[F.max(c).alias(c) for c in right_cols]
-    )
+    # carried value is deterministic under ts collisions.  Right payload
+    # columns travel under internal _r_ names so a left column with the
+    # same name is never merged (and silently lost) by the union.
+    if right_cols:
+        r = right.groupBy(on, ts).agg(
+            *[F.max(c).alias(f"_r_{c}") for c in right_cols]
+        )
+    else:
+        r = right.select(on, ts).distinct()
 
     l_tagged = left.withColumn("_side", F.lit(1))
-    r_tagged = r.select(
-        on,
-        ts,
-        *right_cols,
-        F.lit(0).alias("_side"),
-    )
+    r_tagged = r.withColumn("_side", F.lit(0))
     # align schemas: left payload columns are null on right rows and vice
     # versa; unionByName with allowMissingColumns fills the gaps
     unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
@@ -77,10 +77,9 @@ def asof_join(
         carried = carried.withColumn(
             f"{prefix}{c}",
             F.last(
-                F.when(F.col("_side") == 0, F.col(c)), ignorenulls=True
+                F.when(F.col("_side") == 0, F.col(f"_r_{c}")), ignorenulls=True
             ).over(w),
         )
-    return (
-        carried.where(F.col("_side") == 1)
-        .drop("_side", *right_cols)
+    return carried.where(F.col("_side") == 1).drop(
+        "_side", *[f"_r_{c}" for c in right_cols]
     )

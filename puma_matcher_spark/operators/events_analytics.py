@@ -21,22 +21,29 @@ def funnel_counts(
 
     Implementation: per-step conditional min-timestamp chained through
     ``user_id`` joins — k tiny aggregates over the type-filtered slices,
-    never a per-user event sort.  Output: (step_index, step, n_users).
+    never a per-user event sort.  Each step's per-user frame is
+    localCheckpoint'ed, so step k builds on the MATERIALIZED step k-1
+    instead of re-scanning events k times (the counts are driver
+    scalars; the heavy work is one pass per step).  Output:
+    (step_index, step, n_users).
     """
     spark = events.sparkSession
-    reached = events.where(F.col("event_type") == steps[0]).groupBy(
-        "user_id"
-    ).agg(F.min("ts").alias("_t"))
+    reached = (
+        events.where(F.col("event_type") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("_t"))
+        .localCheckpoint()
+    )
     rows = [(0, steps[0], reached.count())]
     for k, step in enumerate(steps[1:], start=1):
-        nxt = (
+        reached = (
             events.where(F.col("event_type") == step)
             .join(reached, "user_id")
             .where(F.col("ts") >= F.col("_t"))
             .groupBy("user_id")
             .agg(F.min("ts").alias("_t"))
+            .localCheckpoint()
         )
-        reached = nxt
         rows.append((k, step, reached.count()))
     return spark.createDataFrame(
         [(int(i), s, int(n)) for i, s, n in rows],

@@ -2522,7 +2522,9 @@ def q_av_features_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.col("text").alias("payload"),
-        F.length("text").alias("_len"),
+        # byte length, not character length: the kernels operate on
+        # payload.encode(), so multibyte text must not skew the formulas
+        F.octet_length("text").alias("_len"),
     )
     au = extract_audio_features(media).join(
         media.select("media_id", "_len"), "media_id"
@@ -3234,9 +3236,10 @@ def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.with_bpe_token_count(load_tables(spark, sf_dir).llm_documents())
 
 
-@register(
-    "dup_substring_spans",
-    """WITH tk AS (
+# Shared oracle CTE chain for the exact-substring span operators
+# (5-gram positional shingles → duplicated-gram hits → gaps-and-islands
+# merge).  One definition so the two span oracles can never diverge.
+_SPAN_CTES = """tk AS (
   SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
   FROM documents),
 occ0 AS (SELECT doc_id, tk, unnest(range(1, len(tk) - 3)) AS i FROM tk),
@@ -3258,7 +3261,12 @@ isl AS (
   SELECT doc_id, s, e,
          SUM(new_island) OVER (PARTITION BY doc_id ORDER BY s
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-  FROM fl)
+  FROM fl)"""
+
+
+@register(
+    "dup_substring_spans",
+    "WITH " + _SPAN_CTES + """
 SELECT doc_id, CAST(MIN(s) AS BIGINT) AS span_start,
        CAST(MAX(e) AS BIGINT) AS span_end,
        CAST(MAX(e) - MIN(s) + 1 AS BIGINT) AS span_len
@@ -3276,29 +3284,7 @@ def q_dup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "span_cut_corpus",
-    """WITH tk AS (
-  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
-  FROM documents),
-occ0 AS (SELECT doc_id, tk, unnest(range(1, len(tk) - 3)) AS i FROM tk),
-occ AS (
-  SELECT doc_id, i - 1 AS s,
-         array_to_string(list_slice(tk, i, i + 4), ' ') AS shingle
-  FROM occ0),
-dup AS (SELECT shingle FROM occ GROUP BY 1 HAVING COUNT(*) > 1),
-hits AS (SELECT o.doc_id, o.s, o.s + 4 AS e FROM occ o JOIN dup USING (shingle)),
-fl AS (
-  SELECT doc_id, s, e,
-         CASE WHEN MAX(e) OVER (PARTITION BY doc_id ORDER BY s
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
-              OR s > MAX(e) OVER (PARTITION BY doc_id ORDER BY s
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
-         THEN 1 ELSE 0 END AS new_island
-  FROM hits),
-isl AS (
-  SELECT doc_id, s, e,
-         SUM(new_island) OVER (PARTITION BY doc_id ORDER BY s
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
-  FROM fl),
+    "WITH " + _SPAN_CTES + """,
 spans AS (
   SELECT doc_id, MIN(s) AS ss, MAX(e) AS se
   FROM isl GROUP BY doc_id, island),
@@ -3442,9 +3428,11 @@ def q_decontaminated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
   FROM documents),
 ch AS (
   SELECT doc_id,
-         unnest(range(0, CAST(1 + ceil(greatest(0, len(tk) - 64) / 48.0) AS INT))) AS chunk_id,
-         unnest(list_transform(range(0, CAST(1 + ceil(greatest(0, len(tk) - 64) / 48.0) AS INT)),
-                k -> list_slice(tk, 1 + k * 48, k * 48 + 64))) AS chunk
+         unnest(CASE WHEN len(tk) = 0 THEN []
+                ELSE range(0, CAST(1 + ceil(greatest(0, len(tk) - 64) / 48.0) AS INT)) END) AS chunk_id,
+         unnest(CASE WHEN len(tk) = 0 THEN []
+                ELSE list_transform(range(0, CAST(1 + ceil(greatest(0, len(tk) - 64) / 48.0) AS INT)),
+                     k -> list_slice(tk, 1 + k * 48, k * 48 + 64)) END) AS chunk
   FROM tk)
 SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
        CAST(len(chunk) AS BIGINT) AS n_tokens,

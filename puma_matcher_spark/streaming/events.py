@@ -112,17 +112,25 @@ def resample_counts(events: DataFrame, bucket_seconds: int = 3600) -> DataFrame:
     actual = events.groupBy(
         F.col("event_type"), bucket.alias("bucket_epoch")
     ).agg(F.count(F.lit(1)).cast("long").alias("event_count"))
-    # bucket bounds fold in as scalar subqueries — no join in the grid
+    # bucket bounds fold in as ONE scalar subquery (a struct of both
+    # bounds — a single aggregate pass over events), no join in the grid
     # construction, so the plan sweep's cartesian guard stays clean
-    lo = events.agg(F.min(bucket).alias("v")).scalar()
-    hi = events.agg(F.max(bucket).alias("v")).scalar()
+    bounds = events.agg(
+        F.struct(
+            F.min(bucket).alias("lo"), F.max(bucket).alias("hi")
+        ).alias("b")
+    ).scalar()
     grid = (
         events.select("event_type")
         .distinct()
         .select(
             "event_type",
             F.explode(
-                F.sequence(lo, hi, F.lit(bucket_seconds))
+                F.sequence(
+                    bounds.getField("lo"),
+                    bounds.getField("hi"),
+                    F.lit(bucket_seconds),
+                )
             ).alias("bucket_epoch"),
         )
     )

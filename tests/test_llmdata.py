@@ -677,3 +677,11 @@ def test_bpe_top_merges_weighted_by_word_frequency(spark):
     # 'aab' x3 contributes pairs aa,ab each x3; 'ab' x1 contributes ab x1
     got = [(r["merge_rank"], r["pair"], r["pair_count"]) for r in rows]
     assert got == [(1, "ab", 4), (2, "aa", 3)]
+
+
+def test_chunk_documents_empty_doc_yields_no_rows(spark):
+    from puma_matcher_spark.llmdata.packing import chunk_documents
+
+    docs = _docs(spark, [(1, ""), (2, "   "), (3, "one two")])
+    rows = chunk_documents(docs, chunk_len=4, overlap=1).collect()
+    assert {r["doc_id"] for r in rows} == {3}

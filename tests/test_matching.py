@@ -241,3 +241,22 @@ def test_asof_join_dedups_equal_ts_right_rows(spark):
     )
     r = asof_join(left, right).first()
     assert r["asof_v"] == 9.0  # max payload per (key, ts) wins deterministically
+
+
+def test_asof_join_no_payload_columns(spark):
+    from puma_matcher_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10), (1, 3)], ["user_id", "ts"])
+    right = spark.createDataFrame([(1, 5)], ["user_id", "ts"])
+    rows = {r["ts"]: r["asof_ts"] for r in asof_join(left, right).collect()}
+    assert rows == {10: 5, 3: None}
+
+
+def test_asof_join_preserves_colliding_left_column(spark):
+    from puma_matcher_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 10, 111.0)], ["user_id", "ts", "v"])
+    right = spark.createDataFrame([(1, 5, 222.0)], ["user_id", "ts", "v"])
+    r = asof_join(left, right).first()
+    assert r["v"] == 111.0       # left's own column survives
+    assert r["asof_v"] == 222.0  # right payload arrives under the prefix

@@ -132,6 +132,7 @@ def test_bucketed_write_read_roundtrip(spark):
         # joining two bucketed reads on the bucket key must be fully
         # co-located: with broadcast disabled, the sort-merge join plans
         # ZERO shuffle exchanges — the whole point of bucketing at 100 TB
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         try:
             j = back.join(
@@ -143,7 +144,9 @@ def test_bucketed_write_read_roundtrip(spark):
             ) and "Exchange hashpartitioning" not in plan, plan
             assert j.count() == 1000
         finally:
-            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+            # restore the SESSION's configured value, not Spark's built-in
+            # default — later plan-shape tests share this session
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
 
