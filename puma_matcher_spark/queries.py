@@ -1816,6 +1816,29 @@ def q_events_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_debounce",
+    """SELECT event_id, user_id, ts, event_type, ROUND(value, 4) AS value
+FROM (
+  SELECT event_id, user_id, ts, event_type, value,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) -
+           LAG(CAST(FLOOR(epoch(ts)) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+  FROM events)
+WHERE gap IS NULL OR gap > 1800""",
+)
+def q_events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst debounce (streaming/events.py ``debounce_first_per_burst``):
+    first event of each per-user 30-minute-gap burst — the session
+    anchor rows."""
+    from puma_matcher_spark.streaming.events import debounce_first_per_burst
+
+    ev = load_tables(spark, sf_dir).events().select(
+        "event_id", "user_id", "ts", "event_type", pround("value", 4).alias("value")
+    )
+    return debounce_first_per_burst(ev, gap_seconds=1800)
+
+
+@register(
     "events_approx_users",
     """SELECT event_type,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,

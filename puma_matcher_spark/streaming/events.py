@@ -141,6 +141,29 @@ def resample_counts(events: DataFrame, bucket_seconds: int = 3600) -> DataFrame:
     )
 
 
+def debounce_first_per_burst(
+    events: DataFrame, gap_seconds: int = 1800
+) -> DataFrame:
+    """Telemetry debounce: keep only the FIRST event of each per-user
+    burst, where a burst breaks when the gap from the previous event
+    exceeds ``gap_seconds`` — the batch anchor-row twin of
+    :func:`sessionize` (same chained-gap semantics as session_window),
+    used to collapse rapid-fire duplicate signals at ingestion.
+
+    One lag window per user (ties broken by event_id, so the kept set is
+    deterministic); no state beyond the single previous row.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    return (
+        events.withColumn("_gap", gap)
+        .where(F.col("_gap").isNull() | (F.col("_gap") > gap_seconds))
+        .drop("_gap")
+    )
+
+
 def rolling_counts(events: DataFrame, horizon_seconds: int = 3600) -> DataFrame:
     """Trailing moving aggregate at every event: count and value sum of
     the same event_type within the past ``horizon_seconds`` (inclusive),

@@ -298,3 +298,18 @@ def test_retention_cohorts_offsets(spark):
         ("2024-01-01", 2): 1,
         ("2024-01-02", 0): 1,
     }
+
+
+def test_debounce_keeps_burst_anchors(spark):
+    rows = [
+        (1, 1, "2024-01-01 00:00:00"),   # anchor
+        (2, 1, "2024-01-01 00:10:00"),   # within 30m of previous -> dropped
+        (3, 1, "2024-01-01 00:35:00"),   # within 30m of e2 (chained) -> dropped
+        (4, 1, "2024-01-01 02:00:00"),   # new burst
+        (5, 2, "2024-01-01 00:00:00"),   # other user anchor
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "user_id", "ts"]).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    kept = {r["event_id"] for r in se.debounce_first_per_burst(ev).collect()}
+    assert kept == {1, 4, 5}
