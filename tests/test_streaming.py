@@ -313,3 +313,41 @@ def test_debounce_keeps_burst_anchors(spark):
     )
     kept = {r["event_id"] for r in se.debounce_first_per_burst(ev).collect()}
     assert kept == {1, 4, 5}
+
+
+def test_transform_with_state_matches_batch(spark, sf_small):
+    """The Spark-4 transformWithStateInPandas path (RocksDB state store)
+    must converge to the same per-user aggregates as the batch twin.
+    The TWS python worker serialises state over protobuf, which this
+    container lacks — skip (not fail) where the dependency is absent."""
+    import pytest
+
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        pytest.skip("transformWithStateInPandas needs protobuf (not in env)")
+    from puma_matcher_spark.streaming.stateful import run_tws_stream_to_memory
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    try:
+        q = run_tws_stream_to_memory(spark, sf_small, table_name="t_tws")
+        q.awaitTermination(120)
+        streamed = {
+            r["user_id"]: (r["n_events"], round(r["value_sum"], 6))
+            for r in spark.sql("select * from t_tws").collect()
+        }
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    batch = {
+        r["user_id"]: (r["n"], round(r["s"], 6))
+        for r in load_tables(spark, sf_small)
+        .events()
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert streamed == batch
+    assert len(batch) > 10
