@@ -154,3 +154,47 @@ def run_full_matcher(
         weights=weights,
         total_scores=totals,
     )
+
+
+@dataclass
+class CurationAppResult:
+    clean: DataFrame
+    stage_counts: dict
+
+
+def run_curation_app(
+    spark: SparkSession,
+    sf_dir: str,
+    out_root: str | None = None,
+) -> CurationAppResult:
+    """End-to-end training-data curation driver — the llmdata twin of
+    ``run_full_matcher``: load → exact + near dedup + quality filter
+    (llmdata.pipeline) → exact-substring span cutting (llmdata.dedup)
+    → optional per-source Hive-partitioned publish.
+
+    The audit counts are computed lazily (1-row frames) and collected in
+    one pass at the end, so the whole app is a handful of jobs, not one
+    per stage.  When ``out_root`` is given the cleaned corpus lands
+    partitioned by source (readers prune by partition), written before
+    the counts are resolved so the write reuses the same plan.
+    """
+    from puma_matcher_spark.llmdata.dedup import cut_spans, duplicate_spans
+    from puma_matcher_spark.llmdata.pipeline import curate_documents
+    from puma_matcher_spark.operators.persister import persist_partitioned
+
+    docs = load_tables(spark, sf_dir).llm_documents()
+    res = curate_documents(docs, eager_counts=False)
+    spans = duplicate_spans(res.clean, shingle_n=5)
+    cut = cut_spans(res.clean, spans)
+    final = (
+        res.clean.select("doc_id", "lang", "source")
+        .join(cut, "doc_id")
+        .select("doc_id", "lang", "source", "clean_text", "n_tokens_removed")
+    )
+    if out_root is not None:
+        persist_partitioned(final, out_root, ["source"])
+    counts = {k: df.first()["n"] for k, df in res.stage_counts.items()}
+    counts["tokens_cut"] = int(
+        cut.agg(F.sum("n_tokens_removed").alias("n")).first()["n"] or 0
+    )
+    return CurationAppResult(clean=final, stage_counts=counts)

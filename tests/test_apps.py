@@ -77,3 +77,22 @@ def test_full_matcher_end_to_end(spark, sf_small):
 
     # totals exist for every surviving pair
     assert result.total_scores.count() == types_per_pair.count()
+
+
+def test_curation_app_end_to_end(spark, sf_small, tmp_path):
+    from puma_matcher_spark.apps import run_curation_app
+
+    out = str(tmp_path / "clean_corpus")
+    res = run_curation_app(spark, sf_small, out_root=out)
+    c = res.stage_counts
+    # monotone drops through the funnel
+    assert c["input"] >= c["after_exact_dedup"] >= c["after_near_dedup"] >= c["after_quality"]
+    assert c["after_quality"] > 0
+    assert c["tokens_cut"] >= 0
+    # the published corpus is partitioned by source and matches the frame
+    import os
+
+    assert any(d.startswith("source=") for d in os.listdir(out))
+    back = spark.read.parquet(out)
+    assert back.count() == res.clean.count() == c["after_quality"]
+    assert set(back.columns) == {"doc_id", "lang", "source", "clean_text", "n_tokens_removed"}
