@@ -500,9 +500,9 @@ def q_score_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sl.melt_score_list(wide, ["person", "laboratory"])
 
 
-@register(
-    "events_resampled",
-    """WITH b AS (
+# Shared dense-grid CTE chain (hourly gap-filled per-type series) for the
+# resample and anomaly oracles — one definition so they cannot diverge.
+_DENSE_CTES = """b AS (
   SELECT CAST(FLOOR(epoch(MIN(ts)) / 3600) * 3600 AS BIGINT) AS lo,
          CAST(FLOOR(epoch(MAX(ts)) / 3600) * 3600 AS BIGINT) AS hi
   FROM events),
@@ -515,10 +515,17 @@ a AS (
   SELECT event_type,
          CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket_epoch,
          CAST(COUNT(*) AS BIGINT) AS event_count
-  FROM events GROUP BY 1, 2)
-SELECT g.event_type, g.bucket_epoch,
-       CAST(COALESCE(a.event_count, 0) AS BIGINT) AS event_count
-FROM g LEFT JOIN a USING (event_type, bucket_epoch)""",
+  FROM events GROUP BY 1, 2),
+dense AS (
+  SELECT g.event_type, g.bucket_epoch,
+         CAST(COALESCE(a.event_count, 0) AS BIGINT) AS event_count
+  FROM g LEFT JOIN a USING (event_type, bucket_epoch))"""
+
+
+@register(
+    "events_resampled",
+    "WITH " + _DENSE_CTES + """
+SELECT event_type, bucket_epoch, event_count FROM dense""",
 )
 def q_events_resampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-filled hourly series per event_type (streaming/events.py
@@ -584,6 +591,30 @@ def q_score_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             pround(F.avg("score"), 4).alias("mean_score"),
         )
     )
+
+
+@register(
+    "events_anomaly",
+    "WITH " + _DENSE_CTES + """
+SELECT event_type, bucket_epoch, event_count,
+       ROUND(CASE WHEN sd > 0 THEN (event_count - mu) / sd END, 4) AS zscore,
+       COALESCE(ABS(CASE WHEN sd > 0 THEN (event_count - mu) / sd END) > 3.0,
+                false) AS is_anomaly
+FROM (
+  SELECT event_type, bucket_epoch, event_count,
+         AVG(event_count) OVER w AS mu,
+         STDDEV_POP(event_count) OVER w AS sd
+  FROM dense
+  WINDOW w AS (PARTITION BY event_type ORDER BY bucket_epoch
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))""",
+)
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing z-score anomaly flags over the gap-filled hourly series
+    (streaming/events.py ``anomaly_flags``): resample + bounded ROWS
+    frame, deterministic float order."""
+    from puma_matcher_spark.streaming.events import anomaly_flags
+
+    return anomaly_flags(load_tables(spark, sf_dir).events())
 
 
 @register(

@@ -141,6 +141,42 @@ def resample_counts(events: DataFrame, bucket_seconds: int = 3600) -> DataFrame:
     )
 
 
+def anomaly_flags(
+    events: DataFrame,
+    bucket_seconds: int = 3600,
+    lookback: int = 24,
+    z_thresh: float = 3.0,
+) -> DataFrame:
+    """Trailing z-score anomaly flags over the gap-filled series: each
+    bucket's count against the mean/std of the previous ``lookback``
+    buckets of the same event_type — the standard ops-monitoring
+    composition of :func:`resample_counts` + a bounded ROWS frame.
+
+    The frame is deterministic (bucket_epoch is unique per type and the
+    frame order is the sort order), so the float mean/std are
+    reproducible across engines.  Early buckets with no variance emit a
+    null z-score and never flag.
+    """
+    from pyspark.sql.window import Window
+
+    dense = resample_counts(events, bucket_seconds)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_epoch")
+        .rowsBetween(-lookback, -1)
+    )
+    mean = F.avg("event_count").over(w)
+    std = F.stddev_pop("event_count").over(w)
+    z = F.when(std > 0, (F.col("event_count") - mean) / std)
+    return dense.select(
+        "event_type",
+        "bucket_epoch",
+        "event_count",
+        pround(z, 4).alias("zscore"),
+        F.coalesce(F.abs(z) > z_thresh, F.lit(False)).alias("is_anomaly"),
+    )
+
+
 def debounce_first_per_burst(
     events: DataFrame, gap_seconds: int = 1800
 ) -> DataFrame:
