@@ -4043,7 +4043,8 @@ _PRIORITY: list[str] = [
     # decontaminated_corpus, quality_sample, incremental_ingest,
     # label_centroids, centroid_confusion, av_features_shape,
     # score_unpivot, events_resampled, events_rolling, score_deciles,
-    # events_funnel, events_cohorts, events_debounce, dedup_triangles.
+    # events_funnel, events_cohorts, events_debounce, dedup_triangles,
+    # events_anomaly.
     # rows-only entries whose hard signal is their in-window property
     # twin; the rows-only originals (pic_clusters, embedding_ivf_topk,
     # weight_refined, media_features) already carry round-2 driver rows
