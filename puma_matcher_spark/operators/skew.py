@@ -89,3 +89,30 @@ def write_bucketed(
 
 def read_bucketed(spark: SparkSession, table_name: str) -> DataFrame:
     return spark.table(table_name)
+
+
+def key_skew_report(df: DataFrame, key: str, top_n: int = 20) -> DataFrame:
+    """Pre-join skew diagnostic: the ``top_n`` heaviest values of ``key``
+    with their row share and the share of the single heaviest key — the
+    numbers that decide between a plain shuffle join, salting, or a
+    frequency cap (the reference hard-codes caps like 2000 docs/entity;
+    this measures what the cap should be).
+
+    One partial-aggregated count + TakeOrdered; the total folds in as a
+    scalar subquery, so the report is one job regardless of input size.
+    """
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    total = counts.agg(F.sum("n").cast("double").alias("t")).scalar()
+    order = [F.col("n").desc(), F.col(key).asc()]
+    return (
+        counts.orderBy(*order)
+        .limit(top_n)
+        .select(
+            F.row_number().over(Window.orderBy(*order)).alias("skew_rank"),
+            F.col(key).alias("key_value"),
+            "n",
+            (F.col("n") / total).alias("row_share"),
+        )
+    )

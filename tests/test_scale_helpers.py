@@ -400,3 +400,15 @@ def test_partitioned_sink_prunes_partitions(spark, tmp_path):
     pf = pi.partition_filters(rd)
     assert pf and any("src1" in line for line in pf), pf
     assert rd.count() == 25
+
+
+def test_key_skew_report_shares(spark):
+    df = spark.createDataFrame(
+        [("hot",)] * 80 + [("warm",)] * 15 + [("cold",)] * 5, ["k"]
+    )
+    rows = skew.key_skew_report(df, "k", top_n=2).collect()
+    assert [(r["skew_rank"], r["key_value"], r["n"]) for r in rows] == [
+        (1, "hot", 80),
+        (2, "warm", 15),
+    ]
+    assert abs(rows[0]["row_share"] - 0.8) < 1e-9
