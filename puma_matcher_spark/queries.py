@@ -1520,9 +1520,10 @@ def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deterministic_shuffle(docs).select("doc_id", "source", "shuffle_rank")
 
 
-@register(
-    "near_dup_clusters",
-    """WITH RECURSIVE toksl AS (
+# shared oracle CTE chain: shingles → minhash → LSH bands → verified pairs
+# → connected components (recursive transitive closure); reused by
+# near_dup_clusters and cluster_representatives
+_NEARDUP_COMP_CTES = """WITH RECURSIVE toksl AS (
   SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
   FROM documents),
 toks AS (
@@ -1568,7 +1569,13 @@ reach(id, r) AS (
   SELECT a, a FROM e
   UNION
   SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a),
-comp AS (SELECT id, MIN(r) AS canonical FROM reach GROUP BY id)
+comp AS (SELECT id, MIN(r) AS canonical FROM reach GROUP BY id)"""
+
+
+@register(
+    "near_dup_clusters",
+    _NEARDUP_COMP_CTES
+    + """
 SELECT d.doc_id,
        CAST(COALESCE(c.canonical, d.doc_id) AS BIGINT) AS canonical_id,
        COALESCE(c.canonical, d.doc_id) = d.doc_id AS is_canonical
@@ -3968,6 +3975,285 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.char_entropy(load_tables(spark, sf_dir).llm_documents())
 
 
+@register(
+    "dq_profile",
+    """WITH base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn1,
+         CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS nd1,
+         CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn2,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS nd2,
+         CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn3,
+         CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS nd3,
+         CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn4,
+         CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS nd4
+  FROM orders)
+SELECT 'o_orderkey' AS col_name, n_rows, nn1 AS n_nulls, nd1 AS n_distinct FROM base
+UNION ALL
+SELECT 'o_custkey', n_rows, nn2, nd2 FROM base
+UNION ALL
+SELECT 'o_orderstatus', n_rows, nn3, nd3 FROM base
+UNION ALL
+SELECT 'o_totalprice', n_rows, nn4, nd4 FROM base""",
+)
+def q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality column profile (operators/quality.py): per-column
+    row/null/distinct counts in ONE aggregate pass — the batch-gate
+    profile a 100 TB ingestion pipeline runs before publishing."""
+    from puma_matcher_spark.operators.quality import profile_columns
+
+    orders = load_tables(spark, sf_dir).raw("orders")
+    return profile_columns(
+        orders, ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    )
+
+
+@register(
+    "dq_expectations",
+    """WITH o AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_cust,
+         CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS dup_keys,
+         CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END) AS BIGINT) AS bad_status,
+         CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT) AS neg_price
+  FROM orders),
+l AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_checked,
+         CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations
+  FROM lineitem li LEFT JOIN orders o ON li.l_orderkey = o.o_orderkey)
+SELECT 'not_null:o_custkey' AS rule, n AS n_checked, null_cust AS violations, null_cust = 0 AS passed FROM o
+UNION ALL
+SELECT 'unique:o_orderkey', n, dup_keys, dup_keys = 0 FROM o
+UNION ALL
+SELECT 'accepted_values:o_orderstatus', n, bad_status, bad_status = 0 FROM o
+UNION ALL
+SELECT 'non_negative:o_totalprice', n, neg_price, neg_price = 0 FROM o
+UNION ALL
+SELECT 'ref_integrity:l_orderkey', n_checked, violations, violations = 0 FROM l""",
+)
+def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation checks (operators/quality.py): not-null / unique /
+    accepted-values / range rules from one conditional aggregate, plus a
+    referential-integrity anti-join — the dbt-test/Deequ-style gate."""
+    from puma_matcher_spark.operators.quality import expectation_report
+
+    t = load_tables(spark, sf_dir)
+    return expectation_report(t.raw("orders"), t.raw("lineitem"))
+
+
+@register(
+    "cdc_latest_state",
+    """WITH ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events)
+SELECT user_id, event_id AS last_event_id, event_type AS last_type,
+       ROUND(value, 4) AS value
+FROM ranked WHERE rn = 1 AND event_type <> 'error'""",
+)
+def q_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC newest-change-wins apply (operators/cdc.py): collapse the
+    events changelog to current state per key; terminal 'error' records
+    act as deletes.  One row_number window on the key — the partitioning
+    a downstream MERGE needs anyway."""
+    from puma_matcher_spark.operators.cdc import cdc_latest_state
+
+    ev = load_tables(spark, sf_dir).events()
+    return cdc_latest_state(ev).select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_type"),
+        pround(F.col("value"), 4).alias("value"),
+    )
+
+
+@register(
+    "scd2_history",
+    """WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts ASC, event_id ASC) AS prev
+  FROM events),
+opens AS (
+  SELECT user_id, event_type,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS valid_from_epoch, event_id
+  FROM ordered WHERE prev IS NULL OR prev <> event_type),
+v AS (
+  SELECT user_id, event_type, valid_from_epoch,
+         LEAD(valid_from_epoch) OVER (PARTITION BY user_id
+                                      ORDER BY valid_from_epoch ASC, event_id ASC) AS valid_to_epoch
+  FROM opens)
+SELECT user_id, event_type, valid_from_epoch, valid_to_epoch,
+       valid_to_epoch IS NULL AS is_current
+FROM v""",
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 rebuild (operators/cdc.py): version rows per run of
+    equal attribute values, validity bounds from lag/lead over one
+    key-partitioned sort."""
+    from puma_matcher_spark.operators.cdc import scd2_history
+
+    return scd2_history(load_tables(spark, sf_dir).events())
+
+
+@register(
+    "doc_keywords",
+    f"""WITH toks AS (
+  SELECT doc_id, unnest({_LLM_TOKS}) AS tok FROM documents),
+tf AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+scored AS (
+  SELECT t.doc_id, t.tok, t.tf * LOG10((SELECT n FROM nd) / d.df) AS score
+  FROM tf t JOIN dfreq d USING (tok)),
+ranked AS (
+  SELECT doc_id, tok, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY ROUND(score, 6) DESC, tok ASC) AS rank
+  FROM scored)
+SELECT doc_id, tok AS token, CAST(rank AS BIGINT) AS rank,
+       ROUND(score, 4) AS score
+FROM ranked WHERE rank <= 3""",
+)
+def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF keywords — the keyword-extraction step
+    of corpus indexing/labelling.  Corpus size folds in as a scalar
+    subquery (no eager count); one tf aggregate, one df aggregate, one
+    per-doc ranking window."""
+    from pyspark.sql.window import Window
+
+    docs = load_tables(spark, sf_dir).llm_documents()
+    tok = docs.select(
+        "doc_id", F.explode(ts.tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    tf = tok.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n")).scalar()
+    scored = tf.join(dfreq, "tok").withColumn(
+        "score", F.col("tf") * F.log10(n_docs / F.col("df"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        pround(F.col("score"), 6).desc(), F.col("tok").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+        .select(
+            "doc_id",
+            F.col("tok").alias("token"),
+            "rank",
+            pround(F.col("score"), 4).alias("score"),
+        )
+    )
+
+
+@register(
+    "winsorized_prices",
+    """WITH b AS (
+  SELECT quantile_cont(o_totalprice, 0.05) AS lo,
+         quantile_cont(o_totalprice, 0.95) AS hi
+  FROM orders)
+SELECT o_orderkey, o_totalprice,
+       ROUND(LEAST(GREATEST(o_totalprice, (SELECT lo FROM b)), (SELECT hi FROM b)), 4) AS winsorized,
+       (o_totalprice < (SELECT lo FROM b) OR o_totalprice > (SELECT hi FROM b)) AS clipped
+FROM orders""",
+)
+def q_winsorized_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization at p05/p95 — outlier clipping before model-feature
+    use.  The exact percentiles fold in as ONE scalar-subquery struct
+    (a single aggregate pass), then a map-side clip; no global sort of
+    the fact table."""
+    orders = load_tables(spark, sf_dir).raw("orders")
+    b = orders.agg(
+        F.struct(
+            F.expr("percentile(o_totalprice, 0.05)").alias("lo"),
+            F.expr("percentile(o_totalprice, 0.95)").alias("hi"),
+        ).alias("b")
+    ).scalar()
+    lo, hi = b.getField("lo"), b.getField("hi")
+    return orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        pround(
+            F.least(F.greatest(F.col("o_totalprice"), lo), hi), 4
+        ).alias("winsorized"),
+        ((F.col("o_totalprice") < lo) | (F.col("o_totalprice") > hi)).alias(
+            "clipped"
+        ),
+    )
+
+
+@register(
+    "cluster_representatives",
+    _NEARDUP_COMP_CTES
+    + """,
+members AS (
+  SELECT d.doc_id, CAST(COALESCE(c.canonical, d.doc_id) AS BIGINT) AS canonical_id
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+tc AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS token_count
+  FROM documents),
+mr AS (
+  SELECT m.canonical_id, m.doc_id, t.token_count,
+         ROW_NUMBER() OVER (PARTITION BY m.canonical_id
+                            ORDER BY t.token_count DESC, m.doc_id ASC) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY m.canonical_id) AS BIGINT) AS n_members
+  FROM members m JOIN tc t USING (doc_id))
+SELECT canonical_id, doc_id AS rep_doc_id, n_members,
+       token_count AS rep_tokens
+FROM mr WHERE rn = 1""",
+)
+def q_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster representative selection — after components, keep
+    the best document per cluster (longest, then lowest id): the
+    curation step that turns dedup clusters into the retained corpus.
+    Reuses the full LSH→verify→components chain, then one ranking window
+    over cluster membership."""
+    from pyspark.sql.window import Window
+
+    from puma_matcher_spark.operators.dedup import connected_components
+
+    docs = load_tables(spark, sf_dir).llm_documents()
+    cand = dd.minhash_dedup_pairs(docs)
+    verified = dd.jaccard_for_pairs(docs, cand).where(F.col("jaccard") >= 0.5)
+    edges = verified.select(
+        F.col("doc1_id").alias("id1"), F.col("doc2_id").alias("id2")
+    )
+    comp = connected_components(edges).withColumnRenamed("id", "doc_id")
+    members = (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id"))
+            .cast("long")
+            .alias("canonical_id"),
+        )
+    )
+    tc = docs.select(
+        "doc_id", F.size(ts.tokens(F.col("text"))).cast("long").alias("token_count")
+    )
+    mr = members.join(tc, "doc_id")
+    wp = Window.partitionBy("canonical_id")
+    w = wp.orderBy(F.col("token_count").desc(), F.col("doc_id").asc())
+    return (
+        mr.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wp).cast("long"))
+        .where(F.col("rn") == 1)
+        .select(
+            "canonical_id",
+            F.col("doc_id").alias("rep_doc_id"),
+            "n_members",
+            F.col("token_count").alias("rep_tokens"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -4044,7 +4330,9 @@ _PRIORITY: list[str] = [
     # label_centroids, centroid_confusion, av_features_shape,
     # score_unpivot, events_resampled, events_rolling, score_deciles,
     # events_funnel, events_cohorts, events_debounce, dedup_triangles,
-    # events_anomaly.
+    # events_anomaly — plus the round-3 additions: dq_profile,
+    # dq_expectations, cdc_latest_state, scd2_history, doc_keywords,
+    # winsorized_prices, cluster_representatives.
     # rows-only entries whose hard signal is their in-window property
     # twin; the rows-only originals (pic_clusters, embedding_ivf_topk,
     # weight_refined, media_features) already carry round-2 driver rows

@@ -1,0 +1,90 @@
+"""Unit tests for the data-quality plane (operators/quality.py) and the
+CDC/SCD2 operators (operators/cdc.py).  Oracle parity at sf0.001 is
+covered by test_oracle_parity; these pin the semantics on hand-built
+frames where the expected output is knowable by eye."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from puma_matcher_spark.operators.cdc import cdc_latest_state, scd2_history
+from puma_matcher_spark.operators.quality import (
+    expectation_report,
+    profile_columns,
+)
+
+
+def test_profile_counts_nulls_and_distincts(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (4, "b")], "k INT, v STRING"
+    )
+    rows = {r["col_name"]: r for r in profile_columns(df, ["k", "v"]).collect()}
+    assert rows["k"]["n_rows"] == 4
+    assert rows["k"]["n_nulls"] == 0
+    assert rows["k"]["n_distinct"] == 4
+    assert rows["v"]["n_nulls"] == 1
+    assert rows["v"]["n_distinct"] == 2  # NULL not counted as a value
+
+
+def test_expectations_flag_injected_violations(spark):
+    orders = spark.createDataFrame(
+        [
+            (1, 10, "F", 5.0),
+            (1, 11, "O", 6.0),  # duplicate key
+            (2, None, "X", -1.0),  # null custkey, bad status, negative
+        ],
+        "o_orderkey LONG, o_custkey LONG, o_orderstatus STRING, o_totalprice DOUBLE",
+    )
+    lineitem = spark.createDataFrame(
+        [(1,), (99,)], "l_orderkey LONG"  # 99 → orphan
+    )
+    rep = {
+        r["rule"]: r for r in expectation_report(orders, lineitem).collect()
+    }
+    assert rep["not_null:o_custkey"]["violations"] == 1
+    assert rep["unique:o_orderkey"]["violations"] == 1
+    assert rep["accepted_values:o_orderstatus"]["violations"] == 1
+    assert rep["non_negative:o_totalprice"]["violations"] == 1
+    assert rep["ref_integrity:l_orderkey"]["violations"] == 1
+    assert not any(r["passed"] for r in rep.values())
+
+
+def _changelog(spark):
+    # user 1: view → click → click (dup) → purchase (current)
+    # user 2: view → error (deleted)
+    return spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 1, "view", 1.0),
+            (2, "2024-01-01 00:01:00", 1, "click", 1.0),
+            (3, "2024-01-01 00:02:00", 1, "click", 1.0),
+            (4, "2024-01-01 00:03:00", 1, "purchase", 9.0),
+            (5, "2024-01-01 00:00:00", 2, "view", 1.0),
+            (6, "2024-01-01 00:05:00", 2, "error", 0.0),
+        ],
+        "event_id LONG, ts STRING, user_id LONG, event_type STRING, value DOUBLE",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_cdc_latest_state_keeps_newest_and_applies_deletes(spark):
+    out = cdc_latest_state(_changelog(spark)).collect()
+    assert len(out) == 1
+    assert out[0]["user_id"] == 1 and out[0]["event_type"] == "purchase"
+
+
+def test_scd2_collapses_runs_and_closes_versions(spark):
+    hist = scd2_history(_changelog(spark))
+    u1 = [
+        r.asDict()
+        for r in hist.where("user_id = 1")
+        .orderBy("valid_from_epoch")
+        .collect()
+    ]
+    # view → click (two clicks collapse) → purchase
+    assert [r["event_type"] for r in u1] == ["view", "click", "purchase"]
+    assert [r["is_current"] for r in u1] == [False, False, True]
+    # each closed version's end is the next version's start
+    assert u1[0]["valid_to_epoch"] == u1[1]["valid_from_epoch"]
+    assert u1[1]["valid_to_epoch"] == u1[2]["valid_from_epoch"]
+    assert u1[2]["valid_to_epoch"] is None
+    # user 2's delete record still opens a version (history keeps it)
+    assert hist.where("user_id = 2").count() == 2
