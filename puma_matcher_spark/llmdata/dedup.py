@@ -203,6 +203,58 @@ def minhash_dedup_pairs(
     )
 
 
+def minhash_incremental_pairs(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_size: int = DEFAULT_BAND_SIZE,
+    shingle_n: int = DEFAULT_SHINGLE,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """Ingestion-time near-dup scan: LSH candidates between a NEW batch
+    and the existing corpus only — never corpus × corpus.
+
+    This is the daily-ingest shape at 100 TB: the corpus band keys are a
+    precomputable index (in production, persisted and bucketed by
+    (band, band_key)); each batch computes its own band keys map-side
+    and pays ONE equi-join whose left side is batch-sized.  The bucket
+    cap applies to the corpus side (boilerplate buckets there are the
+    quadratic risk; the batch is small by definition).
+
+    Output: (new_doc_id, corpus_doc_id) distinct candidate pairs.
+    """
+    from pyspark.sql.window import Window
+
+    nb = lsh_band_keys(
+        minhash_signatures(shingles(new_docs, shingle_n), num_hashes),
+        band_size,
+        num_hashes,
+    )
+    cb = lsh_band_keys(
+        minhash_signatures(shingles(corpus, shingle_n), num_hashes),
+        band_size,
+        num_hashes,
+    )
+    if max_bucket_size is not None:
+        bucket_w = Window.partitionBy("band", "band_key")
+        cb = (
+            cb.withColumn("_n", F.count(F.lit(1)).over(bucket_w))
+            .where(F.col("_n") <= max_bucket_size)
+            .drop("_n")
+        )
+    return (
+        nb.select("band", "band_key", F.col("doc_id").alias("new_doc_id"))
+        .join(
+            cb.select(
+                "band", "band_key", F.col("doc_id").alias("corpus_doc_id")
+            ),
+            ["band", "band_key"],
+        )
+        .select("new_doc_id", "corpus_doc_id")
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     shingle_n: int = DEFAULT_SHINGLE,

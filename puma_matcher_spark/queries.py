@@ -4254,6 +4254,39 @@ def q_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "incremental_near_dups",
+    f"""WITH {_LLM_SHINGLES},
+seeded AS (SELECT doc_id, shingle, unnest(range(8)) AS seed FROM sh),
+mh AS (
+  SELECT doc_id, seed,
+         MIN(('0x' || substr(md5(shingle || '#' || CAST(seed AS VARCHAR)), 1, 15))::BIGINT) AS minhash
+  FROM seeded GROUP BY 1, 2),
+bk AS (
+  SELECT doc_id, CAST(seed // 2 AS INTEGER) AS band,
+         md5(string_agg(CAST(minhash AS VARCHAR), '-' ORDER BY seed)) AS band_key
+  FROM mh GROUP BY 1, 2),
+nbk AS (SELECT * FROM bk WHERE doc_id % 10 = 0),
+cbk AS (
+  SELECT doc_id, band, band_key
+  FROM (SELECT *, COUNT(*) OVER (PARTITION BY band, band_key) AS bn
+        FROM bk WHERE doc_id % 10 <> 0)
+  WHERE bn <= 2000)
+SELECT DISTINCT n.doc_id AS new_doc_id, c.doc_id AS corpus_doc_id
+FROM nbk n JOIN cbk c
+  ON n.band = c.band AND n.band_key = c.band_key""",
+)
+def q_incremental_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time near-dup scan (llmdata/dedup.py
+    minhash_incremental_pairs): LSH candidates between a simulated new
+    batch (doc_id % 10 = 0) and the existing corpus — batch × corpus
+    only, never corpus × corpus.  The daily-ingest shape at 100 TB."""
+    docs = load_tables(spark, sf_dir).llm_documents()
+    batch = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    return dd.minhash_incremental_pairs(batch, corpus)
+
+
 # --------------------------------------------------------------------------
 # Driver-window ordering.
 #

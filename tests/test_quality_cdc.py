@@ -88,3 +88,49 @@ def test_scd2_collapses_runs_and_closes_versions(spark):
     assert u1[2]["valid_to_epoch"] is None
     # user 2's delete record still opens a version (history keeps it)
     assert hist.where("user_id = 2").count() == 2
+
+
+def test_scd2_increment_equals_full_rebuild(spark, sf_small):
+    """Folding the post-cutoff changelog into the pre-cutoff history must
+    reproduce the full rebuild exactly — including runs that continue
+    across the cutoff."""
+    from puma_matcher_spark.operators.cdc import scd2_apply_increment
+    from puma_matcher_spark.sources.testdata import load_tables
+
+    ev = load_tables(spark, sf_small).events()
+    cutoff = ev.agg(
+        F.expr("percentile(unix_timestamp(ts), 0.6)").alias("c")
+    ).first()["c"]
+    old = ev.where(F.unix_timestamp("ts") < cutoff)
+    new = ev.where(F.unix_timestamp("ts") >= cutoff)
+    assert old.count() > 0 and new.count() > 0
+
+    full = scd2_history(ev)
+    inc = scd2_apply_increment(scd2_history(old), new)
+    sym_diff = full.exceptAll(inc).count() + inc.exceptAll(full).count()
+    assert sym_diff == 0, f"incremental SCD2 diverges on {sym_diff} rows"
+
+
+def test_incremental_near_dups_match_full_scan(spark, sf_small):
+    """Batch×corpus LSH candidates (uncapped) must equal the full-corpus
+    candidate set restricted to cross pairs."""
+    from puma_matcher_spark.llmdata import dedup as dd
+    from puma_matcher_spark.sources.testdata import load_tables
+
+    docs = load_tables(spark, sf_small).llm_documents()
+    batch = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    inc = {
+        (r["new_doc_id"], r["corpus_doc_id"])
+        for r in dd.minhash_incremental_pairs(
+            batch, corpus, max_bucket_size=None
+        ).collect()
+    }
+    full = dd.minhash_dedup_pairs(docs, max_bucket_size=None).collect()
+    cross = set()
+    for r in full:
+        a, b = r["doc1_id"], r["doc2_id"]
+        if (a % 10 == 0) != (b % 10 == 0):
+            new_id, corp_id = (a, b) if a % 10 == 0 else (b, a)
+            cross.add((new_id, corp_id))
+    assert inc == cross
