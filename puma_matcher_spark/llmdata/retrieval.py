@@ -1,0 +1,113 @@
+"""Corpus retrieval operators: BM25 ranking and inverted-index phrase
+lookup.
+
+Additive to the reference (SURVEY.md §2.12).  A training-data pipeline
+needs in-corpus retrieval constantly — "find the documents that look
+like this benchmark prompt", "which sources contain this phrase" — and
+the scalable form is an inverted index + a length-normalised lexical
+scorer, not a regex scan of every document.
+
+Both operators are pure Catalyst compositions:
+
+* :func:`bm25_scores` — Okapi BM25 over whitespace tokens.  One tf
+  aggregate over the (small, broadcastable) query-term postings, df and
+  average-doc-length folded in as scalar subqueries; the per-term sum
+  is one final groupBy.  No full-corpus sort: top-k is orderBy+limit,
+  which Spark executes as per-partition TakeOrdered + driver merge.
+* :func:`phrase_lookup` — n-gram equi-join against the shingle index:
+  the phrase becomes ONE shingle key, so lookup touches only postings
+  of that key — the index-lookup shape, never a corpus scan with a
+  LIKE.
+
+At 100 TB the shingle/posting frames are precomputed tables bucketed by
+term; both operators then run without touching document text at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from puma_matcher_spark.functions.rounding import pround
+from puma_matcher_spark.llmdata.textstats import tokens
+
+
+def _doc_tokens(docs: DataFrame, text_col: str) -> DataFrame:
+    return docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col(text_col)))).alias("tok")
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 score per document for a bag of query terms.
+
+    idf uses the standard Robertson form log10((N - df + 0.5)/(df + 0.5))
+    clamped at 0; doc length and its corpus average are whitespace token
+    counts.  Output: (doc_id, matched_terms, score) for docs matching at
+    least one term.
+    """
+    toks = _doc_tokens(docs, text_col)
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n")).scalar()
+    avgdl = dl.agg(F.avg("dl").alias("a")).scalar()
+
+    qt = [t.lower() for t in query_terms]
+    tf = (
+        toks.where(F.col("tok").isin(qt))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = F.greatest(
+        F.lit(0.0),
+        F.log10((n_docs - F.col("df") + 0.5) / (F.col("df") + 0.5)),
+    )
+    scored = (
+        tf.join(df, "tok")
+        .join(dl, "doc_id")
+        .withColumn(
+            "term_score",
+            idf
+            * (F.col("tf") * (k1 + 1))
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl)),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("matched_terms"),
+        pround(F.sum("term_score"), 4).alias("score"),
+    )
+
+
+def phrase_lookup(
+    docs: DataFrame, phrase: str, text_col: str = "text"
+) -> DataFrame:
+    """Exact-phrase containment via the n-gram index: the phrase's token
+    count fixes the shingle width n, documents are shingled at that
+    width, and the lookup is ONE equi-join on the single phrase key.
+    Output: (doc_id, n_occurrences).
+    """
+    terms = [t for t in phrase.lower().split(" ") if t]
+    n = len(terms)
+    from pyspark.sql.window import Window
+
+    # contiguous n-grams via lead() windows over token position
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(tokens(F.lower(F.col(text_col)))).alias("pos", "tok"),
+    )
+    gram_cols = [F.col("tok")] + [
+        F.lead("tok", i).over(w) for i in range(1, n)
+    ]
+    grams = pos.select(
+        "doc_id", F.concat_ws(" ", *gram_cols).alias("gram")
+    ).where(F.col("gram") == " ".join(terms))
+    return grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )

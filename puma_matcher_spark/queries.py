@@ -4287,6 +4287,58 @@ def q_incremental_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_incremental_pairs(batch, corpus)
 
 
+@register(
+    "bm25_search",
+    f"""WITH toksl AS (SELECT doc_id, {_LLM_TOKS} AS tk FROM documents),
+toks AS (SELECT doc_id, unnest(tk) AS tok FROM toksl),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+ad AS (SELECT AVG(dl) AS a FROM dl),
+tf AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM toks WHERE tok IN ('dup', 'window', 'scan') GROUP BY 1, 2),
+dfq AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+scored AS (
+  SELECT t.doc_id,
+         GREATEST(0.0, LOG10(((SELECT n FROM nd) - d.df + 0.5) / (d.df + 0.5)))
+         * (t.tf * 2.2)
+         / (t.tf + 1.2 * (1 - 0.75 + 0.75 * l.dl / (SELECT a FROM ad))) AS s
+  FROM tf t JOIN dfq d USING (tok) JOIN dl l USING (doc_id))
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS matched_terms,
+       ROUND(SUM(s), 4) AS score
+FROM scored GROUP BY 1""",
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 retrieval (llmdata/retrieval.py): length-normalised
+    lexical ranking for a query bag — corpus size and average doc length
+    fold in as scalar subqueries, postings restricted to the query terms
+    before any join."""
+    from puma_matcher_spark.llmdata.retrieval import bm25_scores
+
+    docs = load_tables(spark, sf_dir).llm_documents()
+    return bm25_scores(docs, ["dup", "window", "scan"])
+
+
+@register(
+    "phrase_search",
+    f"""WITH toksl AS (SELECT doc_id, {_LLM_TOKS} AS tk FROM documents),
+p AS (SELECT doc_id, unnest(tk) AS tok, unnest(range(len(tk))) AS pos FROM toksl),
+g AS (
+  SELECT a.doc_id FROM p a JOIN p b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.tok = 'order' AND b.tok = 'fast')
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM g GROUP BY 1""",
+)
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase lookup via the n-gram index (llmdata/retrieval.py):
+    the phrase is ONE shingle key, so the lookup is an equi-join on that
+    key — never a LIKE scan over document text."""
+    from puma_matcher_spark.llmdata.retrieval import phrase_lookup
+
+    docs = load_tables(spark, sf_dir).llm_documents()
+    return phrase_lookup(docs, "order fast")
+
+
 # --------------------------------------------------------------------------
 # Driver-window ordering.
 #

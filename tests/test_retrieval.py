@@ -1,0 +1,46 @@
+"""Semantics tests for the retrieval plane (llmdata/retrieval.py).
+Oracle parity at sf0.001 is covered by test_oracle_parity."""
+
+from __future__ import annotations
+
+from puma_matcher_spark.llmdata.retrieval import bm25_scores, phrase_lookup
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "rare word appears here"),
+            (2, "common common common filler filler"),
+            (3, "common text with a rare token and more words padding it"),
+            (4, "common phrase match phrase match end"),
+            (5, "unrelated filler tokens only"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+
+
+def test_bm25_ranks_rare_term_over_common(spark):
+    scores = {
+        r["doc_id"]: r
+        for r in bm25_scores(_docs(spark), ["rare", "common"]).collect()
+    }
+    # doc 2 matches only 'common' (df 3 of 5 → idf clamps to 0) → score 0
+    assert scores[2]["score"] == 0.0
+    # docs with 'rare' (df 2 of 5, idf > 0) outscore common-only docs
+    assert scores[1]["score"] > scores[2]["score"]
+    assert scores[1]["matched_terms"] == 1
+    assert scores[3]["matched_terms"] == 2
+    # shorter doc with the same rare tf scores higher (length normalisation)
+    assert scores[1]["score"] > scores[3]["score"]
+
+
+def test_phrase_lookup_counts_occurrences(spark):
+    out = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_lookup(_docs(spark), "phrase match").collect()
+    }
+    assert out == {4: 2}
+
+
+def test_phrase_lookup_requires_contiguity(spark):
+    assert phrase_lookup(_docs(spark), "common end").count() == 0
