@@ -114,19 +114,31 @@ def expectation_report(
     order_rules = o.select(F.explode(rules).alias("r")).select(
         "r.rule", "r.n_checked", "r.violations"
     )
-    fk = lineitem.join(
-        orders.select(F.col("o_orderkey").alias("l_orderkey")),
-        "l_orderkey",
-        "left_anti",
-    )
-    fk_rule = lineitem.agg(
-        F.count(F.lit(1)).cast("long").alias("n_checked")
-    ).crossJoin(
-        fk.agg(F.count(F.lit(1)).cast("long").alias("violations"))
-    ).select(
-        F.lit("ref_integrity:l_orderkey").alias("rule"),
-        "n_checked",
-        "violations",
+    # FK check as ONE left-join + conditional aggregate (a separate
+    # anti-join count would need a second lineitem scan and a 1×1 cross
+    # join to pair the counts — this form is one pass and keeps the
+    # registry's no-cartesian plan guard clean)
+    fk_rule = (
+        lineitem.select("l_orderkey")
+        .join(
+            orders.select(
+                F.col("o_orderkey").alias("l_orderkey"),
+                F.lit(1).alias("_hit"),
+            ),
+            "l_orderkey",
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_checked"),
+            F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("violations"),
+        )
+        .select(
+            F.lit("ref_integrity:l_orderkey").alias("rule"),
+            "n_checked",
+            "violations",
+        )
     )
     return order_rules.unionByName(fk_rule).select(
         "rule",
