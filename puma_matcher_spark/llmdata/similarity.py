@@ -83,6 +83,159 @@ def brute_force_topk(
     )
 
 
+def quantize_int8(
+    embeddings: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x| / 127,
+    q_i = floor(x_i / scale + 0.5) (half-up — portable across engines,
+    unlike banker's rounding).  Zero vectors quantize to zeros.
+
+    This is the storage path for 100 TB embedding tables: int8 cuts the
+    column 4× and the integer dot product is SIMD-friendly; the scale
+    travels with the row so scores dequantize exactly.
+    Output: (id, qvec array<int>, scale double).
+    """
+    v = F.col(vec_col).cast("array<double>")
+    scale = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    ) / F.lit(127.0)
+    base = embeddings.select(
+        F.col(id_col), v.alias("_v"), scale.alias("scale")
+    )
+    q = F.when(
+        F.col("scale") == 0.0,
+        F.transform(F.col("_v"), lambda x: F.lit(0).cast("int")),
+    ).otherwise(
+        F.transform(
+            F.col("_v"),
+            lambda x: F.floor(x / F.col("scale") + 0.5).cast("int"),
+        )
+    )
+    return base.select(F.col(id_col), q.alias("qvec"), "scale")
+
+
+def int8_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k on int8-quantized vectors: score =
+    scale_q * scale_c * <q_int, c_int> (dequantized dot product).  The
+    arithmetic is fully deterministic, so the whole approximate path is
+    oracle-checkable — the quality question (recall vs the float path)
+    is a separate property test.
+    """
+    qq = quantize_int8(queries, vec_col, id_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("qvec").alias("q_q"),
+        F.col("scale").alias("q_s"),
+    )
+    cc = quantize_int8(embeddings, vec_col, id_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("qvec").alias("c_q"),
+        F.col("scale").alias("c_s"),
+    )
+    int_dot = F.aggregate(
+        F.zip_with(
+            F.col("q_q").cast("array<long>"),
+            F.col("c_q").cast("array<long>"),
+            lambda x, y: x * y,
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sims = (
+        cc.crossJoin(F.broadcast(qq))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            pround(F.col("q_s") * F.col("c_s") * int_dot, 4).alias(
+                "approx_dot"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("approx_dot").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "approx_dot", "rank")
+    )
+
+
+def prefix_rerank_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    prefix_dims: int = 8,
+    shortlist: int = 50,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Two-stage (Matryoshka-style) search: a coarse pass on the first
+    ``prefix_dims`` dimensions shortlists ``shortlist`` candidates per
+    query, then the exact full-dimension cosine reranks the shortlist.
+
+    At 100 TB the prefix columns are a separate (8/64ths-sized) table
+    scanned for stage one; the full vectors are fetched only for the
+    shortlist — the classic funnel that makes exact scoring affordable.
+    Both stages are deterministic (ties by id), so the composition has
+    an exact oracle.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("q_vec"),
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("c_vec"),
+    )
+    coarse = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "q_vec",
+            "c_vec",
+            pround(
+                cosine(
+                    F.slice(F.col("q_vec"), 1, prefix_dims),
+                    F.slice(F.col("c_vec"), 1, prefix_dims),
+                ),
+                4,
+            ).alias("_coarse"),
+        )
+    )
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("_coarse").desc(), F.col("neighbor_id").asc()
+    )
+    short = coarse.withColumn("_crank", F.row_number().over(wc)).where(
+        F.col("_crank") <= shortlist
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        short.select(
+            "query_id",
+            "neighbor_id",
+            pround(cosine(F.col("q_vec"), F.col("c_vec")), 4).alias(
+                "cosine_sim"
+            ),
+        )
+        .withColumn("rank", F.row_number().over(wf))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((n_planes, dim))

@@ -4339,6 +4339,90 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phrase_lookup(docs, "order fast")
 
 
+@register(
+    "embedding_int8_topk",
+    """WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_aggregate(list_transform(embedding::DOUBLE[], x -> abs(x)), 'max') / 127.0 AS scale
+  FROM embeddings),
+qz AS (
+  SELECT vec_id,
+         CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+              ELSE list_transform(v, x -> CAST(FLOOR(x / scale + 0.5) AS INTEGER)) END AS qvec,
+         scale
+  FROM base),
+q AS (SELECT vec_id AS query_id, qvec AS qq, scale AS qs FROM qz WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id AS neighbor_id, qvec AS cq, scale AS cs FROM qz),
+sims AS (
+  SELECT q.query_id, c.neighbor_id,
+         ROUND(q.qs * c.cs * list_dot_product(q.qq, c.cq), 4) AS approx_dot
+  FROM q CROSS JOIN c WHERE q.query_id <> c.neighbor_id),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY approx_dot DESC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM sims)
+SELECT query_id, neighbor_id, approx_dot, rank FROM ranked WHERE rank <= 10""",
+)
+def q_embedding_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized approximate top-k (llmdata/similarity.py
+    quantize_int8/int8_topk): per-vector symmetric quantization with
+    half-up rounding (portable), integer dot product dequantized by the
+    scale pair — the 4×-smaller storage path for 100 TB embedding
+    tables."""
+    emb = load_tables(spark, sf_dir).llm_embeddings()
+    q = emb.where(F.col("vec_id") % 50 == 0)
+    out = sim.int8_topk(emb, q, k=10)
+    return out.select(
+        "query_id", "neighbor_id", "approx_dot",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+@register(
+    "embedding_prefix_rerank",
+    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id % 50 = 0),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+coarse AS (
+  SELECT q.query_id, c.neighbor_id, q.qv AS qv, c.cv AS cv,
+         ROUND(list_dot_product(q.qv[1:32], c.cv[1:32]) /
+               (sqrt(list_dot_product(q.qv[1:32], q.qv[1:32]))
+                * sqrt(list_dot_product(c.cv[1:32], c.cv[1:32]))), 4) AS coarse_sim
+  FROM q CROSS JOIN c WHERE q.query_id <> c.neighbor_id),
+shortl AS (
+  SELECT * FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY coarse_sim DESC, neighbor_id ASC) AS cr
+    FROM coarse) WHERE cr <= 100),
+fine AS (
+  SELECT query_id, neighbor_id,
+         ROUND(list_dot_product(qv, cv) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))), 4) AS cosine_sim
+  FROM shortl),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cosine_sim DESC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM fine)
+SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= 10""",
+)
+def q_embedding_prefix_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage Matryoshka-style search (llmdata/similarity.py
+    prefix_rerank_topk): coarse top-50 on the first 8 dimensions, exact
+    full-dimension rerank to top-10 — the funnel that scans a fraction
+    of the bytes in stage one at 100 TB.  The fixture's vectors are
+    RANDOM, so the prefix carries no concentrated signal and needs
+    32/64 dims for good recall; Matryoshka-trained embeddings
+    concentrate variance in the prefix and run this with 8-16 dims."""
+    emb = load_tables(spark, sf_dir).llm_embeddings()
+    q = emb.where(F.col("vec_id") % 50 == 0)
+    out = sim.prefix_rerank_topk(emb, q, k=10, prefix_dims=32, shortlist=100)
+    return out.select(
+        "query_id", "neighbor_id", "cosine_sim",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window ordering.
 #
