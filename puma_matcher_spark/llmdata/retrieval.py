@@ -32,10 +32,25 @@ from puma_matcher_spark.functions.rounding import pround
 from puma_matcher_spark.llmdata.textstats import tokens
 
 
-def _doc_tokens(docs: DataFrame, text_col: str) -> DataFrame:
+def doc_tokens(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Lower-cased whitespace token postings: (doc_id, tok) — the shared
+    first stage of every lexical operator here and in queries.py."""
     return docs.select(
         "doc_id", F.explode(tokens(F.lower(F.col(text_col)))).alias("tok")
     )
+
+
+_doc_tokens = doc_tokens  # backwards-compatible internal name
+
+
+def doc_tf_df(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc term frequencies joined with document frequencies:
+    (doc_id, tok, tf, df) — the postings table TF-IDF scorers build on."""
+    tf = doc_tokens(docs, text_col).groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    return tf.join(df, "tok")
 
 
 def bm25_scores(

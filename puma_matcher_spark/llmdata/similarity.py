@@ -196,14 +196,16 @@ def prefix_rerank_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("c_vec"),
     )
+    # coarse stage carries ONLY (ids, prefix score) into its ranking
+    # shuffle — dragging the full vectors through the |Q|×|C| window
+    # exchange would cost exactly the bytes the two-stage funnel exists
+    # to avoid; the full vectors are joined back for the shortlist only
     coarse = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            "q_vec",
-            "c_vec",
             pround(
                 cosine(
                     F.slice(F.col("q_vec"), 1, prefix_dims),
@@ -216,14 +218,18 @@ def prefix_rerank_topk(
     wc = Window.partitionBy("query_id").orderBy(
         F.col("_coarse").desc(), F.col("neighbor_id").asc()
     )
-    short = coarse.withColumn("_crank", F.row_number().over(wc)).where(
-        F.col("_crank") <= shortlist
+    short = (
+        coarse.withColumn("_crank", F.row_number().over(wc))
+        .where(F.col("_crank") <= shortlist)
+        .select("query_id", "neighbor_id")
     )
     wf = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
     )
     return (
-        short.select(
+        short.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .select(
             "query_id",
             "neighbor_id",
             pround(cosine(F.col("q_vec"), F.col("c_vec")), 4).alias(

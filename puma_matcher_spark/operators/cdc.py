@@ -47,7 +47,9 @@ def cdc_latest_state(
     return (
         changes.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
-        .where(~delete_when)
+        # coalesce: a NULL predicate (e.g. null event_type) must mean
+        # "not a delete", not silently tombstone the key
+        .where(~F.coalesce(delete_when, F.lit(False)))
         .drop("_rn")
     )
 
@@ -73,13 +75,16 @@ def scd2_history(
         .select(
             F.col(key),
             F.col(attr),
+            F.col(ts).alias("_ts"),
             F.unix_timestamp(ts).cast("long").alias("valid_from_epoch"),
             F.col(seq).alias("_seq"),
         )
     )
-    w2 = Window.partitionBy(key).orderBy(
-        F.col("valid_from_epoch").asc(), F.col("_seq").asc()
-    )
+    # version order must be the SAME (ts, seq) order that detected the
+    # runs — ordering by the second-truncated epoch would mis-order two
+    # opens landing in the same second when their seq order disagrees
+    # with their sub-second time order
+    w2 = Window.partitionBy(key).orderBy(F.col("_ts").asc(), F.col("_seq").asc())
     return opens.select(
         key,
         attr,
@@ -133,6 +138,7 @@ def scd2_apply_increment(
             F.col(key).alias("_k"),
             F.col(attr).alias("_attr"),
             F.col("valid_from_epoch").alias("_vf"),
+            F.lit(None).cast("timestamp").alias("_ts"),
             F.lit(-1).cast("long").alias("_seq"),
         )
     )
@@ -145,12 +151,13 @@ def scd2_apply_increment(
             F.col(key).alias("_k"),
             F.col(attr).alias("_attr"),
             F.unix_timestamp(ts).cast("long").alias("_vf"),
+            F.col(ts).alias("_ts"),
             F.col(seq).cast("long").alias("_seq"),
         )
     )
     # a leading batch run with the same attribute as the key's open
     # version is the SAME run continuing across the horizon — drop it
-    wb = Window.partitionBy("_k").orderBy(F.col("_vf").asc(), F.col("_seq").asc())
+    wb = Window.partitionBy("_k").orderBy(F.col("_ts").asc(), F.col("_seq").asc())
     cur_attr = cur.select(F.col("_k"), F.col("_attr").alias("_cur_attr"))
     fresh_opens = (
         batch_opens.withColumn("_rn", F.row_number().over(wb))
@@ -159,12 +166,16 @@ def scd2_apply_increment(
             ~((F.col("_rn") == 1) & (F.col("_cur_attr") == F.col("_attr")))
             | F.col("_cur_attr").isNull()
         )
-        .select("_k", "_attr", "_vf", "_seq")
+        .select("_k", "_attr", "_vf", "_ts", "_seq")
     )
-    # recompute the tail: open version (sorts first via _seq = -1) plus
-    # the fresh runs, one lead() per key
+    # recompute the tail: the open version sorts first (its true ts is
+    # unknown from the history but is strictly BEFORE the horizon, so
+    # before every batch change — nulls_first encodes that); batch runs
+    # then follow in the same (ts, seq) order that detected them
     tail = cur.unionByName(fresh_opens)
-    w2 = Window.partitionBy("_k").orderBy(F.col("_vf").asc(), F.col("_seq").asc())
+    w2 = Window.partitionBy("_k").orderBy(
+        F.asc_nulls_first("_ts"), F.col("_seq").asc()
+    )
     rebuilt = tail.select(
         F.col("_k").alias(key),
         F.col("_attr").alias(attr),

@@ -121,10 +121,12 @@ def expectation_report(
     fk_rule = (
         lineitem.select("l_orderkey")
         .join(
-            orders.select(
-                F.col("o_orderkey").alias("l_orderkey"),
-                F.lit(1).alias("_hit"),
-            ),
+            # distinct: duplicate build-side keys (the exact condition
+            # the unique rule exists to catch) must not fan out probe
+            # rows and inflate n_checked
+            orders.select(F.col("o_orderkey").alias("l_orderkey"))
+            .distinct()
+            .withColumn("_hit", F.lit(1)),
             "l_orderkey",
             "left",
         )

@@ -4020,7 +4020,9 @@ def q_dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 l AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_checked,
          CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations
-  FROM lineitem li LEFT JOIN orders o ON li.l_orderkey = o.o_orderkey)
+  FROM lineitem li
+  LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+    ON li.l_orderkey = o.o_orderkey)
 SELECT 'not_null:o_custkey' AS rule, n AS n_checked, null_cust AS violations, null_cust = 0 AS passed FROM o
 UNION ALL
 SELECT 'unique:o_orderkey', n, dup_keys, dup_keys = 0 FROM o
@@ -4075,13 +4077,13 @@ def q_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
                                ORDER BY ts ASC, event_id ASC) AS prev
   FROM events),
 opens AS (
-  SELECT user_id, event_type,
+  SELECT user_id, event_type, ts,
          CAST(FLOOR(epoch(ts)) AS BIGINT) AS valid_from_epoch, event_id
   FROM ordered WHERE prev IS NULL OR prev <> event_type),
 v AS (
   SELECT user_id, event_type, valid_from_epoch,
          LEAD(valid_from_epoch) OVER (PARTITION BY user_id
-                                      ORDER BY valid_from_epoch ASC, event_id ASC) AS valid_to_epoch
+                                      ORDER BY ts ASC, event_id ASC) AS valid_to_epoch
   FROM opens)
 SELECT user_id, event_type, valid_from_epoch, valid_to_epoch,
        valid_to_epoch IS NULL AS is_current
@@ -4124,16 +4126,11 @@ def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc ranking window."""
     from pyspark.sql.window import Window
 
+    from puma_matcher_spark.llmdata.retrieval import doc_tf_df
+
     docs = load_tables(spark, sf_dir).llm_documents()
-    tok = docs.select(
-        "doc_id", F.explode(ts.tokens(F.lower(F.col("text")))).alias("tok")
-    )
-    tf = tok.groupBy("doc_id", "tok").agg(
-        F.count(F.lit(1)).cast("long").alias("tf")
-    )
-    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n")).scalar()
-    scored = tf.join(dfreq, "tok").withColumn(
+    scored = doc_tf_df(docs).withColumn(
         "score", F.col("tf") * F.log10(n_docs / F.col("df"))
     )
     w = Window.partitionBy("doc_id").orderBy(
@@ -4501,7 +4498,9 @@ _PRIORITY: list[str] = [
     # events_funnel, events_cohorts, events_debounce, dedup_triangles,
     # events_anomaly — plus the round-3 additions: dq_profile,
     # dq_expectations, cdc_latest_state, scd2_history, doc_keywords,
-    # winsorized_prices, cluster_representatives.
+    # winsorized_prices, cluster_representatives, incremental_near_dups,
+    # bm25_search, phrase_search, embedding_int8_topk,
+    # embedding_prefix_rerank.
     # rows-only entries whose hard signal is their in-window property
     # twin; the rows-only originals (pic_clusters, embedding_ivf_topk,
     # weight_refined, media_features) already carry round-2 driver rows

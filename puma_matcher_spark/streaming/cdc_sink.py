@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from puma_matcher_spark.sources.publish import swap_live
+from puma_matcher_spark.sources.publish import publish
 
 
 def upsert_batch(
@@ -61,7 +61,8 @@ def read_current(
     if delete_when is None:
         delete_when = F.col("event_type") == "error"
     live = spark.read.parquet(os.path.join(root, "live"))
-    return live.where(~delete_when)
+    # NULL predicate (e.g. null event_type) means "not a delete"
+    return live.where(~F.coalesce(delete_when, F.lit(False)))
 
 
 def start_cdc_upsert(
@@ -86,8 +87,7 @@ def start_cdc_upsert(
         if os.path.isdir(live):
             snap = spark.read.parquet(live).select(*batch_df.columns)
         out = upsert_batch(snap, batch_df, key, ts, seq)
-        out.write.mode("overwrite").parquet(os.path.join(root, "staging"))
-        swap_live(root)
+        publish(out, root)
 
     return (
         changes.writeStream.foreachBatch(_apply)

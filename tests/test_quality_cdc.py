@@ -90,6 +90,45 @@ def test_scd2_collapses_runs_and_closes_versions(spark):
     assert hist.where("user_id = 2").count() == 2
 
 
+def test_scd2_orders_same_second_versions_by_event_time(spark):
+    """Two opens in the same epoch second whose seq order disagrees with
+    their sub-second time order must still version in TIME order — the
+    truncated valid_from_epoch is output only, never the sort key."""
+    ch = spark.createDataFrame(
+        [
+            (9, "2024-01-01 00:00:00.100", 1, "A", 1.0),
+            (3, "2024-01-01 00:00:00.900", 1, "B", 1.0),
+        ],
+        "event_id LONG, ts STRING, user_id LONG, event_type STRING, value DOUBLE",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    rows = {r["event_type"]: r for r in scd2_history(ch).collect()}
+    assert rows["A"]["is_current"] is False
+    assert rows["B"]["is_current"] is True
+    assert rows["A"]["valid_to_epoch"] == rows["B"]["valid_from_epoch"]
+
+
+def test_cdc_latest_state_null_type_is_not_a_delete(spark):
+    ch = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 7, None, 1.0)],
+        "event_id LONG, ts STRING, user_id LONG, event_type STRING, value DOUBLE",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    assert cdc_latest_state(ch).count() == 1
+
+
+def test_expectation_fk_count_immune_to_duplicate_orders(spark):
+    orders = spark.createDataFrame(
+        [(1, 10, "F", 5.0), (1, 11, "O", 6.0)],
+        "o_orderkey LONG, o_custkey LONG, o_orderstatus STRING, o_totalprice DOUBLE",
+    )
+    lineitem = spark.createDataFrame([(1,), (99,)], "l_orderkey LONG")
+    rep = {
+        r["rule"]: r for r in expectation_report(orders, lineitem).collect()
+    }
+    fk = rep["ref_integrity:l_orderkey"]
+    assert fk["n_checked"] == 2  # NOT fanned out by the duplicate key
+    assert fk["violations"] == 1
+
+
 def test_scd2_increment_equals_full_rebuild(spark, sf_small):
     """Folding the post-cutoff changelog into the pre-cutoff history must
     reproduce the full rebuild exactly — including runs that continue
