@@ -198,3 +198,72 @@ def run_curation_app(
         cut.agg(F.sum("n_tokens_removed").alias("n")).first()["n"] or 0
     )
     return CurationAppResult(clean=final, stage_counts=counts)
+
+
+@dataclass
+class IngestAppResult:
+    accepted: DataFrame    # batch docs admitted to the corpus
+    stage_counts: dict
+
+
+def run_incremental_ingest_app(
+    batch: DataFrame,
+    corpus: DataFrame,
+    jaccard_threshold: float = 0.8,
+    min_tokens: int = 5,
+    out_root: str | None = None,
+) -> IngestAppResult:
+    """Daily-ingest driver: admit a NEW document batch against the
+    existing corpus — the incremental twin of ``run_curation_app``,
+    composed so every stage is batch-sized, never corpus-sized:
+
+    1. exact dedup vs corpus + within batch (fingerprint anti-join,
+       llmdata.dedup.incremental_ingest);
+    2. near-dup vs corpus: batch×corpus LSH candidates
+       (minhash_incremental_pairs) verified by exact Jaccard on the
+       candidate pairs only, survivors dropped;
+    3. quality gate (token count) on what remains;
+    4. optional blue/green publish of the accepted batch.
+
+    The corpus is touched twice (fingerprints, band keys) — both are
+    precomputable indexes in production; the batch-side cost is
+    O(|batch|).
+    """
+    from puma_matcher_spark.llmdata import dedup as dd
+    from puma_matcher_spark.llmdata.textstats import with_token_stats
+    from puma_matcher_spark.sources.publish import publish
+
+    counts = {"batch_in": batch.count()}
+
+    fresh_ids = dd.incremental_ingest(batch, corpus).select("doc_id")
+    docs1 = batch.join(fresh_ids, "doc_id", "left_semi")
+    counts["after_exact"] = docs1.count()
+
+    cand = dd.minhash_incremental_pairs(docs1, corpus)
+    # exact verification on candidate pairs only: rename so the shared
+    # jaccard kernel sees (doc1, doc2) over the union frame
+    pairs = cand.select(
+        F.col("new_doc_id").alias("doc1_id"),
+        F.col("corpus_doc_id").alias("doc2_id"),
+    )
+    both = docs1.select("doc_id", "text").unionByName(
+        corpus.select("doc_id", "text")
+    )
+    verified = dd.jaccard_for_pairs(both, pairs).where(
+        F.col("jaccard") >= jaccard_threshold
+    )
+    near_dup_ids = verified.select(F.col("doc1_id").alias("doc_id")).distinct()
+    docs2 = docs1.join(near_dup_ids, "doc_id", "left_anti")
+    counts["after_near_dup"] = docs2.count()
+
+    stats = with_token_stats(docs2)
+    accepted = docs2.join(
+        stats.where(F.col("token_count") >= min_tokens).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    counts["accepted"] = accepted.count()
+
+    if out_root is not None:
+        publish(accepted, out_root)
+    return IngestAppResult(accepted=accepted, stage_counts=counts)
