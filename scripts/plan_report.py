@@ -22,29 +22,51 @@ from puma_matcher_spark.session import get_spark  # noqa: E402
 
 from bench import BENCH_QUERIES  # noqa: E402
 
+# round-3 operator families: data-quality, CDC/SCD2, retrieval,
+# quantized/two-stage ANN, incremental ingest
+ROUND3_QUERIES = [
+    "dq_profile",
+    "dq_expectations",
+    "cdc_latest_state",
+    "scd2_history",
+    "doc_keywords",
+    "winsorized_prices",
+    "incremental_near_dups",
+    "bm25_search",
+    "phrase_search",
+    "embedding_int8_topk",
+    "embedding_prefix_rerank",
+]
+
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark("plan-report")
     spark.sparkContext.setLogLevel("ERROR")
     print(f"# Physical-plan shapes ({sf_dir}, AQE initial plans)\n")
-    print("| query | shuffles | broadcasts | codegen ids | scans |")
-    print("|---|---|---|---|---|")
     import re
 
     node_re = re.compile(r"^\((\d+)\) (\w+)")
-    for name in BENCH_QUERIES:
-        plan = formatted_plan(REGISTRY[name].spark_fn(spark, sf_dir))
-        nodes = [
-            m.group(2)
-            for ln in plan.splitlines()
-            if (m := node_re.match(ln.strip()))
-        ]
-        shuffles = sum(1 for n in nodes if n == "Exchange")
-        bcasts = sum(1 for n in nodes if n == "BroadcastExchange")
-        scans = sum(1 for n in nodes if n == "Scan")
-        wscg = len(set(re.findall(r"codegen id : (\d+)", plan)))
-        print(f"| {name} | {shuffles} | {bcasts} | {wscg} | {scans} |")
+
+    def table(names: list[str]) -> None:
+        print("| query | shuffles | broadcasts | codegen ids | scans |")
+        print("|---|---|---|---|---|")
+        for name in names:
+            plan = formatted_plan(REGISTRY[name].spark_fn(spark, sf_dir))
+            nodes = [
+                m.group(2)
+                for ln in plan.splitlines()
+                if (m := node_re.match(ln.strip()))
+            ]
+            shuffles = sum(1 for n in nodes if n == "Exchange")
+            bcasts = sum(1 for n in nodes if n == "BroadcastExchange")
+            scans = sum(1 for n in nodes if n == "Scan")
+            wscg = len(set(re.findall(r"codegen id : (\d+)", plan)))
+            print(f"| {name} | {shuffles} | {bcasts} | {wscg} | {scans} |")
+
+    table(BENCH_QUERIES)
+    print("\n## Round-3 operator families\n")
+    table(ROUND3_QUERIES)
 
 
 if __name__ == "__main__":
