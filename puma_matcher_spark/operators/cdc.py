@@ -94,6 +94,34 @@ def scd2_history(
     )
 
 
+def point_in_time_join(
+    facts: DataFrame,
+    history: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+) -> DataFrame:
+    """Temporal (point-in-time) join: each fact row picks the dimension
+    version active at its event time — ``valid_from <= t < valid_to``
+    (open version: ``valid_to IS NULL``).
+
+    Scale shape: an equi-join on the key plus a range predicate — the
+    shuffle co-locates each key's facts with its (few) versions, so the
+    range check is a within-partition filter, never an interval
+    cross-product.  Versions are contiguous and non-overlapping by
+    construction (scd2_history), so each fact matches at most one row.
+    """
+    t_epoch = F.unix_timestamp(F.col(ts)).cast("long")
+    return facts.join(
+        history,
+        (facts[key] == history[key])
+        & (t_epoch >= history["valid_from_epoch"])
+        & (
+            history["valid_to_epoch"].isNull()
+            | (t_epoch < history["valid_to_epoch"])
+        ),
+    ).drop(history[key])
+
+
 def scd2_apply_increment(
     history: DataFrame,
     new_changes: DataFrame,

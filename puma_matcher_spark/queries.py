@@ -4099,6 +4099,49 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scd2_point_in_time",
+    """WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts ASC, event_id ASC) AS prev
+  FROM events),
+opens AS (
+  SELECT user_id, event_type, ts,
+         CAST(FLOOR(epoch(ts)) AS BIGINT) AS valid_from_epoch, event_id
+  FROM ordered WHERE prev IS NULL OR prev <> event_type),
+hist AS (
+  SELECT user_id, event_type AS active_type, valid_from_epoch,
+         LEAD(valid_from_epoch) OVER (PARTITION BY user_id
+                                      ORDER BY ts ASC, event_id ASC) AS valid_to_epoch
+  FROM opens),
+facts AS (
+  SELECT user_id, event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS t,
+         ROUND(value, 4) AS value
+  FROM events WHERE event_type = 'purchase')
+SELECT f.user_id, f.event_id, h.active_type, h.valid_from_epoch, f.value
+FROM facts f JOIN hist h
+  ON f.user_id = h.user_id
+ AND f.t >= h.valid_from_epoch
+ AND (h.valid_to_epoch IS NULL OR f.t < h.valid_to_epoch)""",
+)
+def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal join (operators/cdc.py point_in_time_join): each
+    purchase fact picks the dimension version active at its time — the
+    canonical SCD2 consumption pattern; key equi-join + within-partition
+    range filter, one interval match per fact."""
+    from puma_matcher_spark.operators.cdc import point_in_time_join, scd2_history
+
+    ev = load_tables(spark, sf_dir).events()
+    hist = scd2_history(ev).withColumnRenamed("event_type", "active_type")
+    facts = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", pround(F.col("value"), 4).alias("value")
+    )
+    return point_in_time_join(facts, hist).select(
+        "user_id", "event_id", "active_type", "valid_from_epoch", "value"
+    )
+
+
+@register(
     "doc_keywords",
     f"""WITH toks AS (
   SELECT doc_id, unnest({_LLM_TOKS}) AS tok FROM documents),

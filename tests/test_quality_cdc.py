@@ -129,6 +129,20 @@ def test_expectation_fk_count_immune_to_duplicate_orders(spark):
     assert fk["violations"] == 1
 
 
+def test_point_in_time_join_matches_exactly_one_version(spark, sf_small):
+    """Every fact must land in exactly one SCD2 interval (contiguous,
+    non-overlapping versions) — no dupes, no drops."""
+    from puma_matcher_spark.operators.cdc import point_in_time_join
+    from puma_matcher_spark.sources.testdata import load_tables
+
+    ev = load_tables(spark, sf_small).events()
+    hist = scd2_history(ev).withColumnRenamed("event_type", "active_type")
+    facts = ev.select("user_id", "event_id", "ts")
+    joined = point_in_time_join(facts, hist)
+    assert joined.count() == facts.count()
+    assert joined.select("event_id").distinct().count() == facts.count()
+
+
 def test_scd2_increment_equals_full_rebuild(spark, sf_small):
     """Folding the post-cutoff changelog into the pre-cutoff history must
     reproduce the full rebuild exactly — including runs that continue
