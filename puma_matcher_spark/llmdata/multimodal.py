@@ -3,11 +3,14 @@ columns with typed metadata, processed in Arrow batches via mapInPandas.
 
 The reference shells out to a Python blockhash per image row
 (analyser/PictureHashAnalyser2.scala:48,71-125 — writes blockhash.py to
-/tmp and spawns a process per row!).  The rebuild keeps the *plumbing*
-real — schema contracts, Arrow batching, partition sizing — and stubs the
-codec layer: the container has no PIL/ffmpeg, so ``decode_image`` is a
-deterministic fake behind the same signature (clearly marked; swap the
-kernel in production, nothing else changes).
+/tmp and spawns a process per row!).  The rebuild keeps the plumbing and
+the hash kernel real, and the codec layer is now real too for the
+formats a codec-free container can decode: ``decode_image`` handles
+netpbm P5/P6 and uncompressed 24/32-bit BMP in pure numpy
+(``extract_media_features_decoded`` runs it end-to-end).  Only
+compressed formats (JPEG/PNG) still need an external codec and raise
+NotImplementedError; the synthetic fixture path keeps
+``fake_decode_rgb`` because its string payloads are not image bytes.
 
 Scale notes: binary payloads ride the shuffle only if you shuffle them —
 process media in the partition where the scan produced it (mapInPandas
@@ -140,13 +143,113 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     return media.mapInPandas(process, FEATURE_SCHEMA)
 
 
-def decode_image(payload: bytes):  # pragma: no cover - stub
-    """Real image decode — requires PIL/opencv, not present in this
-    container."""
-    raise NotImplementedError(
-        "image decoding requires PIL/opencv; swap fake_decode_rgb for a "
-        "real decoder in production — blockhash_256 itself is real"
-    )
+def _decode_pnm(payload: bytes) -> np.ndarray:
+    """Netpbm P6 (PPM, RGB) / P5 (PGM, grey) decode — pure numpy.
+
+    Header: magic, then whitespace-separated width/height/maxval with
+    ``#`` comments allowed, then ONE whitespace byte, then raw samples.
+    """
+    magic = payload[:2]
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        # skip whitespace and comments
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("16-bit netpbm samples not supported")
+    if magic == b"P6":
+        data = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+        return data.reshape(h, w, 3).copy()
+    data = np.frombuffer(payload, dtype=np.uint8, count=w * h, offset=pos)
+    return np.repeat(data.reshape(h, w, 1), 3, axis=2)
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24/32-bit BI_RGB BMP decode — pure numpy.
+
+    Handles the BITMAPINFOHEADER layout: bottom-up row order (positive
+    height), BGR(A) channel order, rows padded to 4 bytes.
+    """
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    offset = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if compression != 0 or bpp not in (24, 32):
+        raise NotImplementedError(
+            f"only uncompressed 24/32-bit BMP supported (bpp={bpp}, "
+            f"compression={compression})"
+        )
+    bottom_up = h > 0
+    h = abs(h)
+    nch = bpp // 8
+    stride = (w * nch + 3) & ~3
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=offset
+    ).reshape(h, stride)
+    pix = rows[:, : w * nch].reshape(h, w, nch)
+    if bottom_up:
+        pix = pix[::-1]
+    # BGR(A) → RGB
+    return pix[:, :, 2::-1].copy()
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """REAL image decode for the uncompressed formats a codec-free
+    container can handle: netpbm P5/P6 and 24/32-bit BI_RGB BMP, in
+    pure numpy.  Compressed formats (JPEG/PNG/WebP) genuinely need a
+    codec library and stay NotImplemented — the honest boundary.
+
+    Returns (height, width, 3) uint8 RGB.
+    """
+    if payload[:2] in (b"P6", b"P5"):
+        return _decode_pnm(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    if payload[:2] == b"\xff\xd8" or payload[:8] == b"\x89PNG\r\n\x1a\n":
+        raise NotImplementedError(
+            "JPEG/PNG decoding requires a codec library (PIL/opencv), "
+            "not present in this container — blockhash_256/resize_rgb "
+            "and the Spark plumbing are format-agnostic and real"
+        )
+    raise ValueError(f"unrecognised image magic: {payload[:2]!r}")
+
+
+def extract_media_features_decoded(media: DataFrame) -> DataFrame:
+    """The REAL-codec twin of :func:`extract_media_features` for frames
+    whose ``payload`` column is BINARY and holds actual image bytes
+    (PPM/PGM/BMP): decode → blockhash, same Arrow-batched mapInPandas
+    shape, same output schema."""
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes, sizes = [], []
+            for p in pdf["payload"]:
+                raw = bytes(p) if p is not None else b""
+                hashes.append(blockhash_256(decode_image(raw)))
+                sizes.append(len(raw))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "perceptual_hash": hashes,
+                    "n_bytes": pd.Series(sizes, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(process, FEATURE_SCHEMA)
 
 
 def resize_rgb(pixels: np.ndarray, out_h: int, out_w: int) -> np.ndarray:

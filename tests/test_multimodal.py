@@ -166,3 +166,98 @@ def test_video_features_shapes_and_determinism(spark):
     assert {k: (v["n_frames_sampled"], v["frame_hashes"]) for k, v in rows.items()} == {
         k: (v["n_frames_sampled"], v["frame_hashes"]) for k, v in again.items()
     }
+
+
+# ---------------- real codec: netpbm / BMP decode ----------------
+
+
+def _ppm_bytes(pixels: np.ndarray) -> bytes:
+    h, w = pixels.shape[:2]
+    return b"P6\n# test image\n%d %d\n255\n" % (w, h) + pixels.tobytes()
+
+
+def _bmp_bytes(pixels: np.ndarray) -> bytes:
+    """Minimal bottom-up 24-bit BI_RGB BMP writer (test-only)."""
+    h, w = pixels.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = []
+    for r in range(h - 1, -1, -1):  # bottom-up
+        bgr = pixels[r][:, ::-1].tobytes()
+        rows.append(bgr + b"\x00" * (stride - len(bgr)))
+    data = b"".join(rows)
+    offset = 14 + 40
+    header = (
+        b"BM"
+        + (offset + len(data)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + offset.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(data).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return header + data
+
+
+def _test_pixels(h=32, w=48) -> np.ndarray:
+    rng = np.random.default_rng(7)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def test_decode_ppm_roundtrip():
+    from puma_matcher_spark.llmdata.multimodal import decode_image
+
+    px = _test_pixels()
+    out = decode_image(_ppm_bytes(px))
+    assert out.shape == px.shape
+    assert np.array_equal(out, px)
+
+
+def test_decode_pgm_replicates_grey():
+    from puma_matcher_spark.llmdata.multimodal import decode_image
+
+    grey = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    payload = b"P5\n4 3\n255\n" + grey.tobytes()
+    out = decode_image(payload)
+    assert out.shape == (3, 4, 3)
+    assert np.array_equal(out[:, :, 0], grey)
+    assert np.array_equal(out[:, :, 1], grey)
+
+
+def test_decode_bmp_roundtrip_with_padding():
+    from puma_matcher_spark.llmdata.multimodal import decode_image
+
+    px = _test_pixels(5, 3)  # odd width → 4-byte row padding exercised
+    out = decode_image(_bmp_bytes(px))
+    assert np.array_equal(out, px)
+
+
+def test_decode_compressed_formats_stay_honest():
+    import pytest as _pytest
+
+    from puma_matcher_spark.llmdata.multimodal import decode_image
+
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0 fake jpeg")
+    with _pytest.raises(ValueError):
+        decode_image(b"??nonsense")
+
+
+def test_extract_media_features_decoded_end_to_end(spark):
+    from puma_matcher_spark.llmdata.multimodal import (
+        blockhash_256,
+        decode_image,
+        extract_media_features_decoded,
+    )
+
+    px1, px2 = _test_pixels(32, 32), _test_pixels(64, 48)
+    rows = [(1, bytearray(_ppm_bytes(px1))), (2, bytearray(_bmp_bytes(px2)))]
+    media = spark.createDataFrame(rows, "media_id LONG, payload BINARY")
+    got = {r["media_id"]: r for r in extract_media_features_decoded(media).collect()}
+    assert got[1]["perceptual_hash"] == blockhash_256(px1)
+    assert got[2]["perceptual_hash"] == blockhash_256(decode_image(_bmp_bytes(px2)))
+    assert got[1]["n_bytes"] == len(_ppm_bytes(px1))
