@@ -4463,6 +4463,59 @@ def q_embedding_prefix_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "fs_linkage_weights",
+    """WITH p AS (
+  SELECT c_custkey AS id, c_nationkey AS nation, c_mktsegment AS seg,
+         CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_bucket
+  FROM customer),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM p),
+useg AS (
+  SELECT SUM(POW(c / (SELECT n FROM nn), 2)) AS u
+  FROM (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM p GROUP BY seg)),
+ubal AS (
+  SELECT SUM(POW(c / (SELECT n FROM nn), 2)) AS u
+  FROM (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM p GROUP BY bal_bucket)),
+pairs AS (
+  SELECT a.id AS id1, b.id AS id2, a.seg AS seg1, b.seg AS seg2,
+         a.bal_bucket AS bb1, b.bal_bucket AS bb2
+  FROM p a JOIN p b ON a.nation = b.nation AND a.id > b.id),
+w AS (
+  SELECT id1, id2,
+         ROUND(CASE WHEN seg1 = seg2
+               THEN log2(0.9 / (SELECT u FROM useg))
+               ELSE log2((1 - 0.9) / (1 - (SELECT u FROM useg))) END, 4) AS w_seg,
+         ROUND(CASE WHEN bb1 = bb2
+               THEN log2(0.9 / (SELECT u FROM ubal))
+               ELSE log2((1 - 0.9) / (1 - (SELECT u FROM ubal))) END, 4) AS w_bal_bucket
+  FROM pairs)
+SELECT id1, id2, w_seg, w_bal_bucket,
+       ROUND(w_seg + w_bal_bucket, 4) AS total_weight
+FROM w""",
+)
+def q_fs_linkage_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter linkage scoring (operators/dedup.py
+    fs_linkage_weights): nation-blocked candidate pairs scored with
+    log2(m/u) agreement weights, u estimated from the value
+    distributions (Winkler's frequency method) — the classical
+    record-linkage model the reference's heuristic matcher sits
+    inside."""
+    from puma_matcher_spark.operators.dedup import (
+        blocked_pairs,
+        fs_linkage_weights,
+    )
+
+    c = load_tables(spark, sf_dir).raw("customer")
+    p = c.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_bucket"),
+    )
+    pairs = blocked_pairs(p, key_col="nation")
+    return fs_linkage_weights(p, pairs, ["seg", "bal_bucket"], m_prob=0.9)
+
+
 # --------------------------------------------------------------------------
 # Driver-window ordering.
 #

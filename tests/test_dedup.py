@@ -73,3 +73,30 @@ def test_enumerate_triangles_canonical(spark):
     }
     # triangles: (1,2,3) and (2,3,4); each listed once, a<b<c
     assert got == {(1, 2, 3), (2, 3, 4)}
+
+
+def test_fs_linkage_weights_hand_computed(spark):
+    """4 persons, one field with values [A, A, B, C]: u = (2/4)² + (1/4)²
+    + (1/4)² = 0.375; agreement weight log2(0.9/0.375), disagreement
+    log2(0.1/0.625) — checked to 4 decimals on one agreeing and one
+    disagreeing pair."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from puma_matcher_spark.operators.dedup import fs_linkage_weights
+
+    persons = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "B"), (4, "C")], "id LONG, seg STRING"
+    )
+    pairs = spark.createDataFrame([(2, 1), (3, 1)], "id1 LONG, id2 LONG")
+    rows = {
+        (r["id1"], r["id2"]): r
+        for r in fs_linkage_weights(persons, pairs, ["seg"]).collect()
+    }
+    u = 0.375
+    agree = round(math.log2(0.9 / u), 4)
+    disagree = round(math.log2((1 - 0.9) / (1 - u)), 4)
+    assert rows[(2, 1)]["w_seg"] == agree and agree > 0
+    assert rows[(3, 1)]["w_seg"] == disagree and disagree < 0
+    assert rows[(2, 1)]["total_weight"] == agree
