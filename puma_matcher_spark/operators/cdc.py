@@ -212,3 +212,36 @@ def scd2_apply_increment(
         F.lead("_vf").over(w2).isNull().alias("is_current"),
     )
     return untouched.unionByName(closed).unionByName(rebuilt)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    compare_cols: list[str],
+) -> DataFrame:
+    """Change detection between two dataset snapshots: one full-outer
+    join on the key, comparing a content fingerprint of the tracked
+    columns.  Output: (key, change_type ∈ added|removed|changed) —
+    unchanged rows are dropped, so the result is delta-sized.
+
+    This is the snapshot-diff a data-versioning layer runs between
+    corpus publishes; at 100 TB both sides hash map-side first so the
+    join carries (key, md5) only, never the payload columns.
+    """
+    def fp(df: DataFrame, alias: str) -> DataFrame:
+        return df.select(
+            F.col(key),
+            F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in compare_cols])).alias(alias),
+        )
+
+    o = fp(old, "_old_fp")
+    n = fp(new, "_new_fp")
+    joined = o.join(n, key, "full_outer")
+    return joined.select(
+        key,
+        F.when(F.col("_old_fp").isNull(), F.lit("added"))
+        .when(F.col("_new_fp").isNull(), F.lit("removed"))
+        .when(F.col("_old_fp") != F.col("_new_fp"), F.lit("changed"))
+        .alias("change_type"),
+    ).where(F.col("change_type").isNotNull())

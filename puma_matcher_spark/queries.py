@@ -4516,6 +4516,43 @@ def q_fs_linkage_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fs_linkage_weights(p, pairs, ["seg", "bal_bucket"], m_prob=0.9)
 
 
+@register(
+    "snapshot_diff",
+    """WITH o AS (
+  SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 11 <> 0),
+n AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS fp
+  FROM documents WHERE doc_id % 13 <> 0),
+j AS (
+  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, o.fp AS ofp, n.fp AS nfp
+  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+SELECT doc_id,
+       CASE WHEN ofp IS NULL THEN 'added'
+            WHEN nfp IS NULL THEN 'removed'
+            WHEN ofp <> nfp THEN 'changed' END AS change_type
+FROM j
+WHERE ofp IS NULL OR nfp IS NULL OR ofp <> nfp""",
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot change detection (operators/cdc.py snapshot_diff):
+    full-outer join on map-side content fingerprints → delta-sized
+    added/removed/changed report — the diff a data-versioning layer runs
+    between corpus publishes.  Old/new snapshots are simulated from the
+    documents fixture (mod-11 / mod-13 membership, mod-5 text edits)."""
+    from puma_matcher_spark.operators.cdc import snapshot_diff
+
+    docs = load_tables(spark, sf_dir).llm_documents()
+    old = docs.where(F.col("doc_id") % 11 != 0)
+    new = docs.where(F.col("doc_id") % 13 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return snapshot_diff(old, new, "doc_id", ["text"])
+
+
 # --------------------------------------------------------------------------
 # Driver-window ordering.
 #

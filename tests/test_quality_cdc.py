@@ -187,3 +187,18 @@ def test_incremental_near_dups_match_full_scan(spark, sf_small):
             new_id, corp_id = (a, b) if a % 10 == 0 else (b, a)
             cross.add((new_id, corp_id))
     assert inc == cross
+
+
+def test_snapshot_diff_classifies_all_change_kinds(spark):
+    from puma_matcher_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "will change"), (3, "will vanish")],
+        "id LONG, text STRING",
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "changed!"), (4, "brand new")],
+        "id LONG, text STRING",
+    )
+    out = {r["id"]: r["change_type"] for r in snapshot_diff(old, new, "id", ["text"]).collect()}
+    assert out == {2: "changed", 3: "removed", 4: "added"}  # id 1 absent
