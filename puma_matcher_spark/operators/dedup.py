@@ -265,3 +265,78 @@ def fs_linkage_weights(
         c = F.col(f"w_{f}")
         total = c if total is None else total + c
     return out.withColumn("total_weight", pround(total, 4))
+
+
+def fs_em_parameters(
+    persons: DataFrame,
+    pairs: DataFrame,
+    fields: list[str],
+    iters: int = 25,
+    id_col: str = "id",
+):
+    """Unsupervised EM fit of the Fellegi-Sunter m/u parameters
+    (Winkler's classical procedure), scalable the textbook way: the
+    cluster reduces the pair set to AGREEMENT-PATTERN sufficient
+    statistics (one groupBy over at most 2^|fields| patterns), and the
+    EM iterations run on that tiny table driver-side in numpy.
+
+    Returns (params_df, prior) where params_df has one row per field:
+    (field, m, u, w_agree, w_disagree) with weights in log2 — the
+    EM-fitted replacement for :func:`fs_linkage_weights`' fixed priors.
+    """
+    import numpy as np
+
+    side1 = persons.select(
+        F.col(id_col).alias("id1"), *[F.col(f).alias(f"{f}_1") for f in fields]
+    )
+    side2 = persons.select(
+        F.col(id_col).alias("id2"), *[F.col(f).alias(f"{f}_2") for f in fields]
+    )
+    agree_cols = [
+        (
+            F.col(f"{f}_1").eqNullSafe(F.col(f"{f}_2"))
+            & F.col(f"{f}_1").isNotNull()
+        )
+        .cast("int")
+        .alias(f"g_{f}")
+        for f in fields
+    ]
+    patterns = (
+        pairs.join(side1, "id1")
+        .join(side2, "id2")
+        .select(*agree_cols)
+        .groupBy(*[f"g_{f}" for f in fields])
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .collect()
+    )
+    gamma = np.array([[r[f"g_{f}"] for f in fields] for r in patterns], dtype=float)
+    counts = np.array([r["n"] for r in patterns], dtype=float)
+
+    # init: optimistic m, chance-level u, small match prior
+    m = np.full(len(fields), 0.9)
+    u = np.full(len(fields), 0.1)
+    p = 0.05
+    for _ in range(iters):
+        pm = p * np.prod(m**gamma * (1 - m) ** (1 - gamma), axis=1)
+        pu = (1 - p) * np.prod(u**gamma * (1 - u) ** (1 - gamma), axis=1)
+        w = pm / (pm + pu)
+        wm, wu = w * counts, (1 - w) * counts
+        m = np.clip((gamma.T @ wm) / wm.sum(), 1e-6, 1 - 1e-6)
+        u = np.clip((gamma.T @ wu) / wu.sum(), 1e-6, 1 - 1e-6)
+        p = float(np.clip(wm.sum() / counts.sum(), 1e-9, 1 - 1e-9))
+
+    spark = persons.sparkSession
+    rows = [
+        (
+            f,
+            float(m[i]),
+            float(u[i]),
+            float(np.log2(m[i] / u[i])),
+            float(np.log2((1 - m[i]) / (1 - u[i]))),
+        )
+        for i, f in enumerate(fields)
+    ]
+    params = spark.createDataFrame(
+        rows, "field STRING, m DOUBLE, u DOUBLE, w_agree DOUBLE, w_disagree DOUBLE"
+    )
+    return params, p

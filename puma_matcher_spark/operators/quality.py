@@ -56,6 +56,26 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
     ).select("e.col_name", "n_rows", "e.n_nulls", "e.n_distinct")
 
 
+def k_anonymity_report(
+    df: DataFrame, quasi_ids: list[str], k: int = 5
+) -> DataFrame:
+    """Privacy-plane check: group sizes over the quasi-identifier tuple.
+    Rows whose quasi-id combination appears fewer than ``k`` times are
+    re-identifiable — the standard k-anonymity audit run before a
+    dataset leaves a trust boundary.
+
+    Output: one row per risky group (size < k) with its size; empty
+    output means the table is k-anonymous at the given k.  One hash
+    aggregate on the quasi-id tuple — map-side combining makes this
+    linear at any scale.
+    """
+    return (
+        df.groupBy(*quasi_ids)
+        .agg(F.count(F.lit(1)).cast("long").alias("group_size"))
+        .where(F.col("group_size") < k)
+    )
+
+
 def expectation_report(
     orders: DataFrame, lineitem: DataFrame, accepted_status: tuple[str, ...] = ("F", "O", "P")
 ) -> DataFrame:

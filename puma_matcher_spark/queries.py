@@ -4553,6 +4553,60 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(old, new, "doc_id", ["text"])
 
 
+@register(
+    "k_anonymity",
+    """SELECT c_nationkey AS nation, c_mktsegment AS seg,
+       CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+       CAST(COUNT(*) AS BIGINT) AS group_size
+FROM customer
+GROUP BY 1, 2, 3
+HAVING COUNT(*) < 5""",
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (operators/quality.py k_anonymity_report):
+    quasi-identifier groups smaller than k=5 are re-identifiable — the
+    privacy gate before a dataset leaves a trust boundary."""
+    from puma_matcher_spark.operators.quality import k_anonymity_report
+
+    c = load_tables(spark, sf_dir).raw("customer")
+    qid = c.select(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_bucket"),
+    )
+    return k_anonymity_report(qid, ["nation", "seg", "bal_bucket"], k=5)
+
+
+@register("fs_em_params", None)  # iterative EM fit → rows-only
+def q_fs_em_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EM-fitted Fellegi-Sunter parameters (operators/dedup.py
+    fs_em_parameters): agreement-pattern sufficient statistics reduced
+    in the cluster, tiny EM driver-side — the unsupervised analog of
+    the reference's weight-training OptimizerApp.  Rows-only (iterative
+    float fixpoint); the separation property m>u is pytest-gated."""
+    from puma_matcher_spark.operators.dedup import (
+        blocked_pairs,
+        fs_em_parameters,
+    )
+
+    c = load_tables(spark, sf_dir).raw("customer")
+    p = c.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_bucket"),
+    )
+    pairs = blocked_pairs(p, key_col="nation")
+    params, _prior = fs_em_parameters(p, pairs, ["seg", "bal_bucket"])
+    return params.select(
+        "field",
+        pround(F.col("m"), 4).alias("m"),
+        pround(F.col("u"), 4).alias("u"),
+        pround(F.col("w_agree"), 4).alias("w_agree"),
+        pround(F.col("w_disagree"), 4).alias("w_disagree"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window ordering.
 #

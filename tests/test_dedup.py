@@ -100,3 +100,35 @@ def test_fs_linkage_weights_hand_computed(spark):
     assert rows[(2, 1)]["w_seg"] == agree and agree > 0
     assert rows[(3, 1)]["w_seg"] == disagree and disagree < 0
     assert rows[(2, 1)]["total_weight"] == agree
+
+
+def test_fs_em_separates_m_from_u_on_planted_dupes(spark):
+    """Persons with planted duplicate clusters (same seg+bucket) among
+    random non-matches: EM must learn m > u for both fields and a match
+    prior inside (0, 1)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from puma_matcher_spark.operators.dedup import blocked_pairs, fs_em_parameters
+
+    rng = random.Random(11)
+    rows = []
+    # 20 duplicate clusters of 3 (agree on everything), 140 singletons
+    pid = 0
+    for c in range(20):
+        seg, bucket = f"seg{c % 5}", c % 4
+        for _ in range(3):
+            rows.append((pid, 0, seg, bucket)); pid += 1
+    for _ in range(140):
+        rows.append((pid, 0, f"seg{rng.randrange(5)}", rng.randrange(4))); pid += 1
+    persons = spark.createDataFrame(
+        rows, "id LONG, nation INT, seg STRING, bal_bucket INT"
+    )
+    pairs = blocked_pairs(persons, key_col="nation")
+    params, prior = fs_em_parameters(persons, pairs, ["seg", "bal_bucket"])
+    got = {r["field"]: r for r in params.collect()}
+    assert 0.0 < prior < 1.0
+    for f in ("seg", "bal_bucket"):
+        assert got[f]["m"] > got[f]["u"], f
+        assert got[f]["w_agree"] > 0 > got[f]["w_disagree"], f
