@@ -640,3 +640,80 @@ def cut_spans(
         F.concat_ws(" ", kept).alias("clean_text"),
         (F.size("_tk") - F.size(kept)).cast("long").alias("n_tokens_removed"),
     )
+
+
+def jaccard_prefix_join(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    shingle_n: int = DEFAULT_SHINGLE,
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-threshold set-similarity self-join with PPJoin-style prefix
+    filtering — the LOSSLESS scalable alternative to LSH for
+    ``jaccard >= t``.
+
+    Per document, only the first ``|d| - ceil(t*|d|) + 1`` shingles in
+    global rarity order (df asc, shingle asc) are indexed; the prefix
+    lemma guarantees any pair with Jaccard >= t shares at least one
+    prefix shingle, so the candidate equi-join misses nothing while
+    skipping the most common shingles — exactly where the self-join
+    blowup lives.  Candidates are then verified with the exact Jaccard.
+
+    Unlike MinHash-LSH this has NO false negatives, so the DuckDB
+    oracle is simply the naive all-pairs definition filtered at t.
+
+    Scale shape: one df aggregate, one per-doc rarity window, one
+    equi-join on prefix shingles, then :func:`jaccard_for_pairs`-style
+    verification on the candidates only.
+    """
+    from pyspark.sql.window import Window
+
+    sh = shingles(docs, shingle_n, text_col)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    dfreq = sh.groupBy("shingle").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("df").asc(), F.col("shingle").asc()
+    )
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .join(sizes, "doc_id")
+        .withColumn("pos", F.row_number().over(w))
+    )
+    prefix = ranked.where(
+        F.col("pos") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    ).select("doc_id", "shingle")
+    cand = (
+        prefix.select("shingle", F.col("doc_id").alias("doc1_id"))
+        .join(prefix.select("shingle", F.col("doc_id").alias("doc2_id")), "shingle")
+        .where(F.col("doc1_id") < F.col("doc2_id"))
+        .select("doc1_id", "doc2_id")
+        .distinct()
+    )
+    a = sh.select(F.col("doc_id").alias("doc1_id"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc2_id"), "shingle")
+    common = (
+        cand.join(a, "doc1_id")
+        .join(b, ["doc2_id", "shingle"])
+        .groupBy("doc1_id", "doc2_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+    )
+    s1 = sizes.select(F.col("doc_id").alias("doc1_id"), F.col("n").alias("n1"))
+    s2 = sizes.select(F.col("doc_id").alias("doc2_id"), F.col("n").alias("n2"))
+    from puma_matcher_spark.functions.rounding import pround
+
+    return (
+        common.join(s1, "doc1_id")
+        .join(s2, "doc2_id")
+        .withColumn(
+            "jaccard",
+            pround(
+                F.col("common")
+                / (F.col("n1") + F.col("n2") - F.col("common")),
+                4,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc1_id", "doc2_id", "common", "jaccard")
+    )

@@ -4607,6 +4607,31 @@ def q_fs_em_params(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "jaccard_prefix_join",
+    f"""WITH {_LLM_SHINGLES},
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+common AS (
+  SELECT a.doc_id AS doc1_id, b.doc_id AS doc2_id,
+         CAST(COUNT(*) AS BIGINT) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT c.doc1_id, c.doc2_id, c.common,
+       ROUND(c.common / CAST(s1.n + s2.n - c.common AS DOUBLE), 4) AS jaccard
+FROM common c
+JOIN sizes s1 ON c.doc1_id = s1.doc_id
+JOIN sizes s2 ON c.doc2_id = s2.doc_id
+WHERE ROUND(c.common / CAST(s1.n + s2.n - c.common AS DOUBLE), 4) >= 0.5""",
+)
+def q_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin-style prefix-filtered exact similarity join (llmdata/
+    dedup.py jaccard_prefix_join): lossless threshold join — the oracle
+    is the NAIVE all-pairs definition, and the prefix filter must
+    reproduce it exactly (no false negatives, unlike LSH)."""
+    docs = load_tables(spark, sf_dir).llm_documents()
+    return dd.jaccard_prefix_join(docs, threshold=0.5)
+
+
 # --------------------------------------------------------------------------
 # Driver-window ordering.
 #

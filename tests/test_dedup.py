@@ -132,3 +132,51 @@ def test_fs_em_separates_m_from_u_on_planted_dupes(spark):
     for f in ("seg", "bal_bucket"):
         assert got[f]["m"] > got[f]["u"], f
         assert got[f]["w_agree"] > 0 > got[f]["w_disagree"], f
+
+
+def test_prefix_join_prunes_but_loses_nothing(spark, sf_small):
+    """The PPJoin prefix filter must (a) generate strictly fewer
+    candidates than the raw shingle self-join and (b) still return every
+    pair at or above the threshold (lossless)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from puma_matcher_spark.llmdata import dedup as dd
+    from puma_matcher_spark.sources.testdata import load_tables
+
+    docs = load_tables(spark, sf_small).llm_documents()
+    t = 0.5
+    # candidate count the prefix filter generates
+    sh = dd.shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("shingle").asc())
+    prefix = (
+        sh.join(dfreq, "shingle").join(sizes, "doc_id")
+        .withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= F.col("n") - F.ceil(F.lit(t) * F.col("n")) + 1)
+        .select("doc_id", "shingle")
+    )
+    n_prefix_cand = (
+        prefix.selectExpr("shingle", "doc_id AS a")
+        .join(prefix.selectExpr("shingle", "doc_id AS b"), "shingle")
+        .where("a < b").select("a", "b").distinct().count()
+    )
+    n_full_cand = (
+        sh.selectExpr("shingle", "doc_id AS a")
+        .join(sh.selectExpr("shingle", "doc_id AS b"), "shingle")
+        .where("a < b").select("a", "b").distinct().count()
+    )
+    assert n_prefix_cand < n_full_cand
+    # losslessness: equals the naive threshold join (exact pairs)
+    naive = {
+        (r["doc1_id"], r["doc2_id"])
+        for r in dd.ngram_jaccard_pairs(docs, max_shingle_df=10**9)
+        .where(F.col("jaccard") >= t)
+        .collect()
+    }
+    got = {
+        (r["doc1_id"], r["doc2_id"])
+        for r in dd.jaccard_prefix_join(docs, threshold=t).collect()
+    }
+    assert got == naive
