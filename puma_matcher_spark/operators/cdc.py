@@ -110,16 +110,23 @@ def point_in_time_join(
     cross-product.  Versions are contiguous and non-overlapping by
     construction (scd2_history), so each fact matches at most one row.
     """
+    # rename the history key before joining: facts and history often
+    # share lineage (versions built from the same changelog), and
+    # ``facts[key] == history[key]`` can resolve both sides to the SAME
+    # attribute — a trivially-true predicate that silently degrades the
+    # equi-join to a range-only cross join (see the
+    # scd2_apply_increment NOTE for the same hazard in unions)
+    h = history.withColumnRenamed(key, "_h_key")
     t_epoch = F.unix_timestamp(F.col(ts)).cast("long")
     return facts.join(
-        history,
-        (facts[key] == history[key])
-        & (t_epoch >= history["valid_from_epoch"])
+        h,
+        (F.col(key) == F.col("_h_key"))
+        & (t_epoch >= F.col("valid_from_epoch"))
         & (
-            history["valid_to_epoch"].isNull()
-            | (t_epoch < history["valid_to_epoch"])
+            F.col("valid_to_epoch").isNull()
+            | (t_epoch < F.col("valid_to_epoch"))
         ),
-    ).drop(history[key])
+    ).drop("_h_key")
 
 
 def scd2_apply_increment(

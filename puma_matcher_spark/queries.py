@@ -4709,10 +4709,13 @@ _PRIORITY: list[str] = [
     # score_unpivot, events_resampled, events_rolling, score_deciles,
     # events_funnel, events_cohorts, events_debounce, dedup_triangles,
     # events_anomaly — plus the round-3 additions: dq_profile,
-    # dq_expectations, cdc_latest_state, scd2_history, doc_keywords,
-    # winsorized_prices, cluster_representatives, incremental_near_dups,
-    # bm25_search, phrase_search, embedding_int8_topk,
-    # embedding_prefix_rerank.
+    # dq_expectations, cdc_latest_state, scd2_history, scd2_point_in_time,
+    # snapshot_diff, doc_keywords, winsorized_prices,
+    # cluster_representatives, incremental_near_dups, bm25_search,
+    # phrase_search, embedding_int8_topk, embedding_prefix_rerank,
+    # fs_linkage_weights, fs_em_params (rows-only), k_anonymity,
+    # jaccard_prefix_join.  That is 20 leftover + 18 new = 38 names —
+    # all fit in the 50-slot round-4 window with room to spare.
     # rows-only entries whose hard signal is their in-window property
     # twin; the rows-only originals (pic_clusters, embedding_ivf_topk,
     # weight_refined, media_features) already carry round-2 driver rows

@@ -238,6 +238,8 @@ def test_plan_sweep_no_accidental_cartesians(spark, sf_small):
         "ivf_recall",           # compares IVF against the brute-force baseline
         "embedding_dup_clusters",  # clusters over the exact all-pairs baseline
         "centroid_confusion",   # K-row centroid broadcast (bounded by labels)
+        "embedding_int8_topk",  # quantized scan, broadcast query set
+        "embedding_prefix_rerank",  # coarse stage scans corpus × broadcast queries
     }
     skip_heavy = {"picture_lsh_pairs", "embedding_ivf_topk", "pic_cluster_quality"}
     failures = []
