@@ -405,12 +405,17 @@ def cosine_title_matches(
         .agg(F.count(F.lit(1)).cast("double").alias("_n_docs"))
     )
     dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    # the weight frame feeds THREE consumers (norms + both join sides);
+    # without a persist each re-derives the tokenize→tf→df chain from
+    # the scan (ReuseExchange only merges identical exchanges within a
+    # stage graph, not across these three branches)
     w = (
         tf.join(dfreq.where(F.col("df") <= max_df), "word")
         .withColumn(
             "weight", F.col("tf") * F.log10(n_docs.scalar() / F.col("df"))
         )
         .select("document_version_id", "word", "weight")
+        .persist()
     )
     norms = w.groupBy("document_version_id").agg(
         F.sqrt(F.sum(F.col("weight") * F.col("weight"))).alias("norm")
