@@ -4577,6 +4577,68 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_anonymity_report(qid, ["nation", "seg", "bal_bucket"], k=5)
 
 
+@register(
+    "fs_agreement_patterns",
+    """WITH p AS (
+  SELECT c_custkey AS id, c_nationkey AS nation, c_mktsegment AS seg,
+         CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_bucket
+  FROM customer),
+pairs AS (
+  SELECT a.seg AS seg1, b.seg AS seg2, a.bal_bucket AS bb1, b.bal_bucket AS bb2
+  FROM p a JOIN p b ON a.nation = b.nation AND a.id > b.id)
+SELECT CAST(CASE WHEN seg1 = seg2 THEN 1 ELSE 0 END AS INTEGER) AS g_seg,
+       CAST(CASE WHEN bb1 = bb2 THEN 1 ELSE 0 END AS INTEGER) AS g_bal_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM pairs GROUP BY 1, 2""",
+)
+def q_fs_agreement_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DISTRIBUTED half of the EM fit as a hard-checkable query: the
+    agreement-pattern sufficient statistics (one groupBy over 2^fields
+    patterns) that fs_em_parameters reduces before its driver-side EM —
+    oracling the reduction leaves only the tiny deterministic numpy
+    fixpoint outside the gate."""
+    from puma_matcher_spark.operators.dedup import blocked_pairs
+
+    c = load_tables(spark, sf_dir).raw("customer")
+    p = c.select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_bucket"),
+    )
+    pairs = blocked_pairs(p, key_col="nation")
+    side1 = p.select(
+        F.col("id").alias("id1"),
+        F.col("seg").alias("seg_1"),
+        F.col("bal_bucket").alias("bal_bucket_1"),
+    )
+    side2 = p.select(
+        F.col("id").alias("id2"),
+        F.col("seg").alias("seg_2"),
+        F.col("bal_bucket").alias("bal_bucket_2"),
+    )
+    return (
+        pairs.join(side1, "id1")
+        .join(side2, "id2")
+        .select(
+            (
+                F.col("seg_1").eqNullSafe(F.col("seg_2"))
+                & F.col("seg_1").isNotNull()
+            )
+            .cast("int")
+            .alias("g_seg"),
+            (
+                F.col("bal_bucket_1").eqNullSafe(F.col("bal_bucket_2"))
+                & F.col("bal_bucket_1").isNotNull()
+            )
+            .cast("int")
+            .alias("g_bal_bucket"),
+        )
+        .groupBy("g_seg", "g_bal_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
 @register("fs_em_params", None)  # iterative EM fit → rows-only
 def q_fs_em_params(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EM-fitted Fellegi-Sunter parameters (operators/dedup.py
