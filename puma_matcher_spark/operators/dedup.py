@@ -72,6 +72,52 @@ def blocked_pairs(persons: DataFrame, key_col: str = "blocking_key", id_col: str
     )
 
 
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    max_dist: int = 4,
+    block_col=None,
+) -> DataFrame:
+    """Blocked Levenshtein near-match join: candidate pairs share a blocking
+    key (default: the last whitespace token of the name — for noun-final
+    labels the head word), then the JVM ``levenshtein`` expression scores
+    each candidate and ``max_dist`` filters.
+
+    The blocking key is what makes this survive scale — the join is an
+    equi-join on the key (never all-pairs), and the quadratic cost is paid
+    only within a block, whose size is bounded by the key's frequency.  For
+    skewed keys, cap block size upstream exactly like the matcher's
+    frequency guards (operators/matcher.py).  The reference does its fuzzy
+    person matching with cleaned-key equality (PersonDeduplicationStage
+    .scala:129-135); this operator is the edit-tolerant variant a linkage
+    pipeline needs when keys don't normalise identically.
+    """
+    key = block_col if block_col is not None else F.element_at(
+        F.split(F.col(name_col), " "), -1
+    )
+    side = df.select(
+        F.col(id_col), F.col(name_col), key.alias("_block")
+    )
+    a = side.select(
+        F.col("_block"),
+        F.col(id_col).alias("id1"),
+        F.col(name_col).alias("name1"),
+    )
+    b = side.select(
+        F.col("_block"),
+        F.col(id_col).alias("id2"),
+        F.col(name_col).alias("name2"),
+    )
+    return (
+        a.join(b, "_block")
+        .where(F.col("id1") < F.col("id2"))
+        .withColumn("edit_distance", F.levenshtein("name1", "name2"))
+        .where(F.col("edit_distance") <= max_dist)
+        .select("id1", "id2", "name1", "name2", F.col("edit_distance").cast("long").alias("edit_distance"))
+    )
+
+
 def person_pair_predicate(pairs: DataFrame) -> DataFrame:
     """Heuristic duplicate test on blocked candidate pairs.
 

@@ -4694,6 +4694,83 @@ def q_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.jaccard_prefix_join(docs, threshold=0.5)
 
 
+@register(
+    "events_trend",
+    """WITH pts AS (
+  SELECT event_type, value,
+         (CAST(floor(epoch(ts)) AS BIGINT)
+          - CAST(floor(epoch(TIMESTAMP '2024-01-01')) AS BIGINT)) / 86400.0 AS day
+  FROM events)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(regr_slope(value, day), 4) AS value_slope_per_day,
+       ROUND(regr_intercept(value, day), 4) AS value_intercept,
+       ROUND(corr(value, day), 4) AS value_time_corr
+FROM pts GROUP BY 1""",
+)
+def q_events_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type linear value trend via SQL2016 regression aggregates
+    (streaming/events.py trend_stats) — algebraic aggregates, one hash
+    shuffle of constant-size state per group at any scale."""
+    from puma_matcher_spark.streaming.events import trend_stats
+
+    return trend_stats(load_tables(spark, sf_dir).events())
+
+
+@register(
+    "part_edit_pairs",
+    """WITH side AS (
+  SELECT p_partkey, p_name,
+         list_extract(string_split(p_name, ' '), len(string_split(p_name, ' '))) AS block
+  FROM part)
+SELECT a.p_partkey AS id1, b.p_partkey AS id2,
+       a.p_name AS name1, b.p_name AS name2,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_distance
+FROM side a JOIN side b
+  ON a.block = b.block AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 4""",
+)
+def q_part_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked Levenshtein near-match join (operators/dedup.py
+    edit_distance_pairs) — edit-tolerant record linkage with equi-join
+    blocking on the head noun; the quadratic cost is confined to a block."""
+    from puma_matcher_spark.operators.dedup import edit_distance_pairs
+
+    part = load_tables(spark, sf_dir).raw("part")
+    return edit_distance_pairs(part, id_col="p_partkey", name_col="p_name")
+
+
+@register(
+    "large_orders",
+    """WITH big AS (
+  SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 200)
+SELECT c.c_name, o.o_orderkey, o.o_totalprice,
+       ROUND(big.sum_qty, 2) AS sum_qty
+FROM big
+JOIN orders o ON o.o_orderkey = big.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey""",
+)
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shape large-volume orders: groupBy + HAVING threshold,
+    then two key joins.  The HAVING prunes before the joins, so the fact
+    table shuffles once and the join probe side is already tiny — the
+    canonical agg-then-join ordering Catalyst preserves."""
+    t = load_tables(spark, sf_dir)
+    li, orders, cust = t.raw("lineitem"), t.raw("orders"), t.raw("customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_sq"))
+        .where(F.col("_sq") > 200)
+        .select("l_orderkey", pround(F.col("_sq"), 2).alias("sum_qty"))
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_name", "o_orderkey", "o_totalprice", "sum_qty")
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -4776,8 +4853,9 @@ _PRIORITY: list[str] = [
     # cluster_representatives, incremental_near_dups, bm25_search,
     # phrase_search, embedding_int8_topk, embedding_prefix_rerank,
     # fs_linkage_weights, fs_em_params (rows-only), k_anonymity,
-    # jaccard_prefix_join.  That is 20 leftover + 18 new = 38 names —
-    # all fit in the 50-slot round-4 window with room to spare.
+    # jaccard_prefix_join, events_trend, part_edit_pairs, large_orders.
+    # That is 20 leftover + 21 new = 41 names — all fit in the 50-slot
+    # round-4 window with room to spare.
     # rows-only entries whose hard signal is their in-window property
     # twin; the rows-only originals (pic_clusters, embedding_ivf_topk,
     # weight_refined, media_features) already carry round-2 driver rows

@@ -177,6 +177,36 @@ def anomaly_flags(
     )
 
 
+def trend_stats(events: DataFrame, origin: str = "2024-01-01") -> DataFrame:
+    """Per-type linear trend of ``value`` over event time via the SQL2016
+    linear-regression aggregates (``regr_slope``/``regr_intercept``/``corr``)
+    — the drift-detection summary a corpus-ingestion monitor computes per
+    source before alerting on slope changes.
+
+    All four statistics are algebraic aggregates: Spark computes them with
+    map-side partials (one shuffle of constant-size state per group), so the
+    plan is a single hash aggregate at any scale.  The x-axis is *days since
+    a fixed origin* rather than raw epoch seconds: it keeps x ~O(10²), which
+    makes the covariance arithmetic well-conditioned and the rounded output
+    reproducible across engines (raw epochs ~1.7e9 would eat 10 of the 16
+    double digits before the variance even starts).
+    """
+    day = (
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lit(origin).cast("timestamp")))
+        / F.lit(86400.0)
+    ).alias("day")
+    return (
+        events.select("event_type", F.col("value"), day)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            pround(F.regr_slope("value", "day"), 4).alias("value_slope_per_day"),
+            pround(F.regr_intercept("value", "day"), 4).alias("value_intercept"),
+            pround(F.corr("value", "day"), 4).alias("value_time_corr"),
+        )
+    )
+
+
 def debounce_first_per_burst(
     events: DataFrame, gap_seconds: int = 1800
 ) -> DataFrame:
