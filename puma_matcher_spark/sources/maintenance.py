@@ -70,3 +70,57 @@ def compact_parquet(
         "files_after": n_after,
         "bytes": total_bytes,
     }
+
+
+def zvalue(c1, c2, bits: int = 16):
+    """Morton (Z-order) interleave of the low ``bits`` bits of two long
+    columns — the space-filling-curve key that makes ONE sorted layout
+    serve range predicates on EITHER column (or both).
+
+    Sorting a table by ``zvalue(a, b)`` clusters rows so that parquet
+    row-group min/max statistics stay tight on a AND b simultaneously;
+    a plain sort by (a, b) only skips well on a.  Pure bit arithmetic
+    (shiftright/and/shiftleft/or), entirely inside codegen — no UDF.
+
+    Inputs must already be non-negative and < 2^bits; production callers
+    first quantize real keys into that range (e.g. NTILE/percent_rank
+    bucketing), which also equalizes the two axes' resolutions.
+    """
+    from pyspark.sql import functions as F
+
+    a = (F.col(c1) if isinstance(c1, str) else c1).cast("long")
+    b = (F.col(c2) if isinstance(c2, str) else c2).cast("long")
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(a, i).bitwiseAND(1), 2 * i + 1)
+        ).bitwiseOR(F.shiftleft(F.shiftright(b, i).bitwiseAND(1), 2 * i))
+    return z
+
+
+def zvalue_sql(c1: str, c2: str, bits: int = 16) -> str:
+    """DuckDB twin of :func:`zvalue` — generated bit arithmetic, so the
+    oracle computes the identical interleave."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({c1} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({c2} >> {i}) & 1) << {2 * i})")
+    return "(" + " | ".join(terms) + ")"
+
+
+def zorder_by(df: DataFrame, c1: str, c2: str, bits: int = 16, n_ranges: int | None = None) -> DataFrame:
+    """Lay out ``df`` in Z-order on (c1, c2): range-partition on the
+    Morton key, sort within partitions.  Writing the result gives every
+    output file a tight min/max envelope on BOTH columns.  One shuffle
+    (the range exchange); the sort is local.
+    """
+    z = zvalue(c1, c2, bits).alias("_z")
+    n = n_ranges or int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    return (
+        df.withColumn("_z", z)
+        .repartitionByRange(n, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )

@@ -1,0 +1,142 @@
+"""Unit tests for the graph (PageRank), Z-order layout, weighted-sampling,
+edit-distance, and trend operators added in round 3."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from puma_matcher_spark.llmdata.sampling import weighted_sample_topk
+from puma_matcher_spark.operators.dedup import edit_distance_pairs
+from puma_matcher_spark.operators.graph import pagerank, pagerank_mass_check
+from puma_matcher_spark.sources.maintenance import zorder_by, zvalue
+from puma_matcher_spark.streaming.events import trend_stats
+
+
+def _reference_pagerank(edges, n_iter=10, d=0.85):
+    """Plain-Python power iteration with dangling redistribution —
+    the independent fixture the distributed loop must reproduce."""
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    n = len(nodes)
+    out = {}
+    for a, _ in edges:
+        out[a] = out.get(a, 0) + 1
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(n_iter):
+        contrib = {v: 0.0 for v in nodes}
+        for a, b in edges:
+            contrib[b] += rank[a] / out[a]
+        dangle = sum(rank[v] for v in nodes if v not in out)
+        rank = {
+            v: (1 - d) / n + d * (contrib[v] + dangle / n) for v in nodes
+        }
+    return rank
+
+
+def test_pagerank_matches_reference_loop(spark):
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["rank"] for r in pagerank(df, n_iter=10).collect()}
+    want = _reference_pagerank(edges)
+    assert set(got) == set(want)
+    for v in want:
+        assert math.isclose(got[v], want[v], rel_tol=1e-9), (v, got[v], want[v])
+
+
+def test_pagerank_mass_conserved_with_dangling(spark):
+    # "c" and "d" are dangling sinks — without redistribution mass decays
+    edges = [("a", "c"), ("b", "c"), ("a", "d")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    row = pagerank_mass_check(df).collect()[0]
+    assert row["n_nodes"] == 4
+    assert row["total_mass"] == 1.0
+    assert row["all_positive"] and row["has_spread"]
+
+
+def test_zvalue_interleaves_bits(spark):
+    def py_z(a, b, bits=16):
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i + 1)
+            z |= ((b >> i) & 1) << (2 * i)
+        return z
+
+    cases = [(0, 0), (1, 0), (0, 1), (3, 5), (65535, 65535), (12345, 54321)]
+    df = spark.createDataFrame(cases, "a long, b long").select(
+        "a", "b", zvalue("a", "b").alias("z")
+    )
+    for r in df.collect():
+        assert r["z"] == py_z(r["a"], r["b"]), (r["a"], r["b"])
+
+
+def test_zorder_by_sorts_and_preserves_rows(spark):
+    rows = [(i, (i * 37) % 101, (i * 91) % 103) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, a long, b long")
+    out = zorder_by(df, "a", "b", n_ranges=4)
+    assert out.count() == 1000
+    assert sorted(r["id"] for r in out.collect()) == list(range(1000))
+    # within every partition the Morton key must be non-decreasing, and
+    # ranges must not overlap across partition ids (range partitioning)
+    check = out.withColumn("z", zvalue("a", "b")).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    per = (
+        check.groupBy("pid")
+        .agg(F.min("z").alias("lo"), F.max("z").alias("hi"))
+        .orderBy("pid")
+        .collect()
+    )
+    for prev, cur in zip(per, per[1:]):
+        assert prev["hi"] <= cur["lo"]
+
+
+def test_weighted_sample_is_deterministic_and_weight_biased(spark, sf_small):
+    docs = spark.read.parquet(f"{sf_small}/documents.parquet")
+    s1 = {r["doc_id"] for r in weighted_sample_topk(docs, "n_chars", k=40).collect()}
+    # different partitioning must not change the selected set
+    s2 = {
+        r["doc_id"]
+        for r in weighted_sample_topk(docs.repartition(13), "n_chars", k=40).collect()
+    }
+    assert s1 == s2 and len(s1) == 40
+    med = docs.agg(F.expr("percentile(n_chars, 0.5)")).collect()[0][0]
+    heavy = docs.where(F.col("n_chars") > med).count()
+    heavy_sampled = (
+        docs.where(F.col("doc_id").isin(s1)).where(F.col("n_chars") > med).count()
+    )
+    # heavier docs must be overrepresented vs their population share
+    assert heavy_sampled / 40 > heavy / docs.count()
+
+
+def test_edit_distance_pairs_blocked(spark):
+    rows = [
+        (1, "red widget"),
+        (2, "blue widget"),
+        (3, "red gadget"),
+        (4, "rod widget"),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    pairs = {
+        (r["id1"], r["id2"]): r["edit_distance"]
+        for r in edit_distance_pairs(df, "id", "name", max_dist=4).collect()
+    }
+    # widget-block pairs within distance; gadget blocked apart from widgets
+    assert pairs[(1, 2)] == 4 and pairs[(1, 4)] == 1 and pairs[(2, 4)] == 4
+    assert not any(3 in p for p in pairs)
+
+
+def test_trend_stats_recovers_planted_slope(spark):
+    # value = 2.5 * day + 1.0 exactly → slope/intercept/corr are exact
+    rows = [
+        (i, f"2024-01-{1 + i:02d} 00:00:00", 2.5 * i + 1.0)
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts string, value double").select(
+        F.lit("t").alias("event_type"), F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    r = trend_stats(df).collect()[0]
+    assert r["n_events"] == 10
+    assert r["value_slope_per_day"] == 2.5
+    assert r["value_intercept"] == 1.0
+    assert r["value_time_corr"] == 1.0
