@@ -207,6 +207,62 @@ def trend_stats(events: DataFrame, origin: str = "2024-01-01") -> DataFrame:
     )
 
 
+def trend_stats_pandas(events: DataFrame, origin: str = "2024-01-01") -> DataFrame:
+    """``applyInPandas`` twin of :func:`trend_stats`: per-group OLS fit in
+    Arrow-batched numpy, one pandas frame per event_type.
+
+    The Catalyst version is the production path (algebraic aggregate, no
+    Python in the loop); this twin exists to (a) exercise the grouped
+    Pandas-UDF machinery against a hard parity gate (the unit test asserts
+    EXACT equality of the rounded outputs) and (b) template the pattern
+    for per-group fits Spark has no aggregate for (robust regression,
+    ARIMA, changepoints).  Shuffle shape is identical: one hash exchange
+    on the grouping key; the difference is Arrow transfer + per-group
+    materialization, which caps group size at executor memory — fine for
+    per-type/per-source groups, wrong for unbounded ones.
+    """
+    import numpy as np
+    import pandas as pd
+
+    origin_s = pd.Timestamp(origin).value // 1_000_000_000
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        # floor-seconds matches unix_timestamp's truncation in the
+        # Catalyst twin; the pround formula matches functions.rounding
+        sec = pdf["ts"].astype("int64") // 1_000_000_000
+        x = (sec - origin_s) / 86400.0
+        y = pdf["value"].to_numpy()
+        n = len(pdf)
+        xm, ym = x.mean(), y.mean()
+        dx, dy = x - xm, y - ym
+        sxx = float((dx * dx).sum())
+        sxy = float((dx * dy).sum())
+        syy = float((dy * dy).sum())
+        slope = sxy / sxx
+        intercept = ym - slope * xm
+        corr = sxy / np.sqrt(sxx * syy)
+        r4 = lambda v: np.floor(v * 1e4 + 0.5) / 1e4  # noqa: E731
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_events": [n],
+                "value_slope_per_day": [r4(slope)],
+                "value_intercept": [r4(intercept)],
+                "value_time_corr": [r4(corr)],
+            }
+        )
+
+    schema = (
+        "event_type string, n_events long, value_slope_per_day double, "
+        "value_intercept double, value_time_corr double"
+    )
+    return (
+        events.select("event_type", "ts", "value")
+        .groupBy("event_type")
+        .applyInPandas(fit, schema=schema)
+    )
+
+
 def debounce_first_per_burst(
     events: DataFrame, gap_seconds: int = 1800
 ) -> DataFrame:

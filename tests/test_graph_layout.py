@@ -140,3 +140,13 @@ def test_trend_stats_recovers_planted_slope(spark):
     assert r["value_slope_per_day"] == 2.5
     assert r["value_intercept"] == 1.0
     assert r["value_time_corr"] == 1.0
+
+
+def test_trend_pandas_twin_matches_catalyst(spark, sf_small):
+    from puma_matcher_spark.streaming.events import trend_stats_pandas
+    from puma_matcher_spark.sources.testdata import load_tables
+
+    events = load_tables(spark, sf_small).events()
+    cat = {tuple(r) for r in trend_stats(events).collect()}
+    pd_ = {tuple(r) for r in trend_stats_pandas(events).collect()}
+    assert cat == pd_
