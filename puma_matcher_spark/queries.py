@@ -4772,6 +4772,85 @@ def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "order_priority_late",
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS late_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY 1""",
+)
+def q_order_priority_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shape EXISTS semi-join: orders with at least one line
+    shipped 60+ days after order date, counted per priority.  The
+    left-semi join deduplicates multi-line hits during the join itself —
+    no distinct needed, one shuffle on the order key then a tiny agg."""
+    t = load_tables(spark, sf_dir)
+    o, li = t.raw("orders"), t.raw("lineitem")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("late_orders")
+    )
+
+
+@register(
+    "brand_supplier_counts",
+    """SELECT p.p_brand, CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM part p
+JOIN lineitem l ON l.l_partkey = p.p_partkey
+WHERE l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1""",
+)
+def q_brand_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-shape: distinct supplier count per brand with problem
+    suppliers removed by anti-join.  The anti-join side is a filtered
+    tiny dim (broadcast); COUNT(DISTINCT) expands to a two-phase
+    aggregate (partial distinct then merge) under AQE."""
+    t = load_tables(spark, sf_dir)
+    p, li, s = t.raw("part"), t.raw("lineitem"), t.raw("supplier")
+    bad = s.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "small_quantity_revenue",
+    """WITH pa AS (
+  SELECT l_partkey, AVG(l_quantity) AS avg_qty FROM lineitem GROUP BY 1)
+SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l
+JOIN pa ON pa.l_partkey = l.l_partkey
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#3' AND l.l_quantity < 0.2 * pa.avg_qty""",
+)
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shape correlated-average join: revenue of small-quantity
+    lines relative to each part's own average — the decorrelated form is
+    an aggregate-then-self-join on the part key, the plan shape Catalyst
+    produces for the correlated scalar subquery."""
+    t = load_tables(spark, sf_dir)
+    li, p = t.raw("lineitem"), t.raw("part")
+    pa = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
+    brand = p.where(F.col("p_brand") == "Brand#3").select("p_partkey")
+    return (
+        li.join(pa, "l_partkey")
+        .join(brand, li.l_partkey == brand.p_partkey)
+        .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(pround(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@register(
     "weighted_sample",
     """WITH s AS (
   SELECT doc_id, source, n_chars,
@@ -4963,8 +5042,9 @@ _PRIORITY: list[str] = [
     # fs_linkage_weights, fs_em_params (rows-only), k_anonymity,
     # jaccard_prefix_join, events_trend, part_edit_pairs, large_orders,
     # weighted_sample, zorder_values, pagerank_mass, pagerank_top
-    # (rows-only).  That is 20 leftover + 25 new = 45 names — all fit in
-    # the 50-slot round-4 window.
+    # (rows-only), order_priority_late, brand_supplier_counts,
+    # small_quantity_revenue.  That is 20 leftover + 28 new = 48 names —
+    # all fit in the 50-slot round-4 window.
     # rows-only entries whose hard signal is their in-window property
     # twin; the rows-only originals (pic_clusters, embedding_ivf_topk,
     # weight_refined, media_features) already carry round-2 driver rows
