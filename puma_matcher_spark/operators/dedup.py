@@ -93,9 +93,10 @@ def edit_distance_pairs(
     .scala:129-135); this operator is the edit-tolerant variant a linkage
     pipeline needs when keys don't normalise identically.
     """
-    key = block_col if block_col is not None else F.element_at(
-        F.split(F.col(name_col), " "), -1
-    )
+    if block_col is None:
+        key = F.element_at(F.split(F.col(name_col), " "), -1)
+    else:
+        key = F.col(block_col) if isinstance(block_col, str) else block_col
     side = df.select(
         F.col(id_col), F.col(name_col), key.alias("_block")
     )

@@ -97,12 +97,12 @@ def pagerank(
                 + damping * (F.coalesce(F.col("contrib"), F.lit(0.0)) + dangle / n)
             ).alias("rank"),
         )
-        if i + 1 < n_iter:
-            ranks = ranks.localCheckpoint()
-    out = ranks
+        # checkpoint every round INCLUDING the last: the final frame must
+        # not reference the cached helpers below after they unpersist
+        ranks = ranks.localCheckpoint()
     for c in (nodes, weighted, dangling):
         c.unpersist()
-    return out
+    return ranks
 
 
 def pagerank_mass_check(edges: DataFrame, **kw) -> DataFrame:

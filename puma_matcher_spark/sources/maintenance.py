@@ -100,11 +100,15 @@ def zvalue(c1, c2, bits: int = 16):
 
 def zvalue_sql(c1: str, c2: str, bits: int = 16) -> str:
     """DuckDB twin of :func:`zvalue` — generated bit arithmetic, so the
-    oracle computes the identical interleave."""
+    oracle computes the identical interleave.  Operands are cast to
+    BIGINT first: DuckDB shifts stay in the operand's type, so an
+    INT32 input with bit 15 set would overflow at ``<< 31``."""
+    a = f"CAST({c1} AS BIGINT)"
+    b = f"CAST({c2} AS BIGINT)"
     terms = []
     for i in range(bits):
-        terms.append(f"((({c1} >> {i}) & 1) << {2 * i + 1})")
-        terms.append(f"((({c2} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i})")
     return "(" + " | ".join(terms) + ")"
 
 
@@ -145,23 +149,27 @@ def zorder_by_quantized(
     from pyspark.sql import functions as F
 
     n_buckets = 1 << bits
+    # ONE aggregate pass supplies all four bounds (a struct scalar
+    # subquery); four independent .agg().scalar() calls would each scan
+    # the input
+    bounds = df.agg(
+        F.struct(
+            F.min(c1).cast("double").alias("lo1"),
+            F.max(c1).cast("double").alias("hi1"),
+            F.min(c2).cast("double").alias("lo2"),
+            F.max(c2).cast("double").alias("hi2"),
+        ).alias("b")
+    ).scalar()
 
-    def q(col: str):
-        lo = df.agg(F.min(col).cast("double").alias("v")).scalar()
-        hi = df.agg(F.max(col).cast("double").alias("v")).scalar()
+    def q(col: str, lo, hi):
         frac = (F.col(col).cast("double") - lo) / (hi - lo + 1e-300)
         return F.least(
             F.lit(n_buckets - 1), F.floor(frac * n_buckets).cast("long")
         )
 
-    out = df.withColumn("_q1", q(c1)).withColumn("_q2", q(c2))
-    n = n_ranges or int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
-    )
-    z = zvalue(F.col("_q1"), F.col("_q2"), bits).alias("_z")
-    return (
-        out.withColumn("_z", z)
-        .repartitionByRange(n, "_z")
-        .sortWithinPartitions("_z")
-        .drop("_z", "_q1", "_q2")
+    out = df.withColumn(
+        "_q1", q(c1, bounds.getField("lo1"), bounds.getField("hi1"))
+    ).withColumn("_q2", q(c2, bounds.getField("lo2"), bounds.getField("hi2")))
+    return zorder_by(out, "_q1", "_q2", bits=bits, n_ranges=n_ranges).drop(
+        "_q1", "_q2"
     )

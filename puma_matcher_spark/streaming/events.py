@@ -195,14 +195,27 @@ def trend_stats(events: DataFrame, origin: str = "2024-01-01") -> DataFrame:
         (F.unix_timestamp("ts") - F.unix_timestamp(F.lit(origin).cast("timestamp")))
         / F.lit(86400.0)
     ).alias("day")
+    # explicit co-moment algebra with try_divide instead of
+    # regr_slope/corr: under ANSI mode (Spark 4 default) the built-in
+    # corr raises DIVIDE_BY_ZERO on a constant group; this form returns
+    # NULL for degenerate groups (single event / constant value), which
+    # is also what the DuckDB twins produce
+    sxy = F.covar_pop("value", "day")
+    sx = F.var_pop("day")
+    sy = F.var_pop("value")
+    slope = F.try_divide(sxy, sx)
     return (
         events.select("event_type", F.col("value"), day)
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_events"),
-            pround(F.regr_slope("value", "day"), 4).alias("value_slope_per_day"),
-            pround(F.regr_intercept("value", "day"), 4).alias("value_intercept"),
-            pround(F.corr("value", "day"), 4).alias("value_time_corr"),
+            pround(slope, 4).alias("value_slope_per_day"),
+            pround(F.avg("value") - slope * F.avg("day"), 4).alias(
+                "value_intercept"
+            ),
+            pround(F.try_divide(sxy, F.sqrt(sx * sy)), 4).alias(
+                "value_time_corr"
+            ),
         )
     )
 
@@ -238,10 +251,15 @@ def trend_stats_pandas(events: DataFrame, origin: str = "2024-01-01") -> DataFra
         sxx = float((dx * dx).sum())
         sxy = float((dx * dy).sum())
         syy = float((dy * dy).sum())
-        slope = sxy / sxx
-        intercept = ym - slope * xm
-        corr = sxy / np.sqrt(sxx * syy)
-        r4 = lambda v: np.floor(v * 1e4 + 0.5) / 1e4  # noqa: E731
+        # degenerate groups mirror the Catalyst aggregates: regr_slope /
+        # regr_intercept are NULL when x has no variance, corr is NULL
+        # when either side is constant
+        slope = sxy / sxx if sxx > 0 else None
+        intercept = ym - slope * xm if slope is not None else None
+        corr = sxy / np.sqrt(sxx * syy) if sxx > 0 and syy > 0 else None
+        r4 = (
+            lambda v: None if v is None else np.floor(v * 1e4 + 0.5) / 1e4
+        )  # noqa: E731
         return pd.DataFrame(
             {
                 "event_type": [pdf["event_type"].iloc[0]],

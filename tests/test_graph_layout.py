@@ -150,3 +150,25 @@ def test_trend_pandas_twin_matches_catalyst(spark, sf_small):
     cat = {tuple(r) for r in trend_stats(events).collect()}
     pd_ = {tuple(r) for r in trend_stats_pandas(events).collect()}
     assert cat == pd_
+
+
+def test_trend_pandas_twin_degenerate_groups(spark):
+    from puma_matcher_spark.streaming.events import trend_stats_pandas
+
+    # one single-event group (no x variance) and one constant-value
+    # group — slope/corr must be NULL in both engines, not a crash
+    rows = [
+        ("solo", "2024-01-05 10:00:00", 3.0),
+        ("flat", "2024-01-01 00:00:00", 7.0),
+        ("flat", "2024-01-02 00:00:00", 7.0),
+        ("flat", "2024-01-03 00:00:00", 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    cat = {tuple(r) for r in trend_stats(df).collect()}
+    pd_ = {tuple(r) for r in trend_stats_pandas(df).collect()}
+    assert cat == pd_
+    by_type = {r["event_type"]: r for r in trend_stats_pandas(df).collect()}
+    assert by_type["solo"]["value_slope_per_day"] is None
+    assert by_type["flat"]["value_time_corr"] is None
