@@ -347,10 +347,17 @@ def enrich_with_dim(events: DataFrame, dim: DataFrame) -> DataFrame:
 
 def stream_dedup(events: DataFrame, key: str = "event_id", delay: str = "10 minutes") -> DataFrame:
     """Streaming exactly-once ingestion: drop duplicate records by key
-    within the watermark horizon (state is bounded by the watermark —
-    the core dedup pattern for continuous corpus ingestion at 100 TB;
-    batch twin is ``dropDuplicates`` directly)."""
-    return events.withWatermark("ts", delay).dropDuplicates([key])
+    within the watermark horizon (batch twin is ``dropDuplicates``
+    directly).
+
+    Uses ``dropDuplicatesWithinWatermark`` (Spark 3.5+), not plain
+    ``dropDuplicates``: with a key that does NOT include the event-time
+    column, plain dropDuplicates never evicts its state (the watermark
+    only bounds state when the time column is part of the key), so a
+    continuous 100 TB ingest would grow state without limit.  The
+    WithinWatermark variant expires each key after the watermark delay —
+    bounded state, which is the entire point of watermarked dedup."""
+    return events.withWatermark("ts", delay).dropDuplicatesWithinWatermark([key])
 
 
 def dedup_events_batch(events: DataFrame, key: str = "event_id") -> DataFrame:
