@@ -90,3 +90,52 @@ def test_phrase_lookup_filters_before_aggregation(spark, sf_small):
     assert not pi.has_cartesian(df)
     assert plan.index("Filter") > 0  # filter present
     assert pi.num_shuffles(df) <= 4  # doc_id window + final agg, doubled
+
+
+def test_edit_pairs_is_equi_join(spark, sf_small):
+    """The blocked edit-distance join must plan as a hash/merge equi-join
+    on the blocking key — a cartesian means the blocking key fell out of
+    the join condition and the pair space went fully quadratic."""
+    from puma_matcher_spark.operators.dedup import edit_distance_pairs
+
+    part = load_tables(spark, sf_small).raw("part")
+    df = edit_distance_pairs(part, id_col="p_partkey", name_col="p_name")
+    assert not pi.has_cartesian(df)
+
+
+def test_zorder_values_stays_in_codegen(spark, sf_small):
+    """The Morton interleave is pure bit arithmetic — it must compile
+    into a whole-stage-codegen projection over a single scan with no
+    shuffle and no python runner."""
+    from puma_matcher_spark.sources.maintenance import zvalue
+
+    li = load_tables(spark, sf_small).raw("lineitem")
+    df = li.select(zvalue("l_partkey", "l_suppkey").alias("z"))
+    assert pi.num_shuffles(df) == 0
+    plan = pi.formatted_plan(df)
+    assert "codegen id" in plan
+    assert "Python" not in plan
+
+
+def test_tpch_shapes_semi_anti_joins(spark, sf_small):
+    """Q4 must keep the EXISTS as a left-semi join (dedup inside the
+    join), Q16 the NOT IN as an anti variant, and neither may cartesian."""
+    from puma_matcher_spark.queries import REGISTRY
+
+    q4 = REGISTRY["order_priority_late"].spark_fn(spark, sf_small)
+    assert pi.count_occurrences(q4, "LeftSemi") >= 1
+    assert not pi.has_cartesian(q4)
+    q16 = REGISTRY["brand_supplier_counts"].spark_fn(spark, sf_small)
+    assert pi.count_occurrences(q16, "LeftAnti") >= 1
+    assert not pi.has_cartesian(q16)
+
+
+def test_trend_stats_single_aggregate(spark, sf_small):
+    """The whole per-type regression summary is algebraic — one scan,
+    one hash shuffle of constant-size state."""
+    from puma_matcher_spark.streaming.events import trend_stats
+
+    ev = load_tables(spark, sf_small).events()
+    df = trend_stats(ev)
+    assert len(pi.scan_read_schemas(df)) == 1
+    assert pi.num_shuffles(df) <= 2  # one exchange (tree + detail section)
