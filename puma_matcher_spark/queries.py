@@ -1769,6 +1769,43 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_attribution_models",
+    """WITH c AS (
+  SELECT user_id, event_id AS click_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'),
+p AS (
+  SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+  FROM events WHERE event_type = 'purchase'),
+j AS (
+  SELECT p.user_id, p.purchase_id, p.purchase_ts, c.click_id, c.click_ts,
+         ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                            ORDER BY c.click_ts, c.click_id) AS rn_f,
+         ROW_NUMBER() OVER (PARTITION BY p.purchase_id
+                            ORDER BY c.click_ts DESC, c.click_id DESC) AS rn_l
+  FROM p JOIN c ON c.user_id = p.user_id
+   AND p.purchase_ts >= c.click_ts
+   AND p.purchase_ts <= c.click_ts + INTERVAL 300 SECONDS)
+SELECT user_id, purchase_id, purchase_ts,
+       MAX(CASE WHEN rn_f = 1 THEN click_id END) AS first_click_id,
+       MAX(CASE WHEN rn_l = 1 THEN click_id END) AS last_click_id,
+       CAST(COUNT(*) AS BIGINT) AS n_touches
+FROM j GROUP BY 1, 2, 3""",
+)
+def q_events_attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last-touch attribution models over the interval join
+    (streaming/events.py attribution_models) — ordered arg-min/arg-max
+    via struct aggregates, one hash aggregate, no window sort."""
+    from puma_matcher_spark.streaming.events import attribution_models
+
+    ev = load_tables(spark, sf_dir).events()
+    return attribution_models(
+        ev.where(F.col("event_type") == "click"),
+        ev.where(F.col("event_type") == "purchase"),
+        horizon_seconds=300,
+    )
+
+
+@register(
     "events_asof",
     """WITH c AS (
   SELECT user_id, ts, MAX(event_id) AS click_id
@@ -5048,8 +5085,9 @@ _PRIORITY: list[str] = [
     # jaccard_prefix_join, events_trend, part_edit_pairs, large_orders,
     # weighted_sample, zorder_values, pagerank_mass, pagerank_top
     # (rows-only), order_priority_late, brand_supplier_counts,
-    # small_quantity_revenue.  That is 20 leftover + 28 new = 48 names —
-    # all fit in the 50-slot round-4 window.
+    # small_quantity_revenue, events_attribution_models.  That is 20
+    # leftover + 29 new = 49 names — all fit in the 50-slot round-4
+    # window.
     # rows-only entries whose hard signal is their in-window property
     # twin; the rows-only originals (pic_clusters, embedding_ivf_topk,
     # weight_refined, media_features) already carry round-2 driver rows

@@ -415,6 +415,27 @@ def attribution_join(
     )
 
 
+def attribution_models(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon_seconds: int = 300,
+) -> DataFrame:
+    """First-touch / last-touch attribution per purchase: among the
+    qualifying clicks of :func:`attribution_join`, credit the earliest
+    and the latest (deterministic (ts, id) lexicographic tie-break via
+    struct min/max — an ordered arg-min without a window sort, so the
+    roll-up stays ONE hash aggregate after the interval join).
+    """
+    j = attribution_join(clicks, purchases, horizon_seconds)
+    first = F.min(F.struct("click_ts", "click_id"))
+    last = F.max(F.struct("click_ts", "click_id"))
+    return j.groupBy("user_id", "purchase_id", "purchase_ts").agg(
+        first.getField("click_id").alias("first_click_id"),
+        last.getField("click_id").alias("last_click_id"),
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
+    )
+
+
 def write_stream_idempotent(
     df: DataFrame,
     path: str,
