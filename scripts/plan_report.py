@@ -36,6 +36,18 @@ ROUND3_QUERIES = [
     "phrase_search",
     "embedding_int8_topk",
     "embedding_prefix_rerank",
+    # late round-3 batch: trend/regression, linkage, graph, layout,
+    # sampling, TPC-H shapes, attribution models
+    "events_trend",
+    "part_edit_pairs",
+    "large_orders",
+    "order_priority_late",
+    "brand_supplier_counts",
+    "small_quantity_revenue",
+    "weighted_sample",
+    "zorder_values",
+    "pagerank_mass",
+    "events_attribution_models",
 ]
 
 
