@@ -131,45 +131,85 @@ def zorder_by(df: DataFrame, c1: str, c2: str, bits: int = 16, n_ranges: int | N
 
 
 def zorder_by_quantized(
-    df: DataFrame, c1: str, c2: str, bits: int = 10, n_ranges: int | None = None
+    df: DataFrame,
+    c1: str,
+    c2: str,
+    bits: int = 10,
+    n_ranges: int | None = None,
+    strategy: str = "width",
 ) -> DataFrame:
     """:func:`zorder_by` with both axes first quantized to ``2^bits``
-    equal-width buckets over their actual min/max (scalar subqueries —
-    no driver collect).
+    buckets (scalar subqueries — no driver collect).
 
     Quantization is what makes the interleave effective when the two
     domains differ in magnitude: interleaving RAW keys lets the wider
     key's high bits dominate the sort prefix, so file boundaries carry
     no locality for the narrower key (measured in zorder_stress.py: the
     narrow key pruned ~1%; quantized, both prune like a linear sort on
-    themselves).  Equal-width is right for roughly uniform keys; for
-    skewed ones substitute equal-frequency buckets (percent_rank) —
-    same interleave, different bucket map.
+    themselves).
+
+    ``strategy="width"`` buckets by (value - min)/(max - min) — right
+    for roughly uniform keys, and costs one extra aggregate pass.
+    ``strategy="frequency"`` buckets by approximate quantile boundaries
+    (percentile_approx array folded in as a scalar subquery, bucket =
+    count of boundaries at or below the value via a higher-order
+    filter): equal-POPULATION buckets, so a heavily skewed key still
+    spreads across the curve instead of collapsing into one cell.  The
+    scalable alternative to percent_rank/ntile, which would funnel the
+    table through a single window sort.
     """
     from pyspark.sql import functions as F
 
     n_buckets = 1 << bits
-    # ONE aggregate pass supplies all four bounds (a struct scalar
-    # subquery); four independent .agg().scalar() calls would each scan
-    # the input
-    bounds = df.agg(
-        F.struct(
-            F.min(c1).cast("double").alias("lo1"),
-            F.max(c1).cast("double").alias("hi1"),
-            F.min(c2).cast("double").alias("lo2"),
-            F.max(c2).cast("double").alias("hi2"),
-        ).alias("b")
-    ).scalar()
+    if strategy == "width":
+        # ONE aggregate pass supplies all four bounds (a struct scalar
+        # subquery); four independent .agg().scalar() calls would each
+        # scan the input
+        bounds = df.agg(
+            F.struct(
+                F.min(c1).cast("double").alias("lo1"),
+                F.max(c1).cast("double").alias("hi1"),
+                F.min(c2).cast("double").alias("lo2"),
+                F.max(c2).cast("double").alias("hi2"),
+            ).alias("b")
+        ).scalar()
 
-    def q(col: str, lo, hi):
-        frac = (F.col(col).cast("double") - lo) / (hi - lo + 1e-300)
-        return F.least(
-            F.lit(n_buckets - 1), F.floor(frac * n_buckets).cast("long")
+        def q(col: str, which: str):
+            lo = bounds.getField(f"lo{which}")
+            hi = bounds.getField(f"hi{which}")
+            frac = (F.col(col).cast("double") - lo) / (hi - lo + 1e-300)
+            return F.least(
+                F.lit(n_buckets - 1), F.floor(frac * n_buckets).cast("long")
+            )
+
+    elif strategy == "frequency":
+        pcts = [i / n_buckets for i in range(1, n_buckets)]
+        cuts = df.agg(
+            F.struct(
+                F.percentile_approx(F.col(c1).cast("double"), pcts).alias("b1"),
+                F.percentile_approx(F.col(c2).cast("double"), pcts).alias("b2"),
+            ).alias("b")
+        ).scalar()
+
+        def q(col: str, which: str):
+            # the scalar subquery must be attached as a plain column
+            # BEFORE the higher-order filter references it (subqueries
+            # are not allowed inside lambda bodies); _mk below stages it
+            v = F.col(col).cast("double")
+            return F.size(
+                F.filter(F.col(f"_cuts{which}"), lambda b: b <= v)
+            ).cast("long")
+
+    else:
+        raise ValueError(f"unknown quantization strategy: {strategy!r}")
+
+    if strategy == "frequency":
+        df = df.withColumn("_cuts1", cuts.getField("b1")).withColumn(
+            "_cuts2", cuts.getField("b2")
         )
-
-    out = df.withColumn(
-        "_q1", q(c1, bounds.getField("lo1"), bounds.getField("hi1"))
-    ).withColumn("_q2", q(c2, bounds.getField("lo2"), bounds.getField("hi2")))
+    out = df.withColumn("_q1", q(c1, "1")).withColumn("_q2", q(c2, "2"))
+    if strategy == "frequency":
+        out = out.drop("_cuts1", "_cuts2")
     return zorder_by(out, "_q1", "_q2", bits=bits, n_ranges=n_ranges).drop(
         "_q1", "_q2"
     )

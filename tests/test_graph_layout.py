@@ -172,3 +172,20 @@ def test_trend_pandas_twin_degenerate_groups(spark):
     by_type = {r["event_type"]: r for r in trend_stats_pandas(df).collect()}
     assert by_type["solo"]["value_slope_per_day"] is None
     assert by_type["flat"]["value_time_corr"] is None
+
+
+def test_zorder_frequency_strategy_spreads_skewed_keys(spark):
+    from puma_matcher_spark.sources.maintenance import zorder_by_quantized
+
+    # column `a` is 99% a single hot value — equal-width quantization
+    # collapses the hot mass into one cell; equal-frequency must still
+    # produce a layout whose rows are preserved and partitions ordered
+    rows = [(i, 7 if i % 100 else i, i % 1000) for i in range(5000)]
+    df = spark.createDataFrame(rows, "id long, a long, b long")
+    out = zorder_by_quantized(df, "a", "b", bits=4, n_ranges=4, strategy="frequency")
+    assert out.count() == 5000
+    assert sorted(r["id"] for r in out.select("id").collect()) == list(range(5000))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        zorder_by_quantized(df, "a", "b", strategy="bogus")
