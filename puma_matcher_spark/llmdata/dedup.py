@@ -668,7 +668,12 @@ def jaccard_prefix_join(
     """
     from pyspark.sql.window import Window
 
-    sh = shingles(docs, shingle_n, text_col)
+    from puma_matcher_spark.functions.caching import persist_rotating
+
+    # the shingle frame feeds FIVE branches (sizes, df, ranked prefix,
+    # both verification sides) — persist it once instead of re-running
+    # the tokenize→explode chain per branch (bounded ring, no leak)
+    sh = persist_rotating(shingles(docs, shingle_n, text_col))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n"))
     dfreq = sh.groupBy("shingle").agg(
         F.count(F.lit(1)).cast("long").alias("df")
@@ -681,8 +686,16 @@ def jaccard_prefix_join(
         .join(sizes, "doc_id")
         .withColumn("pos", F.row_number().over(w))
     )
+    # the epsilon guards the float product: t*n for an exactly-integer
+    # true value can land a hair ABOVE the integer (0.1*70 →
+    # 7.000000000000001), and ceil of that would shorten the prefix
+    # below the lossless bound.  Subtracting 1e-9 can only make the
+    # prefix LONGER (more candidates) — the safe direction.
     prefix = ranked.where(
-        F.col("pos") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+        F.col("pos")
+        <= F.col("n")
+        - F.ceil(F.lit(threshold) * F.col("n") - F.lit(1e-9))
+        + 1
     ).select("doc_id", "shingle")
     cand = (
         prefix.select("shingle", F.col("doc_id").alias("doc1_id"))
@@ -703,17 +716,16 @@ def jaccard_prefix_join(
     s2 = sizes.select(F.col("doc_id").alias("doc2_id"), F.col("n").alias("n2"))
     from puma_matcher_spark.functions.rounding import pround
 
+    # threshold on the UNROUNDED ratio: the prefix lemma guarantees
+    # candidates only for true jaccard >= t, so filtering on the rounded
+    # value could keep a pair (true J just below t, rounds up) that
+    # candidate generation was never obliged to produce — the oracle
+    # filters unrounded too, keeping the two sides equivalent
+    raw_j = F.col("common") / (F.col("n1") + F.col("n2") - F.col("common"))
     return (
         common.join(s1, "doc1_id")
         .join(s2, "doc2_id")
-        .withColumn(
-            "jaccard",
-            pround(
-                F.col("common")
-                / (F.col("n1") + F.col("n2") - F.col("common")),
-                4,
-            ),
-        )
-        .where(F.col("jaccard") >= threshold)
+        .where(raw_j >= threshold)
+        .withColumn("jaccard", pround(raw_j, 4))
         .select("doc1_id", "doc2_id", "common", "jaccard")
     )

@@ -116,17 +116,32 @@ def point_in_time_join(
     # attribute — a trivially-true predicate that silently degrades the
     # equi-join to a range-only cross join (see the
     # scd2_apply_increment NOTE for the same hazard in unions)
-    h = history.withColumnRenamed(key, "_h_key")
+    # the validity epochs are renamed too: a fact frame that itself
+    # carries valid_from/to_epoch (e.g. the output of a previous
+    # point-in-time join being joined to a second dimension) would make
+    # the bare column references ambiguous
+    h = (
+        history.withColumnRenamed(key, "_h_key")
+        .withColumnRenamed("valid_from_epoch", "_h_vf")
+        .withColumnRenamed("valid_to_epoch", "_h_vt")
+    )
     t_epoch = F.unix_timestamp(F.col(ts)).cast("long")
-    return facts.join(
+    joined = facts.join(
         h,
         (F.col(key) == F.col("_h_key"))
-        & (t_epoch >= F.col("valid_from_epoch"))
-        & (
-            F.col("valid_to_epoch").isNull()
-            | (t_epoch < F.col("valid_to_epoch"))
-        ),
+        & (t_epoch >= F.col("_h_vf"))
+        & (F.col("_h_vt").isNull() | (t_epoch < F.col("_h_vt"))),
     ).drop("_h_key")
+    # restore the history column names; on collision with a fact-side
+    # column keep the dimension's copy under a dim_ prefix
+    for orig, tmp in (
+        ("valid_from_epoch", "_h_vf"),
+        ("valid_to_epoch", "_h_vt"),
+    ):
+        joined = joined.withColumnRenamed(
+            tmp, f"dim_{orig}" if orig in facts.columns else orig
+        )
+    return joined
 
 
 def scd2_apply_increment(

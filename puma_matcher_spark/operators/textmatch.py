@@ -408,14 +408,17 @@ def cosine_title_matches(
     # the weight frame feeds THREE consumers (norms + both join sides);
     # without a persist each re-derives the tokenize→tf→df chain from
     # the scan (ReuseExchange only merges identical exchanges within a
-    # stage graph, not across these three branches)
-    w = (
+    # stage graph, not across these three branches).  persist_rotating
+    # bounds the cache across repeated calls — a bare .persist() here
+    # leaked one cached frame per invocation for the session lifetime
+    from puma_matcher_spark.functions.caching import persist_rotating
+
+    w = persist_rotating(
         tf.join(dfreq.where(F.col("df") <= max_df), "word")
         .withColumn(
             "weight", F.col("tf") * F.log10(n_docs.scalar() / F.col("df"))
         )
         .select("document_version_id", "word", "weight")
-        .persist()
     )
     norms = w.groupBy("document_version_id").agg(
         F.sqrt(F.sum(F.col("weight") * F.col("weight"))).alias("norm")

@@ -4720,7 +4720,7 @@ SELECT c.doc1_id, c.doc2_id, c.common,
 FROM common c
 JOIN sizes s1 ON c.doc1_id = s1.doc_id
 JOIN sizes s2 ON c.doc2_id = s2.doc_id
-WHERE ROUND(c.common / CAST(s1.n + s2.n - c.common AS DOUBLE), 4) >= 0.5""",
+WHERE c.common / CAST(s1.n + s2.n - c.common AS DOUBLE) >= 0.5""",
 )
 def q_jaccard_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PPJoin-style prefix-filtered exact similarity join (llmdata/

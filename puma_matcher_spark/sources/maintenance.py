@@ -35,34 +35,66 @@ def compact_parquet(
     path: str,
     target_file_mb: int = 128,
     sort_cols: list[str] | None = None,
+    partition_cols: list[str] | None = None,
 ) -> dict:
-    """Rewrite ``path`` (in place, via staging + atomic rename) with
-    files sized toward ``target_file_mb``.
+    """Rewrite ``path`` (in place, via staging + swap) with files sized
+    toward ``target_file_mb``.
 
     ``sort_cols`` optionally applies a layout sort within each output
     file (sortWithinPartitions — improves parquet min/max row-group
     skipping for range predicates on those columns; costs a local sort,
-    still no shuffle).
+    still no shuffle).  ``partition_cols`` MUST be passed for a
+    hive-partitioned dataset (``key=value`` directories) — without it
+    the rewrite would flatten the layout and lose partition pruning, so
+    the function refuses rather than silently degrading.
+
+    The swap is two renames: old out, staging in.  That leaves a
+    sub-millisecond window where ``path`` does not exist (POSIX has no
+    two-directory atomic exchange); readers should retry on
+    path-not-found, and a crash between the renames is recoverable —
+    the previous data stays at ``path + ".compact-old"``, and the next
+    run restores it before doing anything else.
+
+    No-ops (returning the stats unchanged) when the dataset has fewer
+    than two files — nothing to merge, and reading an empty directory
+    would throw.
 
     Returns {"files_before", "files_after", "bytes"} for audit logs.
     """
+    import shutil
+
+    old = path + ".compact-old"
+    # crash recovery: a previous run that died between its two renames
+    # left the data under .compact-old and nothing at path
+    if not os.path.isdir(path) and os.path.isdir(old):
+        os.rename(old, path)
     n_before, total_bytes = dataset_file_stats(path)
-    target = max(1, total_bytes // (target_file_mb * 1024 * 1024) + 1)
+    if n_before < 2:
+        return {
+            "files_before": n_before,
+            "files_after": n_before,
+            "bytes": total_bytes,
+        }
+    if partition_cols is None and _looks_hive_partitioned(path):
+        raise ValueError(
+            f"{path} appears hive-partitioned (key=value directories); "
+            "pass partition_cols to preserve the layout"
+        )
+    chunk = target_file_mb * 1024 * 1024
+    target = max(1, (total_bytes + chunk - 1) // chunk)
     df: DataFrame = spark.read.parquet(path)
     out = df.coalesce(int(target))
     if sort_cols:
         out = out.sortWithinPartitions(*sort_cols)
     staging = path + ".compact-staging"
-    out.write.mode("overwrite").parquet(staging)
-    old = path + ".compact-old"
+    writer = out.write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(staging)
     if os.path.isdir(old):
-        import shutil
-
         shutil.rmtree(old)
     os.rename(path, old)
     os.rename(staging, path)
-    import shutil
-
     shutil.rmtree(old)
     n_after, _ = dataset_file_stats(path)
     return {
@@ -70,6 +102,17 @@ def compact_parquet(
         "files_after": n_after,
         "bytes": total_bytes,
     }
+
+
+def _looks_hive_partitioned(path: str) -> bool:
+    """True when the dataset's first level contains key=value dirs."""
+    try:
+        return any(
+            "=" in e and os.path.isdir(os.path.join(path, e))
+            for e in os.listdir(path)
+        )
+    except OSError:
+        return False
 
 
 def zvalue(c1, c2, bits: int = 16):

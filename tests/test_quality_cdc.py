@@ -202,3 +202,23 @@ def test_snapshot_diff_classifies_all_change_kinds(spark):
     )
     out = {r["id"]: r["change_type"] for r in snapshot_diff(old, new, "id", ["text"]).collect()}
     assert out == {2: "changed", 3: "removed", 4: "added"}  # id 1 absent
+
+
+def test_point_in_time_join_chains_onto_second_dimension(spark, sf_small):
+    """A fact frame that already carries valid_from/to_epoch from one
+    PIT join must join cleanly onto a second history (regression: bare
+    column references were ambiguous); the dimension's copies arrive
+    under a dim_ prefix."""
+    from puma_matcher_spark.operators.cdc import (
+        point_in_time_join,
+        scd2_history,
+    )
+    from puma_matcher_spark.sources.testdata import load_tables
+
+    ev = load_tables(spark, sf_small).events()
+    hist = scd2_history(ev)
+    once = point_in_time_join(ev, hist)
+    assert "valid_from_epoch" in once.columns
+    twice = point_in_time_join(once, hist)
+    assert "dim_valid_from_epoch" in twice.columns
+    assert twice.count() == once.count()
