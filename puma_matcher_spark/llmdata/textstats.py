@@ -348,6 +348,54 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def bigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document mean add-one-smoothed bigram conditional
+    log-probability under the corpus's own bigram model — the stronger
+    perplexity proxy (:func:`unigram_logprob` scores typicality of the
+    vocabulary; this scores typicality of the *sequencing*, which is
+    what separates fluent text from shuffled-word salad with the same
+    unigram profile).
+
+    p(next | tok) = (c(tok,next) + 1) / (c(tok) + V), V = vocab size,
+    folded in as a scalar subquery.  Docs with fewer than two tokens
+    emit no row (they have no bigrams).
+
+    Scale shape: bigrams come from one lead() window per doc (shuffle
+    on doc_id), then per-doc bigram counts join the corpus bigram and
+    unigram frequency tables on their keys — everything
+    shuffle-partitioned, nothing driver-side.
+    Output: (doc_id, n_bigrams, avg_logprob)."""
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens(F.lower(F.col(text_col))))
+    ).select("doc_id", F.col("pos"), F.col("col").alias("tok"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    big = (
+        toks.withColumn("nxt", F.lead("tok").over(w))
+        .where(F.col("nxt").isNotNull())
+        .select("doc_id", "tok", "nxt")
+    )
+    dbc = big.groupBy("doc_id", "tok", "nxt").agg(
+        F.count(F.lit(1)).cast("long").alias("m")
+    )
+    bf = dbc.groupBy("tok", "nxt").agg(F.sum("m").cast("long").alias("c12"))
+    uf = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    vocab = uf.agg(F.count(F.lit(1)).cast("double").alias("v"))
+    lp = F.log10((F.col("c12") + 1.0) / (F.col("c1") + vocab.scalar()))
+    return (
+        dbc.join(bf, ["tok", "nxt"])
+        .join(uf, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("m").cast("long").alias("n_bigrams"),
+            pround(F.sum(F.col("m") * lp) / F.sum("m"), 4).alias(
+                "avg_logprob"
+            ),
+        )
+    )
+
+
 def with_bpe_token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Token counting for training-data budgeting: whitespace words plus
     a BPE-ish pre-tokenizer count (the unit LLM data pipelines budget

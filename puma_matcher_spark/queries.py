@@ -3929,6 +3929,30 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bigram_logprob",
+    f"""WITH toksl AS (SELECT doc_id, {_LLM_TOKS} AS tk FROM documents),
+toks AS (SELECT doc_id, unnest(tk) AS tok, unnest(range(len(tk))) AS pos FROM toksl),
+big AS (
+  SELECT a.doc_id, a.tok, b.tok AS nxt
+  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+dbc AS (SELECT doc_id, tok, nxt, CAST(COUNT(*) AS BIGINT) AS m FROM big GROUP BY 1, 2, 3),
+bf AS (SELECT tok, nxt, CAST(SUM(m) AS BIGINT) AS c12 FROM dbc GROUP BY 1, 2),
+uf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c1 FROM toks GROUP BY 1),
+v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM uf)
+SELECT dbc.doc_id, CAST(SUM(m) AS BIGINT) AS n_bigrams,
+       ROUND(SUM(m * log10((c12 + 1.0) / (c1 + (SELECT v FROM v)))) / SUM(m), 4)
+         AS avg_logprob
+FROM dbc JOIN bf USING (tok, nxt) JOIN uf USING (tok)
+GROUP BY 1""",
+)
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-one-smoothed bigram LM perplexity proxy (llmdata/textstats.py
+    bigram_logprob) — scores sequencing typicality, the stronger
+    fluency signal over unigram_logprob's vocabulary typicality."""
+    return ts.bigram_logprob(load_tables(spark, sf_dir).llm_documents())
+
+
+@register(
     "sequence_packing",
     f"""WITH pd AS (
   SELECT doc_id, source, CAST(len({_LLM_TOKS}) AS BIGINT) AS n_tokens
@@ -5085,9 +5109,9 @@ _PRIORITY: list[str] = [
     # jaccard_prefix_join, events_trend, part_edit_pairs, large_orders,
     # weighted_sample, zorder_values, pagerank_mass, pagerank_top
     # (rows-only), order_priority_late, brand_supplier_counts,
-    # small_quantity_revenue, events_attribution_models.  That is 20
-    # leftover + 29 new = 49 names — all fit in the 50-slot round-4
-    # window.
+    # small_quantity_revenue, events_attribution_models,
+    # bigram_logprob.  That is 20 leftover + 30 new = 50 names — exactly
+    # the 50-slot round-4 window.
     # rows-only entries whose hard signal is their in-window property
     # twin; the rows-only originals (pic_clusters, embedding_ivf_topk,
     # weight_refined, media_features) already carry round-2 driver rows
