@@ -96,3 +96,15 @@ def test_curation_app_end_to_end(spark, sf_small, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == res.clean.count() == c["after_quality"]
     assert set(back.columns) == {"doc_id", "lang", "source", "clean_text", "n_tokens_removed"}
+
+
+def test_cli_list_and_oracle(capsys):
+    from puma_matcher_spark.__main__ import main
+
+    assert main(["list", "events_trend"]) == 0
+    out = capsys.readouterr().out
+    assert "events_trend" in out and "[oracle]" in out
+    assert main(["oracle", "events_trend"]) == 0
+    assert "regr_slope" in capsys.readouterr().out
+    assert main(["oracle", "nope_not_real"]) == 2
+    assert main(["oracle", "pagerank_top"]) == 1  # rows-only
