@@ -105,7 +105,11 @@ def best_weights(
     output (WeightTrainerStage.scala:158-166).  Pass a list as
     ``error_trace`` to receive the best error after the coarse pass and
     after each refinement round (convergence property checks)."""
-    ctx = contextual_scores(candidates)
+    from puma_matcher_spark.functions.caching import persist_rotating
+
+    # every refinement round re-evaluates the grid against ctx — persist
+    # it once (bounded ring) instead of re-deriving the window chain
+    ctx = persist_rotating(contextual_scores(candidates))
     grid = weight_grid(spark, score_types, step)
     scores = evaluate_weights(ctx, grid, training_pairs)
     first = scores.orderBy(F.col("error").asc(), F.col("weight_id").asc()).first()
