@@ -3929,6 +3929,42 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_hll_rollup",
+    """SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS within_bounds
+FROM events GROUP BY 1""",
+)
+def q_events_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup property (streaming/events.py
+    hll_user_sketches / hll_range_estimate): per-day DataSketches HLL
+    sketches of distinct users, unioned per type at query time, must
+    land within 5% of the exact distinct count — proving range queries
+    can be served from stored kilobyte sketches without rescanning raw
+    events.  The oracle pins the exact counts; the bound is the
+    engine-independent claim."""
+    from puma_matcher_spark.streaming.events import (
+        hll_range_estimate,
+        hll_user_sketches,
+    )
+
+    ev = load_tables(spark, sf_dir).events()
+    est = hll_range_estimate(hll_user_sketches(ev))
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_users")
+    )
+    return exact.join(est, "event_type").select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            / F.col("exact_users")
+            < 0.05
+        ).alias("within_bounds"),
+    )
+
+
+@register(
     "bigram_logprob",
     f"""WITH toksl AS (SELECT doc_id, {_LLM_TOKS} AS tk FROM documents),
 toks AS (SELECT doc_id, unnest(tk) AS tok, unnest(range(len(tk))) AS pos FROM toksl),

@@ -375,6 +375,35 @@ def dedup_events_batch(events: DataFrame, key: str = "event_id") -> DataFrame:
     )
 
 
+def hll_user_sketches(events: DataFrame, bucket_seconds: int = 86400) -> DataFrame:
+    """Per-(event_type, bucket) mergeable HLL sketches of distinct users
+    (DataSketches ``hll_sketch_agg``) — the materialization a 100 TB
+    telemetry store keeps so distinct-count questions over ARBITRARY
+    time ranges are answered by unioning pre-built kilobyte sketches
+    instead of rescanning raw events.  Register-max union is
+    order-independent, so sketches merge across partitions, days and
+    ingestion replays without bias.
+    """
+    bucket = (
+        F.floor(F.unix_timestamp("ts") / bucket_seconds) * bucket_seconds
+    ).cast("long")
+    return events.groupBy(
+        F.col("event_type"), bucket.alias("bucket_epoch")
+    ).agg(F.hll_sketch_agg("user_id").alias("user_sketch"))
+
+
+def hll_range_estimate(sketches: DataFrame) -> DataFrame:
+    """Union the per-bucket sketches per event_type and estimate the
+    distinct-user count for the whole covered range — the query-time
+    half of :func:`hll_user_sketches` (rollup reads sketches only,
+    never raw events)."""
+    return sketches.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("user_sketch"))
+        .cast("long")
+        .alias("approx_users")
+    )
+
+
 def attribution_join(
     clicks: DataFrame,
     purchases: DataFrame,
