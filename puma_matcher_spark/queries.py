@@ -3965,6 +3965,86 @@ def q_events_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_theta_setops",
+    """WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+SELECT CAST((SELECT COUNT(*) FROM a WHERE user_id NOT IN (SELECT user_id FROM b)) AS BIGINT) AS exact_a_not_b,
+       CAST((SELECT COUNT(*) FROM a WHERE user_id IN (SELECT user_id FROM b)) AS BIGINT) AS exact_a_and_b,
+       TRUE AS within_bounds""",
+)
+def q_events_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra property (streaming/events.py
+    theta_user_setops): clicked-but-never-purchased and clicked-and-
+    purchased distinct-user counts from combined kilobyte sketches must
+    land within 5% of the exact anti-/semi-join counts the oracle pins."""
+    from puma_matcher_spark.streaming.events import theta_user_setops
+
+    ev = load_tables(spark, sf_dir).events()
+    est = theta_user_setops(ev)
+    a = ev.where(F.col("event_type") == "click").select("user_id").distinct()
+    b = ev.where(F.col("event_type") == "purchase").select("user_id").distinct()
+    exact = spark.range(1).select(
+        a.join(b, "user_id", "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .scalar()
+        .alias("exact_a_not_b"),
+        a.join(b, "user_id", "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .scalar()
+        .alias("exact_a_and_b"),
+    )
+    e = est.select(F.struct("a_not_b", "a_and_b").alias("s")).scalar()
+    return exact.select(
+        "exact_a_not_b",
+        "exact_a_and_b",
+        (
+            (
+                F.abs(e.getField("a_not_b") - F.col("exact_a_not_b"))
+                / F.greatest(F.col("exact_a_not_b"), F.lit(1))
+                < 0.05
+            )
+            & (
+                F.abs(e.getField("a_and_b") - F.col("exact_a_and_b"))
+                / F.greatest(F.col("exact_a_and_b"), F.lit(1))
+                < 0.05
+            )
+        ).alias("within_bounds"),
+    )
+
+
+@register(
+    "events_kll_quantiles",
+    """WITH q AS (
+  SELECT event_type,
+         quantile_cont(value, 0.45) AS p45, quantile_cont(value, 0.55) AS p55,
+         quantile_cont(value, 0.92) AS p92, quantile_cont(value, 0.98) AS p98
+  FROM events GROUP BY 1)
+SELECT event_type, TRUE AS p50_in_band, TRUE AS p95_in_band FROM q""",
+)
+def q_events_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL mergeable-quantile property (streaming/events.py
+    kll_value_quantiles): the sketch's p50/p95 value estimates must lie
+    inside the exact p45–p55 / p92–p98 value bands (KLL guarantees RANK
+    error, so the band is expressed in rank space) — proving order
+    statistics can be served from mergeable sketches."""
+    from puma_matcher_spark.streaming.events import kll_value_quantiles
+
+    ev = load_tables(spark, sf_dir).events()
+    est = kll_value_quantiles(ev)
+    bands = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.45)").alias("p45"),
+        F.expr("percentile(value, 0.55)").alias("p55"),
+        F.expr("percentile(value, 0.92)").alias("p92"),
+        F.expr("percentile(value, 0.98)").alias("p98"),
+    )
+    return bands.join(est, "event_type").select(
+        "event_type",
+        F.col("p50_est").between(F.col("p45"), F.col("p55")).alias("p50_in_band"),
+        F.col("p95_est").between(F.col("p92"), F.col("p98")).alias("p95_in_band"),
+    )
+
+
+@register(
     "bigram_logprob",
     f"""WITH toksl AS (SELECT doc_id, {_LLM_TOKS} AS tk FROM documents),
 toks AS (SELECT doc_id, unnest(tk) AS tok, unnest(range(len(tk))) AS pos FROM toksl),

@@ -404,6 +404,50 @@ def hll_range_estimate(sketches: DataFrame) -> DataFrame:
     )
 
 
+def theta_user_setops(
+    events: DataFrame, type_a: str = "click", type_b: str = "purchase"
+) -> DataFrame:
+    """Distinct-user SET ALGEBRA from Theta sketches: |A∖B|, |A∩B| and
+    |A∪B| for two event types, computed by combining two pre-built
+    sketches — the question ("how many users clicked but never
+    purchased?") that HLL cannot answer (HLL only unions) and that
+    exactly requires a full anti-join over raw events.  At 100 TB the
+    per-segment Theta sketches are kilobytes and the set ops are
+    constant-time post-aggregation.
+    """
+    a = events.where(F.col("event_type") == type_a).agg(
+        F.theta_sketch_agg("user_id").alias("s")
+    )
+    b = events.where(F.col("event_type") == type_b).agg(
+        F.theta_sketch_agg("user_id").alias("s")
+    )
+    sa, sb = a.scalar(), b.scalar()
+    return events.sparkSession.range(1).select(
+        F.theta_sketch_estimate(F.theta_difference(sa, sb))
+        .cast("long")
+        .alias("a_not_b"),
+        F.theta_sketch_estimate(F.theta_intersection(sa, sb))
+        .cast("long")
+        .alias("a_and_b"),
+        F.theta_sketch_estimate(F.theta_union(sa, sb))
+        .cast("long")
+        .alias("a_or_b"),
+    )
+
+
+def kll_value_quantiles(events: DataFrame) -> DataFrame:
+    """Per-type mergeable quantile sketches (DataSketches KLL) for the
+    ``value`` column: p50/p95 estimates whose sketches — unlike exact
+    ``percentile`` state — merge associatively across partitions, days
+    and reruns, the same materialize-once pattern as
+    :func:`hll_user_sketches` but for order statistics."""
+    sk = F.kll_sketch_agg_double("value")
+    return events.groupBy("event_type").agg(
+        F.kll_sketch_get_quantile_double(sk, F.lit(0.5)).alias("p50_est"),
+        F.kll_sketch_get_quantile_double(sk, F.lit(0.95)).alias("p95_est"),
+    )
+
+
 def attribution_join(
     clicks: DataFrame,
     purchases: DataFrame,
