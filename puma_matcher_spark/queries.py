@@ -5226,8 +5226,10 @@ _PRIORITY: list[str] = [
     # weighted_sample, zorder_values, pagerank_mass, pagerank_top
     # (rows-only), order_priority_late, brand_supplier_counts,
     # small_quantity_revenue, events_attribution_models,
-    # bigram_logprob.  That is 20 leftover + 30 new = 50 names — exactly
-    # the 50-slot round-4 window.
+    # bigram_logprob, events_hll_rollup, events_theta_setops,
+    # events_kll_quantiles.  That is 20 leftover + 33 new = 53 names for
+    # the 50-slot round-4 window; the 3 sketch-property queries are the
+    # natural round-5 spill (their operators are also pytest-covered).
     # rows-only entries whose hard signal is their in-window property
     # twin; the rows-only originals (pic_clusters, embedding_ivf_topk,
     # weight_refined, media_features) already carry round-2 driver rows
