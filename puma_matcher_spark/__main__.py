@@ -79,8 +79,13 @@ def main(argv: list[str] | None = None) -> int:
         if args.cmd == "explain":
             df.explain("formatted")
         else:
-            df.show(args.limit, truncate=False)
-            print(f"({df.count()} rows total)")
+            # persist so show + count execute the plan once, not twice
+            df.persist()
+            try:
+                df.show(args.limit, truncate=False)
+                print(f"({df.count()} rows total)")
+            finally:
+                df.unpersist()
         return 0
 
     if args.cmd == "app":

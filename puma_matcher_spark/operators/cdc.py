@@ -133,14 +133,18 @@ def point_in_time_join(
         & (F.col("_h_vt").isNull() | (t_epoch < F.col("_h_vt"))),
     ).drop("_h_key")
     # restore the history column names; on collision with a fact-side
-    # column keep the dimension's copy under a dim_ prefix
+    # column keep the dimension's copy under a dim_ prefix, escalating
+    # dim2_, dim3_… so a third-level chain never emits duplicate names
     for orig, tmp in (
         ("valid_from_epoch", "_h_vf"),
         ("valid_to_epoch", "_h_vt"),
     ):
-        joined = joined.withColumnRenamed(
-            tmp, f"dim_{orig}" if orig in facts.columns else orig
-        )
+        name = orig
+        k = 1
+        while name in facts.columns:
+            name = f"dim_{orig}" if k == 1 else f"dim{k}_{orig}"
+            k += 1
+        joined = joined.withColumnRenamed(tmp, name)
     return joined
 
 

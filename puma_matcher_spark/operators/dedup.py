@@ -178,6 +178,15 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("id"))
     ).localCheckpoint()
+    try:
+        return _cc_loop(sym, labels, max_iterations)
+    finally:
+        # unpersist on every exit path — a task failure mid-loop must
+        # not pin the candidate-pair graph in executor memory
+        sym.unpersist()
+
+
+def _cc_loop(sym: DataFrame, labels: DataFrame, max_iterations: int) -> DataFrame:
     for i in range(max_iterations):
         # candidate label for each node: min of its neighbours' labels
         nbr = (
@@ -208,7 +217,6 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
-    sym.unpersist()
     return labels
 
 

@@ -3958,7 +3958,7 @@ def q_events_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_users",
         (
             F.abs(F.col("approx_users") - F.col("exact_users"))
-            / F.col("exact_users")
+            / F.greatest(F.col("exact_users"), F.lit(1))
             < 0.05
         ).alias("within_bounds"),
     )

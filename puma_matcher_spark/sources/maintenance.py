@@ -68,6 +68,10 @@ def compact_parquet(
     # left the data under .compact-old and nothing at path
     if not os.path.isdir(path) and os.path.isdir(old):
         os.rename(old, path)
+    if not os.path.isdir(path):
+        # a missing table must FAIL the maintenance job, not log a
+        # successful zero-file compaction (typo'd paths stay visible)
+        raise FileNotFoundError(f"no dataset directory at {path}")
     n_before, total_bytes = dataset_file_stats(path)
     if n_before < 2:
         return {
@@ -83,7 +87,14 @@ def compact_parquet(
     chunk = target_file_mb * 1024 * 1024
     target = max(1, (total_bytes + chunk - 1) // chunk)
     df: DataFrame = spark.read.parquet(path)
-    out = df.coalesce(int(target))
+    if partition_cols:
+        # cluster tasks by partition value: a global coalesce would
+        # spread every partition value across all tasks, so each task
+        # writes into every partition directory — up to target ×
+        # n_partitions output files, defeating the compaction
+        out = df.repartition(int(target), *partition_cols)
+    else:
+        out = df.coalesce(int(target))
     if sort_cols:
         out = out.sortWithinPartitions(*sort_cols)
     staging = path + ".compact-staging"
