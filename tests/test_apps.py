@@ -108,3 +108,14 @@ def test_cli_list_and_oracle(capsys):
     assert "regr_slope" in capsys.readouterr().out
     assert main(["oracle", "nope_not_real"]) == 2
     assert main(["oracle", "pagerank_top"]) == 1  # rows-only
+
+
+def test_cli_run_and_explain(spark, sf_small, capsys):
+    from puma_matcher_spark.__main__ import main
+
+    assert main(["run", "events_trend", "--sf-dir", sf_small, "--limit", "3"]) == 0
+    out = capsys.readouterr().out
+    assert "rows total" in out and "event_type" in out
+    assert main(["explain", "large_orders", "--sf-dir", sf_small]) == 0
+    assert "Physical Plan" in capsys.readouterr().out
+    assert main(["run", "nope", "--sf-dir", sf_small]) == 2
