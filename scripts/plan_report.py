@@ -48,6 +48,10 @@ ROUND3_QUERIES = [
     "zorder_values",
     "pagerank_mass",
     "events_attribution_models",
+    "bigram_logprob",
+    "events_hll_rollup",
+    "events_theta_setops",
+    "events_kll_quantiles",
 ]
 
 
