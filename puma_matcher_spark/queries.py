@@ -3981,16 +3981,18 @@ def q_events_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_tables(spark, sf_dir).events()
     est = theta_user_setops(ev)
-    a = ev.where(F.col("event_type") == "click").select("user_id").distinct()
-    b = ev.where(F.col("event_type") == "purchase").select("user_id").distinct()
-    exact = spark.range(1).select(
-        a.join(b, "user_id", "left_anti")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .scalar()
+    # exact side in ONE scan + one shuffle: per-user membership flags,
+    # then count the flag combinations (no anti/semi join pair needed)
+    flags = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "click").cast("int")).alias("in_a"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("in_b"),
+    )
+    exact = flags.agg(
+        F.sum(((F.col("in_a") == 1) & (F.col("in_b") == 0)).cast("long"))
+        .cast("long")
         .alias("exact_a_not_b"),
-        a.join(b, "user_id", "left_semi")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .scalar()
+        F.sum(((F.col("in_a") == 1) & (F.col("in_b") == 1)).cast("long"))
+        .cast("long")
         .alias("exact_a_and_b"),
     )
     e = est.select(F.struct("a_not_b", "a_and_b").alias("s")).scalar()

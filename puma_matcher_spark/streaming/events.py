@@ -415,21 +415,25 @@ def theta_user_setops(
     per-segment Theta sketches are kilobytes and the set ops are
     constant-time post-aggregation.
     """
-    a = events.where(F.col("event_type") == type_a).agg(
-        F.theta_sketch_agg("user_id").alias("s")
+    # both sketches come from ONE scan: conditional aggregation builds
+    # each side's sketch over the same pass (the production shape — a
+    # per-segment sketch build never needs a scan per segment)
+    both = events.agg(
+        F.theta_sketch_agg(
+            F.when(F.col("event_type") == type_a, F.col("user_id"))
+        ).alias("sa"),
+        F.theta_sketch_agg(
+            F.when(F.col("event_type") == type_b, F.col("user_id"))
+        ).alias("sb"),
     )
-    b = events.where(F.col("event_type") == type_b).agg(
-        F.theta_sketch_agg("user_id").alias("s")
-    )
-    sa, sb = a.scalar(), b.scalar()
-    return events.sparkSession.range(1).select(
-        F.theta_sketch_estimate(F.theta_difference(sa, sb))
+    return both.select(
+        F.theta_sketch_estimate(F.theta_difference("sa", "sb"))
         .cast("long")
         .alias("a_not_b"),
-        F.theta_sketch_estimate(F.theta_intersection(sa, sb))
+        F.theta_sketch_estimate(F.theta_intersection("sa", "sb"))
         .cast("long")
         .alias("a_and_b"),
-        F.theta_sketch_estimate(F.theta_union(sa, sb))
+        F.theta_sketch_estimate(F.theta_union("sa", "sb"))
         .cast("long")
         .alias("a_or_b"),
     )
