@@ -3929,6 +3929,39 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_top_users",
+    """WITH s AS (
+  SELECT event_type, user_id, ROUND(SUM(value), 4) AS value_sum
+  FROM events GROUP BY 1, 2),
+r AS (
+  SELECT event_type, user_id, value_sum,
+         RANK() OVER (PARTITION BY event_type
+                      ORDER BY value_sum DESC, user_id) AS rk
+  FROM s)
+SELECT event_type, user_id, value_sum, CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= 3""",
+)
+def q_events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group: heaviest 3 users per event type by value sum —
+    the canonical rank-over-partition + filter shape (sorts only within
+    each group's partition; rounding before ranking keeps the order
+    engine-reproducible, and user_id breaks ties)."""
+    from pyspark.sql.window import Window
+
+    ev = load_tables(spark, sf_dir).events()
+    s = ev.groupBy("event_type", "user_id").agg(
+        pround(F.sum("value"), 4).alias("value_sum")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value_sum").desc(), F.col("user_id")
+    )
+    return (
+        s.withColumn("rk", F.rank().over(w).cast("long"))
+        .where(F.col("rk") <= 3)
+    )
+
+
+@register(
     "events_hll_rollup",
     """SELECT event_type,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
