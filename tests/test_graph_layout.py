@@ -189,3 +189,27 @@ def test_zorder_frequency_strategy_spreads_skewed_keys(spark):
 
     with _pytest.raises(ValueError):
         zorder_by_quantized(df, "a", "b", strategy="bogus")
+
+
+def test_hll_sketch_union_is_bucket_invariant(spark, sf_small):
+    """Register-max union is associative: per-hour sketches unioned per
+    type must give EXACTLY the estimate of one whole-range sketch — the
+    property that makes stored sketches answer arbitrary ranges."""
+    from puma_matcher_spark.streaming.events import (
+        hll_range_estimate,
+        hll_user_sketches,
+    )
+    from puma_matcher_spark.sources.testdata import load_tables
+
+    ev = load_tables(spark, sf_small).events()
+    fine = {
+        (r["event_type"], r["approx_users"])
+        for r in hll_range_estimate(hll_user_sketches(ev, 3600)).collect()
+    }
+    coarse = {
+        (r["event_type"], r["approx_users"])
+        for r in hll_range_estimate(
+            hll_user_sketches(ev, 365 * 86400)
+        ).collect()
+    }
+    assert fine == coarse
