@@ -78,6 +78,7 @@ def edit_distance_pairs(
     name_col: str,
     max_dist: int = 4,
     block_col=None,
+    max_block: int | None = None,
 ) -> DataFrame:
     """Blocked Levenshtein near-match join: candidate pairs share a blocking
     key (default: the last whitespace token of the name — for noun-final
@@ -100,6 +101,16 @@ def edit_distance_pairs(
     side = df.select(
         F.col(id_col), F.col(name_col), key.alias("_block")
     )
+    if max_block is not None:
+        # frequency cap (the matcher's guard, reference
+        # EntitiesMatcher.scala:58): drop blocks whose membership would
+        # make the within-block quadratic pathological — count over a
+        # window partitioned by the block key, reusing the same shuffle
+        # the self-join needs anyway
+        occ = F.count(F.lit(1)).over(Window.partitionBy("_block"))
+        side = side.withColumn("_occ", occ).where(
+            F.col("_occ") <= max_block
+        ).drop("_occ")
     a = side.select(
         F.col("_block"),
         F.col(id_col).alias("id1"),

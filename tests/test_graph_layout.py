@@ -213,3 +213,17 @@ def test_hll_sketch_union_is_bucket_invariant(spark, sf_small):
         ).collect()
     }
     assert fine == coarse
+
+
+def test_edit_distance_pairs_block_cap_drops_hot_block(spark):
+    rows = [(i, f"name{i} widget") for i in range(50)] + [
+        (100, "aa gizmo"),
+        (101, "ab gizmo"),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    capped = edit_distance_pairs(df, "id", "name", max_dist=2, max_block=10)
+    got = {(r["id1"], r["id2"]) for r in capped.collect()}
+    # the 50-member widget block is dropped entirely; the gizmo pair stays
+    assert got == {(100, 101)}
+    uncapped = edit_distance_pairs(df, "id", "name", max_dist=2)
+    assert len(uncapped.collect()) > 1
