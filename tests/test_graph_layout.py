@@ -227,3 +227,31 @@ def test_edit_distance_pairs_block_cap_drops_hot_block(spark):
     assert got == {(100, 101)}
     uncapped = edit_distance_pairs(df, "id", "name", max_dist=2)
     assert len(uncapped.collect()) > 1
+
+
+def test_theta_setops_are_consistent(spark, sf_small):
+    """Difference + intersection must reconstruct each side's total and
+    the union must match inclusion-exclusion (exactly, at this scale —
+    theta sketches are exact below their sampling threshold)."""
+    from puma_matcher_spark.streaming.events import theta_user_setops
+    from puma_matcher_spark.sources.testdata import load_tables
+
+    ev = load_tables(spark, sf_small).events()
+    r = theta_user_setops(ev).collect()[0]
+    a_total = ev.where(F.col("event_type") == "click").agg(
+        F.countDistinct("user_id")
+    ).collect()[0][0]
+    b_total = ev.where(F.col("event_type") == "purchase").agg(
+        F.countDistinct("user_id")
+    ).collect()[0][0]
+    assert r["a_not_b"] + r["a_and_b"] == a_total
+    assert r["a_or_b"] == a_total + b_total - r["a_and_b"]
+
+
+def test_kll_quantiles_ordered(spark, sf_small):
+    from puma_matcher_spark.streaming.events import kll_value_quantiles
+    from puma_matcher_spark.sources.testdata import load_tables
+
+    ev = load_tables(spark, sf_small).events()
+    for r in kll_value_quantiles(ev).collect():
+        assert r["p50_est"] <= r["p95_est"]
