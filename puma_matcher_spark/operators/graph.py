@@ -105,6 +105,77 @@ def pagerank(
     return ranks
 
 
+def label_propagation(edges: DataFrame, n_iter: int = 5) -> DataFrame:
+    """Synchronous label-propagation community detection (LPA) on an
+    undirected (pre-symmetrized) edge list: every node starts labelled
+    with itself; each round every node adopts its neighbours' most
+    frequent label, ties broken by the smallest label.
+
+    The synchronous schedule + deterministic tie-break makes the result
+    a pure function of (edges, n_iter) — unlike classic asynchronous
+    LPA, whose output depends on visit order — so the registered query
+    carries a FULL DuckDB oracle built by unrolling the same rounds as
+    generated SQL (one join + count + row_number per round, exactly the
+    Spark plan).  Fixed iteration count, no convergence probe: both
+    engines run the identical computation.
+
+    Scale shape per round: one shuffle join of labels onto edges, one
+    count aggregate, one rank-within-node window; labels checkpoint per
+    round like the PageRank loop.
+    """
+    from pyspark.sql.window import Window
+
+    sym = edges.persist()
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .unionByName(sym.select(F.col("dst").alias("node")))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    try:
+        w = Window.partitionBy("src").orderBy(
+            F.col("c").desc(), F.col("label")
+        )
+        for _ in range(n_iter):
+            labels = (
+                sym.join(labels.withColumnRenamed("node", "dst"), "dst")
+                .groupBy("src", "label")
+                .agg(F.count(F.lit(1)).alias("c"))
+                .withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1)
+                .select(F.col("src").alias("node"), "label")
+                .localCheckpoint()
+            )
+        return labels
+    finally:
+        sym.unpersist()
+
+
+def label_propagation_sql(edges_cte: str, n_iter: int = 5) -> str:
+    """Generated DuckDB twin of :func:`label_propagation`: the rounds
+    are unrolled as chained CTEs over ``edges_cte`` (which must define
+    ``edges(src, dst)``, already symmetrized)."""
+    parts = [
+        edges_cte,
+        """l0 AS (
+  SELECT node, node AS label FROM (
+    SELECT src AS node FROM edges UNION SELECT dst FROM edges))""",
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"""l{i} AS (
+  SELECT src AS node, label FROM (
+    SELECT e.src, l.label, COUNT(*) AS c,
+           ROW_NUMBER() OVER (PARTITION BY e.src
+                              ORDER BY COUNT(*) DESC, l.label) AS rn
+    FROM edges e JOIN l{i - 1} l ON l.node = e.dst
+    GROUP BY e.src, l.label) t
+  WHERE rn = 1)"""
+        )
+    return "WITH " + ",\n".join(parts)
+
+
 def pagerank_mass_check(edges: DataFrame, **kw) -> DataFrame:
     """1-row mass-conservation + shape property of :func:`pagerank` —
     the oracle-checkable twin of the seeded/iterative full ranking

@@ -5159,6 +5159,34 @@ def q_pagerank_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_mass_check(_purchase_edges(load_tables(spark, sf_dir)))
 
 
+def _lpa_oracle() -> str:
+    from puma_matcher_spark.operators.graph import label_propagation_sql
+
+    edges_cte = """cs AS (
+  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+edges AS (SELECT src, dst FROM cs UNION ALL SELECT dst AS src, src AS dst FROM cs)"""
+    return (
+        label_propagation_sql(edges_cte, n_iter=4)
+        + "\nSELECT node, label FROM l4"
+    )
+
+
+@register("purchase_communities", _lpa_oracle())
+def q_purchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation communities on the purchase graph
+    (operators/graph.py label_propagation) — an ITERATIVE graph
+    algorithm with a full value oracle: the deterministic schedule +
+    min-label tie-break lets the DuckDB twin unroll the same four
+    rounds as generated SQL."""
+    from puma_matcher_spark.operators.graph import label_propagation
+
+    return label_propagation(
+        _purchase_edges(load_tables(spark, sf_dir)), n_iter=4
+    )
+
+
 @register("pagerank_top", None)  # iterative float ranking → rows-only
 def q_pagerank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 suppliers by purchase-graph PageRank (operators/graph.py)
@@ -5262,7 +5290,8 @@ _PRIORITY: list[str] = [
     # (rows-only), order_priority_late, brand_supplier_counts,
     # small_quantity_revenue, events_attribution_models,
     # bigram_logprob, events_hll_rollup, events_theta_setops,
-    # events_kll_quantiles.  That is 20 leftover + 33 new = 53 names for
+    # events_kll_quantiles, events_top_users, purchase_communities.
+    # That is 20 leftover + 35 new = 55 names for
     # the 50-slot round-4 window; the 3 sketch-property queries are the
     # natural round-5 spill (their operators are also pytest-covered).
     # rows-only entries whose hard signal is their in-window property

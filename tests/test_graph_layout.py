@@ -255,3 +255,20 @@ def test_kll_quantiles_ordered(spark, sf_small):
     ev = load_tables(spark, sf_small).events()
     for r in kll_value_quantiles(ev).collect():
         assert r["p50_est"] <= r["p95_est"]
+
+
+def test_label_propagation_finds_planted_communities(spark):
+    from puma_matcher_spark.operators.graph import label_propagation
+
+    # two 4-cliques joined by one bridge edge — LPA must label each
+    # clique uniformly with its min member
+    def clique(prefix, n=4):
+        nodes = [f"{prefix}{i}" for i in range(n)]
+        return [(a, b) for a in nodes for b in nodes if a != b]
+
+    edges = clique("a") + clique("b") + [("a0", "b0"), ("b0", "a0")]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: r["label"] for r in label_propagation(df, n_iter=5).collect()}
+    assert {got[f"a{i}"] for i in range(4)} == {"a0"}
+    assert {got[f"b{i}"] for i in range(1, 4)} == {got["b1"]}
+    assert got["b1"] in ("a0", "b0")
