@@ -3962,6 +3962,60 @@ def q_events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_robust_outliers",
+    """WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY 1),
+mad AS (
+  SELECT e.event_type, med.med,
+         quantile_cont(abs(e.value - med.med), 0.5) AS mad
+  FROM events e JOIN med USING (event_type)
+  GROUP BY 1, 2)
+SELECT m.event_type, ROUND(m.med, 4) AS med, ROUND(m.mad, 4) AS mad,
+       CAST(SUM(CASE WHEN abs(e.value - m.med) > 3 * 1.4826 * m.mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM events e JOIN mad m USING (event_type)
+GROUP BY 1, 2, 3""",
+)
+def q_events_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier screen for the data-quality plane: median/MAD
+    z-scores (threshold 3, consistency constant 1.4826) — unlike
+    mean/stddev flags, a heavy-tailed burst can't mask itself by
+    inflating its own baseline.  Two grouped exact medians + one
+    conditional count; at 100 TB swap ``percentile`` for the KLL
+    sketch twin (events_kll_quantiles) and the shape is unchanged."""
+    ev = load_tables(spark, sf_dir).events()
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    mad = (
+        ev.join(med, "event_type")
+        .groupBy("event_type", "med")
+        .agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad"))
+    )
+    return (
+        ev.join(mad, "event_type")
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.sum(
+                (
+                    F.abs(F.col("value") - F.col("med"))
+                    > 3 * 1.4826 * F.col("mad")
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("n_outliers")
+        )
+        .select(
+            "event_type",
+            pround("med", 4).alias("med"),
+            pround("mad", 4).alias("mad"),
+            "n_outliers",
+        )
+    )
+
+
+@register(
     "events_hll_rollup",
     """SELECT event_type,
        CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
@@ -5290,8 +5344,8 @@ _PRIORITY: list[str] = [
     # (rows-only), order_priority_late, brand_supplier_counts,
     # small_quantity_revenue, events_attribution_models,
     # bigram_logprob, events_hll_rollup, events_theta_setops,
-    # events_kll_quantiles, events_top_users, purchase_communities.
-    # That is 20 leftover + 35 new = 55 names for
+    # events_kll_quantiles, events_top_users, purchase_communities,
+    # events_robust_outliers.  That is 20 leftover + 36 new = 56 names for
     # the 50-slot round-4 window; the 3 sketch-property queries are the
     # natural round-5 spill (their operators are also pytest-covered).
     # rows-only entries whose hard signal is their in-window property
