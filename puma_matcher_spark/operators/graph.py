@@ -176,6 +176,50 @@ def label_propagation_sql(edges_cte: str, n_iter: int = 5) -> str:
     return "WITH " + ",\n".join(parts)
 
 
+def k_core(edges: DataFrame, k: int = 2, n_rounds: int = 4) -> DataFrame:
+    """Fixed-round k-core peeling on an undirected (pre-symmetrized)
+    edge list: each round drops every node whose current degree is
+    below ``k`` and all its edges, ``n_rounds`` times.  With enough
+    rounds this converges to the exact k-core; the fixed count keeps
+    the computation a pure function of (edges, k, n_rounds), so — like
+    :func:`label_propagation` — the DuckDB oracle unrolls the identical
+    rounds as generated SQL and value-checks them exactly.
+
+    Output: surviving (node, degree) after the last round.  Per round:
+    one degree aggregate + two semi-joins, edges checkpointed so plans
+    stay one round deep.
+    """
+    cur = edges.localCheckpoint()
+    for _ in range(n_rounds):
+        deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("c"))
+        keep = deg.where(F.col("c") >= k).select("src")
+        cur = (
+            cur.join(keep, "src", "left_semi")
+            .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
+            .localCheckpoint()
+        )
+    return (
+        cur.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+
+
+def k_core_sql(edges_cte: str, k: int = 2, n_rounds: int = 4) -> str:
+    """Generated DuckDB twin of :func:`k_core` over ``edges_cte``
+    (defining ``edges(src, dst)``, symmetrized)."""
+    parts = [edges_cte, "e0 AS (SELECT src, dst FROM edges)"]
+    for i in range(1, n_rounds + 1):
+        parts.append(
+            f"""k{i} AS (
+  SELECT src FROM e{i - 1} GROUP BY 1 HAVING COUNT(*) >= {k}),
+e{i} AS (
+  SELECT e.src, e.dst FROM e{i - 1} e
+  WHERE e.src IN (SELECT src FROM k{i})
+    AND e.dst IN (SELECT src FROM k{i}))"""
+        )
+    return "WITH " + ",\n".join(parts)
+
+
 def pagerank_mass_check(edges: DataFrame, **kw) -> DataFrame:
     """1-row mass-conservation + shape property of :func:`pagerank` —
     the oracle-checkable twin of the seeded/iterative full ranking

@@ -5241,6 +5241,33 @@ def q_purchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kcore_oracle() -> str:
+    from puma_matcher_spark.operators.graph import k_core_sql
+
+    edges_cte = """cs AS (
+  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l.l_suppkey AS VARCHAR) AS dst
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+edges AS (SELECT src, dst FROM cs UNION ALL SELECT dst AS src, src AS dst FROM cs)"""
+    return (
+        k_core_sql(edges_cte, k=3, n_rounds=4)
+        + "\nSELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree FROM e4 GROUP BY 1"
+    )
+
+
+@register("purchase_kcore", _kcore_oracle())
+def q_purchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round 3-core peeling of the purchase graph (operators/
+    graph.py k_core) — the dense-subgraph screen (nodes embedded in
+    mutually-connected neighbourhoods), value-oracled exactly via the
+    same round-unrolling as purchase_communities."""
+    from puma_matcher_spark.operators.graph import k_core
+
+    return k_core(
+        _purchase_edges(load_tables(spark, sf_dir)), k=3, n_rounds=4
+    )
+
+
 @register("pagerank_top", None)  # iterative float ranking → rows-only
 def q_pagerank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 suppliers by purchase-graph PageRank (operators/graph.py)
@@ -5345,7 +5372,8 @@ _PRIORITY: list[str] = [
     # small_quantity_revenue, events_attribution_models,
     # bigram_logprob, events_hll_rollup, events_theta_setops,
     # events_kll_quantiles, events_top_users, purchase_communities,
-    # events_robust_outliers.  That is 20 leftover + 36 new = 56 names for
+    # events_robust_outliers, purchase_kcore.  That is 20 leftover +
+    # 37 new = 57 names for
     # the 50-slot round-4 window; the 3 sketch-property queries are the
     # natural round-5 spill (their operators are also pytest-covered).
     # rows-only entries whose hard signal is their in-window property

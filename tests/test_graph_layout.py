@@ -272,3 +272,16 @@ def test_label_propagation_finds_planted_communities(spark):
     assert {got[f"a{i}"] for i in range(4)} == {"a0"}
     assert {got[f"b{i}"] for i in range(1, 4)} == {got["b1"]}
     assert got["b1"] in ("a0", "b0")
+
+
+def test_k_core_peels_planted_structure(spark):
+    from puma_matcher_spark.operators.graph import k_core
+
+    # a 4-clique (3-core) with a pendant path hanging off one corner —
+    # peeling at k=3 must keep exactly the clique
+    clique = [(f"c{a}", f"c{b}") for a in range(4) for b in range(4) if a != b]
+    tail = [("c0", "t1"), ("t1", "c0"), ("t1", "t2"), ("t2", "t1")]
+    df = spark.createDataFrame(clique + tail, "src string, dst string")
+    got = {r["node"]: r["degree"] for r in k_core(df, k=3, n_rounds=3).collect()}
+    assert set(got) == {"c0", "c1", "c2", "c3"}
+    assert all(d == 3 for d in got.values())
