@@ -88,8 +88,9 @@ def edit_distance_pairs(
     The blocking key is what makes this survive scale — the join is an
     equi-join on the key (never all-pairs), and the quadratic cost is paid
     only within a block, whose size is bounded by the key's frequency.  For
-    skewed keys, cap block size upstream exactly like the matcher's
-    frequency guards (operators/matcher.py).  The reference does its fuzzy
+    skewed keys pass ``max_block`` — the matcher's frequency-guard pattern
+    (operators/matcher.py), applied to the blocking key.  The reference
+    does its fuzzy
     person matching with cleaned-key equality (PersonDeduplicationStage
     .scala:129-135); this operator is the edit-tolerant variant a linkage
     pipeline needs when keys don't normalise identically.
@@ -103,14 +104,18 @@ def edit_distance_pairs(
     )
     if max_block is not None:
         # frequency cap (the matcher's guard, reference
-        # EntitiesMatcher.scala:58): drop blocks whose membership would
-        # make the within-block quadratic pathological — count over a
-        # window partitioned by the block key, reusing the same shuffle
-        # the self-join needs anyway
-        occ = F.count(F.lit(1)).over(Window.partitionBy("_block"))
-        side = side.withColumn("_occ", occ).where(
-            F.col("_occ") <= max_block
-        ).drop("_occ")
+        # EntitiesMatcher.scala:58) in the skew-safe shape of
+        # cap_entity_frequency: groupBy count (map-side partials) then
+        # semi-join.  A count-over-window here would funnel the hot
+        # block — the exact thing being guarded against — through one
+        # window partition before dropping it.
+        ok = (
+            side.groupBy("_block")
+            .agg(F.count(F.lit(1)).alias("_occ"))
+            .where(F.col("_occ") <= max_block)
+            .select("_block")
+        )
+        side = side.join(ok, "_block", "left_semi")
     a = side.select(
         F.col("_block"),
         F.col(id_col).alias("id1"),
@@ -126,8 +131,8 @@ def edit_distance_pairs(
     # of the full O(len²) table; since the filter collapses into the
     # join condition and runs on every block-pair candidate, the bound
     # is what keeps the within-block quadratic affordable.  For blocks
-    # too hot even for that, tighten the key or cap block size with a
-    # count-over-window guard (the matcher's frequency-cap pattern).
+    # too hot even for that, pass ``max_block`` (the guard above) or
+    # tighten the blocking key.
     bounded = F.levenshtein("name1", "name2", max_dist)
     return (
         a.join(b, "_block")

@@ -127,9 +127,7 @@ def label_propagation(edges: DataFrame, n_iter: int = 5) -> DataFrame:
 
     sym = edges.persist()
     labels = (
-        sym.select(F.col("src").alias("node"))
-        .unionByName(sym.select(F.col("dst").alias("node")))
-        .distinct()
+        edge_nodes(sym)
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )

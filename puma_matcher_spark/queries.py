@@ -3964,14 +3964,14 @@ def q_events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_robust_outliers",
     """WITH med AS (
-  SELECT event_type, quantile_cont(value, 0.5) AS med
+  SELECT event_type, ROUND(quantile_cont(value, 0.5), 4) AS med
   FROM events GROUP BY 1),
 mad AS (
   SELECT e.event_type, med.med,
-         quantile_cont(abs(e.value - med.med), 0.5) AS mad
+         ROUND(quantile_cont(abs(e.value - med.med), 0.5), 4) AS mad
   FROM events e JOIN med USING (event_type)
   GROUP BY 1, 2)
-SELECT m.event_type, ROUND(m.med, 4) AS med, ROUND(m.mad, 4) AS mad,
+SELECT m.event_type, m.med, m.mad,
        CAST(SUM(CASE WHEN abs(e.value - m.med) > 3 * 1.4826 * m.mad
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
 FROM events e JOIN mad m USING (event_type)
@@ -3984,14 +3984,18 @@ def q_events_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     inflating its own baseline.  Two grouped exact medians + one
     conditional count; at 100 TB swap ``percentile`` for the KLL
     sketch twin (events_kll_quantiles) and the shape is unchanged."""
+    # med/mad are ROUNDED before the threshold comparison: the two
+    # engines' percentile interpolation can differ in the last ulp, and
+    # an unrounded cutoff would let a knife-edge row flip the integer
+    # n_outliers between engines
     ev = load_tables(spark, sf_dir).events()
     med = ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.5)").alias("med")
+        pround(F.expr("percentile(value, 0.5)"), 4).alias("med")
     )
     mad = (
         ev.join(med, "event_type")
         .groupBy("event_type", "med")
-        .agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad"))
+        .agg(pround(F.expr("percentile(abs(value - med), 0.5)"), 4).alias("mad"))
     )
     return (
         ev.join(mad, "event_type")
@@ -4006,12 +4010,7 @@ def q_events_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("n_outliers")
         )
-        .select(
-            "event_type",
-            pround("med", 4).alias("med"),
-            pround("mad", 4).alias("mad"),
-            "n_outliers",
-        )
+        .select("event_type", "med", "mad", "n_outliers")
     )
 
 
@@ -5213,16 +5212,20 @@ def q_pagerank_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_mass_check(_purchase_edges(load_tables(spark, sf_dir)))
 
 
-def _lpa_oracle() -> str:
-    from puma_matcher_spark.operators.graph import label_propagation_sql
-
-    edges_cte = """cs AS (
+# DuckDB twin of _purchase_edges — ONE definition shared by every
+# purchase-graph oracle so the SQL cannot drift from the Spark builder
+_PURCHASE_EDGES_CTE = """cs AS (
   SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
                   's' || CAST(l.l_suppkey AS VARCHAR) AS dst
   FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
 edges AS (SELECT src, dst FROM cs UNION ALL SELECT dst AS src, src AS dst FROM cs)"""
+
+
+def _lpa_oracle() -> str:
+    from puma_matcher_spark.operators.graph import label_propagation_sql
+
     return (
-        label_propagation_sql(edges_cte, n_iter=4)
+        label_propagation_sql(_PURCHASE_EDGES_CTE, n_iter=4)
         + "\nSELECT node, label FROM l4"
     )
 
@@ -5244,13 +5247,8 @@ def q_purchase_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _kcore_oracle() -> str:
     from puma_matcher_spark.operators.graph import k_core_sql
 
-    edges_cte = """cs AS (
-  SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
-                  's' || CAST(l.l_suppkey AS VARCHAR) AS dst
-  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
-edges AS (SELECT src, dst FROM cs UNION ALL SELECT dst AS src, src AS dst FROM cs)"""
     return (
-        k_core_sql(edges_cte, k=3, n_rounds=4)
+        k_core_sql(_PURCHASE_EDGES_CTE, k=3, n_rounds=4)
         + "\nSELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree FROM e4 GROUP BY 1"
     )
 
@@ -5373,9 +5371,11 @@ _PRIORITY: list[str] = [
     # bigram_logprob, events_hll_rollup, events_theta_setops,
     # events_kll_quantiles, events_top_users, purchase_communities,
     # events_robust_outliers, purchase_kcore.  That is 20 leftover +
-    # 37 new = 57 names for
-    # the 50-slot round-4 window; the 3 sketch-property queries are the
-    # natural round-5 spill (their operators are also pytest-covered).
+    # 37 new = 57 names for the 50-slot round-4 window — SEVEN spill to
+    # round 5; prefer spilling the property twins whose operators are
+    # also pytest-covered (events_hll_rollup, events_theta_setops,
+    # events_kll_quantiles, pagerank_top) plus the smallest shapes
+    # (events_top_users, large_orders, weighted_sample).
     # rows-only entries whose hard signal is their in-window property
     # twin; the rows-only originals (pic_clusters, embedding_ivf_topk,
     # weight_refined, media_features) already carry round-2 driver rows
