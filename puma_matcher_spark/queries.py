@@ -5116,6 +5116,74 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "nation_trade_volume",
+    """SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS ship_year,
+       ROUND(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5) AS BIGINT)) / 10000.0, 2) AS revenue
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+WHERE ns.n_nationkey <> nc.n_nationkey
+GROUP BY 1, 2, 3""",
+)
+def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shape cross-nation trade volume: the five-table star
+    join (fact + two dim chains to the same tiny nation table) with a
+    year roll-up — the join-reordering showcase where Catalyst must
+    broadcast both nation sides and chain the fact joins; the inequality
+    filter prunes intra-nation trade after the dim lookups."""
+    t = load_tables(spark, sf_dir)
+    li, o, c, s, n = (
+        t.raw("lineitem"),
+        t.raw("orders"),
+        t.raw("customer"),
+        t.raw("supplier"),
+        t.raw("nation"),
+    )
+    ns = n.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    nc = n.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(ns, s.s_nationkey == F.col("s_nkey"))
+        .join(nc, c.c_nationkey == F.col("c_nkey"))
+        .where(F.col("s_nkey") != F.col("c_nkey"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+        )
+        .agg(
+            # order-free integer micro-unit sum (the P8 idiom): per-term
+            # doubles are identical in both engines, so flooring them to
+            # 1e-4 units gives an EXACT integer sum regardless of
+            # summation order — a plain double SUM rounded to cents
+            # flipped last-cent digits between engines on ~1e6 totals
+            pround(
+                F.sum(
+                    F.floor(
+                        F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))
+                        * 10000
+                        + 0.5
+                    ).cast("long")
+                )
+                / 10000.0,
+                2,
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
     "weighted_sample",
     """WITH s AS (
   SELECT doc_id, source, n_chars,
@@ -5370,8 +5438,8 @@ _PRIORITY: list[str] = [
     # small_quantity_revenue, events_attribution_models,
     # bigram_logprob, events_hll_rollup, events_theta_setops,
     # events_kll_quantiles, events_top_users, purchase_communities,
-    # events_robust_outliers, purchase_kcore.  That is 20 leftover +
-    # 37 new = 57 names for the 50-slot round-4 window — SEVEN spill to
+    # events_robust_outliers, purchase_kcore, nation_trade_volume.
+    # That is 20 leftover + 38 new = 58 names for the 50-slot round-4 window — SEVEN spill to
     # round 5; prefer spilling the property twins whose operators are
     # also pytest-covered (events_hll_rollup, events_theta_setops,
     # events_kll_quantiles, pagerank_top) plus the smallest shapes
