@@ -5184,6 +5184,75 @@ def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "nation_market_share",
+    """WITH base AS (
+  SELECT CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS ship_year,
+         ns.n_name AS supp_nation,
+         CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5) AS BIGINT) AS rev_units
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = nc.n_regionkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+  WHERE r.r_name = 'ASIA')
+SELECT ship_year,
+       ROUND(SUM(CASE WHEN supp_nation = 'NATION_1' THEN rev_units ELSE 0 END)
+             / CAST(SUM(rev_units) AS DOUBLE), 4) AS market_share
+FROM base GROUP BY 1""",
+)
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shape market share: one supplier nation's slice of a
+    customer region's revenue per year — the conditional-aggregate
+    ratio over a six-table star join.  Both the numerator and the
+    denominator are exact integer micro-unit sums, so the final ratio
+    is one deterministic double division per group."""
+    t = load_tables(spark, sf_dir)
+    li, o, c, s, n, r = (
+        t.raw("lineitem"),
+        t.raw("orders"),
+        t.raw("customer"),
+        t.raw("supplier"),
+        t.raw("nation"),
+        t.raw("region"),
+    )
+    nc = n.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_regionkey").alias("c_rkey")
+    )
+    ns = n.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    units = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + 0.5
+    ).cast("long")
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(nc, c.c_nationkey == F.col("c_nkey"))
+        .join(r, F.col("c_rkey") == r.r_regionkey)
+        .where(F.col("r_name") == "ASIA")
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(ns, s.s_nationkey == F.col("s_nkey"))
+        .select(
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+            "supp_nation",
+            units.alias("rev_units"),
+        )
+    )
+    return base.groupBy("ship_year").agg(
+        pround(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_1", F.col("rev_units"))
+                .otherwise(F.lit(0))
+            )
+            / F.sum("rev_units").cast("double"),
+            4,
+        ).alias("market_share")
+    )
+
+
+@register(
     "weighted_sample",
     """WITH s AS (
   SELECT doc_id, source, n_chars,
@@ -5438,8 +5507,8 @@ _PRIORITY: list[str] = [
     # small_quantity_revenue, events_attribution_models,
     # bigram_logprob, events_hll_rollup, events_theta_setops,
     # events_kll_quantiles, events_top_users, purchase_communities,
-    # events_robust_outliers, purchase_kcore, nation_trade_volume.
-    # That is 20 leftover + 38 new = 58 names for the 50-slot round-4 window — SEVEN spill to
+    # events_robust_outliers, purchase_kcore, nation_trade_volume,
+    # nation_market_share.  That is 20 leftover + 39 new = 59 names for the 50-slot round-4 window — SEVEN spill to
     # round 5; prefer spilling the property twins whose operators are
     # also pytest-covered (events_hll_rollup, events_theta_setops,
     # events_kll_quantiles, pagerank_top) plus the smallest shapes
