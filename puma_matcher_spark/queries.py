@@ -5253,6 +5253,64 @@ def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "late_lone_suppliers",
+    """WITH per AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         MAX(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                  THEN 1 ELSE 0 END) AS was_late
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  GROUP BY 1, 2),
+per_order AS (
+  SELECT l_orderkey,
+         CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+         CAST(SUM(was_late) AS BIGINT) AS n_late
+  FROM per GROUP BY 1)
+SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM per p
+JOIN per_order po ON po.l_orderkey = p.l_orderkey
+JOIN supplier s ON s.s_suppkey = p.l_suppkey
+WHERE p.was_late = 1 AND po.n_suppliers > 1 AND po.n_late = 1
+GROUP BY 1""",
+)
+def q_late_lone_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shape 'suppliers who kept the order waiting': the sole
+    late supplier among a multi-supplier order (the classic EXISTS +
+    NOT-EXISTS pair), decorrelated into two chained aggregates over the
+    same grouping — per-(order, supplier) lateness flags, then per-order
+    supplier/late counts — so the plan is two hash aggregates and a
+    join, no correlated re-scans."""
+    t = load_tables(spark, sf_dir)
+    li, o, s = t.raw("lineitem"), t.raw("orders"), t.raw("supplier")
+    per = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                (
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+                ).cast("int")
+            ).alias("was_late")
+        )
+    )
+    per_order = per.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+        F.sum("was_late").cast("long").alias("n_late"),
+    )
+    return (
+        per.join(per_order, "l_orderkey")
+        .where(
+            (F.col("was_late") == 1)
+            & (F.col("n_suppliers") > 1)
+            & (F.col("n_late") == 1)
+        )
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+    )
+
+
+@register(
     "weighted_sample",
     """WITH s AS (
   SELECT doc_id, source, n_chars,
@@ -5508,7 +5566,8 @@ _PRIORITY: list[str] = [
     # bigram_logprob, events_hll_rollup, events_theta_setops,
     # events_kll_quantiles, events_top_users, purchase_communities,
     # events_robust_outliers, purchase_kcore, nation_trade_volume,
-    # nation_market_share.  That is 20 leftover + 39 new = 59 names for the 50-slot round-4 window — SEVEN spill to
+    # nation_market_share, late_lone_suppliers.  That is 20 leftover +
+    # 40 new = 60 names for the 50-slot round-4 window — SEVEN spill to
     # round 5; prefer spilling the property twins whose operators are
     # also pytest-covered (events_hll_rollup, events_theta_setops,
     # events_kll_quantiles, pagerank_top) plus the smallest shapes
