@@ -5311,6 +5311,33 @@ def q_late_lone_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "customer_order_distribution",
+    """WITH co AS (
+  SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY 1)
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM co GROUP BY 1""",
+)
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-shape customer distribution: the double aggregate
+    (orders per customer, then customers per order-count) with a LEFT
+    join so zero-order customers land in the c_count=0 bucket — COUNT
+    of a nullable column, not COUNT(*), is what makes that bucket
+    correct."""
+    t = load_tables(spark, sf_dir)
+    c, o = t.raw("customer"), t.raw("orders")
+    co = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return co.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    )
+
+
+@register(
     "weighted_sample",
     """WITH s AS (
   SELECT doc_id, source, n_chars,
@@ -5566,8 +5593,9 @@ _PRIORITY: list[str] = [
     # bigram_logprob, events_hll_rollup, events_theta_setops,
     # events_kll_quantiles, events_top_users, purchase_communities,
     # events_robust_outliers, purchase_kcore, nation_trade_volume,
-    # nation_market_share, late_lone_suppliers.  That is 20 leftover +
-    # 40 new = 60 names for the 50-slot round-4 window — SEVEN spill to
+    # nation_market_share, late_lone_suppliers,
+    # customer_order_distribution.  That is 20 leftover + 41 new = 61
+    # names for the 50-slot round-4 window — SEVEN spill to
     # round 5; prefer spilling the property twins whose operators are
     # also pytest-covered (events_hll_rollup, events_theta_setops,
     # events_kll_quantiles, pagerank_top) plus the smallest shapes
