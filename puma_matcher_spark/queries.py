@@ -5338,6 +5338,83 @@ def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "idle_rich_customers",
+    """WITH t AS (
+  SELECT ROUND(AVG(c_acctbal), 4) AS thresh
+  FROM customer WHERE c_acctbal > 0)
+SELECT c.c_mktsegment AS segment,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       ROUND(SUM(CAST(FLOOR(c.c_acctbal * 10000 + 0.5) AS BIGINT)) / 10000.0, 2) AS total_bal
+FROM customer c
+WHERE c.c_acctbal > (SELECT thresh FROM t)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+GROUP BY 1""",
+)
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shape: above-average-balance customers who never placed
+    an urgent order — a scalar-subquery threshold (rounded before
+    comparing, so a knife-edge balance can't flip between engines) plus
+    a filtered NOT EXISTS that plans as a left-anti join; balances roll
+    up as exact integer micro-units."""
+    t = load_tables(spark, sf_dir)
+    c, o = t.raw("customer"), t.raw("orders")
+    thresh = (
+        c.where(F.col("c_acctbal") > 0)
+        .agg(pround(F.avg("c_acctbal"), 4).alias("t"))
+        .scalar()
+    )
+    units = F.floor(F.col("c_acctbal") * 10000 + 0.5).cast("long")
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        c.where(F.col("c_acctbal") > thresh)
+        .join(urgent, c.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            pround(F.sum(units) / 10000.0, 2).alias("total_bal"),
+        )
+    )
+
+
+@register(
+    "disjunctive_promo_revenue",
+    """SELECT ROUND(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5) AS BIGINT)) / 10000.0, 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size < 10 AND l.l_quantity < 20)
+   OR (p.p_brand = 'Brand#2' AND p.p_size < 20 AND l.l_quantity < 30)
+   OR (p.p_brand = 'Brand#3' AND p.p_size < 30 AND l.l_quantity < 40)""",
+)
+def q_disjunctive_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shape disjunction of conjunctions across both join
+    sides: Catalyst splits the OR into the common join key plus
+    residual predicates, pushing the per-table conjuncts
+    (brand/size on part, quantity on lineitem cannot be split here —
+    the point of the shape is that the OR must survive into the join
+    filter while the scan still prunes on the join key)."""
+    t = load_tables(spark, sf_dir)
+    li, p = t.raw("lineitem"), t.raw("part")
+    units = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + 0.5
+    ).cast("long")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size") < 10) & (F.col("l_quantity") < 20))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size") < 20) & (F.col("l_quantity") < 30))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size") < 30) & (F.col("l_quantity") < 40))
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .where(cond)
+        .agg(
+            pround(F.sum(units) / 10000.0, 2).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+@register(
     "weighted_sample",
     """WITH s AS (
   SELECT doc_id, source, n_chars,
@@ -5594,7 +5671,8 @@ _PRIORITY: list[str] = [
     # events_kll_quantiles, events_top_users, purchase_communities,
     # events_robust_outliers, purchase_kcore, nation_trade_volume,
     # nation_market_share, late_lone_suppliers,
-    # customer_order_distribution.  That is 20 leftover + 41 new = 61
+    # customer_order_distribution, idle_rich_customers,
+    # disjunctive_promo_revenue.  That is 20 leftover + 43 new = 63
     # names for the 50-slot round-4 window — SEVEN spill to
     # round 5; prefer spilling the property twins whose operators are
     # also pytest-covered (events_hll_rollup, events_theta_setops,
