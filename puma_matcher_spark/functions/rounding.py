@@ -57,3 +57,19 @@ def rewrite_rounds_sql(sql: str) -> str:
         out.append(f"(FLOOR(({expr}) * {scale} + 0.5) / {scale})")
         i = k + 1
     return "".join(out)
+
+
+def money_units(c: Column | str, scale: int = 10000) -> Column:
+    """Exact integer micro-units for cross-engine-deterministic money
+    sums: both engines compute the identical per-row double, so flooring
+    it to 1/scale units yields integers whose SUM is exact regardless of
+    summation order — a plain double SUM rounded to cents flips last-cent
+    digits between engines on ~1e6 totals."""
+    if isinstance(c, str):
+        c = F.col(c)
+    return F.floor(c * F.lit(scale) + F.lit(0.5)).cast("long")
+
+
+def money_units_sql(expr: str, scale: int = 10000) -> str:
+    """DuckDB twin of :func:`money_units` (same arithmetic, same order)."""
+    return f"CAST(FLOOR(({expr}) * {scale} + 0.5) AS BIGINT)"

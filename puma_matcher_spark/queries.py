@@ -23,7 +23,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from puma_matcher_spark.functions.ids import pair_id
-from puma_matcher_spark.functions.rounding import pround, rewrite_rounds_sql
+from puma_matcher_spark.functions.rounding import (
+    money_units,
+    money_units_sql,
+    pround,
+    rewrite_rounds_sql,
+)
 from puma_matcher_spark.functions.text import STOPWORDS
 from puma_matcher_spark.llmdata import dedup as dd
 from puma_matcher_spark.llmdata import similarity as sim
@@ -5115,11 +5120,16 @@ def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# shared micro-unit SQL fragments (functions.rounding.money_units twins)
+_REV_UNITS_SQL = money_units_sql("l.l_extendedprice * (1 - l.l_discount)")
+_BAL_UNITS_SQL = money_units_sql("c.c_acctbal")
+
+
 @register(
     "nation_trade_volume",
-    """SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+    f"""SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
        CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS ship_year,
-       ROUND(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5) AS BIGINT)) / 10000.0, 2) AS revenue
+       ROUND(SUM({_REV_UNITS_SQL}) / 10000.0, 2) AS revenue
 FROM lineitem l
 JOIN orders o ON o.o_orderkey = l.l_orderkey
 JOIN customer c ON c.c_custkey = o.o_custkey
@@ -5162,19 +5172,14 @@ def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("l_shipdate").cast("long").alias("ship_year"),
         )
         .agg(
-            # order-free integer micro-unit sum (the P8 idiom): per-term
-            # doubles are identical in both engines, so flooring them to
-            # 1e-4 units gives an EXACT integer sum regardless of
-            # summation order — a plain double SUM rounded to cents
-            # flipped last-cent digits between engines on ~1e6 totals
+            # order-free integer micro-unit sum (functions.rounding.
+            # money_units): exact integer sums are summation-order-free,
+            # unlike double SUMs rounded to cents
             pround(
                 F.sum(
-                    F.floor(
-                        F.col("l_extendedprice")
-                        * (1 - F.col("l_discount"))
-                        * 10000
-                        + 0.5
-                    ).cast("long")
+                    money_units(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    )
                 )
                 / 10000.0,
                 2,
@@ -5185,10 +5190,10 @@ def q_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "nation_market_share",
-    """WITH base AS (
+    f"""WITH base AS (
   SELECT CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS ship_year,
          ns.n_name AS supp_nation,
-         CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5) AS BIGINT) AS rev_units
+         {_REV_UNITS_SQL} AS rev_units
   FROM lineitem l
   JOIN orders o ON o.o_orderkey = l.l_orderkey
   JOIN customer c ON c.c_custkey = o.o_custkey
@@ -5223,9 +5228,7 @@ def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ns = n.select(
         F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
     )
-    units = F.floor(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + 0.5
-    ).cast("long")
+    units = money_units(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     base = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
@@ -5339,12 +5342,12 @@ def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame
 
 @register(
     "idle_rich_customers",
-    """WITH t AS (
+    f"""WITH t AS (
   SELECT ROUND(AVG(c_acctbal), 4) AS thresh
   FROM customer WHERE c_acctbal > 0)
 SELECT c.c_mktsegment AS segment,
        CAST(COUNT(*) AS BIGINT) AS numcust,
-       ROUND(SUM(CAST(FLOOR(c.c_acctbal * 10000 + 0.5) AS BIGINT)) / 10000.0, 2) AS total_bal
+       ROUND(SUM({_BAL_UNITS_SQL}) / 10000.0, 2) AS total_bal
 FROM customer c
 WHERE c.c_acctbal > (SELECT thresh FROM t)
   AND NOT EXISTS (SELECT 1 FROM orders o
@@ -5360,12 +5363,20 @@ def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     up as exact integer micro-units."""
     t = load_tables(spark, sf_dir)
     c, o = t.raw("customer"), t.raw("orders")
+    # the threshold is an exact integer cent sum divided once — a plain
+    # double AVG is summation-order-dependent and could flip knife-edge
+    # balances between engines
     thresh = (
         c.where(F.col("c_acctbal") > 0)
-        .agg(pround(F.avg("c_acctbal"), 4).alias("t"))
+        .agg(
+            (
+                F.sum(money_units("c_acctbal", 100)) / 100.0
+                / F.count(F.lit(1))
+            ).alias("t")
+        )
         .scalar()
     )
-    units = F.floor(F.col("c_acctbal") * 10000 + 0.5).cast("long")
+    units = money_units("c_acctbal")
     urgent = o.where(F.col("o_orderpriority") == "1-URGENT")
     return (
         c.where(F.col("c_acctbal") > thresh)
@@ -5380,7 +5391,7 @@ def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "disjunctive_promo_revenue",
-    """SELECT ROUND(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5) AS BIGINT)) / 10000.0, 2) AS revenue,
+    f"""SELECT ROUND(SUM({_REV_UNITS_SQL}) / 10000.0, 2) AS revenue,
        CAST(COUNT(*) AS BIGINT) AS n_lines
 FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
 WHERE (p.p_brand = 'Brand#1' AND p.p_size < 10 AND l.l_quantity < 20)
@@ -5396,9 +5407,7 @@ def q_disjunctive_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter while the scan still prunes on the join key)."""
     t = load_tables(spark, sf_dir)
     li, p = t.raw("lineitem"), t.raw("part")
-    units = F.floor(
-        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000 + 0.5
-    ).cast("long")
+    units = money_units(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     cond = (
         ((F.col("p_brand") == "Brand#1") & (F.col("p_size") < 10) & (F.col("l_quantity") < 20))
         | ((F.col("p_brand") == "Brand#2") & (F.col("p_size") < 20) & (F.col("l_quantity") < 30))
@@ -5673,11 +5682,15 @@ _PRIORITY: list[str] = [
     # nation_market_share, late_lone_suppliers,
     # customer_order_distribution, idle_rich_customers,
     # disjunctive_promo_revenue.  That is 20 leftover + 43 new = 63
-    # names for the 50-slot round-4 window — SEVEN spill to
-    # round 5; prefer spilling the property twins whose operators are
-    # also pytest-covered (events_hll_rollup, events_theta_setops,
-    # events_kll_quantiles, pagerank_top) plus the smallest shapes
-    # (events_top_users, large_orders, weighted_sample).
+    # names for the 50-slot round-4 window — THIRTEEN spill to round 5;
+    # prefer spilling the property twins whose operators are also
+    # pytest-covered (events_hll_rollup, events_theta_setops,
+    # events_kll_quantiles, pagerank_top), the smallest shapes
+    # (events_top_users, large_orders, weighted_sample), and the
+    # simplest TPC-H variants (customer_order_distribution,
+    # disjunctive_promo_revenue, idle_rich_customers, large_orders,
+    # order_priority_late, small_quantity_revenue) — keeping the
+    # operator-dense ones (graph, sketch-backed, linkage) in-window.
     # rows-only entries whose hard signal is their in-window property
     # twin; the rows-only originals (pic_clusters, embedding_ivf_topk,
     # weight_refined, media_features) already carry round-2 driver rows
