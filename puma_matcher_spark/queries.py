@@ -5424,6 +5424,37 @@ def q_disjunctive_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "returned_item_customers",
+    """SELECT c.c_custkey, c.c_name,
+       ROUND(SUM({ru}) / 10000.0, 2) AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_returnflag = 'R'
+GROUP BY 1, 2
+ORDER BY revenue DESC, c.c_custkey
+LIMIT 20""".format(ru=money_units_sql("l.l_extendedprice * (1 - l.l_discount)")),
+)
+def q_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shape returned-item report: top-20 customers by revenue
+    on returned lines — filter → two key joins → aggregate → global
+    top-k (TakeOrdered, never a full sort); the custkey tie-break makes
+    the cutoff deterministic and the revenue is an exact micro-unit sum."""
+    t = load_tables(spark, sf_dir)
+    c, o, li = t.raw("customer"), t.raw("orders"), t.raw("lineitem")
+    units = money_units(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.where(F.col("l_returnflag") == "R")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(pround(F.sum(units) / 10000.0, 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
     "weighted_sample",
     """WITH s AS (
   SELECT doc_id, source, n_chars,
@@ -5681,8 +5712,9 @@ _PRIORITY: list[str] = [
     # events_robust_outliers, purchase_kcore, nation_trade_volume,
     # nation_market_share, late_lone_suppliers,
     # customer_order_distribution, idle_rich_customers,
-    # disjunctive_promo_revenue.  That is 20 leftover + 43 new = 63
-    # names for the 50-slot round-4 window — THIRTEEN spill to round 5;
+    # disjunctive_promo_revenue, returned_item_customers.  That is 20
+    # leftover + 44 new = 64
+    # names for the 50-slot round-4 window — FOURTEEN spill to round 5;
     # prefer spilling the property twins whose operators are also
     # pytest-covered (events_hll_rollup, events_theta_setops,
     # events_kll_quantiles, pagerank_top), the smallest shapes
