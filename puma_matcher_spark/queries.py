@@ -5505,6 +5505,40 @@ def q_zorder_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zorder3_oracle() -> str:
+    from puma_matcher_spark.sources.maintenance import zvalue_n_sql
+
+    z = zvalue_n_sql(
+        ["(l_partkey & 1023)", "(l_suppkey & 1023)", "(l_orderkey & 1023)"],
+        bits=10,
+    )
+    return f"""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       {z} AS zval
+FROM lineitem"""
+
+
+@register("zorder3_values", _zorder3_oracle())
+def q_zorder3_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-column Morton interleave (sources/maintenance.py zvalue_n)
+    — one layout key serving box predicates on any subset of three
+    join keys; round-robin bit interleave, still pure codegen."""
+    from puma_matcher_spark.sources.maintenance import zvalue_n
+
+    li = load_tables(spark, sf_dir).raw("lineitem")
+    return li.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        zvalue_n(
+            [
+                F.col("l_partkey").bitwiseAND(1023),
+                F.col("l_suppkey").bitwiseAND(1023),
+                F.col("l_orderkey").bitwiseAND(1023),
+            ],
+            bits=10,
+        ).alias("zval"),
+    )
+
+
 def _purchase_edges(t: Tables) -> DataFrame:
     """Symmetrized customer↔supplier edge list from the order fact chain
     (the undirected purchase network) — distinct so edge multiplicity
@@ -5712,9 +5746,9 @@ _PRIORITY: list[str] = [
     # events_robust_outliers, purchase_kcore, nation_trade_volume,
     # nation_market_share, late_lone_suppliers,
     # customer_order_distribution, idle_rich_customers,
-    # disjunctive_promo_revenue, returned_item_customers.  That is 20
-    # leftover + 44 new = 64
-    # names for the 50-slot round-4 window — FOURTEEN spill to round 5;
+    # disjunctive_promo_revenue, returned_item_customers,
+    # zorder3_values.  That is 20 leftover + 45 new = 65
+    # names for the 50-slot round-4 window — FIFTEEN spill to round 5;
     # prefer spilling the property twins whose operators are also
     # pytest-covered (events_hll_rollup, events_theta_setops,
     # events_kll_quantiles, pagerank_top), the smallest shapes

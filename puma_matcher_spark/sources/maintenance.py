@@ -267,3 +267,45 @@ def zorder_by_quantized(
     return zorder_by(out, "_q1", "_q2", bits=bits, n_ranges=n_ranges).drop(
         "_q1", "_q2"
     )
+
+
+def zvalue_n(cols, bits: int = 10):
+    """N-column Morton interleave: round-robin bit interleave of the low
+    ``bits`` bits of each column — :func:`zvalue` generalized beyond two
+    axes (three-column layouts serve box predicates on any subset; past
+    ~4 columns the per-axis resolution inside a file shrinks enough that
+    Hilbert curves or column-family splits win instead).
+
+    Total key width is ``len(cols) * bits`` and must fit a long
+    (<= 63 bits).  Same quantization caveat as :func:`zvalue`.
+    """
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    if n * bits > 63:
+        raise ValueError(f"{n} cols x {bits} bits exceeds a long")
+    cs = [
+        (F.col(c) if isinstance(c, str) else c).cast("long") for c in cols
+    ]
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(cs):
+            # column j contributes bit position i*n + (n-1-j): earlier
+            # columns land in the higher slot of each round
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(c, i).bitwiseAND(1), i * n + (n - 1 - j)
+                )
+            )
+    return z
+
+
+def zvalue_n_sql(cols, bits: int = 10) -> str:
+    """DuckDB twin of :func:`zvalue_n` (generated bit arithmetic)."""
+    n = len(cols)
+    terms = []
+    for i in range(bits):
+        for j, c in enumerate(cols):
+            a = f"CAST({c} AS BIGINT)"
+            terms.append(f"((({a} >> {i}) & 1) << {i * n + (n - 1 - j)})")
+    return "(" + " | ".join(terms) + ")"

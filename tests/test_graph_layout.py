@@ -285,3 +285,26 @@ def test_k_core_peels_planted_structure(spark):
     got = {r["node"]: r["degree"] for r in k_core(df, k=3, n_rounds=3).collect()}
     assert set(got) == {"c0", "c1", "c2", "c3"}
     assert all(d == 3 for d in got.values())
+
+
+def test_zvalue_n_matches_reference_interleave(spark):
+    from puma_matcher_spark.sources.maintenance import zvalue_n
+
+    def py_zn(vals, bits):
+        n = len(vals)
+        z = 0
+        for i in range(bits):
+            for j, v in enumerate(vals):
+                z |= ((v >> i) & 1) << (i * n + (n - 1 - j))
+        return z
+
+    rows = [(1, 2, 3), (1023, 0, 512), (7, 7, 7), (0, 0, 0), (513, 257, 129)]
+    df = spark.createDataFrame(rows, "a long, b long, c long").select(
+        "a", "b", "c", zvalue_n(["a", "b", "c"], bits=10).alias("z")
+    )
+    for r in df.collect():
+        assert r["z"] == py_zn([r["a"], r["b"], r["c"]], 10)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        zvalue_n(["a"] * 8, bits=10)  # 80 bits > long
