@@ -36,15 +36,24 @@ BENCH_QUERIES = [
     "local_supplier_volume",  # TPC-H Q5-style star join
 ]
 
+# Round-2/3 operator planes — tracked since round 4 (baselines in
+# BASELINE.md §"operator-plane bench"); the frozen spine above keeps its
+# round-1 baseline so totals stay comparable across rounds.
+BENCH_QUERIES_PLANES = [
+    "pagerank_top",          # iterative graph plane (DF loop + checkpoint)
+    "purchase_communities",  # label-propagation communities
+    "events_hll_rollup",     # mergeable HLL sketch rollup
+    "bm25_search",           # posting-list retrieval + BM25 scoring
+    "cdc_latest_state",      # CDC latest-state fold
+    "scd2_history",          # SCD2 window stack
+    "zorder_values",         # Morton-layout codegen bit math
+    "incremental_near_dups", # batch×corpus LSH ingest join
+]
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").split("sf")[-1]
-    spark = get_spark("puma-matcher-bench")
-    spark.sparkContext.setLogLevel("ERROR")
 
+def _time_queries(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    for name in names:
         fn = REGISTRY[name].spark_fn
         fn(spark, sf_dir).count()  # warm once (plan + IO caches)
         best = float("inf")
@@ -53,16 +62,31 @@ def main() -> None:
             fn(spark, sf_dir).count()
             best = min(best, time.monotonic() - start)
         timings[name] = round(best, 3)
+    return timings
 
-    total = round(sum(timings.values()), 3)
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark("puma-matcher-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings = _time_queries(spark, sf_dir, BENCH_QUERIES)
+    total = round(sum(timings.values()), 3)  # spine only: round-1-comparable
+    plane_timings = _time_queries(spark, sf_dir, BENCH_QUERIES_PLANES)
+    plane_total = round(sum(plane_timings.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": {**timings, **plane_timings},
                 "sf": float(sf),
+                "groups": {
+                    "spine_total": total,
+                    "operator_planes_total": plane_total,
+                },
             }
         )
     )
