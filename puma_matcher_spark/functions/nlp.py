@@ -5,21 +5,27 @@ POS whitelist ``FW, MD, NN*, RP, PDT, UH, VB*`` + NER 'O'
 (AdvancedInstrumentAnalyser.scala:553-571,
 DocumentWordSpecAnalyser.scala:166-220).
 
-Two backends behind the same pandas-UDF signatures, selected at runtime:
+Three backends behind the same pandas-UDF signatures, selected at runtime:
 
-* ``heuristic`` — deterministic suffix-rule stand-ins (always available;
-  the only option in this container, which has neither CoreNLP nor
-  spaCy).  Accuracy-gated on a hand-tagged fixture (tests/test_nlp.py)
+* ``heuristic`` — deterministic suffix-rule stand-ins (always available).
+  Accuracy-gated on a hand-tagged fixture (tests/test_nlp.py)
   per SURVEY.md §7.4 — tagger divergence is expected, gate with labelled
   metrics, not exact match.
-* ``spacy`` — a real statistical tagger/lemmatiser/NER, used
+* ``perceptron`` — the vendored averaged-perceptron statistical POS
+  tagger (functions/perceptron.py, weights shipped in data/) — a real
+  trained tagger that runs in THIS container, closing the M7 gap the
+  missing spaCy left.  POS only; lemma/NER fall back to the rule
+  kernels under this backend.
+* ``spacy`` — a full statistical tagger/lemmatiser/NER, used
   automatically when the package AND an English model are importable on
   the executors.  Tokens are fed pre-tokenised (``spacy.tokens.Doc``) so
   positions/whitelist plumbing is byte-identical across backends.
 
-``PUMA_NLP_BACKEND`` pins the choice (``heuristic`` | ``spacy`` |
-``auto``, default auto); a forced ``spacy`` in an env without it falls
-back to heuristic rather than failing the pipeline.
+``PUMA_NLP_BACKEND`` pins the choice (``heuristic`` | ``perceptron`` |
+``spacy`` | ``auto``, default auto → spacy when loadable, else
+perceptron when its weights file is present, else heuristic); a forced
+backend that is unavailable in the env falls back down that chain
+rather than failing the pipeline.
 """
 
 from __future__ import annotations
@@ -85,15 +91,30 @@ def _load_spacy():
     return _SPACY_NLP
 
 
+def _load_perceptron():
+    """The vendored averaged-perceptron tagger, or None when its weights
+    file is absent (memoized in functions.perceptron)."""
+    from puma_matcher_spark.functions.perceptron import load_default
+
+    return load_default()
+
+
 def nlp_backend() -> str:
-    """Resolve the active tagging backend: 'spacy' when requested-or-auto
-    AND actually loadable, else 'heuristic'."""
+    """Resolve the active tagging backend.  'auto' prefers the real
+    taggers: spacy when loadable, else the vendored perceptron, else the
+    rule heuristics; a forced unavailable backend degrades down the same
+    chain instead of failing."""
     want = os.environ.get("PUMA_NLP_BACKEND", "auto")
     if want == "heuristic":
         return "heuristic"
-    if want in ("spacy", "auto"):
-        return "spacy" if _load_spacy() is not None else "heuristic"
-    raise ValueError(f"unknown PUMA_NLP_BACKEND: {want!r}")
+    if want not in ("spacy", "perceptron", "auto"):
+        raise ValueError(f"unknown PUMA_NLP_BACKEND: {want!r}")
+    if want in ("spacy", "auto") and _load_spacy() is not None:
+        return "spacy"
+    # forced spacy without the package degrades to the next REAL tagger
+    if _load_perceptron() is not None:
+        return "perceptron"
+    return "heuristic"
 
 
 def _spacy_doc(nlp, arr):
@@ -106,28 +127,37 @@ def _spacy_doc(nlp, arr):
     return doc
 
 
-def _resolve(backend: str | None):
-    """The spaCy pipeline to use, or None for heuristics.  ``backend``
-    pins the choice ('heuristic'/'spacy'); None defers to the env."""
+def _resolve(backend: str | None) -> str:
+    """The backend name to execute with ('spacy'/'perceptron'/
+    'heuristic').  ``backend`` pins the choice but still degrades when
+    the pinned engine is unavailable; None defers to the env."""
     want = backend or nlp_backend()
-    return _load_spacy() if want == "spacy" else None
+    if want == "spacy" and _load_spacy() is not None:
+        return "spacy"
+    if want in ("spacy", "perceptron") and _load_perceptron() is not None:
+        return "perceptron"
+    return "heuristic"
 
 
 def _pos_batch(arr, backend: str | None = None):
     if arr is None:
         return None
-    nlp = _resolve(backend)
-    if nlp is not None:
-        return [t.tag_ or "NN" for t in _spacy_doc(nlp, arr)]
+    how = _resolve(backend)
+    if how == "spacy":
+        return [t.tag_ or "NN" for t in _spacy_doc(_load_spacy(), arr)]
+    if how == "perceptron":
+        return _load_perceptron().tag(list(arr))
     return [_heuristic_pos(t) for t in arr]
 
 
 def _ner_batch(arr, backend: str | None = None):
     if arr is None:
         return None
-    nlp = _resolve(backend)
-    if nlp is not None:
-        return [t.ent_type_ or "O" for t in _spacy_doc(nlp, arr)]
+    if _resolve(backend) == "spacy":
+        return [
+            t.ent_type_ or "O" for t in _spacy_doc(_load_spacy(), arr)
+        ]
+    # perceptron backend is POS-only → capitalisation heuristic for NER
     out = []
     for i, t in enumerate(arr):
         out.append("ENTITY" if i > 0 and t[:1].isupper() else "O")
@@ -137,9 +167,11 @@ def _ner_batch(arr, backend: str | None = None):
 def _lemma_batch(arr, backend: str | None = None):
     if arr is None:
         return None
-    nlp = _resolve(backend)
-    if nlp is not None:
-        return [t.lemma_ or t.text for t in _spacy_doc(nlp, arr)]
+    if _resolve(backend) == "spacy":
+        return [
+            t.lemma_ or t.text for t in _spacy_doc(_load_spacy(), arr)
+        ]
+    # perceptron backend is POS-only → rule lemmatiser
     return [_heuristic_lemma(t) for t in arr]
 
 

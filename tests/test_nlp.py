@@ -69,19 +69,58 @@ def test_lemma_accuracy_on_hand_tagged_fixture():
 
 
 def test_backend_resolution_and_forced_spacy_fallback(monkeypatch):
-    """Backend selection must degrade gracefully: a forced (or auto)
-    'spacy' in an env without the package resolves to heuristic instead
-    of failing the pipeline; 'heuristic' always pins the stand-in."""
+    """Backend selection must degrade gracefully down the chain
+    spacy → perceptron → heuristic: a forced backend that is not
+    available in the env resolves to the next real one instead of
+    failing the pipeline; 'heuristic' always pins the stand-in."""
     from puma_matcher_spark.functions import nlp
 
     spacy_available = nlp._load_spacy() is not None
+    perceptron_available = nlp._load_perceptron() is not None
+    expect = (
+        "spacy"
+        if spacy_available
+        else ("perceptron" if perceptron_available else "heuristic")
+    )
     for want in ("spacy", "auto"):
         monkeypatch.setenv("PUMA_NLP_BACKEND", want)
-        assert nlp.nlp_backend() == ("spacy" if spacy_available else "heuristic")
+        assert nlp.nlp_backend() == expect
+    monkeypatch.setenv("PUMA_NLP_BACKEND", "perceptron")
+    assert nlp.nlp_backend() == (
+        "perceptron" if perceptron_available else "heuristic"
+    )
     monkeypatch.setenv("PUMA_NLP_BACKEND", "heuristic")
     assert nlp.nlp_backend() == "heuristic"
     # kernel dispatch honours the pinned heuristic backend
     assert nlp._pos_batch(["the", "beams"]) == ["DT", "NNS"]
+
+
+def test_perceptron_backend_accuracy():
+    """The vendored averaged-perceptron tagger (the default real tagger
+    in this container — no spaCy needed) must beat the heuristic gate on
+    the same labelled fixture, tagged as one token stream the way the
+    pandas-UDF kernels see it."""
+    from puma_matcher_spark.functions import nlp
+
+    assert nlp._load_perceptron() is not None, "vendored weights missing"
+    pos = nlp._pos_batch([t for t, _, _ in FIXTURE], backend="perceptron")
+    acc = sum(
+        1 for (t, gold, _), tag in zip(FIXTURE, pos) if _coarse(tag) == gold
+    ) / len(FIXTURE)
+    assert acc >= 0.9, f"perceptron POS accuracy {acc:.2f} below gate"
+
+
+def test_perceptron_deterministic_and_retrainable():
+    """Same tokens → same tags on every call (executor determinism), and
+    the shipped weights are reproducible from the vendored corpus (the
+    training loop has no RNG)."""
+    from puma_matcher_spark.functions import perceptron as pc
+
+    tagger = pc.load_default()
+    toks = [t for t, _, _ in FIXTURE]
+    assert tagger.tag(toks) == tagger.tag(toks)
+    retrained = pc.train(pc.read_tagged_corpus())
+    assert retrained.tag(toks) == tagger.tag(toks)
 
 
 def test_spacy_backend_accuracy_if_available(monkeypatch):
