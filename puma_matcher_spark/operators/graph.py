@@ -24,6 +24,8 @@ connected-components loop.
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -43,6 +45,7 @@ def pagerank(
     edges: DataFrame,
     damping: float = 0.85,
     n_iter: int = 10,
+    round_times: list[float] | None = None,
 ) -> DataFrame:
     """Power-iteration PageRank on a directed edge list (src, dst).
 
@@ -77,6 +80,7 @@ def pagerank(
     has_dangling = not dangling.isEmpty()
     ranks = nodes.select("node", (F.lit(1.0) / n).alias("rank"))
     for i in range(n_iter):
+        t0 = time.monotonic() if round_times is not None else 0.0
         contribs = (
             weighted.join(ranks.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
@@ -98,8 +102,13 @@ def pagerank(
             ).alias("rank"),
         )
         # checkpoint every round INCLUDING the last: the final frame must
-        # not reference the cached helpers below after they unpersist
+        # not reference the cached helpers below after they unpersist.
+        # localCheckpoint is eager, so each round EXECUTES here — which
+        # is what makes per-round wall-clock (round_times) measurable:
+        # flat times across rounds prove the plan is not re-nesting.
         ranks = ranks.localCheckpoint()
+        if round_times is not None:
+            round_times.append(time.monotonic() - t0)
     for c in (nodes, weighted, dangling):
         c.unpersist()
     return ranks
