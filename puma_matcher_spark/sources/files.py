@@ -4,11 +4,14 @@ Reference: datasource/FileDataSource.scala:37-61 reads a JDBC list of
 (document_version_id, file_path) then slurps each file on the executor
 with ``Source.fromFile`` inside a map — a row-at-a-time anti-pattern.
 
-Spark-first: ``spark.read.text(wholetext=True)`` over the path list with
-``input_file_name()`` recovers (path, text) in one distributed scan with
-proper split planning; joining back to the id mapping is a broadcast
-join.  At 100 TB the file listing itself is driver-side metadata —
-partition the path list and prefer fewer, larger files.
+Spark-first: ``spark.read.text(wholetext=True)`` over a directory glob
+with ``input_file_name()`` recovers (path, text) in one distributed scan
+with proper split planning; joining back to the id mapping is a plain
+equi-join (AQE broadcasts the small side).  At 100 TB the path inventory
+is itself a dataframe — ``read_text_files`` takes a ``base_glob`` so the
+listing happens in the scan, never as a driver ``collect`` of paths; the
+collect branch is kept only for small explicit lists (the reference's
+contract: one JDBC query for the list, FileDataSource.scala:37-44).
 """
 
 from __future__ import annotations
@@ -16,16 +19,54 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+#: above this many paths, refuse the driver-collect branch — the caller
+#: must pass ``base_glob`` (the scan-side listing) instead
+MAX_COLLECT_PATHS = 100_000
+
+
+def read_text_dir(
+    spark: SparkSession, base_glob: str, path_col: str = "file_path"
+) -> DataFrame:
+    """Distributed (file_path, text) scan of every file under a glob —
+    no driver-side path list at any size."""
+    return (
+        spark.read.text(base_glob, wholetext=True)
+        .withColumn(path_col, F.input_file_name())
+        .withColumnRenamed("value", "text")
+        # input_file_name returns a URI; normalise to plain paths
+        .withColumn(path_col, F.regexp_replace(path_col, "^file:(//)?", ""))
+    )
+
 
 def read_text_files(
-    spark: SparkSession, path_map: DataFrame, path_col: str = "file_path"
+    spark: SparkSession,
+    path_map: DataFrame,
+    path_col: str = "file_path",
+    base_glob: str | None = None,
 ) -> DataFrame:
     """(document_version_id, file_path) → (document_version_id, text).
 
-    ``path_map`` must be small enough to collect its path list (same
-    contract as the reference, which runs one JDBC query for it).
+    With ``base_glob`` (the scale path): one distributed wholetext scan
+    of the glob joined to the mapping — the path inventory never touches
+    the driver.  Without it, the explicit path list is collected (the
+    reference's semantics for its ~1e5-file corpus) but refused beyond
+    ``MAX_COLLECT_PATHS`` so the anti-pattern cannot reach 100 TB scale
+    silently.
     """
-    paths = [r[path_col] for r in path_map.select(path_col).collect()]
+    if base_glob is not None:
+        texts = read_text_dir(spark, base_glob, path_col)
+        return path_map.join(texts, path_col, "left").select(
+            "document_version_id", "text"
+        )
+    paths = [
+        r[path_col]
+        for r in path_map.select(path_col).limit(MAX_COLLECT_PATHS + 1).collect()
+    ]
+    if len(paths) > MAX_COLLECT_PATHS:
+        raise ValueError(
+            f"path_map exceeds {MAX_COLLECT_PATHS} files; pass base_glob= "
+            "so the listing stays in the distributed scan"
+        )
     if not paths:
         return path_map.select(
             "document_version_id", F.lit(None).cast("string").alias("text")

@@ -87,6 +87,13 @@ def test_read_text_files_and_clean(spark):
         out = clean_full_text(read_text_files(spark, path_map))
         got = {r["document_version_id"]: r["text"] for r in out.collect()}
         assert got == {1: "hello world", 2: "second doc"}
+        # scale path: glob-based distributed listing, no driver collect,
+        # same result (extra unmapped files are simply not joined)
+        out_g = clean_full_text(
+            read_text_files(spark, path_map, base_glob=os.path.join(d, "*.txt"))
+        )
+        got_g = {r["document_version_id"]: r["text"] for r in out_g.collect()}
+        assert got_g == got
 
 
 def test_rf_classifier_learns_separable_data(spark):
