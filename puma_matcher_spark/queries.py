@@ -5558,10 +5558,19 @@ def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     val = li.groupBy("l_partkey").agg(
         F.sum(units).cast("long").alias("value_units")
     )
-    total = val.agg(F.sum("value_units").cast("long").alias("t")).scalar()
-    n = val.agg(F.count(F.lit(1)).alias("n")).scalar()
+    # one struct scalar carries both globals; Catalyst splits the field
+    # accesses back into per-field subqueries but their shuffle over the
+    # shared aggregate is reused (ReusedExchange), so the fact table's
+    # aggregate runs once
+    tot = val.agg(
+        F.struct(
+            F.sum("value_units").cast("long").alias("t"),
+            F.count(F.lit(1)).alias("n"),
+        ).alias("s")
+    ).scalar()
     return val.where(
-        F.col("value_units") * n > F.lit(1.2) * total.cast("double")
+        F.col("value_units") * tot.getField("n")
+        > F.lit(1.2) * tot.getField("t").cast("double")
     ).select(
         F.col("l_partkey").alias("part_key"),
         pround(F.col("value_units") / 10000.0, 2).alias("part_value"),

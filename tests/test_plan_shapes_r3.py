@@ -178,3 +178,26 @@ def test_word_spec_builds_without_eager_scan(spark, sf_small):
     )
     assert n_jobs == 0, f"plan build launched {n_jobs} eager job(s)"
     assert pi.formatted_plan(df).count("Subquery") >= 2
+
+
+def test_tpch_r4_decorrelation_shapes(spark, sf_small):
+    """Q2/Q11/Q15/Q20 round-4 shapes: decorrelated aggregates + scalar
+    subqueries + semi-join chains, never a cartesian or correlated
+    re-scan per row."""
+    from puma_matcher_spark.queries import REGISTRY
+
+    q2 = REGISTRY["supplier_min_cost"].spark_fn(spark, sf_small)
+    assert not pi.has_cartesian(q2)
+    assert pi.count_occurrences(q2, "LeftSemi") >= 1  # part-size filter
+
+    q11 = REGISTRY["important_stock"].spark_fn(spark, sf_small)
+    assert not pi.has_cartesian(q11)
+    assert "Subquery" in pi.formatted_plan(q11)  # global total in-plan
+
+    q15 = REGISTRY["top_revenue_supplier"].spark_fn(spark, sf_small)
+    assert not pi.has_cartesian(q15)
+    assert "Subquery" in pi.formatted_plan(q15)  # max-over-view in-plan
+
+    q20 = REGISTRY["excess_stock_suppliers"].spark_fn(spark, sf_small)
+    assert not pi.has_cartesian(q20)
+    assert pi.count_occurrences(q20, "LeftSemi") >= 3  # part→shipped→nation chain
