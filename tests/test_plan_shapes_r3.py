@@ -201,3 +201,27 @@ def test_tpch_r4_decorrelation_shapes(spark, sf_small):
     q20 = REGISTRY["excess_stock_suppliers"].spark_fn(spark, sf_small)
     assert not pi.has_cartesian(q20)
     assert pi.count_occurrences(q20, "LeftSemi") >= 3  # part→shipped→nation chain
+
+
+def test_no_cartesian_outside_documented_baselines(spark, sf_small):
+    """Registry-wide guard: no exported query may plan a cartesian /
+    broadcast-nested-loop join EXCEPT the documented brute-force
+    embedding baselines (all-pairs IS their semantic; the scale paths
+    are the LSH/IVF/prefix variants) and the nearest-centroid scans
+    whose broadcast side is a constant k centroids.  Anything new that
+    plans a cartesian fails here before it can reach a 100 TB run."""
+    from puma_matcher_spark.queries import _ordered
+
+    allowed = {
+        "embedding_topk",          # brute-force cosine baseline (doc'd)
+        "embedding_near_dups",     # brute-force near-dup baseline
+        "embedding_int8_topk",     # int8 re-scoring over the same all-pairs base
+        "embedding_prefix_rerank", # matryoshka prefix stage (bounded query side)
+        "centroid_confusion",      # k-centroid broadcast side (constant k)
+    }
+    offenders = []
+    for name, spec in _ordered().items():
+        df = spec.spark_fn(spark, sf_small)
+        if pi.has_cartesian(df) and name not in allowed:
+            offenders.append(name)
+    assert not offenders, f"undocumented cartesian plans: {offenders}"
