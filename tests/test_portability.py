@@ -75,3 +75,28 @@ def test_rewrite_rounds_handles_nested_and_multiple():
     out = rewrite_rounds_sql(sql)
     assert "ROUND" not in out
     assert out.count("FLOOR") == 3
+
+
+def test_money_units_matches_duckdb_on_random_prices(spark):
+    """money_units (exact integer micro-unit floor) must agree with its
+    SQL twin on random prices AND on adversarial cent/quarter-cent
+    boundaries — the round-4 TPC-H shapes compare these longs for
+    equality across engines."""
+    from puma_matcher_spark.functions.rounding import money_units, money_units_sql
+
+    rng = random.Random(99)
+    vals = [rng.uniform(0, 1e5) for _ in range(5000)]
+    vals += [i / 100.0 for i in range(0, 500)]       # exact cents
+    vals += [i / 400.0 for i in range(0, 500)]       # quarter cents
+    vals += [901.00005, 0.00005, 12345.99995]
+    df = spark.createDataFrame([(v,) for v in vals], ["x"])
+    got_spark = [
+        r["u"] for r in df.select(money_units(F.col("x")).alias("u")).collect()
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE p(x DOUBLE)")
+    con.executemany("INSERT INTO p VALUES (?)", [(v,) for v in vals])
+    got_duck = [
+        r[0] for r in con.sql(f"SELECT {money_units_sql('x')} FROM p").fetchall()
+    ]
+    assert got_spark == got_duck
