@@ -132,8 +132,6 @@ def label_propagation(edges: DataFrame, n_iter: int = 5) -> DataFrame:
     count aggregate, one rank-within-node window; labels checkpoint per
     round like the PageRank loop.
     """
-    from pyspark.sql.window import Window
-
     sym = edges.persist()
     labels = (
         edge_nodes(sym)
@@ -141,17 +139,20 @@ def label_propagation(edges: DataFrame, n_iter: int = 5) -> DataFrame:
         .localCheckpoint()
     )
     try:
-        w = Window.partitionBy("src").orderBy(
-            F.col("c").desc(), F.col("label")
-        )
         for _ in range(n_iter):
+            # winner per node = (max count, then min label): expressed as
+            # min(struct(-c, label)) so the argmax is a HASH aggregate on
+            # src instead of a row_number window (which would sort every
+            # partition) — same deterministic winner, one less sort per
+            # round; the unrolled SQL oracle keeps the row_number form,
+            # which selects the identical row
             labels = (
                 sym.join(labels.withColumnRenamed("node", "dst"), "dst")
                 .groupBy("src", "label")
                 .agg(F.count(F.lit(1)).alias("c"))
-                .withColumn("rn", F.row_number().over(w))
-                .where(F.col("rn") == 1)
-                .select(F.col("src").alias("node"), "label")
+                .groupBy("src")
+                .agg(F.min(F.struct((-F.col("c")).alias("nc"), "label")).alias("w"))
+                .select(F.col("src").alias("node"), F.col("w.label").alias("label"))
                 .localCheckpoint()
             )
         return labels
