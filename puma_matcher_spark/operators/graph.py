@@ -78,6 +78,15 @@ def pagerank(
     # a graph with no sinks (e.g. symmetrized) skips the per-iteration
     # dangling-mass job entirely — checked once, not per round
     has_dangling = not dangling.isEmpty()
+    # when every node also has an IN-link (always true for symmetrized
+    # graphs), the contribution aggregate already covers every node, so
+    # the per-round "nodes ⟕ contribs" completion join is a structural
+    # no-op costing one shuffle + join per round — check once, skip it
+    all_have_inlinks = nodes.join(
+        edges.select(F.col("dst").alias("node")).distinct(),
+        "node",
+        "left_anti",
+    ).isEmpty()
     ranks = nodes.select("node", (F.lit(1.0) / n).alias("rank"))
     for i in range(n_iter):
         t0 = time.monotonic() if round_times is not None else 0.0
@@ -94,7 +103,10 @@ def pagerank(
             if has_dangling
             else F.lit(0.0)
         )
-        ranks = nodes.join(contribs, "node", "left").select(
+        base = contribs if all_have_inlinks else nodes.join(
+            contribs, "node", "left"
+        )
+        ranks = base.select(
             "node",
             (
                 (1.0 - damping) / n
