@@ -65,7 +65,11 @@ def pagerank(
     rows-only full ranking).
     """
     nodes = edge_nodes(edges).persist()
-    n = nodes.agg(F.count(F.lit(1)).cast("double").alias("n")).scalar()
+    # the loop is driver-controlled and materializes every round anyway
+    # (eager localCheckpoint), so N is taken ONCE as a driver scalar from
+    # the persisted node frame — a scalar subquery here would re-execute
+    # its count job in every round's checkpoint instead
+    n = F.lit(float(nodes.count()))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("out_deg"))
     weighted = (
         edges.join(deg, "src")
