@@ -6,11 +6,13 @@ The reference shells out to a Python blockhash per image row
 /tmp and spawns a process per row!).  The rebuild keeps the plumbing and
 the hash kernel real, and the codec layer is now real too for the
 formats a codec-free container can decode: ``decode_image`` handles
-netpbm P5/P6 and uncompressed 24/32-bit BMP in pure numpy
-(``extract_media_features_decoded`` runs it end-to-end).  Only
-compressed formats (JPEG/PNG) still need an external codec and raise
-NotImplementedError; the synthetic fixture path keeps
-``fake_decode_rgb`` because its string payloads are not image bytes.
+netpbm P5/P6, uncompressed 24/32-bit BMP, and 8-bit non-interlaced PNG
+(chunks + scanline unfiltering in pure numpy; the DEFLATE stream is
+stdlib ``zlib`` — no external codec involved), run end-to-end by
+``extract_media_features_decoded``.  Only JPEG/WebP still need a real
+codec library and raise NotImplementedError; the synthetic fixture path
+keeps ``fake_decode_rgb`` because its string payloads are not image
+bytes.
 
 Scale notes: binary payloads ride the shuffle only if you shuffle them —
 process media in the partition where the scan produced it (mapInPandas
@@ -207,11 +209,111 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
     return pix[:, :, 2::-1].copy()
 
 
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo PNG per-scanline filtering (spec §9: None/Sub/Up/Average/
+    Paeth).  ``raw`` is the inflated stream reshaped to (h, 1+stride);
+    returns (h, stride) reconstructed bytes."""
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype = int(raw[y, 0])
+        row = raw[y, 1:].copy()
+        if ftype == 0:  # None
+            rec = row
+        elif ftype == 1:  # Sub: + recon[x - bpp]
+            rec = np.add.accumulate(
+                row.reshape(-1, bpp), axis=0, dtype=np.uint8
+            ).reshape(-1)
+        elif ftype == 2:  # Up: + prev row
+            rec = row + prev  # uint8 wraps mod 256, per spec
+        elif ftype == 3:  # Average: + floor((left + up) / 2)
+            rec = row
+            for x in range(stride):
+                left = int(rec[x - bpp]) if x >= bpp else 0
+                rec[x] = (int(row[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth predictor
+            rec = row
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (int(row[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype} on row {y}")
+        out[y] = rec
+        prev = rec
+    return out
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """Pure numpy + stdlib-zlib PNG decode (the 'compression' in PNG is
+    just DEFLATE, which Python ships — no external codec needed).
+
+    Supports the baseline still-image profile: 8-bit depth, color types
+    0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA),
+    non-interlaced.  Alpha is dropped (the feature kernels consume RGB);
+    other depths/interlacing raise honestly.
+    """
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos = 8
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        length = int.from_bytes(payload[pos : pos + 4], "big")
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, color, _comp, _filt, interlace = ihdr[8:13]
+    if depth != 8 or interlace != 0:
+        raise NotImplementedError(
+            f"PNG bit depth {depth} / interlace {interlace} not supported "
+            "(baseline profile: 8-bit non-interlaced)"
+        )
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise ValueError(f"bad PNG color type {color}")
+    stride = w * channels
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if raw.size != h * (stride + 1):
+        raise ValueError("PNG pixel stream size mismatch")
+    pix = _png_unfilter(raw.reshape(h, stride + 1), h, stride, channels)
+    pix = pix.reshape(h, w, channels)
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE")
+        return plte[pix[:, :, 0]].copy()
+    if color == 0:
+        return np.repeat(pix, 3, axis=2)
+    if color == 4:
+        return np.repeat(pix[:, :, :1], 3, axis=2)
+    return pix[:, :, :3].copy()
+
+
 def decode_image(payload: bytes) -> np.ndarray:
-    """REAL image decode for the uncompressed formats a codec-free
-    container can handle: netpbm P5/P6 and 24/32-bit BI_RGB BMP, in
-    pure numpy.  Compressed formats (JPEG/PNG/WebP) genuinely need a
-    codec library and stay NotImplemented — the honest boundary.
+    """REAL image decode for the formats a codec-free container can
+    handle in pure numpy + stdlib: netpbm P5/P6, 24/32-bit BI_RGB BMP,
+    and 8-bit non-interlaced PNG (DEFLATE via stdlib zlib).  JPEG/WebP
+    genuinely need a codec library and stay NotImplemented — the honest
+    boundary.
 
     Returns (height, width, 3) uint8 RGB.
     """
@@ -219,9 +321,11 @@ def decode_image(payload: bytes) -> np.ndarray:
         return _decode_pnm(payload)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
-    if payload[:2] == b"\xff\xd8" or payload[:8] == b"\x89PNG\r\n\x1a\n":
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
         raise NotImplementedError(
-            "JPEG/PNG decoding requires a codec library (PIL/opencv), "
+            "JPEG decoding requires a codec library (PIL/opencv), "
             "not present in this container — blockhash_256/resize_rgb "
             "and the Spark plumbing are format-agnostic and real"
         )

@@ -261,3 +261,132 @@ def test_extract_media_features_decoded_end_to_end(spark):
     assert got[1]["perceptual_hash"] == blockhash_256(px1)
     assert got[2]["perceptual_hash"] == blockhash_256(decode_image(_bmp_bytes(px2)))
     assert got[1]["n_bytes"] == len(_ppm_bytes(px1))
+
+
+# ---- PNG (pure stdlib-zlib decode) ----------------------------------------
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import binascii
+    import struct
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", binascii.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def _png_bytes(px: np.ndarray, filter_type: int = 0, color: int = 2) -> bytes:
+    """Minimal PNG encoder for tests: one IDAT, every scanline using the
+    SAME filter type (0-4) so each decode path is exercised exactly."""
+    import struct
+    import zlib
+
+    h, w = px.shape[:2]
+    if color == 2:
+        flat = px
+        bpp = 3
+    elif color == 6:
+        flat = np.concatenate(
+            [px, np.full((h, w, 1), 255, dtype=np.uint8)], axis=2
+        )
+        bpp = 4
+    elif color == 0:
+        flat = px[:, :, :1]
+        bpp = 1
+    else:
+        raise ValueError(color)
+    stride = w * bpp
+    rows = flat.reshape(h, stride).astype(np.int32)
+    out = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        cur = rows[y]
+        if filter_type == 0:
+            filt = cur
+        elif filter_type == 1:
+            left = np.concatenate([np.zeros(bpp, dtype=np.int32), cur[:-bpp]])
+            filt = (cur - left) % 256
+        elif filter_type == 2:
+            filt = (cur - prev) % 256
+        elif filter_type == 3:
+            left = np.concatenate([np.zeros(bpp, dtype=np.int32), cur[:-bpp]])
+            filt = (cur - ((left + prev) >> 1)) % 256
+        elif filter_type == 4:
+            filt = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                filt[x] = (int(cur[x]) - pred) % 256
+        out.append(filter_type)
+        out.extend(filt.astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def test_decode_png_roundtrip_every_filter():
+    from puma_matcher_spark.llmdata.multimodal import decode_image
+
+    px = _test_pixels(13, 7)  # odd sizes stress stride math
+    for ftype in range(5):
+        out = decode_image(_png_bytes(px, filter_type=ftype))
+        assert np.array_equal(out, px), f"filter {ftype}"
+
+
+def test_decode_png_color_types():
+    from puma_matcher_spark.llmdata.multimodal import decode_image
+
+    px = _test_pixels(9, 5)
+    # RGBA: alpha dropped
+    assert np.array_equal(decode_image(_png_bytes(px, 2, color=6)), px)
+    # grayscale: single channel replicated
+    g = decode_image(_png_bytes(px, 1, color=0))
+    assert np.array_equal(g, np.repeat(px[:, :, :1], 3, axis=2))
+
+
+def test_decode_png_palette():
+    import struct
+    import zlib
+
+    from puma_matcher_spark.llmdata.multimodal import decode_image
+
+    palette = np.array([[250, 10, 20], [0, 200, 0], [5, 5, 255]], dtype=np.uint8)
+    idx = np.array([[0, 1, 2], [2, 1, 0]], dtype=np.uint8)
+    h, w = idx.shape
+    raw = bytearray()
+    for y in range(h):
+        raw.append(0)
+        raw.extend(idx[y].tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", palette.tobytes())
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_image(png), palette[idx])
+
+
+def test_decode_png_unsupported_profiles_stay_honest():
+    import pytest as _pytest
+
+    from puma_matcher_spark.llmdata.multimodal import decode_image
+
+    px = _test_pixels(4, 4)
+    blob = bytearray(_png_bytes(px))
+    blob[24] = 16  # bit depth byte inside IHDR
+    with _pytest.raises(NotImplementedError):
+        decode_image(bytes(blob))
