@@ -9,8 +9,10 @@ formats a codec-free container can decode: ``decode_image`` handles
 netpbm P5/P6, uncompressed 24/32-bit BMP, and 8-bit non-interlaced PNG
 (chunks + scanline unfiltering in pure numpy; the DEFLATE stream is
 stdlib ``zlib`` — no external codec involved), run end-to-end by
-``extract_media_features_decoded``.  Only JPEG/WebP still need a real
-codec library and raise NotImplementedError; the synthetic fixture path
+``extract_media_features_decoded``, plus baseline sequential JPEG
+(huffman + dequant + IDCT + YCbCr, llmdata/jpeg.py) — every common
+still-image container now decodes stdlib-only.  Progressive JPEG and
+WebP raise NotImplementedError honestly; the synthetic fixture path
 keeps ``fake_decode_rgb`` because its string payloads are not image
 bytes.
 
@@ -324,11 +326,9 @@ def decode_image(payload: bytes) -> np.ndarray:
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(payload)
     if payload[:2] == b"\xff\xd8":
-        raise NotImplementedError(
-            "JPEG decoding requires a codec library (PIL/opencv), "
-            "not present in this container — blockhash_256/resize_rgb "
-            "and the Spark plumbing are format-agnostic and real"
-        )
+        from puma_matcher_spark.llmdata.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise ValueError(f"unrecognised image magic: {payload[:2]!r}")
 
 

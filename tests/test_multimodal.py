@@ -241,7 +241,9 @@ def test_decode_compressed_formats_stay_honest():
 
     from puma_matcher_spark.llmdata.multimodal import decode_image
 
-    with _pytest.raises(NotImplementedError):
+    # JPEG is a real decoder now: garbage after the SOI magic is a parse
+    # error, not a stub refusal (tests/test_jpeg.py covers real streams)
+    with _pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0 fake jpeg")
     with _pytest.raises(ValueError):
         decode_image(b"??nonsense")
