@@ -256,13 +256,26 @@ def test_extract_media_features_decoded_end_to_end(spark):
         extract_media_features_decoded,
     )
 
+    from tests.test_jpeg import encode_jpeg
+
     px1, px2 = _test_pixels(32, 32), _test_pixels(64, 48)
-    rows = [(1, bytearray(_ppm_bytes(px1))), (2, bytearray(_bmp_bytes(px2)))]
+    px3, px4 = _test_pixels(32, 32), _test_pixels(48, 32)
+    jpg4 = encode_jpeg(px4, quality=90)
+    rows = [
+        (1, bytearray(_ppm_bytes(px1))),
+        (2, bytearray(_bmp_bytes(px2))),
+        (3, bytearray(_png_bytes(px3, filter_type=4))),
+        (4, bytearray(jpg4)),
+    ]
     media = spark.createDataFrame(rows, "media_id LONG, payload BINARY")
     got = {r["media_id"]: r for r in extract_media_features_decoded(media).collect()}
     assert got[1]["perceptual_hash"] == blockhash_256(px1)
     assert got[2]["perceptual_hash"] == blockhash_256(decode_image(_bmp_bytes(px2)))
     assert got[1]["n_bytes"] == len(_ppm_bytes(px1))
+    # PNG is lossless → hash of the original pixels; JPEG is lossy →
+    # hash of ITS decode, executor-deterministic
+    assert got[3]["perceptual_hash"] == blockhash_256(px3)
+    assert got[4]["perceptual_hash"] == blockhash_256(decode_image(jpg4))
 
 
 # ---- PNG (pure stdlib-zlib decode) ----------------------------------------
