@@ -203,10 +203,22 @@ def connected_components(
 
 
 def _cc_loop(sym: DataFrame, labels: DataFrame, max_iterations: int) -> DataFrame:
+    from puma_matcher_spark.operators.graph import BROADCAST_NODES_MAX
+
+    # labels is O(nodes) and checkpoint-backed (no stats for plan-time
+    # auto-broadcast) — broadcast it explicitly when small so the
+    # persisted edge list never re-shuffles per round; web-scale graphs
+    # fall back to the co-partitioned shuffle join (same gate as the
+    # PageRank / label-propagation loops)
+    bc = (
+        F.broadcast
+        if labels.count() <= BROADCAST_NODES_MAX
+        else (lambda df: df)
+    )
     for i in range(max_iterations):
         # candidate label for each node: min of its neighbours' labels
         nbr = (
-            sym.join(labels.withColumnRenamed("id", "dst"), "dst")
+            sym.join(bc(labels.withColumnRenamed("id", "dst")), "dst")
             .groupBy("src")
             .agg(F.min("component").alias("nbr_component"))
             .withColumnRenamed("src", "id")
@@ -215,7 +227,7 @@ def _cc_loop(sym: DataFrame, labels: DataFrame, max_iterations: int) -> DataFram
         # round then both read the materialized frame instead of
         # re-executing a plan that nests one join deeper per iteration
         new_labels = (
-            labels.join(nbr, "id", "left")
+            labels.join(bc(nbr), "id", "left")
             .select(
                 "id",
                 F.least(
@@ -225,7 +237,7 @@ def _cc_loop(sym: DataFrame, labels: DataFrame, max_iterations: int) -> DataFram
         ).localCheckpoint()
         changed = (
             new_labels.alias("n")
-            .join(labels.alias("o"), "id")
+            .join(bc(labels.alias("o")), "id")
             .where(F.col("n.component") != F.col("o.component"))
             .limit(1)
             .count()

@@ -31,6 +31,19 @@ from pyspark.sql import functions as F
 
 from puma_matcher_spark.functions.rounding import pround
 
+#: Node-count ceiling below which the per-round small frame (ranks /
+#: labels / surviving-core keys) is explicitly broadcast into the join
+#: with the edge list.  The frame is O(nodes) — two narrow columns,
+#: ≲60 bytes serialized per row — so 500k rows ≈ 30 MB, inside the
+#: session's 64 MB auto-broadcast budget.  Broadcasting matters here
+#: because the frame comes out of ``localCheckpoint`` (an RDD-backed
+#: scan with no size statistics), so plan-time auto-broadcast never
+#: fires and every round would otherwise pay a map-side shuffle write
+#: of the FULL edge list.  Above the ceiling (web-scale graphs) the
+#: loop falls back to the co-partitioned shuffle join, which is the
+#: correct 100 TB shape.
+BROADCAST_NODES_MAX = 500_000
+
 
 def edge_nodes(edges: DataFrame) -> DataFrame:
     """Distinct node frame of a directed edge list (src, dst)."""
@@ -69,7 +82,8 @@ def pagerank(
     # (eager localCheckpoint), so N is taken ONCE as a driver scalar from
     # the persisted node frame — a scalar subquery here would re-execute
     # its count job in every round's checkpoint instead
-    n = F.lit(float(nodes.count()))
+    n_nodes = nodes.count()
+    n = F.lit(float(n_nodes))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("out_deg"))
     weighted = (
         edges.join(deg, "src")
@@ -91,11 +105,15 @@ def pagerank(
         "node",
         "left_anti",
     ).isEmpty()
+    # ranks is O(nodes) and checkpoint-backed (no stats) — broadcast it
+    # explicitly when small so the cached edge frame never re-shuffles
+    small = n_nodes <= BROADCAST_NODES_MAX
+    bc = F.broadcast if small else (lambda df: df)
     ranks = nodes.select("node", (F.lit(1.0) / n).alias("rank"))
     for i in range(n_iter):
         t0 = time.monotonic() if round_times is not None else 0.0
         contribs = (
-            weighted.join(ranks.withColumnRenamed("node", "src"), "src")
+            weighted.join(bc(ranks.withColumnRenamed("node", "src")), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("rank") * F.col("w")).alias("contrib"))
         )
@@ -154,6 +172,8 @@ def label_propagation(edges: DataFrame, n_iter: int = 5) -> DataFrame:
         .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
+    # same gate as pagerank: labels is O(nodes), checkpoint-backed
+    bc = F.broadcast if labels.count() <= BROADCAST_NODES_MAX else (lambda df: df)
     try:
         for _ in range(n_iter):
             # winner per node = (max count, then min label): expressed as
@@ -163,7 +183,7 @@ def label_propagation(edges: DataFrame, n_iter: int = 5) -> DataFrame:
             # round; the unrolled SQL oracle keeps the row_number form,
             # which selects the identical row
             labels = (
-                sym.join(labels.withColumnRenamed("node", "dst"), "dst")
+                sym.join(bc(labels.withColumnRenamed("node", "dst")), "dst")
                 .groupBy("src", "label")
                 .agg(F.count(F.lit(1)).alias("c"))
                 .groupBy("src")
@@ -214,12 +234,19 @@ def k_core(edges: DataFrame, k: int = 2, n_rounds: int = 4) -> DataFrame:
     stay one round deep.
     """
     cur = edges.localCheckpoint()
+    # keep is O(surviving nodes) ≤ O(nodes); gate once on the starting
+    # node count — survivors only shrink round over round
+    bc = (
+        F.broadcast
+        if edge_nodes(cur).count() <= BROADCAST_NODES_MAX
+        else (lambda df: df)
+    )
     for _ in range(n_rounds):
         deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("c"))
-        keep = deg.where(F.col("c") >= k).select("src")
+        keep = deg.where(F.col("c") >= k).select("src").localCheckpoint()
         cur = (
-            cur.join(keep, "src", "left_semi")
-            .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
+            cur.join(bc(keep), "src", "left_semi")
+            .join(bc(keep.withColumnRenamed("src", "dst")), "dst", "left_semi")
             .localCheckpoint()
         )
     return (
