@@ -77,6 +77,11 @@ def pagerank(
     check the mass invariant, which is exact to rounding, plus a
     rows-only full ranking).
     """
+    # the setup below scans the edge list four times (node frame, degree,
+    # weighted edges, in-link probe); persisting it first makes the
+    # upstream derivation — often a join chain like orders ⋈ lineitem ⋈
+    # distinct — run ONCE instead of once per probe
+    edges = edges.persist()
     nodes = edge_nodes(edges).persist()
     # the loop is driver-controlled and materializes every round anyway
     # (eager localCheckpoint), so N is taken ONCE as a driver scalar from
@@ -143,7 +148,7 @@ def pagerank(
         ranks = ranks.localCheckpoint()
         if round_times is not None:
             round_times.append(time.monotonic() - t0)
-    for c in (nodes, weighted, dangling):
+    for c in (edges, nodes, weighted, dangling):
         c.unpersist()
     return ranks
 
