@@ -6,7 +6,8 @@ The reference shells out to a Python blockhash per image row
 /tmp and spawns a process per row!).  The rebuild keeps the plumbing and
 the hash kernel real, and the codec layer is now real too for the
 formats a codec-free container can decode: ``decode_image`` handles
-netpbm P5/P6, uncompressed 24/32-bit BMP, and 8-bit non-interlaced PNG
+netpbm P5/P6 (8- and 16-bit, any maxval), uncompressed 24/32-bit BMP,
+and 8-bit non-interlaced PNG
 (chunks + scanline unfiltering in pure numpy; the DEFLATE stream is
 stdlib ``zlib`` — no external codec involved), run end-to-end by
 ``extract_media_features_decoded``, plus baseline sequential JPEG
@@ -170,12 +171,26 @@ def _decode_pnm(payload: bytes) -> np.ndarray:
         fields.append(int(payload[start:pos]))
     pos += 1  # the single whitespace after maxval
     w, h, maxval = fields
+    nch = 3 if magic == b"P6" else 1
     if maxval > 255:
-        raise NotImplementedError("16-bit netpbm samples not supported")
-    if magic == b"P6":
-        data = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+        # 16-bit samples: two bytes per sample, most-significant first
+        # (netpbm spec); rescale to 8-bit for the hashing kernels.
+        wide = np.frombuffer(payload, dtype=">u2", count=w * h * nch, offset=pos)
+        data = (
+            (wide.astype(np.float32) * (255.0 / maxval)).round().astype(np.uint8)
+        )
+    else:
+        data = np.frombuffer(payload, dtype=np.uint8, count=w * h * nch, offset=pos)
+        if maxval != 255:
+            # sub-8-bit maxval: samples span 0..maxval — rescale so the
+            # hashes are invariant to the declared depth
+            data = (
+                (data.astype(np.float32) * (255.0 / maxval))
+                .round()
+                .astype(np.uint8)
+            )
+    if nch == 3:
         return data.reshape(h, w, 3).copy()
-    data = np.frombuffer(payload, dtype=np.uint8, count=w * h, offset=pos)
     return np.repeat(data.reshape(h, w, 1), 3, axis=2)
 
 

@@ -228,6 +228,35 @@ def test_decode_pgm_replicates_grey():
     assert np.array_equal(out[:, :, 1], grey)
 
 
+def test_decode_ppm_16bit_rescales_to_8bit():
+    from puma_matcher_spark.llmdata.multimodal import decode_image
+
+    px = _test_pixels(6, 5)
+    # widen to 16-bit: value v → v*257 spans 0..65535 exactly, so the
+    # 8-bit rescale must round-trip bit-identically
+    wide = (px.astype(np.uint16) * 257).astype(">u2")
+    payload = b"P6\n5 6\n65535\n" + wide.tobytes()
+    assert np.array_equal(decode_image(payload), px)
+
+    # 16-bit greyscale through the P5 path
+    grey = (np.arange(12, dtype=np.uint16) * 257 * 20).astype(">u2").reshape(3, 4)
+    out = decode_image(b"P5\n4 3\n65535\n" + grey.tobytes())
+    assert out.shape == (3, 4, 3)
+    expected = np.round(grey.astype(np.float32) * 255 / 65535).astype(np.uint8)
+    assert np.array_equal(out[:, :, 0], expected)
+
+
+def test_decode_pnm_sub8bit_maxval_rescales():
+    from puma_matcher_spark.llmdata.multimodal import decode_image
+
+    # maxval 15: samples span 0..15, decoded output must span 0..255
+    grey = np.array([[0, 5, 10, 15]], dtype=np.uint8)
+    out = decode_image(b"P5\n4 1\n15\n" + grey.tobytes())
+    expected = np.round(grey.astype(np.float32) * 255 / 15).astype(np.uint8)
+    assert np.array_equal(out[:, :, 0], expected)
+    assert out[0, 3, 0] == 255
+
+
 def test_decode_bmp_roundtrip_with_padding():
     from puma_matcher_spark.llmdata.multimodal import decode_image
 
