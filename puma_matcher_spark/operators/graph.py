@@ -77,17 +77,44 @@ def pagerank(
     check the mass invariant, which is exact to rounding, plus a
     rows-only full ranking).
     """
-    # the setup below scans the edge list four times (node frame, degree,
-    # weighted edges, in-link probe); persisting it first makes the
-    # upstream derivation — often a join chain like orders ⋈ lineitem ⋈
-    # distinct — run ONCE instead of once per probe
+    # the setup below scans the edge list several times (node frame,
+    # degree, weighted edges, structural probes); persisting it first
+    # makes the upstream derivation — often a join chain like orders ⋈
+    # lineitem ⋈ distinct — run ONCE instead of once per probe
     edges = edges.persist()
-    nodes = edge_nodes(edges).persist()
+    # ONE setup job answers every structural question the loop needs:
+    # src-side ∪ dst-side full-outer merge gives the node frame plus
+    # per-node has_out/has_in flags, and a single aggregate over it
+    # yields N, the dangling count (no out-edge → sink), and the
+    # no-in-link count — previously three separate shuffle jobs
+    # (count / isEmpty / isEmpty), each re-scanning the cached edges
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("has_out", F.lit(True))
+        .join(
+            edges.select(F.col("dst").alias("node"))
+            .distinct()
+            .withColumn("has_in", F.lit(True)),
+            "node",
+            "full_outer",
+        )
+        .persist()
+    )
     # the loop is driver-controlled and materializes every round anyway
-    # (eager localCheckpoint), so N is taken ONCE as a driver scalar from
-    # the persisted node frame — a scalar subquery here would re-execute
-    # its count job in every round's checkpoint instead
-    n_nodes = nodes.count()
+    # (eager localCheckpoint), so the probe row is taken ONCE driver-side
+    # — a scalar subquery here would re-execute its job in every round's
+    # checkpoint instead
+    probe = nodes.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(~F.coalesce(F.col("has_out"), F.lit(False)), 1)).alias(
+            "n_dangling"
+        ),
+        F.count(F.when(~F.coalesce(F.col("has_in"), F.lit(False)), 1)).alias(
+            "n_no_inlink"
+        ),
+    ).collect()[0]
+    n_nodes = probe["n"]
     n = F.lit(float(n_nodes))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("out_deg"))
     weighted = (
@@ -95,21 +122,17 @@ def pagerank(
         .select("src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("w"))
         .persist()
     )
-    dangling = nodes.join(
-        deg.withColumnRenamed("src", "node"), "node", "left_anti"
-    ).persist()
+    dangling = nodes.where(~F.coalesce(F.col("has_out"), F.lit(False))).select(
+        "node"
+    )
     # a graph with no sinks (e.g. symmetrized) skips the per-iteration
-    # dangling-mass job entirely — checked once, not per round
-    has_dangling = not dangling.isEmpty()
+    # dangling-mass job entirely — known from the probe row, not per round
+    has_dangling = probe["n_dangling"] > 0
     # when every node also has an IN-link (always true for symmetrized
     # graphs), the contribution aggregate already covers every node, so
     # the per-round "nodes ⟕ contribs" completion join is a structural
-    # no-op costing one shuffle + join per round — check once, skip it
-    all_have_inlinks = nodes.join(
-        edges.select(F.col("dst").alias("node")).distinct(),
-        "node",
-        "left_anti",
-    ).isEmpty()
+    # no-op costing one shuffle + join per round — skip it
+    all_have_inlinks = probe["n_no_inlink"] == 0
     # ranks is O(nodes) and checkpoint-backed (no stats) — broadcast it
     # explicitly when small so the cached edge frame never re-shuffles
     small = n_nodes <= BROADCAST_NODES_MAX
@@ -148,7 +171,7 @@ def pagerank(
         ranks = ranks.localCheckpoint()
         if round_times is not None:
             round_times.append(time.monotonic() - t0)
-    for c in (edges, nodes, weighted, dangling):
+    for c in (edges, nodes, weighted):
         c.unpersist()
     return ranks
 
