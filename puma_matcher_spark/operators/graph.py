@@ -45,6 +45,14 @@ from puma_matcher_spark.functions.rounding import pround
 BROADCAST_NODES_MAX = 500_000
 
 
+def _is_persisted(df: DataFrame) -> bool:
+    """True when the caller already persisted (or checkpointed) the
+    frame — the iterative loops then neither re-persist nor unpersist
+    it, so memoized shared inputs survive across queries."""
+    lvl = df.storageLevel
+    return lvl.useMemory or lvl.useDisk
+
+
 def edge_nodes(edges: DataFrame) -> DataFrame:
     """Distinct node frame of a directed edge list (src, dst)."""
     return (
@@ -80,8 +88,12 @@ def pagerank(
     # the setup below scans the edge list several times (node frame,
     # degree, weighted edges, structural probes); persisting it first
     # makes the upstream derivation — often a join chain like orders ⋈
-    # lineitem ⋈ distinct — run ONCE instead of once per probe
-    edges = edges.persist()
+    # lineitem ⋈ distinct — run ONCE instead of once per probe.  A
+    # caller-persisted frame (e.g. the memoized purchase edge list) is
+    # left alone: not re-persisted, and NOT unpersisted on exit.
+    caller_persisted = _is_persisted(edges)
+    if not caller_persisted:
+        edges = edges.persist()
     # ONE setup job answers every structural question the loop needs:
     # src-side ∪ dst-side full-outer merge gives the node frame plus
     # per-node has_out/has_in flags, and a single aggregate over it
@@ -171,7 +183,7 @@ def pagerank(
         ranks = ranks.localCheckpoint()
         if round_times is not None:
             round_times.append(time.monotonic() - t0)
-    for c in (edges, nodes, weighted):
+    for c in (nodes, weighted) if caller_persisted else (edges, nodes, weighted):
         c.unpersist()
     return ranks
 
@@ -194,7 +206,8 @@ def label_propagation(edges: DataFrame, n_iter: int = 5) -> DataFrame:
     count aggregate, one rank-within-node window; labels checkpoint per
     round like the PageRank loop.
     """
-    sym = edges.persist()
+    caller_persisted = _is_persisted(edges)
+    sym = edges if caller_persisted else edges.persist()
     labels = (
         edge_nodes(sym)
         .withColumn("label", F.col("node"))
@@ -221,7 +234,8 @@ def label_propagation(edges: DataFrame, n_iter: int = 5) -> DataFrame:
             )
         return labels
     finally:
-        sym.unpersist()
+        if not caller_persisted:
+            sym.unpersist()
 
 
 def label_propagation_sql(edges_cte: str, n_iter: int = 5) -> str:

@@ -5765,6 +5765,16 @@ def q_zorder3_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: The purchase edge list is the shared input of FOUR registered graph
+#: queries (pagerank_mass, pagerank_top, purchase_communities,
+#: purchase_kcore); its derivation — orders ⋈ lineitem → distinct →
+#: symmetrize — dominates each query's wall-clock, so it is memoized
+#: per (session, sf_dir) and persisted exactly like the scored-candidate
+#: frames above (_CAND_CACHE) and the reference's stage-output cache
+#: (Pipeline.scala:203).
+_EDGE_CACHE: dict[tuple, DataFrame] = {}
+
+
 def _purchase_edges(t: Tables) -> DataFrame:
     """Symmetrized customer↔supplier edge list from the order fact chain
     (the undirected purchase network) — distinct so edge multiplicity
@@ -5772,18 +5782,24 @@ def _purchase_edges(t: Tables) -> DataFrame:
     sides disjoint.  Symmetrizing means no node is a sink, so the
     PageRank loop skips its per-iteration dangling-mass job (one join +
     one aggregate per round, nothing else)."""
-    o, li = t.raw("orders"), t.raw("lineitem")
-    cs = (
-        o.join(li, o.o_orderkey == li.l_orderkey)
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+    key = (t.spark.sparkContext.applicationId, t.sf_dir)
+    with _CAND_LOCK:
+        if key in _EDGE_CACHE:
+            return _EDGE_CACHE[key]
+        o, li = t.raw("orders"), t.raw("lineitem")
+        cs = (
+            o.join(li, o.o_orderkey == li.l_orderkey)
+            .select(
+                F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+                F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+            )
+            .distinct()
         )
-        .distinct()
-    )
-    return cs.unionByName(
-        cs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+        edges = cs.unionByName(
+            cs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).persist()
+        _EDGE_CACHE[key] = edges
+        return edges
 
 
 @register(
