@@ -112,6 +112,51 @@ def test_decode_pcm16_roundtrip(payload):
     assert x.tobytes() == payload[: x.size * 2]
 
 
+@given(
+    st.integers(1, 12),
+    st.integers(1, 12),
+    st.sampled_from([1, 3]),
+    st.sampled_from([15, 63, 255, 1023, 65535]),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=150, deadline=None)
+def test_decode_pnm_fuzz_roundtrip(h, w, nch, maxval, seed):
+    """Netpbm decode over random sizes/depths/maxvals: output is always
+    (h, w, 3) uint8, and rescaling to 0..255 inverts exactly for sample
+    values that are exact multiples of maxval/255 (maxval=255: identity;
+    maxval=65535: v*257 round-trips)."""
+    from puma_matcher_spark.llmdata.multimodal import decode_image
+
+    rng = np.random.default_rng(seed)
+    magic = b"P6" if nch == 3 else b"P5"
+    vals8 = rng.integers(0, 256, size=(h, w, nch), dtype=np.uint16)
+    if maxval == 255:
+        body = vals8.astype(np.uint8).tobytes()
+        expect = vals8.astype(np.uint8)
+    elif maxval == 65535:
+        body = (vals8 * 257).astype(">u2").tobytes()
+        expect = vals8.astype(np.uint8)
+    else:
+        raw = rng.integers(0, maxval + 1, size=(h, w, nch), dtype=np.uint16)
+        body = (
+            raw.astype(">u2").tobytes()
+            if maxval > 255
+            else raw.astype(np.uint8).tobytes()
+        )
+        expect = np.round(raw.astype(np.float64) * 255.0 / maxval).astype(
+            np.uint8
+        )
+    payload = magic + b"\n%d %d\n%d\n" % (w, h, maxval) + body
+    out = decode_image(payload)
+    assert out.shape == (h, w, 3)
+    assert out.dtype == np.uint8
+    if nch == 3:
+        assert np.array_equal(out, expect)
+    else:
+        for c in range(3):
+            assert np.array_equal(out[:, :, c], expect[:, :, 0])
+
+
 @given(st.integers(0, 10_000), st.integers(1, 500), st.integers(1, 16))
 @settings(max_examples=300, deadline=None)
 def test_frame_offsets_invariants(n_bytes, frame_bytes, n_frames):
