@@ -90,8 +90,12 @@ class _BitReader:
 
     def _fill(self) -> None:
         d = self.data
+        if self.pos >= len(d):
+            raise ValueError("truncated JPEG entropy stream")
         b = d[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(d):
+                raise ValueError("truncated JPEG entropy stream")
             nxt = d[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2  # stuffed 0xFF data byte
@@ -163,6 +167,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     restart_interval = 0
     n = len(payload)
     while pos < n:
+        if pos + 1 >= n:
+            raise ValueError("truncated JPEG stream (no EOI)")
         if payload[pos] != 0xFF:
             raise ValueError(f"bad marker alignment at {pos}")
         marker = payload[pos + 1]
@@ -172,6 +178,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         if marker == 0xD9:  # EOI
             break
         seglen = int.from_bytes(payload[pos : pos + 2], "big")
+        if seglen < 2 or pos + seglen > n:
+            raise ValueError("truncated JPEG segment")
         seg = payload[pos + 2 : pos + seglen]
         if marker == 0xDB:  # DQT
             p = 0

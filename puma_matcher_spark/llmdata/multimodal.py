@@ -244,20 +244,27 @@ def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
         elif ftype == 2:  # Up: + prev row
             rec = row + prev  # uint8 wraps mod 256, per spec
         elif ftype == 3:  # Average: + floor((left + up) / 2)
-            rec = row
+            # serial in x by construction (left neighbour is the
+            # RECONSTRUCTED byte), so the loop is irreducible — but
+            # plain-list arithmetic beats numpy scalar indexing ~5×,
+            # which matters because real encoders (libpng adaptive)
+            # emit mostly Average/Paeth rows
+            rowl, prevl, recl = row.tolist(), prev.tolist(), [0] * stride
             for x in range(stride):
-                left = int(rec[x - bpp]) if x >= bpp else 0
-                rec[x] = (int(row[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth predictor
-            rec = row
+                left = recl[x - bpp] if x >= bpp else 0
+                recl[x] = (rowl[x] + ((left + prevl[x]) >> 1)) & 0xFF
+            rec = np.asarray(recl, dtype=np.uint8)
+        elif ftype == 4:  # Paeth predictor (same serial-in-x argument)
+            rowl, prevl, recl = row.tolist(), prev.tolist(), [0] * stride
             for x in range(stride):
-                a = int(rec[x - bpp]) if x >= bpp else 0
-                b = int(prev[x])
-                c = int(prev[x - bpp]) if x >= bpp else 0
+                a = recl[x - bpp] if x >= bpp else 0
+                b = prevl[x]
+                c = prevl[x - bpp] if x >= bpp else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                rec[x] = (int(row[x]) + pred) & 0xFF
+                recl[x] = (rowl[x] + pred) & 0xFF
+            rec = np.asarray(recl, dtype=np.uint8)
         else:
             raise ValueError(f"bad PNG filter type {ftype} on row {y}")
         out[y] = rec
@@ -326,11 +333,10 @@ def _decode_png(payload: bytes) -> np.ndarray:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """REAL image decode for the formats a codec-free container can
-    handle in pure numpy + stdlib: netpbm P5/P6, 24/32-bit BI_RGB BMP,
-    and 8-bit non-interlaced PNG (DEFLATE via stdlib zlib).  JPEG/WebP
-    genuinely need a codec library and stay NotImplemented — the honest
-    boundary.
+    """REAL image decode, pure numpy + stdlib: netpbm P5/P6 (8/16-bit),
+    24/32-bit BI_RGB BMP, 8-bit non-interlaced PNG (DEFLATE via stdlib
+    zlib), and baseline sequential JPEG (llmdata/jpeg.py).  Progressive
+    JPEG and WebP remain NotImplemented — the honest boundary.
 
     Returns (height, width, 3) uint8 RGB.
     """

@@ -379,3 +379,19 @@ def test_jpeg_unsupported_profiles_stay_honest():
         decode_jpeg(bytes(blob))
     with pytest.raises(ValueError):
         decode_jpeg(b"\x00\x00not a jpeg")
+
+
+def test_jpeg_truncation_raises_valueerror_not_indexerror():
+    """Malformed-input contract: every truncation point raises ValueError
+    (the classifiable 'bad payload' signal), never IndexError."""
+    from puma_matcher_spark.llmdata.jpeg import decode_jpeg
+
+    blob = encode_jpeg(_smooth(16, 16), quality=90)
+    # cut inside headers, at segment boundaries, and mid-entropy-stream
+    # (cutting only the trailing EOI is benign: the scan already ended)
+    for cut in [2, 3, 4, 10, len(blob) // 2, len(blob) - 20]:
+        with pytest.raises(ValueError):
+            decode_jpeg(blob[:cut])
+    # payload ending on a lone 0xFF mid-entropy-stream
+    with pytest.raises(ValueError):
+        decode_jpeg(blob[: len(blob) // 2] + b"\xff")
