@@ -29,6 +29,7 @@ Arrow-batched array→array pandas-UDF signatures as the other backends
 from __future__ import annotations
 
 import json
+import math
 import os
 from collections import defaultdict
 
@@ -69,7 +70,9 @@ def _features(i: int, word: str, context: list[str], prev: str, prev2: str):
     yield f("w+1", context[i + 1])
     yield f("w+1 suf3", context[i + 1][-3:])
     yield f("t-1 w", prev, w)
-    if word[:1].isupper() and i > 0:
+    # fire only for NON-sentence-initial capitals (the proper-noun
+    # signal): i is the PADDED index, so sentence position 0 is i == 2
+    if word[:1].isupper() and i > 2:
         yield f("cap")
 
 
@@ -222,8 +225,11 @@ def train(
     model = AveragedPerceptron()
     model.classes = classes
     n = len(sentences)
-    stride = 7  # coprime with any realistic corpus size shuffles the order
-    while n % stride == 0:
+    # a stride COPRIME with n shuffles the visit order while still
+    # touching every sentence each epoch (gcd > 1 would silently train
+    # on only n/gcd distinct sentences per epoch)
+    stride = 7
+    while math.gcd(stride, max(n, 1)) != 1:
         stride += 2
     for epoch in range(n_iter):
         for k in range(n):
