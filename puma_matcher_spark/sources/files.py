@@ -24,6 +24,15 @@ from pyspark.sql import functions as F
 MAX_COLLECT_PATHS = 100_000
 
 
+def _uri_to_path(col):
+    """``input_file_name()`` yields a percent-encoded file URI; recover
+    the plain filesystem path so it equi-joins against raw path strings.
+    ``url_decode`` is form-decoding (it would turn a literal ``+`` into a
+    space), so literal ``+`` is pre-escaped to ``%2B`` first."""
+    no_scheme = F.regexp_replace(col, "^file:(//)?", "")
+    return F.url_decode(F.replace(no_scheme, F.lit("+"), F.lit("%2B")))
+
+
 def read_text_dir(
     spark: SparkSession, base_glob: str, path_col: str = "file_path"
 ) -> DataFrame:
@@ -33,8 +42,7 @@ def read_text_dir(
         spark.read.text(base_glob, wholetext=True)
         .withColumn(path_col, F.input_file_name())
         .withColumnRenamed("value", "text")
-        # input_file_name returns a URI; normalise to plain paths
-        .withColumn(path_col, F.regexp_replace(path_col, "^file:(//)?", ""))
+        .withColumn(path_col, _uri_to_path(F.col(path_col)))
     )
 
 
@@ -43,6 +51,7 @@ def read_text_files(
     path_map: DataFrame,
     path_col: str = "file_path",
     base_glob: str | None = None,
+    strict: bool = True,
 ) -> DataFrame:
     """(document_version_id, file_path) → (document_version_id, text).
 
@@ -52,12 +61,29 @@ def read_text_files(
     reference's semantics for its ~1e5-file corpus) but refused beyond
     ``MAX_COLLECT_PATHS`` so the anti-pattern cannot reach 100 TB scale
     silently.
+
+    ``strict`` (default): a path_map row whose file did not appear in
+    the scan fails the job at execution time with the offending path —
+    matching the collect branch, where a missing file fails the read.
+    ``strict=False`` keeps such rows with ``text`` NULL.
     """
     if base_glob is not None:
         texts = read_text_dir(spark, base_glob, path_col)
-        return path_map.join(texts, path_col, "left").select(
-            "document_version_id", "text"
-        )
+        joined = path_map.join(texts, path_col, "left")
+        text = F.col("text")
+        if strict:
+            # in-plan guard, zero extra jobs: unresolved path → loud error
+            text = F.when(
+                text.isNull(),
+                F.raise_error(
+                    F.concat(
+                        F.lit("read_text_files: no file under base_glob "
+                              "matched path "),
+                        F.col(path_col),
+                    )
+                ),
+            ).otherwise(text)
+        return joined.select("document_version_id", text.alias("text"))
     paths = [
         r[path_col]
         for r in path_map.select(path_col).limit(MAX_COLLECT_PATHS + 1).collect()

@@ -96,6 +96,42 @@ def test_read_text_files_and_clean(spark):
         assert got_g == got
 
 
+def test_read_text_files_glob_handles_spaces_and_missing(spark):
+    import pytest
+
+    with tempfile.TemporaryDirectory() as d:
+        p1 = os.path.join(d, "with space.txt")  # percent-encoded in the URI
+        p2 = os.path.join(d, "plus+name.txt")   # must NOT decode '+' to ' '
+        for p, body in [(p1, "spaced"), (p2, "plussed")]:
+            with open(p, "w") as f:
+                f.write(body)
+        path_map = spark.createDataFrame(
+            [(1, p1), (2, p2)], ["document_version_id", "file_path"]
+        )
+        glob = os.path.join(d, "*.txt")
+        got = {
+            r["document_version_id"]: r["text"]
+            for r in read_text_files(spark, path_map, base_glob=glob).collect()
+        }
+        assert got == {1: "spaced", 2: "plussed"}
+
+        # strict (default): a mapped path absent from the scan fails LOUDLY
+        bad_map = spark.createDataFrame(
+            [(1, p1), (3, os.path.join(d, "nope.txt"))],
+            ["document_version_id", "file_path"],
+        )
+        with pytest.raises(Exception, match="no file under base_glob"):
+            read_text_files(spark, bad_map, base_glob=glob).collect()
+        # opt-out keeps the row with NULL text
+        lax = {
+            r["document_version_id"]: r["text"]
+            for r in read_text_files(
+                spark, bad_map, base_glob=glob, strict=False
+            ).collect()
+        }
+        assert lax[1] == "spaced" and lax[3] is None
+
+
 def test_rf_classifier_learns_separable_data(spark):
     rows = [(float(i % 2), float(i % 2) * 10 + (i % 3) * 0.1, float(i)) for i in range(200)]
     df = spark.createDataFrame(rows, ["label", "f1", "f2"])
