@@ -286,11 +286,20 @@ def k_core(edges: DataFrame, k: int = 2, n_rounds: int = 4) -> DataFrame:
     for _ in range(n_rounds):
         deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("c"))
         keep = deg.where(F.col("c") >= k).select("src").localCheckpoint()
-        cur = (
-            cur.join(bc(keep), "src", "left_semi")
-            .join(bc(keep.withColumnRenamed("src", "dst")), "dst", "left_semi")
-            .localCheckpoint()
-        )
+        # both semi-joins reference the SAME keep frame (the dst side by
+        # expression, not a renamed copy) so the two broadcast exchanges
+        # canonicalize identically and ReuseExchange ships keep once per
+        # round instead of twice
+        kb = bc(keep)
+        survivors = cur.join(kb, "src", "left_semi")
+        # the alias only disambiguates the self-reference for the
+        # analyzer; canonicalization strips it, so both broadcast
+        # exchanges still dedupe
+        cur = survivors.join(
+            kb.alias("kcore_keep"),
+            F.col("dst") == F.col("kcore_keep.src"),
+            "left_semi",
+        ).localCheckpoint()
     return (
         cur.groupBy(F.col("src").alias("node"))
         .agg(F.count(F.lit(1)).cast("long").alias("degree"))
