@@ -3799,16 +3799,8 @@ def q_word_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
     # N = docs with ≥1 surviving token (matches the oracle's corpus CTE),
     # folded in as scalar subqueries — the old eager .count()s ran TWO
     # extra exploded-token scans before the real job.
-    n_c = (
-        exploded_tokens(docs, "text", "doc_id")
-        .select("document_version_id").distinct()
-        .agg(F.count(F.lit(1)).alias("n")).scalar()
-    )
-    n_r = (
-        exploded_tokens(ref_docs, "text", "doc_id")
-        .select("document_version_id").distinct()
-        .agg(F.count(F.lit(1)).alias("n")).scalar()
-    )
+    n_c = _doc_count_scalar(exploded_tokens(docs, "text", "doc_id"))
+    n_r = _doc_count_scalar(exploded_tokens(ref_docs, "text", "doc_id"))
     out = word_spec_distance(cdf, n_c, rdf, n_r)
     return out.select(
         "word", "df", "ref_df", pround("spec_distance", 4).alias("spec_distance")

@@ -158,6 +158,17 @@ class Tables:
 _TABLES_CACHE: dict[tuple[str, str], Tables] = {}
 
 
+def reset_table_cache() -> None:
+    """Drop every memoized Tables instance (and with it each frozen
+    parquet file listing).  Call after REWRITING a table directory
+    in-process — the memoized DataFrames pin the file listing observed
+    at first read, so a regenerated sf dir would otherwise yield stale
+    rows or FileNotFoundException for vanished part files.  The external
+    driver and the test suite never rewrite /root/testdata, so they
+    never need this."""
+    _TABLES_CACHE.clear()
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> Tables:
     # All query semantics (year(), unix_timestamp(), collected datetimes)
     # assume UTC; the consuming session may be the external driver's, so
