@@ -16,9 +16,12 @@ nothing beyond numpy:
 * color         — per-SOF sampling factors (4:4:4 / 4:2:2 / 4:2:0),
   nearest-neighbour chroma upsample, JFIF YCbCr→RGB.
 
-Supported: 8-bit baseline sequential (SOF0), 1 or 3 components, any
-sampling factors, optional restart markers.  Progressive (SOF2),
-arithmetic coding, and 12-bit precision raise ``NotImplementedError``.
+Supported: 8-bit baseline sequential (SOF0) AND progressive (SOF2 —
+spectral selection + successive approximation, DC/AC first and
+refinement scans with EOB-run semantics per T.81 §G.2), 1 or 3
+components, any sampling factors, optional restart markers.  Lossless /
+hierarchical SOFs, arithmetic coding, and 12-bit precision raise
+``NotImplementedError``.
 
 Decoding is deterministic (pure float ops in fixed order), so media
 fingerprints built on it are reproducible across executors — the same
@@ -202,7 +205,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 symbols = seg[p + 17 : p + 17 + nsym]
                 htables[(tc, th)] = HuffmanTable(counts, symbols)
                 p += 17 + nsym
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             prec = seg[0]
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG not supported")
@@ -215,17 +218,23 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            frame = {"h": h, "w": w, "comps": comps,
+                     "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
-                f"JPEG SOF{marker - 0xC0}: only baseline sequential "
-                "(SOF0) is supported"
+                f"JPEG SOF{marker - 0xC0}: only sequential (SOF0/1) and "
+                "progressive (SOF2) huffman profiles are supported"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = int.from_bytes(seg[0:2], "big")
         elif marker == 0xDA:  # SOS — entropy-coded data follows
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
+            if frame["progressive"]:
+                return _decode_progressive(
+                    payload, pos, seg, frame, qtables, htables,
+                    restart_interval,
+                )
             ns = seg[0]
             scan_tables = {}
             for c in range(ns):
@@ -316,6 +325,16 @@ def _decode_scan(
             # tolerate encoder-side early restarts: resync and continue
             reader.resync()
             preds = [0] * len(comps)
+    return _assemble_rgb(planes, frame, hmax, vmax)
+
+
+def _assemble_rgb(
+    planes: list[np.ndarray], frame: dict, hmax: int, vmax: int
+) -> np.ndarray:
+    """Upsample component planes to full resolution, crop, and apply the
+    JFIF YCbCr→RGB transform (shared by the sequential and progressive
+    paths)."""
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
     out_planes = []
     for ci, c in enumerate(comps):
         p = planes[ci]
@@ -331,3 +350,327 @@ def _decode_scan(
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# --------------------------------------------------------------------------
+# Progressive mode (SOF2) — T.81 §G.  Scans deposit quantized coefficients
+# into per-component stores (zigzag order); reconstruction happens once,
+# after the last scan, as a vectorized dequant + IDCT.
+# --------------------------------------------------------------------------
+
+
+def _skip_to_marker(payload: bytes, pos: int) -> int:
+    """Advance past any leftover entropy bytes to the next real marker
+    (skipping stuffed FF00 and stray restart markers)."""
+    n = len(payload)
+    while pos < n - 1:
+        if payload[pos] != 0xFF:
+            pos += 1
+            continue
+        nxt = payload[pos + 1]
+        if nxt == 0x00:
+            pos += 2
+        elif 0xD0 <= nxt <= 0xD7:
+            pos += 2
+        elif nxt == 0xFF:  # fill byte before a marker
+            pos += 1
+        else:
+            return pos
+    raise ValueError("truncated JPEG stream (no EOI)")
+
+
+def _decode_progressive(
+    payload: bytes,
+    sos_pos: int,
+    sos_seg: bytes,
+    frame: dict,
+    qtables: dict,
+    htables: dict,
+    restart_interval: int,
+) -> np.ndarray:
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    # zigzag-order coefficient store per component, padded to the MCU grid
+    coefs = [
+        np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
+        for c in comps
+    ]
+    n = len(payload)
+    pos, seg = sos_pos, sos_seg
+    while True:
+        seglen = int.from_bytes(payload[pos : pos + 2], "big")
+        end = _decode_progressive_scan(
+            payload, pos + seglen, seg, frame, coefs, htables,
+            restart_interval, mcux, mcuy, hmax, vmax,
+        )
+        # parse markers until the next SOS (tables may be redefined
+        # between scans) or EOI
+        pos = _skip_to_marker(payload, end)
+        seg = None
+        while seg is None:
+            if pos + 1 >= n:
+                raise ValueError("truncated JPEG stream (no EOI)")
+            marker = payload[pos + 1]
+            pos += 2
+            if marker == 0xD9:  # EOI — all scans consumed
+                return _reconstruct_progressive(
+                    frame, coefs, qtables, hmax, vmax
+                )
+            if marker == 0x01 or 0xD0 <= marker <= 0xD7 or marker == 0xD8:
+                continue
+            if pos + 1 >= n:
+                raise ValueError("truncated JPEG stream (no EOI)")
+            seglen = int.from_bytes(payload[pos : pos + 2], "big")
+            if seglen < 2 or pos + seglen > n:
+                raise ValueError("truncated JPEG segment")
+            body = payload[pos + 2 : pos + seglen]
+            if marker == 0xC4:  # DHT between scans
+                p = 0
+                while p < len(body):
+                    tc, th = body[p] >> 4, body[p] & 0x0F
+                    counts = list(body[p + 1 : p + 17])
+                    nsym = sum(counts)
+                    htables[(tc, th)] = HuffmanTable(
+                        counts, body[p + 17 : p + 17 + nsym]
+                    )
+                    p += 17 + nsym
+            elif marker == 0xDB:  # DQT between scans
+                p = 0
+                while p < len(body):
+                    prec, tid = body[p] >> 4, body[p] & 0x0F
+                    p += 1
+                    if prec == 0:
+                        qtables[tid] = np.frombuffer(
+                            body, np.uint8, 64, p
+                        ).astype(np.int32)
+                        p += 64
+                    else:
+                        qtables[tid] = np.frombuffer(
+                            body, ">u2", 64, p
+                        ).astype(np.int32)
+                        p += 128
+            elif marker == 0xDD:
+                restart_interval = int.from_bytes(body[0:2], "big")
+            elif marker == 0xDA:
+                seg = body
+                continue  # outer loop decodes it (pos already at length)
+            pos += seglen
+        # seg set: pos sits at the SOS length field, matching loop entry
+
+
+def _decode_progressive_scan(
+    payload: bytes,
+    data_pos: int,
+    seg: bytes,
+    frame: dict,
+    coefs: list[np.ndarray],
+    htables: dict,
+    restart_interval: int,
+    mcux: int,
+    mcuy: int,
+    hmax: int,
+    vmax: int,
+) -> int:
+    """Decode ONE progressive scan into ``coefs``; returns the byte
+    position where the entropy data ended."""
+    h, w, comps = frame["h"], frame["w"], frame["comps"]
+    ns = seg[0]
+    scan_comps = []  # (comp_index, comp, dc_table_id, ac_table_id)
+    by_id = {c["id"]: i for i, c in enumerate(comps)}
+    for k in range(ns):
+        cid, tdta = seg[1 + 2 * k : 3 + 2 * k]
+        scan_comps.append((by_id[cid], comps[by_id[cid]], tdta >> 4, tdta & 0x0F))
+    ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+    ahal = seg[3 + 2 * ns]
+    ah, al = ahal >> 4, ahal & 0x0F
+    if ss == 0 and se != 0:
+        raise ValueError("progressive scan mixes DC and AC bands")
+    if ss > 0 and ns != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    if se > 63 or ss > 63 or (ah and ah != al + 1):
+        raise ValueError("bad progressive scan header")
+    reader = _BitReader(payload, data_pos)
+    state = {"eobrun": 0, "preds": [0] * len(comps)}
+
+    def reset() -> None:
+        state["eobrun"] = 0
+        state["preds"] = [0] * len(comps)
+
+    if ss == 0 and ns > 1:
+        units = _dc_scan_units(scan_comps, mcux, mcuy)
+    elif ss == 0:
+        # single-component DC scan is non-interleaved: the component's
+        # own ceil grid, exactly like AC scans (T.81 §A.2.2)
+        units = (
+            [(ci, by, bx, dt)]
+            for ci, by, bx, dt in _noninterleaved_units(
+                scan_comps[0][0], scan_comps[0][1], scan_comps[0][2],
+                frame, hmax, vmax,
+            )
+        )
+    else:
+        units = _noninterleaved_units(
+            scan_comps[0][0], scan_comps[0][1], scan_comps[0][3],
+            frame, hmax, vmax,
+        )
+    done = 0
+    it = iter(units)
+    unit = next(it, None)
+    while unit is not None:
+        try:
+            if ss == 0:
+                _decode_dc_unit(reader, unit, coefs, htables, state, ah, al)
+            else:
+                _decode_ac_unit(
+                    reader, unit, coefs, htables, state, ss, se, ah, al
+                )
+            done += 1
+            unit = next(it, None)
+            if (
+                restart_interval
+                and unit is not None
+                and done % restart_interval == 0
+            ):
+                reader.resync()
+                reset()
+        except _RestartMarker:
+            reader.resync()
+            reset()
+    return reader.pos
+
+
+def _dc_scan_units(scan_comps, mcux: int, mcuy: int):
+    """Interleaved DC scans walk MCU order; each unit is a list of
+    (comp_index, by, bx, dc_table_id) block refs."""
+    for my in range(mcuy):
+        for mx in range(mcux):
+            unit = []
+            for ci, c, dt, _at in scan_comps:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        unit.append((ci, my * c["v"] + by, mx * c["h"] + bx, dt))
+            yield unit
+
+
+def _noninterleaved_units(ci, c, table_id, frame: dict, hmax: int, vmax: int):
+    """Non-interleaved scans are raster order over the component's OWN
+    block grid (ceil of its scaled dimensions, not the MCU padding)."""
+    cw = -(-frame["w"] * c["h"] // hmax)
+    ch = -(-frame["h"] * c["v"] // vmax)
+    for by in range(-(-ch // 8)):
+        for bx in range(-(-cw // 8)):
+            yield (ci, by, bx, table_id)
+
+
+def _decode_dc_unit(reader, unit, coefs, htables, state, ah: int, al: int):
+    for ci, by, bx, dt in unit:
+        block = coefs[ci][by, bx]
+        if ah == 0:  # first DC pass: DPCM of the point-transformed value
+            s = reader.decode(htables[(0, dt)])
+            diff = _extend(reader.bits(s), s)
+            state["preds"][ci] += diff
+            block[0] = state["preds"][ci] << al
+        else:  # refinement: one magnitude bit per block
+            if reader.bit():
+                block[0] |= 1 << al
+
+
+def _decode_ac_unit(reader, unit, coefs, htables, state, ss, se, ah, al):
+    ci, by, bx, at = unit
+    block = coefs[ci][by, bx]
+    table = htables[(1, at)]
+    if ah == 0:
+        _ac_first(reader, block, table, state, ss, se, al)
+    else:
+        _ac_refine(reader, block, table, state, ss, se, al)
+
+
+def _ac_first(reader, block, table, state, ss, se, al):
+    """T.81 G.2.2: run-length decode of newly significant coefficients,
+    with end-of-band runs spanning whole blocks."""
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = reader.decode(table)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r < 15:
+                state["eobrun"] = (1 << r) - 1
+                if r:
+                    state["eobrun"] += reader.bits(r)
+                return
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("progressive AC index overflow")
+        block[k] = _extend(reader.bits(s), s) << al
+        k += 1
+
+
+def _ac_refine(reader, block, table, state, ss, se, al):
+    """T.81 G.2.3 successive-approximation refinement: correction bits
+    for already-nonzero coefficients, ±1<<Al insertions for new ones."""
+    p1 = 1 << al
+    m1 = -1 << al
+
+    def correct(k: int) -> None:
+        if reader.bit() and not (int(block[k]) & p1):
+            block[k] += p1 if block[k] >= 0 else m1
+
+    k = ss
+    if state["eobrun"] == 0:
+        while k <= se:
+            rs = reader.decode(table)
+            r, s = rs >> 4, rs & 0x0F
+            newval = 0
+            if s:
+                if s != 1:
+                    raise ValueError("bad magnitude in AC refinement scan")
+                newval = p1 if reader.bit() else m1
+            elif r < 15:
+                state["eobrun"] = 1 << r
+                if r:
+                    state["eobrun"] += reader.bits(r)
+                break  # remaining band handled by the EOB branch below
+            # advance r zero-history positions, correcting nonzero ones
+            while k <= se:
+                if block[k]:
+                    correct(k)
+                else:
+                    r -= 1
+                    if r < 0:
+                        break
+                k += 1
+            if newval and k <= se:
+                block[k] = newval
+            k += 1
+    if state["eobrun"] > 0:
+        while k <= se:
+            if block[k]:
+                correct(k)
+            k += 1
+        state["eobrun"] -= 1
+
+
+def _reconstruct_progressive(frame, coefs, qtables, hmax, vmax):
+    """One vectorized dequant + inverse-zigzag + IDCT per component."""
+    comps = frame["comps"]
+    planes = []
+    for ci, c in enumerate(comps):
+        q = qtables[c["tq"]].astype(np.float64)  # zigzag order
+        blocks = coefs[ci].astype(np.float64) * q  # (by, bx, 64)
+        nat = np.zeros_like(blocks)
+        nat[..., ZIGZAG] = blocks
+        by, bx = nat.shape[:2]
+        nat = nat.reshape(by, bx, 8, 8)
+        px = _D.T @ nat @ _D + 128.0  # broadcast IDCT over all blocks
+        planes.append(
+            px.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        )
+    return _assemble_rgb(planes, frame, hmax, vmax)

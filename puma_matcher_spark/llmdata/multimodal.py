@@ -10,12 +10,13 @@ netpbm P5/P6 (8- and 16-bit, any maxval), uncompressed 24/32-bit BMP,
 and 8-bit non-interlaced PNG
 (chunks + scanline unfiltering in pure numpy; the DEFLATE stream is
 stdlib ``zlib`` — no external codec involved), run end-to-end by
-``extract_media_features_decoded``, plus baseline sequential JPEG
-(huffman + dequant + IDCT + YCbCr, llmdata/jpeg.py) — every common
-still-image container now decodes stdlib-only.  Progressive JPEG and
-WebP raise NotImplementedError honestly; the synthetic fixture path
-keeps ``fake_decode_rgb`` because its string payloads are not image
-bytes.
+``extract_media_features_decoded``, plus baseline sequential AND
+progressive JPEG (huffman + spectral-selection/successive-approximation
+scans + dequant + IDCT + YCbCr, llmdata/jpeg.py) — every common
+still-image container now decodes stdlib-only.  WebP (a VP8 codec) and
+the exotic JPEG profiles (arithmetic, lossless, 12-bit) raise
+NotImplementedError honestly; the synthetic fixture path keeps
+``fake_decode_rgb`` because its string payloads are not image bytes.
 
 Scale notes: binary payloads ride the shuffle only if you shuffle them —
 process media in the partition where the scan produced it (mapInPandas
@@ -335,8 +336,8 @@ def _decode_png(payload: bytes) -> np.ndarray:
 def decode_image(payload: bytes) -> np.ndarray:
     """REAL image decode, pure numpy + stdlib: netpbm P5/P6 (8/16-bit),
     24/32-bit BI_RGB BMP, 8-bit non-interlaced PNG (DEFLATE via stdlib
-    zlib), and baseline sequential JPEG (llmdata/jpeg.py).  Progressive
-    JPEG and WebP remain NotImplemented — the honest boundary.
+    zlib), and both baseline and progressive JPEG (llmdata/jpeg.py).
+    WebP remains NotImplemented — the honest boundary.
 
     Returns (height, width, 3) uint8 RGB.
     """

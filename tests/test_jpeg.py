@@ -124,14 +124,13 @@ def _cat(v: int) -> int:
     return int(abs(v)).bit_length()
 
 
-def encode_jpeg(
-    px: np.ndarray,
-    quality: int = 90,
-    subsample: bool = False,
-    restart_interval: int = 0,
-    grayscale: bool = False,
-) -> bytes:
-    """Minimal baseline JFIF encoder (test harness for the decoder)."""
+def _quantized_components(
+    px: np.ndarray, quality: int, subsample: bool, grayscale: bool
+):
+    """Color transform + DCT + quantization shared by the baseline and
+    progressive writers.  Returns (h, w, comps, ql_z, qc_z, mcux, mcuy)
+    where each comp carries ``blocks``: int64 (by, bx, 64) quantized
+    zigzag coefficients over the padded MCU grid."""
     h, w = px.shape[:2]
     r, g, b = [px[:, :, i].astype(np.float64) for i in range(3)]
     y = 0.299 * r + 0.587 * g + 0.114 * b
@@ -173,10 +172,48 @@ def encode_jpeg(
         ph = mcuy * c["v"] * 8
         pw = mcux * c["h"] * 8
         p = c["plane"]
-        c["plane"] = np.pad(
-            p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), mode="edge"
-        )
+        p = np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), mode="edge")
+        by, bx = ph // 8, pw // 8
+        blk = p.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3) - 128.0
+        coef = fdct2(blk)  # numpy matmul broadcasts over the block grid
+        zz = coef.reshape(by, bx, 64)[:, :, ZIGZAG]
+        c["blocks"] = np.round(zz / c["qz"]).astype(np.int64)
+        del c["plane"]
+    return h, w, comps, ql_z, qc_z, mcux, mcuy
 
+
+def _headers(
+    h, w, comps, ql_z, qc_z, restart_interval, sof_marker: int
+) -> bytearray:
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, bytes([0]) + bytes(ql_z.tolist()))
+    out += _seg(0xDB, bytes([1]) + bytes(qc_z.tolist()))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    sof += bytes([len(comps)])
+    for c in comps:
+        sof += bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]])
+    out += _seg(sof_marker, sof)
+    for tc, (counts, symbols) in (
+        (0x00, DC_L), (0x10, AC_L), (0x01, DC_C), (0x11, AC_C)
+    ):
+        out += _seg(0xC4, bytes([tc]) + bytes(counts) + symbols)
+    if restart_interval:
+        out += _seg(0xDD, restart_interval.to_bytes(2, "big"))
+    return out
+
+
+def encode_jpeg(
+    px: np.ndarray,
+    quality: int = 90,
+    subsample: bool = False,
+    restart_interval: int = 0,
+    grayscale: bool = False,
+) -> bytes:
+    """Minimal baseline JFIF encoder (test harness for the decoder)."""
+    h, w, comps, ql_z, qc_z, mcux, mcuy = _quantized_components(
+        px, quality, subsample, grayscale
+    )
     dc_maps = [_encode_map(*DC_L), _encode_map(*DC_C)]
     ac_maps = [_encode_map(*AC_L), _encode_map(*AC_C)]
 
@@ -191,11 +228,7 @@ def encode_jpeg(
                 dc_m, ac_m = dc_maps[tid], ac_maps[tid]
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
-                        y0 = (my * c["v"] + by) * 8
-                        x0 = (mx * c["h"] + bx) * 8
-                        blk = c["plane"][y0 : y0 + 8, x0 : x0 + 8] - 128.0
-                        coef = fdct2(blk).reshape(-1)[ZIGZAG]
-                        qz = np.round(coef / c["qz"]).astype(np.int64)
+                        qz = c["blocks"][my * c["v"] + by, mx * c["h"] + bx]
                         diff = int(qz[0]) - preds[ci]
                         preds[ci] = int(qz[0])
                         s = _cat(diff)
@@ -235,21 +268,7 @@ def encode_jpeg(
                 preds = [0] * len(comps)
     wtr.flush()
 
-    out = bytearray(b"\xff\xd8")
-    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += _seg(0xDB, bytes([0]) + bytes(ql_z.tolist()))
-    out += _seg(0xDB, bytes([1]) + bytes(qc_z.tolist()))
-    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
-    sof += bytes([len(comps)])
-    for c in comps:
-        sof += bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]])
-    out += _seg(0xC0, sof)
-    for tc, (counts, symbols) in (
-        (0x00, DC_L), (0x10, AC_L), (0x01, DC_C), (0x11, AC_C)
-    ):
-        out += _seg(0xC4, bytes([tc]) + bytes(counts) + symbols)
-    if restart_interval:
-        out += _seg(0xDD, restart_interval.to_bytes(2, "big"))
+    out = _headers(h, w, comps, ql_z, qc_z, restart_interval, 0xC0)
     sos = bytes([len(comps)])
     for ci, c in enumerate(comps):
         tid = 0 if ci == 0 else 1
@@ -259,6 +278,282 @@ def encode_jpeg(
     out += wtr.out
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# ---- progressive writer (T.81 §G encoder twin for the decoder tests) ------
+
+# Progressive AC scans emit EOBn symbols (0x10..0xE0) that the Annex-K
+# baseline tables do not contain; use a flat canonical table carrying
+# every (run<<4)|size symbol with size 0..14 at code length 8
+# (Kraft sum 240/256 < 1 — valid, merely suboptimal, which tests don't
+# care about).
+AC_PROG = (
+    [0, 0, 0, 0, 0, 0, 0, 240, 0, 0, 0, 0, 0, 0, 0, 0],
+    bytes(sorted((r << 4) | s for r in range(16) for s in range(15))),
+)
+
+
+def _shift_toward_zero(v: int, al: int) -> int:
+    """The §G point transform: magnitude shift, sign preserved."""
+    return (v >> al) if v >= 0 else -((-v) >> al)
+
+
+class _ProgressiveWriter:
+    """Serializes one scan script over pre-quantized blocks.  Mirrors the
+    published successive-approximation encoder structure (EOB runs,
+    buffered correction bits) independently of the decoder."""
+
+    def __init__(self, comps, mcux, mcuy, h, w):
+        self.comps = comps
+        self.mcux, self.mcuy = mcux, mcuy
+        self.h, self.w = h, w
+        self.dc_maps = [_encode_map(*DC_L), _encode_map(*DC_C)]
+        self.ac_maps = [_encode_map(*AC_PROG), _encode_map(*AC_PROG)]
+
+    def _tid(self, ci: int) -> int:
+        return 0 if ci == 0 else 1
+
+    def scan_bytes(self, scan: dict, restart_interval: int = 0) -> bytes:
+        """SOS segment + entropy data for one scan dict:
+        {"comps": [indices], "ss": int, "se": int, "ah": int, "al": int}."""
+        cis = scan["comps"]
+        ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+        sos = bytes([len(cis)])
+        for ci in cis:
+            tid = self._tid(ci)
+            sos += bytes([self.comps[ci]["id"], (tid << 4) | tid])
+        sos += bytes([ss, se, (ah << 4) | al])
+        wtr = _BitWriter()
+        if ss == 0:
+            self._write_dc(wtr, cis, ah, al, restart_interval)
+        else:
+            self._write_ac(wtr, cis[0], ss, se, ah, al, restart_interval)
+        wtr.flush()
+        return bytes(_seg(0xDA, sos)) + bytes(wtr.out)
+
+    # -- DC ----------------------------------------------------------------
+
+    def _dc_units(self, cis):
+        if len(cis) == 1:
+            # non-interleaved: the component's own ceil grid (§A.2.2)
+            ci = cis[0]
+            c = self.comps[ci]
+            hmax = max(x["h"] for x in self.comps)
+            vmax = max(x["v"] for x in self.comps)
+            cw = -(-self.w * c["h"] // hmax)
+            ch = -(-self.h * c["v"] // vmax)
+            for by in range(-(-ch // 8)):
+                for bx in range(-(-cw // 8)):
+                    yield [(ci, by, bx)]
+            return
+        for my in range(self.mcuy):
+            for mx in range(self.mcux):
+                unit = []
+                for ci in cis:
+                    c = self.comps[ci]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            unit.append(
+                                (ci, my * c["v"] + by, mx * c["h"] + bx)
+                            )
+                yield unit
+
+    def _write_dc(self, wtr, cis, ah, al, restart_interval):
+        preds = {ci: 0 for ci in cis}
+        done = 0
+        rst = 0
+        units = list(self._dc_units(cis))
+        for ui, unit in enumerate(units):
+            for ci, by, bx in unit:
+                dc = int(self.comps[ci]["blocks"][by, bx, 0])
+                if ah == 0:
+                    t = dc >> al  # arithmetic shift, matches decode <<
+                    diff = t - preds[ci]
+                    preds[ci] = t
+                    s = _cat(diff)
+                    code, ln = self.dc_maps[self._tid(ci)][s]
+                    wtr.put(code, ln)
+                    if s:
+                        v = diff if diff > 0 else diff + (1 << s) - 1
+                        wtr.put(v, s)
+                else:
+                    wtr.put((dc >> al) & 1, 1)
+            done += 1
+            if (
+                restart_interval
+                and done % restart_interval == 0
+                and ui + 1 < len(units)
+            ):
+                wtr.flush()
+                wtr.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                preds = {ci: 0 for ci in cis}
+
+    # -- AC ----------------------------------------------------------------
+
+    def _ac_blocks(self, ci):
+        c = self.comps[ci]
+        hmax = max(x["h"] for x in self.comps)
+        vmax = max(x["v"] for x in self.comps)
+        cw = -(-self.w * c["h"] // hmax)
+        ch = -(-self.h * c["v"] // vmax)
+        for by in range(-(-ch // 8)):
+            for bx in range(-(-cw // 8)):
+                yield c["blocks"][by, bx]
+
+    def _write_ac(self, wtr, ci, ss, se, ah, al, restart_interval):
+        ac_m = self.ac_maps[self._tid(ci)]
+        state = {"eobrun": 0, "pending": []}
+
+        def flush_eobrun():
+            if state["eobrun"]:
+                rb = state["eobrun"].bit_length() - 1
+                code, ln = ac_m[rb << 4]
+                wtr.put(code, ln)
+                if rb:
+                    wtr.put(state["eobrun"] - (1 << rb), rb)
+                for bit in state["pending"]:
+                    wtr.put(bit, 1)
+                state["pending"] = []
+                state["eobrun"] = 0
+
+        blocks = list(self._ac_blocks(ci))
+        done = 0
+        rst = 0
+        for bi, qz in enumerate(blocks):
+            if ah == 0:
+                self._ac_first_block(wtr, ac_m, qz, ss, se, al, state,
+                                     flush_eobrun)
+            else:
+                self._ac_refine_block(wtr, ac_m, qz, ss, se, al, state,
+                                      flush_eobrun)
+            done += 1
+            if (
+                restart_interval
+                and done % restart_interval == 0
+                and bi + 1 < len(blocks)
+            ):
+                flush_eobrun()
+                wtr.flush()
+                wtr.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+        flush_eobrun()
+
+    def _ac_first_block(self, wtr, ac_m, qz, ss, se, al, state, flush_eobrun):
+        t = [_shift_toward_zero(int(qz[k]), al) for k in range(ss, se + 1)]
+        if not any(t):
+            state["eobrun"] += 1
+            if state["eobrun"] == 0x7FFF:
+                flush_eobrun()
+            return
+        flush_eobrun()
+        r = 0
+        for tv in t:
+            if tv == 0:
+                r += 1
+                continue
+            while r > 15:
+                code, ln = ac_m[0xF0]
+                wtr.put(code, ln)
+                r -= 16
+            s = _cat(tv)
+            code, ln = ac_m[(r << 4) | s]
+            wtr.put(code, ln)
+            vb = tv if tv > 0 else tv + (1 << s) - 1
+            wtr.put(vb, s)
+            r = 0
+        if r:
+            state["eobrun"] += 1
+            if state["eobrun"] == 0x7FFF:
+                flush_eobrun()
+
+    def _ac_refine_block(self, wtr, ac_m, qz, ss, se, al, state, flush_eobrun):
+        vals = [int(qz[k]) for k in range(ss, se + 1)]
+        absv = [abs(v) >> al for v in vals]
+        eob = -1  # index of the last NEWLY-significant coefficient
+        for i, a in enumerate(absv):
+            if a == 1:
+                eob = i
+        r = 0
+        br: list[int] = []
+        for i, a in enumerate(absv):
+            if a == 0:
+                r += 1
+                continue
+            # emit pending ZRLs at the FIRST nonzero (history or new) so
+            # the wire order of buffered correction bits matches the
+            # decoder's advance order; ZRLs past the last new coefficient
+            # fold into the EOB run instead
+            while r > 15 and i <= eob:
+                flush_eobrun()
+                code, ln = ac_m[0xF0]
+                wtr.put(code, ln)
+                r -= 16
+                for bit in br:
+                    wtr.put(bit, 1)
+                br = []
+            if a > 1:  # history coefficient → buffered correction bit
+                br.append(a & 1)
+                continue
+            # newly significant (a == 1)
+            flush_eobrun()
+            code, ln = ac_m[(r << 4) | 1]
+            wtr.put(code, ln)
+            wtr.put(1 if vals[i] > 0 else 0, 1)
+            for bit in br:
+                wtr.put(bit, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            state["eobrun"] += 1
+            state["pending"].extend(br)
+            if state["eobrun"] == 0x7FFF:
+                flush_eobrun()
+
+
+def encode_jpeg_progressive(
+    px: np.ndarray,
+    scans: list[dict] | None = None,
+    quality: int = 90,
+    subsample: bool = False,
+    grayscale: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Progressive JFIF encoder over an explicit scan script (defaults to
+    a libjpeg-style spectral-selection + successive-approximation plan)."""
+    h, w, comps, ql_z, qc_z, mcux, mcuy = _quantized_components(
+        px, quality, subsample, grayscale
+    )
+    n = len(comps)
+    if scans is None:
+        scans = default_progressive_scans(n)
+    out = _headers(h, w, comps, ql_z, qc_z, restart_interval, 0xC2)
+    # override the Annex-K AC tables with the EOBn-capable flat table
+    for tc in (0x10, 0x11):
+        out += _seg(0xC4, bytes([tc]) + bytes(AC_PROG[0]) + AC_PROG[1])
+    pw = _ProgressiveWriter(comps, mcux, mcuy, h, w)
+    for scan in scans:
+        out += pw.scan_bytes(scan, restart_interval)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def default_progressive_scans(ncomp: int) -> list[dict]:
+    """The classic libjpeg-ish script: approximated DC, split AC bands at
+    Al=2, then two AC refinement sweeps and a DC refinement."""
+    all_c = list(range(ncomp))
+    scans = [{"comps": all_c, "ss": 0, "se": 0, "ah": 0, "al": 1}]
+    for ci in all_c:
+        scans += [
+            {"comps": [ci], "ss": 1, "se": 5, "ah": 0, "al": 2},
+            {"comps": [ci], "ss": 6, "se": 63, "ah": 0, "al": 2},
+        ]
+    for al in (1, 0):
+        for ci in all_c:
+            scans.append({"comps": [ci], "ss": 1, "se": 63, "ah": al + 1,
+                          "al": al})
+    scans.append({"comps": all_c, "ss": 0, "se": 0, "ah": 1, "al": 0})
+    return scans
 
 
 # ---- spec-constant spot checks (independent of the round trip) ------------
@@ -372,13 +667,131 @@ def test_jpeg_unsupported_profiles_stay_honest():
 
     px = _smooth(8, 8)
     blob = bytearray(encode_jpeg(px))
-    # flip SOF0 → SOF2 (progressive)
+    # flip SOF0 → SOF3 (lossless) — still honestly unsupported
     i = blob.index(bytes([0xFF, 0xC0]))
-    blob[i + 1] = 0xC2
+    blob[i + 1] = 0xC3
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(blob))
     with pytest.raises(ValueError):
         decode_jpeg(b"\x00\x00not a jpeg")
+
+
+# ---- progressive (SOF2) ----------------------------------------------------
+#
+# The strongest oracle available without a codec library: progressive
+# scans are a LOSSLESS re-serialization of the same quantized
+# coefficients, so the progressive decode must equal the baseline decode
+# of the same image BIT-FOR-BIT — any EOB-run / refinement / band
+# mistake on either side breaks exact equality over random content.
+
+
+def _assert_progressive_matches_baseline(px, scans=None, **kw):
+    from puma_matcher_spark.llmdata.jpeg import decode_jpeg
+
+    restart = kw.pop("restart_interval", 0)
+    base = decode_jpeg(encode_jpeg(px, **kw))
+    prog = decode_jpeg(
+        encode_jpeg_progressive(
+            px, scans=scans, restart_interval=restart, **kw
+        )
+    )
+    assert np.array_equal(base, prog)
+
+
+def _noise(h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def test_progressive_default_script_444():
+    _assert_progressive_matches_baseline(_smooth(24, 17), quality=90)
+    _assert_progressive_matches_baseline(_noise(16, 16, 1), quality=85)
+
+
+def test_progressive_default_script_420_and_grayscale():
+    _assert_progressive_matches_baseline(
+        _smooth(23, 21), quality=80, subsample=True
+    )
+    _assert_progressive_matches_baseline(
+        _noise(20, 19, 2), quality=90, subsample=True
+    )
+    _assert_progressive_matches_baseline(
+        _smooth(15, 22), quality=90, grayscale=True
+    )
+
+
+def test_progressive_spectral_selection_only():
+    scans = [
+        {"comps": [0, 1, 2], "ss": 0, "se": 0, "ah": 0, "al": 0},
+        {"comps": [0], "ss": 1, "se": 63, "ah": 0, "al": 0},
+        {"comps": [1], "ss": 1, "se": 9, "ah": 0, "al": 0},
+        {"comps": [1], "ss": 10, "se": 63, "ah": 0, "al": 0},
+        {"comps": [2], "ss": 1, "se": 63, "ah": 0, "al": 0},
+    ]
+    _assert_progressive_matches_baseline(_noise(17, 25, 3), scans=scans)
+
+
+def test_progressive_noninterleaved_dc_scans():
+    # per-component DC scans (ns=1) walk the component's own ceil grid
+    scans = []
+    for ci in range(3):
+        scans.append({"comps": [ci], "ss": 0, "se": 0, "ah": 0, "al": 1})
+    for ci in range(3):
+        scans.append({"comps": [ci], "ss": 1, "se": 63, "ah": 0, "al": 1})
+    for ci in range(3):
+        scans.append({"comps": [ci], "ss": 1, "se": 63, "ah": 1, "al": 0})
+    for ci in range(3):
+        scans.append({"comps": [ci], "ss": 0, "se": 0, "ah": 1, "al": 0})
+    _assert_progressive_matches_baseline(_noise(21, 18, 4), scans=scans)
+    _assert_progressive_matches_baseline(
+        _smooth(19, 27), scans=scans, subsample=True
+    )
+
+
+def test_progressive_with_restart_intervals():
+    _assert_progressive_matches_baseline(
+        _noise(24, 24, 5), restart_interval=3
+    )
+    _assert_progressive_matches_baseline(
+        _smooth(33, 18), restart_interval=2, subsample=True
+    )
+
+
+def test_progressive_deep_successive_approximation():
+    # start at Al=3 and refine down in three sweeps — long EOB runs and
+    # many correction bits in the early low-precision passes
+    scans = [{"comps": [0, 1, 2], "ss": 0, "se": 0, "ah": 0, "al": 3}]
+    for ci in range(3):
+        scans.append({"comps": [ci], "ss": 1, "se": 63, "ah": 0, "al": 3})
+    for al in (2, 1, 0):
+        for ci in range(3):
+            scans.append(
+                {"comps": [ci], "ss": 1, "se": 63, "ah": al + 1, "al": al}
+            )
+    for al in (2, 1, 0):
+        scans.append(
+            {"comps": [0, 1, 2], "ss": 0, "se": 0, "ah": al + 1, "al": al}
+        )
+    _assert_progressive_matches_baseline(_noise(16, 23, 6), scans=scans)
+    _assert_progressive_matches_baseline(_smooth(26, 26), scans=scans)
+
+
+def test_progressive_truncation_raises_valueerror():
+    from puma_matcher_spark.llmdata.jpeg import decode_jpeg
+
+    blob = encode_jpeg_progressive(_smooth(16, 16))
+    for cut in [len(blob) // 3, len(blob) // 2, len(blob) - 10]:
+        with pytest.raises(ValueError):
+            decode_jpeg(blob[:cut])
+
+
+def test_progressive_media_dispatch_and_determinism():
+    from puma_matcher_spark.llmdata.jpeg import decode_jpeg
+    from puma_matcher_spark.llmdata.multimodal import decode_image
+
+    blob = encode_jpeg_progressive(_smooth(16, 16))
+    a, b = decode_jpeg(blob), decode_image(blob)
+    assert np.array_equal(a, b)
 
 
 def test_jpeg_truncation_raises_valueerror_not_indexerror():

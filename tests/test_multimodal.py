@@ -285,16 +285,18 @@ def test_extract_media_features_decoded_end_to_end(spark):
         extract_media_features_decoded,
     )
 
-    from tests.test_jpeg import encode_jpeg
+    from tests.test_jpeg import encode_jpeg, encode_jpeg_progressive
 
     px1, px2 = _test_pixels(32, 32), _test_pixels(64, 48)
     px3, px4 = _test_pixels(32, 32), _test_pixels(48, 32)
     jpg4 = encode_jpeg(px4, quality=90)
+    jpg5 = encode_jpeg_progressive(px4, quality=90)
     rows = [
         (1, bytearray(_ppm_bytes(px1))),
         (2, bytearray(_bmp_bytes(px2))),
         (3, bytearray(_png_bytes(px3, filter_type=4))),
         (4, bytearray(jpg4)),
+        (5, bytearray(jpg5)),
     ]
     media = spark.createDataFrame(rows, "media_id LONG, payload BINARY")
     got = {r["media_id"]: r for r in extract_media_features_decoded(media).collect()}
@@ -305,6 +307,9 @@ def test_extract_media_features_decoded_end_to_end(spark):
     # hash of ITS decode, executor-deterministic
     assert got[3]["perceptual_hash"] == blockhash_256(px3)
     assert got[4]["perceptual_hash"] == blockhash_256(decode_image(jpg4))
+    # the progressive serialization carries the same coefficients →
+    # identical hash to the baseline one
+    assert got[5]["perceptual_hash"] == got[4]["perceptual_hash"]
 
 
 # ---- PNG (pure stdlib-zlib decode) ----------------------------------------
