@@ -277,10 +277,10 @@ def _decode_png(payload: bytes) -> np.ndarray:
     """Pure numpy + stdlib-zlib PNG decode (the 'compression' in PNG is
     just DEFLATE, which Python ships — no external codec needed).
 
-    Supports the baseline still-image profile: 8-bit depth, color types
-    0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA),
-    non-interlaced.  Alpha is dropped (the feature kernels consume RGB);
-    other depths/interlacing raise honestly.
+    Supports 8- and 16-bit depths (16-bit rescaled to 8 like the netpbm
+    path), color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha),
+    6 (RGBA), both non-interlaced and Adam7-interlaced.  Alpha is
+    dropped (the feature kernels consume RGB).
     """
     import zlib
 
@@ -308,20 +308,38 @@ def _decode_png(payload: bytes) -> np.ndarray:
     w = int.from_bytes(ihdr[0:4], "big")
     h = int.from_bytes(ihdr[4:8], "big")
     depth, color, _comp, _filt, interlace = ihdr[8:13]
-    if depth != 8 or interlace != 0:
+    if depth not in (8, 16) or interlace not in (0, 1):
         raise NotImplementedError(
             f"PNG bit depth {depth} / interlace {interlace} not supported "
-            "(baseline profile: 8-bit non-interlaced)"
+            "(8/16-bit, non-interlaced or Adam7)"
         )
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
     if channels is None:
         raise ValueError(f"bad PNG color type {color}")
-    stride = w * channels
+    if color == 3 and depth == 16:
+        raise ValueError("16-bit palette PNG is not legal")
+    nbytes = depth // 8
+    bpp = channels * nbytes  # filter unit: bytes per pixel
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    if raw.size != h * (stride + 1):
-        raise ValueError("PNG pixel stream size mismatch")
-    pix = _png_unfilter(raw.reshape(h, stride + 1), h, stride, channels)
-    pix = pix.reshape(h, w, channels)
+    if interlace == 0:
+        stride = w * bpp
+        if raw.size != h * (stride + 1):
+            raise ValueError("PNG pixel stream size mismatch")
+        bytes2d = _png_unfilter(raw.reshape(h, stride + 1), h, stride, bpp)
+    else:
+        bytes2d = _png_deinterlace_adam7(raw, h, w, bpp)
+    if depth == 16:
+        wide = bytes2d.reshape(h, w * channels, 2)
+        samples = (
+            wide[:, :, 0].astype(np.uint16) << 8
+        ) | wide[:, :, 1].astype(np.uint16)
+        pix = (
+            np.round(samples.astype(np.float64) * 255.0 / 65535.0)
+            .astype(np.uint8)
+            .reshape(h, w, channels)
+        )
+    else:
+        pix = bytes2d.reshape(h, w, channels)
     if color == 3:
         if plte is None:
             raise ValueError("palette PNG without PLTE")
@@ -333,11 +351,54 @@ def _decode_png(payload: bytes) -> np.ndarray:
     return pix[:, :, :3].copy()
 
 
+#: Adam7 pass geometry: (x0, y0, dx, dy) per pass (PNG spec §8.2)
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _png_deinterlace_adam7(
+    raw: np.ndarray, h: int, w: int, bpp: int
+) -> np.ndarray:
+    """Adam7: seven independently-filtered sub-images scattered back to
+    the full (h, w*bpp) byte grid.  Empty passes contribute zero bytes
+    (not even filter bytes), per spec."""
+    out = np.zeros((h, w * bpp), dtype=np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        stride = pw * bpp
+        need = ph * (stride + 1)
+        if pos + need > raw.size:
+            raise ValueError("PNG interlaced pixel stream truncated")
+        sub = _png_unfilter(
+            raw[pos : pos + need].reshape(ph, stride + 1), ph, stride, bpp
+        ).reshape(ph, pw, bpp)
+        pos += need
+        rows = y0 + dy * np.arange(ph)
+        cols = x0 + dx * np.arange(pw)
+        grid = out.reshape(h, w, bpp)
+        grid[np.ix_(rows, cols)] = sub
+    if pos != raw.size:
+        raise ValueError("PNG pixel stream size mismatch")
+    return out
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """REAL image decode, pure numpy + stdlib: netpbm P5/P6 (8/16-bit),
-    24/32-bit BI_RGB BMP, 8-bit non-interlaced PNG (DEFLATE via stdlib
-    zlib), and both baseline and progressive JPEG (llmdata/jpeg.py).
-    WebP remains NotImplemented — the honest boundary.
+    24/32-bit BI_RGB BMP, 8/16-bit PNG incl. Adam7 interlacing (DEFLATE
+    via stdlib zlib), and both baseline and progressive JPEG
+    (llmdata/jpeg.py).  WebP remains NotImplemented — the honest
+    boundary.
 
     Returns (height, width, 3) uint8 RGB.
     """

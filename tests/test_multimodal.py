@@ -385,6 +385,111 @@ def _png_bytes(px: np.ndarray, filter_type: int = 0, color: int = 2) -> bytes:
     )
 
 
+def _filter_scanlines(rows: np.ndarray, bpp: int) -> bytearray:
+    """Serialize (h, stride) uint8 rows with filter types cycling 0..4
+    per scanline (byte-level filters, valid for any sample depth)."""
+    out = bytearray()
+    h, stride = rows.shape
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        cur = rows[y].astype(np.int32)
+        ftype = y % 5
+        left = np.concatenate([np.zeros(bpp, dtype=np.int32), cur[:-bpp]])
+        cleft = np.concatenate([np.zeros(bpp, dtype=np.int32), prev[:-bpp]])
+        if ftype == 0:
+            filt = cur
+        elif ftype == 1:
+            filt = (cur - left) % 256
+        elif ftype == 2:
+            filt = (cur - prev) % 256
+        elif ftype == 3:
+            filt = (cur - ((left + prev) >> 1)) % 256
+        else:
+            p = left + prev - cleft
+            pa, pb, pc = (
+                np.abs(p - left), np.abs(p - prev), np.abs(p - cleft)
+            )
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, cleft)
+            )
+            filt = (cur - pred) % 256
+        out.append(ftype)
+        out.extend(filt.astype(np.uint8).tobytes())
+        prev = cur
+    return out
+
+
+def _png_bytes_generic(
+    px: np.ndarray, color: int = 2, depth: int = 8, interlace: int = 0
+) -> bytes:
+    """Test PNG writer for 8/16-bit and Adam7; 16-bit samples are the
+    8-bit pixels widened by 257 so the decoder's rescale round-trips."""
+    import struct
+    import zlib
+
+    h, w = px.shape[:2]
+    nch = {0: 1, 2: 3}[color]
+    flat = px[:, :, :nch]
+    if depth == 16:
+        samples = (flat.astype(np.uint16) * 257).astype(">u2")
+        rows = np.frombuffer(samples.tobytes(), dtype=np.uint8).reshape(
+            h, w * nch * 2
+        )
+        bpp = nch * 2
+    else:
+        rows = flat.reshape(h, w * nch)
+        bpp = nch
+    out = bytearray()
+    if interlace == 0:
+        out = _filter_scanlines(rows, bpp)
+    else:
+        passes = [
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        ]
+        grid = rows.reshape(h, w, bpp)
+        for x0, y0, dx, dy in passes:
+            sub = grid[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            ph, pw = sub.shape[:2]
+            out += _filter_scanlines(sub.reshape(ph, pw * bpp), bpp)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def test_decode_png_adam7_interlaced():
+    from puma_matcher_spark.llmdata.multimodal import decode_image
+
+    for h, w in [(13, 7), (8, 8), (1, 1), (2, 3), (16, 5), (9, 17)]:
+        px = _test_pixels(h, w)
+        out = decode_image(_png_bytes_generic(px, interlace=1))
+        assert np.array_equal(out, px), (h, w)
+    # grayscale Adam7
+    px = _test_pixels(11, 6)
+    g = decode_image(_png_bytes_generic(px, color=0, interlace=1))
+    assert np.array_equal(g, np.repeat(px[:, :, :1], 3, axis=2))
+
+
+def test_decode_png_16bit():
+    from puma_matcher_spark.llmdata.multimodal import decode_image
+
+    px = _test_pixels(10, 9)
+    assert np.array_equal(decode_image(_png_bytes_generic(px, depth=16)), px)
+    # 16-bit + Adam7 together
+    assert np.array_equal(
+        decode_image(_png_bytes_generic(px, depth=16, interlace=1)), px
+    )
+    # 16-bit grayscale
+    g = decode_image(_png_bytes_generic(px, color=0, depth=16))
+    assert np.array_equal(g, np.repeat(px[:, :, :1], 3, axis=2))
+
+
 def test_decode_png_roundtrip_every_filter():
     from puma_matcher_spark.llmdata.multimodal import decode_image
 
@@ -436,6 +541,11 @@ def test_decode_png_unsupported_profiles_stay_honest():
 
     px = _test_pixels(4, 4)
     blob = bytearray(_png_bytes(px))
-    blob[24] = 16  # bit depth byte inside IHDR
+    blob[24] = 4  # sub-byte bit depth inside IHDR — still unsupported
     with _pytest.raises(NotImplementedError):
+        decode_image(bytes(blob))
+    # 16-bit is SUPPORTED now, but an 8-bit-sized stream relabelled as
+    # 16-bit must fail loudly, not misdecode
+    blob[24] = 16
+    with _pytest.raises(ValueError):
         decode_image(bytes(blob))
