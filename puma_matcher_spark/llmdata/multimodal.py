@@ -461,6 +461,87 @@ def decode_pcm16(payload: bytes) -> np.ndarray:
     return np.frombuffer(payload[:usable], dtype="<i2")
 
 
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """REAL WAV (RIFF) container decode, pure numpy: PCM 8/16/24/32-bit
+    and IEEE-float32 sample formats, any channel count (downmixed to
+    mono by averaging), returning (int16 mono samples, sample_rate).
+
+    The RIFF layout is chunked — fmt then data, with unknown chunks
+    (LIST, fact, cue …) skipped by their declared size; a truncated or
+    format-free stream raises ValueError like the image decoders.
+    """
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos = 12
+    n = len(payload)
+    fmt = None
+    data = None
+    while pos + 8 <= n:
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+            if fmt is not None:
+                break
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if channels < 1:
+        raise ValueError("WAV with zero channels")
+    if audio_format == 0xFFFE and len(fmt) >= 26:
+        # WAVE_FORMAT_EXTENSIBLE: the real format is the first 2 bytes
+        # of the 16-byte SubFormat GUID
+        audio_format = int.from_bytes(fmt[24:26], "little")
+    if audio_format == 3:  # IEEE float
+        if bits != 32:
+            raise NotImplementedError(f"float{bits} WAV not supported")
+        x = np.frombuffer(data[: len(data) // 4 * 4], dtype="<f4").astype(
+            np.float64
+        )
+        samples = np.clip(np.round(x * 32767.0), -32768, 32767)
+    elif audio_format == 1:  # integer PCM
+        if bits == 8:  # unsigned
+            x = np.frombuffer(data, dtype=np.uint8).astype(np.int32)
+            samples = (x - 128) << 8
+        elif bits == 16:
+            samples = np.frombuffer(
+                data[: len(data) // 2 * 2], dtype="<i2"
+            ).astype(np.int32)
+        elif bits == 24:
+            usable = len(data) // 3 * 3
+            b = np.frombuffer(data[:usable], dtype=np.uint8).reshape(-1, 3)
+            x = (
+                b[:, 0].astype(np.int32)
+                | (b[:, 1].astype(np.int32) << 8)
+                | (b[:, 2].astype(np.int32) << 16)
+            )
+            x = np.where(x >= 1 << 23, x - (1 << 24), x)
+            samples = x >> 8  # keep the top 16 bits
+        elif bits == 32:
+            x = np.frombuffer(data[: len(data) // 4 * 4], dtype="<i4")
+            samples = (x >> 16).astype(np.int32)
+        else:
+            raise NotImplementedError(f"{bits}-bit PCM WAV not supported")
+    else:
+        raise NotImplementedError(
+            f"WAV audio format {audio_format} not supported (PCM/float only)"
+        )
+    frames = samples.size // channels
+    mono = (
+        samples[: frames * channels]
+        .reshape(frames, channels)
+        .mean(axis=1)
+    )
+    return np.round(mono).astype(np.int16), rate
+
+
 AUDIO_FEATURE_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
@@ -469,6 +550,19 @@ AUDIO_FEATURE_SCHEMA = StructType(
         StructField("zcr", StringType()),       # cross-engine comparison
     ]
 )
+
+
+def _audio_stats(samples: np.ndarray):
+    """(n_samples, rms, zcr) of an int16 sample vector, floats emitted
+    as fixed 6-decimal strings for byte-exact cross-engine comparison."""
+    x = samples.astype(np.float64)
+    n = x.size
+    if n == 0:
+        return 0, "0.000000", "0.000000"
+    rms = float(np.sqrt(np.mean(x * x)))
+    zc = int(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1])))
+    zcr = zc / (n - 1) if n > 1 else 0.0
+    return n, f"{rms:.6f}", f"{zcr:.6f}"
 
 
 def extract_audio_features(media: DataFrame) -> DataFrame:
@@ -480,14 +574,7 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
     reproducible byte-for-byte across engines and partitionings."""
 
     def one(payload: str):
-        x = decode_pcm16((payload or "").encode()).astype(np.float64)
-        n = x.size
-        if n == 0:
-            return 0, "0.000000", "0.000000"
-        rms = float(np.sqrt(np.mean(x * x)))
-        zc = int(np.count_nonzero(np.signbit(x[1:]) != np.signbit(x[:-1])))
-        zcr = zc / (n - 1) if n > 1 else 0.0
-        return n, f"{rms:.6f}", f"{zcr:.6f}"
+        return _audio_stats(decode_pcm16((payload or "").encode()))
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -502,6 +589,50 @@ def extract_audio_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(process, AUDIO_FEATURE_SCHEMA)
+
+
+AUDIO_DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("rms", StringType()),
+        StructField("zcr", StringType()),
+    ]
+)
+
+
+def extract_audio_features_decoded(media: DataFrame) -> DataFrame:
+    """The REAL-container twin of :func:`extract_audio_features` for
+    BINARY payloads: RIFF magic routes through :func:`decode_wav`
+    (channels downmixed, any PCM/float format), anything else is treated
+    as raw little-endian PCM16 at an unknown rate (sample_rate 0).  Same
+    Arrow-batched mapInPandas shape — features shuffle, payloads don't."""
+
+    def one(payload) -> tuple:
+        raw = bytes(payload) if payload is not None else b""
+        if raw[:4] == b"RIFF":
+            samples, rate = decode_wav(raw)
+        else:
+            samples, rate = decode_pcm16(raw), 0
+        return (*_audio_stats(samples), rate)
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [one(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_samples": [f[0] for f in feats],
+                    "sample_rate": pd.Series(
+                        [f[3] for f in feats], dtype="int32"
+                    ),
+                    "rms": [f[1] for f in feats],
+                    "zcr": [f[2] for f in feats],
+                }
+            )
+
+    return media.mapInPandas(process, AUDIO_DECODED_SCHEMA)
 
 
 def sample_frame_offsets(n_bytes: int, frame_bytes: int, n_frames: int) -> list[int]:

@@ -549,3 +549,132 @@ def test_decode_png_unsupported_profiles_stay_honest():
     blob[24] = 16
     with _pytest.raises(ValueError):
         decode_image(bytes(blob))
+
+
+# ---- WAV (RIFF container) decode -------------------------------------------
+
+
+def _wav_bytes(
+    samples: np.ndarray,
+    rate: int = 16000,
+    bits: int = 16,
+    fmt: int = 1,
+    extensible: bool = False,
+    extra_chunk: bool = True,
+) -> bytes:
+    """Minimal RIFF/WAVE writer (test-only).  ``samples`` is (frames,
+    channels) int16-range; serialized per ``bits``/``fmt``."""
+    import struct
+
+    frames, channels = samples.shape
+    if fmt == 3:  # float32 in [-1, 1]
+        data = (samples.astype(np.float64) / 32767.0).astype("<f4").tobytes()
+        bits = 32
+    elif bits == 8:
+        data = ((samples.astype(np.int32) >> 8) + 128).astype(np.uint8).tobytes()
+    elif bits == 16:
+        data = samples.astype("<i2").tobytes()
+    elif bits == 24:
+        x = (samples.astype(np.int32) << 8).astype("<i4")
+        data = x.astype("<i4").tobytes()
+        # keep the low 3 of each 4 bytes (little-endian 24-bit)
+        b = np.frombuffer(data, dtype=np.uint8).reshape(-1, 4)
+        data = b[:, :3].tobytes()
+    elif bits == 32:
+        data = (samples.astype(np.int32) << 16).astype("<i4").tobytes()
+    else:
+        raise ValueError(bits)
+    block = channels * bits // 8
+    if extensible:
+        sub = struct.pack("<H", fmt) + b"\x00\x00" + b"\x00" * 12
+        fmt_body = struct.pack(
+            "<HHIIHHHHH", 0xFFFE, channels, rate, rate * block, block, bits,
+            22, bits, 0
+        )[:-2] + b"\x00\x00\x00\x00" + sub
+        # simpler: rebuild explicitly
+        fmt_body = (
+            struct.pack("<HHIIHH", 0xFFFE, channels, rate, rate * block,
+                        block, bits)
+            + struct.pack("<HHI", 22, bits, 0)
+            + sub[:16]
+        )
+    else:
+        fmt_body = struct.pack(
+            "<HHIIHH", fmt, channels, rate, rate * block, block, bits
+        )
+    chunks = b"fmt " + len(fmt_body).to_bytes(4, "little") + fmt_body
+    if extra_chunk:  # unknown chunk that must be skipped (odd size → pad)
+        junk = b"\x01\x02\x03"
+        chunks += b"LIST" + len(junk).to_bytes(4, "little") + junk + b"\x00"
+    chunks += b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+def _sine_i16(n=480, channels=1, amp=12000):
+    t = np.arange(n, dtype=np.float64)
+    base = np.round(amp * np.sin(2 * np.pi * t / 48.0))
+    return np.stack([base] * channels, axis=1).astype(np.int16)
+
+
+def test_decode_wav_formats_roundtrip():
+    from puma_matcher_spark.llmdata.multimodal import decode_wav
+
+    mono = _sine_i16()
+    for kw in [
+        {"bits": 16},
+        {"bits": 8},
+        {"bits": 24},
+        {"bits": 32},
+        {"fmt": 3},
+        {"bits": 16, "extensible": True},
+    ]:
+        out, rate = decode_wav(_wav_bytes(mono, **kw))
+        assert rate == 16000, kw
+        assert out.size == mono.shape[0], kw
+        tol = {8: 256, 16: 0, 24: 0, 32: 0}.get(kw.get("bits", 16), 1)
+        if kw.get("fmt") == 3:
+            tol = 1  # float round-trip
+        assert np.max(np.abs(out.astype(np.int32) - mono[:, 0].astype(np.int32))) <= tol, kw
+
+
+def test_decode_wav_stereo_downmix_and_errors():
+    import pytest as _pytest
+
+    from puma_matcher_spark.llmdata.multimodal import decode_wav
+
+    st = _sine_i16(channels=2)
+    st[:, 1] = -st[:, 1]  # opposite-phase channels cancel to ~0
+    out, _ = decode_wav(_wav_bytes(st))
+    assert np.max(np.abs(out)) <= 1
+    with _pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxWAVE")  # no fmt/data
+    with _pytest.raises(ValueError):
+        decode_wav(b"not audio at all")
+    # ADPCM (format 2) is honestly unsupported
+    blob = bytearray(_wav_bytes(_sine_i16()))
+    i = blob.index(b"fmt ") + 8
+    blob[i] = 2
+    with _pytest.raises(NotImplementedError):
+        decode_wav(bytes(blob))
+
+
+def test_extract_audio_features_decoded_end_to_end(spark):
+    from puma_matcher_spark.llmdata.multimodal import (
+        _audio_stats,
+        decode_pcm16,
+        extract_audio_features_decoded,
+    )
+
+    mono = _sine_i16()
+    wav = _wav_bytes(mono)
+    raw = mono[:, 0].astype("<i2").tobytes()
+    rows = [(1, bytearray(wav)), (2, bytearray(raw)), (3, bytearray(b""))]
+    media = spark.createDataFrame(rows, "media_id LONG, payload BINARY")
+    got = {r["media_id"]: r for r in extract_audio_features_decoded(media).collect()}
+    n, rms, zcr = _audio_stats(mono[:, 0])
+    assert (got[1]["n_samples"], got[1]["rms"], got[1]["zcr"]) == (n, rms, zcr)
+    assert got[1]["sample_rate"] == 16000
+    # raw PCM path: same samples, unknown rate
+    assert (got[2]["n_samples"], got[2]["rms"]) == (n, rms)
+    assert got[2]["sample_rate"] == 0
+    assert got[3]["n_samples"] == 0
