@@ -393,12 +393,145 @@ def _png_deinterlace_adam7(
     return out
 
 
+def _gif_lzw(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
+    """GIF-variant LZW decode (LSB-first bit packing, CLEAR/END codes,
+    growing code width capped at 12 bits) → palette indices."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = np.empty(n_pixels, dtype=np.uint8)
+    n_out = 0
+    # bit cursor over the concatenated sub-block data, LSB first
+    acc = 0
+    nbits = 0
+    pos = 0
+
+    def fresh_table():
+        return {i: (i,) for i in range(clear)}
+
+    table = fresh_table()
+    next_code = end + 1
+    width = min_code_size + 1
+    prev: tuple | None = None
+    while n_out < n_pixels:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated GIF LZW stream")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = fresh_table()
+            next_code = end + 1
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + (prev[0],)
+        else:
+            raise ValueError("corrupt GIF LZW code")
+        for v in entry:
+            if n_out < n_pixels:
+                out[n_out] = v
+                n_out += 1
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + (entry[0],)
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    if n_out < n_pixels:
+        raise ValueError("GIF pixel stream ended early")
+    return out
+
+
+def _decode_gif(payload: bytes) -> np.ndarray:
+    """Pure-python GIF87a/89a decode of the FIRST image frame (the
+    still-image semantics of the feature plane): global/local color
+    tables, interlacing, LZW.  Extensions (incl. animation control) are
+    skipped; the frame is composited onto the logical screen at the
+    background color."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    sw = int.from_bytes(payload[6:8], "little")
+    sh = int.from_bytes(payload[8:10], "little")
+    flags = payload[10]
+    bg_index = payload[11]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        size = 2 << (flags & 0x07)
+        gct = np.frombuffer(payload, np.uint8, size * 3, pos).reshape(-1, 3)
+        pos += size * 3
+    n = len(payload)
+    while pos < n:
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while pos < n and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"bad GIF block 0x{block:02x}")
+        left = int.from_bytes(payload[pos : pos + 2], "little")
+        top = int.from_bytes(payload[pos + 2 : pos + 4], "little")
+        fw = int.from_bytes(payload[pos + 4 : pos + 6], "little")
+        fh = int.from_bytes(payload[pos + 6 : pos + 8], "little")
+        iflags = payload[pos + 8]
+        pos += 9
+        table = gct
+        if iflags & 0x80:
+            size = 2 << (iflags & 0x07)
+            table = np.frombuffer(payload, np.uint8, size * 3, pos).reshape(
+                -1, 3
+            )
+            pos += size * 3
+        if table is None:
+            raise ValueError("GIF frame without a color table")
+        min_code_size = payload[pos]
+        pos += 1
+        chunks = bytearray()
+        while pos < n and payload[pos] != 0:
+            ln = payload[pos]
+            chunks += payload[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1  # block terminator
+        idx = _gif_lzw(bytes(chunks), min_code_size, fw * fh).reshape(fh, fw)
+        if iflags & 0x40:  # interlaced: 4-pass row order
+            deint = np.empty_like(idx)
+            order = np.concatenate(
+                [np.arange(0, fh, 8), np.arange(4, fh, 8),
+                 np.arange(2, fh, 4), np.arange(1, fh, 2)]
+            )
+            deint[order] = idx
+            idx = deint
+        screen_idx = np.full((sh, sw), bg_index, dtype=np.uint8)
+        h2 = min(fh, sh - top)
+        w2 = min(fw, sw - left)
+        screen_idx[top : top + h2, left : left + w2] = idx[:h2, :w2]
+        safe = np.minimum(screen_idx, len(table) - 1)
+        return table[safe].copy()
+    raise ValueError("GIF contained no image frame")
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """REAL image decode, pure numpy + stdlib: netpbm P5/P6 (8/16-bit),
     24/32-bit BI_RGB BMP, 8/16-bit PNG incl. Adam7 interlacing (DEFLATE
-    via stdlib zlib), and both baseline and progressive JPEG
-    (llmdata/jpeg.py).  WebP remains NotImplemented — the honest
-    boundary.
+    via stdlib zlib), GIF87a/89a (LZW, first frame), and both baseline
+    and progressive JPEG (llmdata/jpeg.py).  WebP remains
+    NotImplemented — the honest boundary.
 
     Returns (height, width, 3) uint8 RGB.
     """
@@ -408,6 +541,8 @@ def decode_image(payload: bytes) -> np.ndarray:
         return _decode_bmp(payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(payload)
     if payload[:2] == b"\xff\xd8":
         from puma_matcher_spark.llmdata.jpeg import decode_jpeg
 

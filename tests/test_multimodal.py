@@ -678,3 +678,146 @@ def test_extract_audio_features_decoded_end_to_end(spark):
     assert (got[2]["n_samples"], got[2]["rms"]) == (n, rms)
     assert got[2]["sample_rate"] == 0
     assert got[3]["n_samples"] == 0
+
+
+# ---- GIF (LZW) decode ------------------------------------------------------
+
+
+class _LSBWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, value: int, nbits: int) -> None:
+        self.acc |= value << self.n
+        self.n += nbits
+        while self.n >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.n -= 8
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.out.append(self.acc & 0xFF)
+            self.acc = self.n = 0
+        return bytes(self.out)
+
+
+def _gif_lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
+    """Real string-table GIF LZW encoder (LSB-first, growing widths,
+    table reset at 4096) — written from the published algorithm,
+    independent of the decoder under test."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    w = _LSBWriter()
+    width = min_code_size + 1
+    table = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    w.put(clear, width)
+    prefix: tuple = ()
+    for v in map(int, indices.reshape(-1)):
+        cand = prefix + (v,)
+        if cand in table:
+            prefix = cand
+            continue
+        w.put(table[prefix], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4096:
+            w.put(clear, width)
+            width = min_code_size + 1
+            table = {(i,): i for i in range(clear)}
+            next_code = end + 1
+        prefix = (v,)
+    if prefix:
+        w.put(table[prefix], width)
+    w.put(end, width)
+    return w.flush()
+
+
+def _gif_bytes(
+    idx: np.ndarray,
+    palette: np.ndarray,
+    interlace: bool = False,
+    local_table: bool = False,
+    extension: bool = True,
+) -> bytes:
+    h, w = idx.shape
+    npal = len(palette)
+    bits = max(2, int(np.ceil(np.log2(npal))))
+    pal = np.zeros((1 << bits, 3), dtype=np.uint8)
+    pal[:npal] = palette
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    if local_table:
+        out += bytes([0x00, 0, 0])  # no global table
+    else:
+        out += bytes([0x80 | (bits - 1), 0, 0])
+        out += pal.tobytes()
+    if extension:  # graphic control extension — must be skipped cleanly
+        out += bytes([0x21, 0xF9, 4, 0, 0, 0, 0, 0])
+    rows = idx
+    if interlace:
+        order = np.concatenate(
+            [np.arange(0, h, 8), np.arange(4, h, 8),
+             np.arange(2, h, 4), np.arange(1, h, 2)]
+        )
+        rows = idx[order]
+    out += bytes([0x2C]) + (0).to_bytes(2, "little") * 2
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([(0x80 | (bits - 1) if local_table else 0) | (0x40 if interlace else 0)])
+    if local_table:
+        out += pal.tobytes()
+    mcs = bits
+    out += bytes([mcs])
+    data = _gif_lzw_encode(rows, mcs)
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += bytes([0, 0x3B])
+    return bytes(out)
+
+
+def test_decode_gif_roundtrip():
+    from puma_matcher_spark.llmdata.multimodal import decode_image
+
+    rng = np.random.default_rng(11)
+    palette = rng.integers(0, 256, size=(4, 3), dtype=np.uint8)
+    idx = rng.integers(0, 4, size=(13, 9), dtype=np.uint8)
+    out = decode_image(_gif_bytes(idx, palette))
+    assert np.array_equal(out, palette[idx])
+    # local color table variant
+    out_l = decode_image(_gif_bytes(idx, palette, local_table=True))
+    assert np.array_equal(out_l, palette[idx])
+
+
+def test_decode_gif_interlaced_and_big_palette():
+    from puma_matcher_spark.llmdata.multimodal import decode_image
+
+    rng = np.random.default_rng(12)
+    palette = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+    idx = rng.integers(0, 256, size=(21, 17), dtype=np.uint8)
+    assert np.array_equal(
+        decode_image(_gif_bytes(idx, palette, interlace=True)), palette[idx]
+    )
+    # large image forces LZW table growth through several widths
+    big = rng.integers(0, 256, size=(64, 64), dtype=np.uint8)
+    assert np.array_equal(decode_image(_gif_bytes(big, palette)), palette[big])
+
+
+def test_decode_gif_errors():
+    import pytest as _pytest
+
+    from puma_matcher_spark.llmdata.multimodal import decode_image
+
+    with _pytest.raises(ValueError):
+        decode_image(b"GIF89a" + b"\x00" * 7)  # truncated
+    rng = np.random.default_rng(13)
+    palette = rng.integers(0, 256, size=(4, 3), dtype=np.uint8)
+    idx = rng.integers(0, 4, size=(5, 5), dtype=np.uint8)
+    blob = bytearray(_gif_bytes(idx, palette))
+    with _pytest.raises(ValueError):
+        decode_image(bytes(blob[: len(blob) - 12]))  # cut mid-LZW
