@@ -7,16 +7,18 @@ The reference shells out to a Python blockhash per image row
 the hash kernel real, and the codec layer is now real too for the
 formats a codec-free container can decode: ``decode_image`` handles
 netpbm P5/P6 (8- and 16-bit, any maxval), uncompressed 24/32-bit BMP,
-and 8-bit non-interlaced PNG
-(chunks + scanline unfiltering in pure numpy; the DEFLATE stream is
-stdlib ``zlib`` — no external codec involved), run end-to-end by
-``extract_media_features_decoded``, plus baseline sequential AND
-progressive JPEG (huffman + spectral-selection/successive-approximation
-scans + dequant + IDCT + YCbCr, llmdata/jpeg.py) — every common
-still-image container now decodes stdlib-only.  WebP (a VP8 codec) and
-the exotic JPEG profiles (arithmetic, lossless, 12-bit) raise
-NotImplementedError honestly; the synthetic fixture path keeps
-``fake_decode_rgb`` because its string payloads are not image bytes.
+8/16-bit PNG including Adam7 interlacing (chunks + scanline unfiltering
+in pure numpy; the DEFLATE stream is stdlib ``zlib``), GIF87a/89a (LZW),
+plus baseline sequential AND progressive JPEG (huffman +
+spectral-selection/successive-approximation scans + dequant + IDCT +
+YCbCr, llmdata/jpeg.py) — every common still-image container now
+decodes stdlib-only, run end-to-end by
+``extract_media_features_decoded``.  Audio decodes WAV/RIFF containers
+(PCM 8/16/24/32 + float32) and raw PCM16; video decodes YUV4MPEG2
+(y4m).  WebP (a VP8 codec) and the exotic JPEG profiles (arithmetic,
+lossless, 12-bit) raise NotImplementedError honestly; the synthetic
+fixture paths keep ``fake_decode_rgb`` because their string payloads
+are not media bytes.
 
 Scale notes: binary payloads ride the shuffle only if you shuffle them —
 process media in the partition where the scan produced it (mapInPandas
@@ -782,6 +784,92 @@ def sample_frame_offsets(n_bytes: int, frame_bytes: int, n_frames: int) -> list[
     return [(i * total // k) * frame_bytes for i in range(k)]
 
 
+def decode_y4m(
+    payload: bytes, frame_indices: list[int] | None = None
+) -> tuple[list[np.ndarray], int]:
+    """REAL video container decode: YUV4MPEG2 (y4m), the standard
+    uncompressed interchange format (what ffmpeg/x264 pipe to each
+    other).  Returns (RGB frames for ``frame_indices`` — default all —
+    in index order, total_frame_count).
+
+    Supports C420* / C422 / C444 / Cmono planar layouts; YCbCr→RGB uses
+    limited-range BT.601 (the y4m default).  Only the requested frames
+    are converted — the scan skips the rest by their fixed plane size,
+    so sampling k frames from a long clip is O(frames) header walks but
+    O(k) pixel work.
+    """
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a y4m payload")
+    nl = payload.find(b"\n")
+    if nl < 0:
+        raise ValueError("truncated y4m header")
+    w = h = None
+    cs = "420"
+    for tok in payload[10:nl].decode("ascii", "replace").split(" "):
+        if tok[:1] == "W":
+            w = int(tok[1:])
+        elif tok[:1] == "H":
+            h = int(tok[1:])
+        elif tok[:1] == "C":
+            cs = tok[1:]
+    if not w or not h:
+        raise ValueError("y4m header missing W/H")
+    if cs.startswith("420"):
+        subx = suby = 2
+    elif cs.startswith("422"):
+        subx, suby = 2, 1
+    elif cs.startswith("444"):
+        subx = suby = 1
+    elif cs == "mono":
+        subx = suby = 0
+    else:
+        raise NotImplementedError(f"y4m colourspace C{cs} not supported")
+    ysize = w * h
+    csize = 0 if subx == 0 else (w // subx) * (h // suby)
+    frame_size = ysize + 2 * csize
+    # walk FRAME markers (their parameter lists vary per frame)
+    offsets = []
+    pos = nl + 1
+    n = len(payload)
+    while pos < n:
+        if payload[pos : pos + 5] != b"FRAME":
+            raise ValueError("bad y4m FRAME marker")
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or fnl + 1 + frame_size > n:
+            raise ValueError("truncated y4m frame")
+        offsets.append(fnl + 1)
+        pos = fnl + 1 + frame_size
+
+    def to_rgb(off: int) -> np.ndarray:
+        y = np.frombuffer(payload, np.uint8, ysize, off).reshape(h, w)
+        yf = (y.astype(np.float64) - 16.0) * (255.0 / 219.0)
+        if subx == 0:
+            g = np.clip(np.round(yf), 0, 255).astype(np.uint8)
+            return np.repeat(g[:, :, None], 3, axis=2)
+        ch, cw = h // suby, w // subx
+        cb = np.frombuffer(payload, np.uint8, csize, off + ysize).reshape(ch, cw)
+        cr = np.frombuffer(
+            payload, np.uint8, csize, off + ysize + csize
+        ).reshape(ch, cw)
+        cb = np.repeat(np.repeat(cb, suby, axis=0), subx, axis=1)[:h, :w]
+        cr = np.repeat(np.repeat(cr, suby, axis=0), subx, axis=1)[:h, :w]
+        cbf = (cb.astype(np.float64) - 128.0) * (255.0 / 224.0)
+        crf = (cr.astype(np.float64) - 128.0) * (255.0 / 224.0)
+        r = yf + 1.402 * crf
+        g = yf - 0.344136 * cbf - 0.714136 * crf
+        b = yf + 1.772 * cbf
+        rgb = np.stack([r, g, b], axis=2)
+        return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+    wanted = (
+        sorted(set(frame_indices))
+        if frame_indices is not None
+        else range(len(offsets))
+    )
+    frames = [to_rgb(offsets[i]) for i in wanted if 0 <= i < len(offsets)]
+    return frames, len(offsets)
+
+
 VIDEO_FEATURE_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
@@ -824,3 +912,53 @@ def extract_video_features(
             )
 
     return media.mapInPandas(process, VIDEO_FEATURE_SCHEMA)
+
+
+VIDEO_DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("n_frames_total", IntegerType()),
+        StructField("n_frames_sampled", IntegerType()),
+        StructField("frame_hashes", StringType()),
+    ]
+)
+
+
+def extract_video_features_decoded(
+    media: DataFrame, n_frames: int = 4
+) -> DataFrame:
+    """The REAL-container twin of :func:`extract_video_features` for
+    BINARY y4m payloads: uniformly sample ``n_frames`` frames (the same
+    spread policy as the stub path), decode ONLY those, resize and
+    blockhash each.  Compact hashes shuffle; frame pixels never do."""
+
+    def one(payload) -> tuple:
+        raw = bytes(payload) if payload is not None else b""
+        if not raw.startswith(b"YUV4MPEG2"):
+            return 0, 0, ""
+        _, total = decode_y4m(raw, frame_indices=[])
+        picks = sample_frame_offsets(total, 1, n_frames)
+        frames, _ = decode_y4m(raw, frame_indices=picks)
+        hashes = [
+            blockhash_256(resize_rgb(f, BLOCKHASH_BITS, BLOCKHASH_BITS))
+            for f in frames
+        ]
+        return total, len(hashes), "|".join(hashes)
+
+    def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [one(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_frames_total": pd.Series(
+                        [f[0] for f in feats], dtype="int32"
+                    ),
+                    "n_frames_sampled": pd.Series(
+                        [f[1] for f in feats], dtype="int32"
+                    ),
+                    "frame_hashes": [f[2] for f in feats],
+                }
+            )
+
+    return media.mapInPandas(process, VIDEO_DECODED_SCHEMA)

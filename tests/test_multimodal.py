@@ -821,3 +821,116 @@ def test_decode_gif_errors():
     blob = bytearray(_gif_bytes(idx, palette))
     with _pytest.raises(ValueError):
         decode_image(bytes(blob[: len(blob) - 12]))  # cut mid-LZW
+
+
+# ---- Y4M (YUV4MPEG2) video decode ------------------------------------------
+
+
+def _y4m_bytes(frames_yuv, w, h, cs="420") -> bytes:
+    """Test y4m writer: frames_yuv is a list of (y, cb, cr) planes
+    (cb/cr None for mono); per-frame parameter strings vary to exercise
+    the FRAME-line parser."""
+    out = bytearray(f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C{cs}\n".encode())
+    for i, (y, cb, cr) in enumerate(frames_yuv):
+        out += (b"FRAME\n" if i % 2 == 0 else b"FRAME Xtest\n")
+        out += y.astype(np.uint8).tobytes()
+        if cb is not None:
+            out += cb.astype(np.uint8).tobytes()
+            out += cr.astype(np.uint8).tobytes()
+    return bytes(out)
+
+
+def _bt601_rgb(yv, cbv, crv):
+    yf = (yv - 16.0) * 255.0 / 219.0
+    cbf = (cbv - 128.0) * 255.0 / 224.0
+    crf = (crv - 128.0) * 255.0 / 224.0
+    r = yf + 1.402 * crf
+    g = yf - 0.344136 * cbf - 0.714136 * crf
+    b = yf + 1.772 * cbf
+    return [int(np.clip(round(v), 0, 255)) for v in (r, g, b)]
+
+
+def test_decode_y4m_colourspaces_and_sampling():
+    from puma_matcher_spark.llmdata.multimodal import decode_y4m
+
+    w, h = 8, 6
+    # three uniform frames with distinct YCbCr values
+    trip = [(60, 100, 180), (120, 128, 128), (200, 90, 60)]
+
+    def uniform(cs):
+        fr = []
+        for yv, cbv, crv in trip:
+            y = np.full((h, w), yv, dtype=np.uint8)
+            if cs == "mono":
+                fr.append((y, None, None))
+            else:
+                sx = 2 if cs in ("420", "422") else 1
+                sy = 2 if cs == "420" else 1
+                cb = np.full((h // sy, w // sx), cbv, dtype=np.uint8)
+                cr = np.full((h // sy, w // sx), crv, dtype=np.uint8)
+                fr.append((y, cb, cr))
+        return _y4m_bytes(fr, w, h, cs)
+
+    for cs in ("420", "422", "444"):
+        frames, total = decode_y4m(uniform(cs))
+        assert total == 3 and len(frames) == 3, cs
+        for f, (yv, cbv, crv) in zip(frames, trip):
+            assert f.shape == (h, w, 3), cs
+            assert f[0, 0].tolist() == _bt601_rgb(yv, cbv, crv), (cs, yv)
+            assert (f == f[0, 0]).all(), cs
+    # mono replicates luma
+    frames, total = decode_y4m(uniform("mono"))
+    assert frames[0][0, 0, 0] == frames[0][0, 0, 2]
+    # frame_indices decodes only the selected frames, order preserved
+    sel, total = decode_y4m(uniform("420"), frame_indices=[2, 0])
+    assert total == 3 and len(sel) == 2
+    assert sel[0][0, 0].tolist() == _bt601_rgb(*trip[0])
+    assert sel[1][0, 0].tolist() == _bt601_rgb(*trip[2])
+
+
+def test_decode_y4m_errors():
+    import pytest as _pytest
+
+    from puma_matcher_spark.llmdata.multimodal import decode_y4m
+
+    with _pytest.raises(ValueError):
+        decode_y4m(b"not video")
+    with _pytest.raises(ValueError):
+        decode_y4m(b"YUV4MPEG2 W4 H4 C420\nFRAME\n\x00\x00")  # truncated
+    with _pytest.raises(NotImplementedError):
+        decode_y4m(b"YUV4MPEG2 W4 H4 C411\nFRAME\n" + b"\x00" * 24)
+
+
+def test_extract_video_features_decoded_end_to_end(spark):
+    from puma_matcher_spark.llmdata.multimodal import (
+        extract_video_features_decoded,
+    )
+
+    w, h = 16, 16
+    rng = np.random.default_rng(21)
+    frames = []
+    for _ in range(10):
+        y = rng.integers(16, 236, size=(h, w), dtype=np.uint8)
+        cb = rng.integers(16, 240, size=(h // 2, w // 2), dtype=np.uint8)
+        cr = rng.integers(16, 240, size=(h // 2, w // 2), dtype=np.uint8)
+        frames.append((y, cb, cr))
+    clip = _y4m_bytes(frames, w, h)
+    rows = [(1, bytearray(clip)), (2, bytearray(b"not a video"))]
+    media = spark.createDataFrame(rows, "media_id LONG, payload BINARY")
+    got = {
+        r["media_id"]: r
+        for r in extract_video_features_decoded(media, n_frames=4).collect()
+    }
+    assert got[1]["n_frames_total"] == 10
+    assert got[1]["n_frames_sampled"] == 4
+    hashes = got[1]["frame_hashes"].split("|")
+    assert len(hashes) == 4 and all(len(x) == 64 for x in hashes)
+    assert got[2]["n_frames_total"] == 0 and got[2]["frame_hashes"] == ""
+    # deterministic across partitionings (the driver gate relies on this)
+    again = {
+        r["media_id"]: r["frame_hashes"]
+        for r in extract_video_features_decoded(
+            media.repartition(3), n_frames=4
+        ).collect()
+    }
+    assert again[1] == got[1]["frame_hashes"]
