@@ -57,7 +57,7 @@ def _time_queries(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
         fn = REGISTRY[name].spark_fn
         fn(spark, sf_dir).count()  # warm once (plan + IO caches)
         best = float("inf")
-        for _ in range(2):  # min-of-2: steady-state, robust to host noise
+        for _ in range(3):  # min-of-3: steady-state, robust to host noise
             start = time.monotonic()
             fn(spark, sf_dir).count()
             best = min(best, time.monotonic() - start)
