@@ -167,3 +167,51 @@ def test_frame_offsets_invariants(n_bytes, frame_bytes, n_frames):
     assert all(b > a for a, b in zip(offs, offs[1:]))
     assert all(o % frame_bytes == 0 for o in offs)
     assert all(o + frame_bytes <= n_bytes for o in offs)
+
+
+@given(
+    st.integers(1, 24),
+    st.integers(1, 24),
+    st.sampled_from([2, 4, 16, 256]),
+    st.booleans(),
+    st.booleans(),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_decode_gif_fuzz_roundtrip(h, w, npal, interlace, local, seed):
+    """GIF LZW round-trip over random sizes, palette widths, interlace
+    and table placement — decode must reproduce palette[idx] exactly."""
+    from tests.test_multimodal import _gif_bytes
+    from puma_matcher_spark.llmdata.multimodal import decode_image
+
+    rng = np.random.default_rng(seed)
+    palette = rng.integers(0, 256, size=(npal, 3), dtype=np.uint8)
+    idx = rng.integers(0, npal, size=(h, w), dtype=np.uint8)
+    blob = _gif_bytes(idx, palette, interlace=interlace, local_table=local)
+    assert np.array_equal(decode_image(blob), palette[idx])
+
+
+@given(
+    st.integers(1, 300),
+    st.sampled_from([1, 2, 3]),
+    st.sampled_from([(1, 16), (1, 8), (1, 24), (1, 32), (3, 32)]),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_decode_wav_fuzz(n, channels, fmt_bits, seed):
+    """WAV round-trip over random lengths/channels/formats: frame count
+    and mono downmix mean must match the source within format tolerance."""
+    from tests.test_multimodal import _wav_bytes
+    from puma_matcher_spark.llmdata.multimodal import decode_wav
+
+    fmt, bits = fmt_bits
+    rng = np.random.default_rng(seed)
+    samples = rng.integers(-32768, 32768, size=(n, channels)).astype(np.int16)
+    out, rate = decode_wav(_wav_bytes(samples, bits=bits, fmt=fmt))
+    assert rate == 16000
+    assert out.size == n
+    expect = np.round(samples.astype(np.float64).mean(axis=1))
+    tol = {8: 300, 16: 1, 24: 1, 32: 1}[bits]
+    if fmt == 3:
+        tol = 2
+    assert np.max(np.abs(out.astype(np.float64) - expect)) <= tol
