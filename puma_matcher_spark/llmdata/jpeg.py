@@ -159,6 +159,31 @@ def _extend(value: int, nbits: int) -> int:
     return value
 
 
+def _parse_dqt(seg: bytes, qtables: dict) -> None:
+    """DQT segment → quantization tables (zigzag order, 8/16-bit)."""
+    p = 0
+    while p < len(seg):
+        prec, tid = seg[p] >> 4, seg[p] & 0x0F
+        p += 1
+        if prec == 0:
+            qtables[tid] = np.frombuffer(seg, np.uint8, 64, p).astype(np.int32)
+            p += 64
+        else:
+            qtables[tid] = np.frombuffer(seg, ">u2", 64, p).astype(np.int32)
+            p += 128
+
+
+def _parse_dht(seg: bytes, htables: dict) -> None:
+    """DHT segment → canonical Huffman tables keyed (class, id)."""
+    p = 0
+    while p < len(seg):
+        tc, th = seg[p] >> 4, seg[p] & 0x0F
+        counts = list(seg[p + 1 : p + 17])
+        nsym = sum(counts)
+        htables[(tc, th)] = HuffmanTable(counts, seg[p + 17 : p + 17 + nsym])
+        p += 17 + nsym
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Decode baseline JPEG bytes to (height, width, 3) uint8 RGB."""
     if payload[:2] != b"\xff\xd8":
@@ -185,26 +210,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             raise ValueError("truncated JPEG segment")
         seg = payload[pos + 2 : pos + seglen]
         if marker == 0xDB:  # DQT
-            p = 0
-            while p < len(seg):
-                prec, tid = seg[p] >> 4, seg[p] & 0x0F
-                p += 1
-                if prec == 0:
-                    q = np.frombuffer(seg, np.uint8, 64, p).astype(np.int32)
-                    p += 64
-                else:
-                    q = np.frombuffer(seg, ">u2", 64, p).astype(np.int32)
-                    p += 128
-                qtables[tid] = q
+            _parse_dqt(seg, qtables)
         elif marker == 0xC4:  # DHT
-            p = 0
-            while p < len(seg):
-                tc, th = seg[p] >> 4, seg[p] & 0x0F
-                counts = list(seg[p + 1 : p + 17])
-                nsym = sum(counts)
-                symbols = seg[p + 17 : p + 17 + nsym]
-                htables[(tc, th)] = HuffmanTable(counts, symbols)
-                p += 17 + nsym
+            _parse_dht(seg, htables)
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             prec = seg[0]
             if prec != 8:
@@ -428,30 +436,9 @@ def _decode_progressive(
                 raise ValueError("truncated JPEG segment")
             body = payload[pos + 2 : pos + seglen]
             if marker == 0xC4:  # DHT between scans
-                p = 0
-                while p < len(body):
-                    tc, th = body[p] >> 4, body[p] & 0x0F
-                    counts = list(body[p + 1 : p + 17])
-                    nsym = sum(counts)
-                    htables[(tc, th)] = HuffmanTable(
-                        counts, body[p + 17 : p + 17 + nsym]
-                    )
-                    p += 17 + nsym
+                _parse_dht(body, htables)
             elif marker == 0xDB:  # DQT between scans
-                p = 0
-                while p < len(body):
-                    prec, tid = body[p] >> 4, body[p] & 0x0F
-                    p += 1
-                    if prec == 0:
-                        qtables[tid] = np.frombuffer(
-                            body, np.uint8, 64, p
-                        ).astype(np.int32)
-                        p += 64
-                    else:
-                        qtables[tid] = np.frombuffer(
-                            body, ">u2", 64, p
-                        ).astype(np.int32)
-                        p += 128
+                _parse_dqt(body, qtables)
             elif marker == 0xDD:
                 restart_interval = int.from_bytes(body[0:2], "big")
             elif marker == 0xDA:

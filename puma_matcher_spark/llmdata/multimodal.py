@@ -463,6 +463,8 @@ def _decode_gif(payload: bytes) -> np.ndarray:
     background color."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
     sw = int.from_bytes(payload[6:8], "little")
     sh = int.from_bytes(payload[8:10], "little")
     flags = payload[10]
@@ -487,6 +489,8 @@ def _decode_gif(payload: bytes) -> np.ndarray:
             continue
         if block != 0x2C:
             raise ValueError(f"bad GIF block 0x{block:02x}")
+        if pos + 9 > n:
+            raise ValueError("truncated GIF image descriptor")
         left = int.from_bytes(payload[pos : pos + 2], "little")
         top = int.from_bytes(payload[pos + 2 : pos + 4], "little")
         fw = int.from_bytes(payload[pos + 4 : pos + 6], "little")
@@ -502,6 +506,8 @@ def _decode_gif(payload: bytes) -> np.ndarray:
             pos += size * 3
         if table is None:
             raise ValueError("GIF frame without a color table")
+        if pos >= n:
+            raise ValueError("truncated GIF image data")
         min_code_size = payload[pos]
         pos += 1
         chunks = bytearray()
@@ -750,6 +756,10 @@ def extract_audio_features_decoded(media: DataFrame) -> DataFrame:
         raw = bytes(payload) if payload is not None else b""
         if raw[:4] == b"RIFF":
             samples, rate = decode_wav(raw)
+            # the fmt rate field is 4-byte unsigned — clamp corrupt
+            # values into the int32 output column instead of letting
+            # pandas raise OverflowError inside the task
+            rate = min(rate, 2**31 - 1)
         else:
             samples, rate = decode_pcm16(raw), 0
         return (*_audio_stats(samples), rate)
@@ -785,12 +795,16 @@ def sample_frame_offsets(n_bytes: int, frame_bytes: int, n_frames: int) -> list[
 
 
 def decode_y4m(
-    payload: bytes, frame_indices: list[int] | None = None
+    payload: bytes,
+    frame_indices: list[int] | None = None,
+    sample_n: int | None = None,
 ) -> tuple[list[np.ndarray], int]:
     """REAL video container decode: YUV4MPEG2 (y4m), the standard
     uncompressed interchange format (what ffmpeg/x264 pipe to each
     other).  Returns (RGB frames for ``frame_indices`` — default all —
-    in index order, total_frame_count).
+    in index order, total_frame_count).  ``sample_n`` instead picks n
+    uniformly-spread frames (``sample_frame_offsets`` policy) after ONE
+    container walk — the feature-extraction hot path.
 
     Supports C420* / C422 / C444 / Cmono planar layouts; YCbCr→RGB uses
     limited-range BT.601 (the y4m default).  Only the requested frames
@@ -825,7 +839,11 @@ def decode_y4m(
     else:
         raise NotImplementedError(f"y4m colourspace C{cs} not supported")
     ysize = w * h
-    csize = 0 if subx == 0 else (w // subx) * (h // suby)
+    # odd dimensions: chroma planes are CEIL-sized (each partial sample
+    # block still carries one chroma value), matching ffmpeg's layout
+    cw = 0 if subx == 0 else (w + subx - 1) // subx
+    ch = 0 if subx == 0 else (h + suby - 1) // suby
+    csize = cw * ch
     frame_size = ysize + 2 * csize
     # walk FRAME markers (their parameter lists vary per frame)
     offsets = []
@@ -846,7 +864,6 @@ def decode_y4m(
         if subx == 0:
             g = np.clip(np.round(yf), 0, 255).astype(np.uint8)
             return np.repeat(g[:, :, None], 3, axis=2)
-        ch, cw = h // suby, w // subx
         cb = np.frombuffer(payload, np.uint8, csize, off + ysize).reshape(ch, cw)
         cr = np.frombuffer(
             payload, np.uint8, csize, off + ysize + csize
@@ -861,11 +878,12 @@ def decode_y4m(
         rgb = np.stack([r, g, b], axis=2)
         return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
-    wanted = (
-        sorted(set(frame_indices))
-        if frame_indices is not None
-        else range(len(offsets))
-    )
+    if sample_n is not None:
+        wanted = sample_frame_offsets(len(offsets), 1, sample_n)
+    elif frame_indices is not None:
+        wanted = sorted(set(frame_indices))
+    else:
+        wanted = range(len(offsets))
     frames = [to_rgb(offsets[i]) for i in wanted if 0 <= i < len(offsets)]
     return frames, len(offsets)
 
@@ -936,9 +954,7 @@ def extract_video_features_decoded(
         raw = bytes(payload) if payload is not None else b""
         if not raw.startswith(b"YUV4MPEG2"):
             return 0, 0, ""
-        _, total = decode_y4m(raw, frame_indices=[])
-        picks = sample_frame_offsets(total, 1, n_frames)
-        frames, _ = decode_y4m(raw, frame_indices=picks)
+        frames, total = decode_y4m(raw, sample_n=n_frames)
         hashes = [
             blockhash_256(resize_rgb(f, BLOCKHASH_BITS, BLOCKHASH_BITS))
             for f in frames

@@ -38,7 +38,11 @@ from puma_matcher_spark.operators import matcher as m
 from puma_matcher_spark.operators import scorer as sc
 from puma_matcher_spark.operators import scorelist as sl
 from puma_matcher_spark.operators import stats as st
-from puma_matcher_spark.sources.testdata import Tables, load_tables
+from puma_matcher_spark.sources.testdata import (
+    Tables,
+    load_tables,
+    register_cache_reset,
+)
 
 # --------------------------------------------------------------------------
 # Shared SQL view fragments (DuckDB oracle side). The Spark twins live in
@@ -133,6 +137,19 @@ def _all_cand_ctes() -> str:
 # reachable); the brief serial section costs less than duplicated work.
 _CAND_CACHE: dict[tuple, DataFrame] = {}
 _CAND_LOCK = threading.Lock()
+
+
+def _reset_derived_caches() -> None:
+    """Unpersist and drop the memoized derived frames (registered with
+    sources.testdata.reset_table_cache so one call clears every layer)."""
+    with _CAND_LOCK:
+        for cache in (_CAND_CACHE, _EDGE_CACHE):
+            for df in cache.values():
+                df.unpersist()
+            cache.clear()
+
+
+register_cache_reset(_reset_derived_caches)
 
 
 def _doc_count_scalar(tf: DataFrame):

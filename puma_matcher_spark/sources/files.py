@@ -69,21 +69,7 @@ def read_text_files(
     """
     if base_glob is not None:
         texts = read_text_dir(spark, base_glob, path_col)
-        joined = path_map.join(texts, path_col, "left")
-        text = F.col("text")
-        if strict:
-            # in-plan guard, zero extra jobs: unresolved path → loud error
-            text = F.when(
-                text.isNull(),
-                F.raise_error(
-                    F.concat(
-                        F.lit("read_text_files: no file under base_glob "
-                              "matched path "),
-                        F.col(path_col),
-                    )
-                ),
-            ).otherwise(text)
-        return joined.select("document_version_id", text.alias("text"))
+        return _join_texts(path_map, texts, path_col, strict)
     paths = [
         r[path_col]
         for r in path_map.select(path_col).limit(MAX_COLLECT_PATHS + 1).collect()
@@ -101,14 +87,30 @@ def read_text_files(
         spark.read.text(paths, wholetext=True)
         .withColumn(path_col, F.input_file_name())
         .withColumnRenamed("value", "text")
+        .withColumn(path_col, _uri_to_path(F.col(path_col)))
     )
-    # input_file_name returns a URI; normalise to match raw paths
-    texts = texts.withColumn(
-        path_col, F.regexp_replace(path_col, "^file:(//)?", "")
-    )
-    return path_map.join(texts, path_col, "left").select(
-        "document_version_id", "text"
-    )
+    return _join_texts(path_map, texts, path_col, strict)
+
+
+def _join_texts(
+    path_map: DataFrame, texts: DataFrame, path_col: str, strict: bool
+) -> DataFrame:
+    """Left-join text onto the mapping; in strict mode an unresolved
+    path fails the job at execution time (in-plan ``raise_error`` — zero
+    extra jobs) instead of flowing downstream as a NULL text."""
+    joined = path_map.join(texts, path_col, "left")
+    text = F.col("text")
+    if strict:
+        text = F.when(
+            text.isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit("read_text_files: no scanned file matched path "),
+                    F.col(path_col),
+                )
+            ),
+        ).otherwise(text)
+    return joined.select("document_version_id", text.alias("text"))
 
 
 def read_csv_table(

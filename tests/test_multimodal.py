@@ -814,7 +814,10 @@ def test_decode_gif_errors():
     from puma_matcher_spark.llmdata.multimodal import decode_image
 
     with _pytest.raises(ValueError):
-        decode_image(b"GIF89a" + b"\x00" * 7)  # truncated
+        decode_image(b"GIF89a" + b"\x00" * 7)  # truncated header
+    with _pytest.raises(ValueError):
+        # header survives but the image descriptor is cut short
+        decode_image(b"GIF89a" + b"\x04\x00\x03\x00\x00\x00\x00" + b"\x2c\x00")
     rng = np.random.default_rng(13)
     palette = rng.integers(0, 256, size=(4, 3), dtype=np.uint8)
     idx = rng.integers(0, 4, size=(5, 5), dtype=np.uint8)
@@ -899,6 +902,24 @@ def test_decode_y4m_errors():
         decode_y4m(b"YUV4MPEG2 W4 H4 C420\nFRAME\n\x00\x00")  # truncated
     with _pytest.raises(NotImplementedError):
         decode_y4m(b"YUV4MPEG2 W4 H4 C411\nFRAME\n" + b"\x00" * 24)
+
+
+def test_decode_y4m_odd_dimensions():
+    from puma_matcher_spark.llmdata.multimodal import decode_y4m
+
+    # 5x3 4:2:0 → ceil chroma planes (3x2); decode must not crash and
+    # must produce full-size RGB
+    w, h = 5, 3
+    y = np.full((h, w), 120, dtype=np.uint8)
+    cb = np.full((2, 3), 100, dtype=np.uint8)
+    cr = np.full((2, 3), 160, dtype=np.uint8)
+    frames, total = decode_y4m(_y4m_bytes([(y, cb, cr)], w, h, "420"))
+    assert total == 1 and frames[0].shape == (h, w, 3)
+    assert (frames[0] == frames[0][0, 0]).all()
+    # sample_n single-walk mode matches frame_indices selection
+    clip = _y4m_bytes([(y, cb, cr)] * 6, w, h, "420")
+    a, t1 = decode_y4m(clip, sample_n=3)
+    assert t1 == 6 and len(a) == 3
 
 
 def test_extract_video_features_decoded_end_to_end(spark):

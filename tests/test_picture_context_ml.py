@@ -115,12 +115,19 @@ def test_read_text_files_glob_handles_spaces_and_missing(spark):
         }
         assert got == {1: "spaced", 2: "plussed"}
 
+        # the collect branch must also decode URIs (space in name)
+        got_c = {
+            r["document_version_id"]: r["text"]
+            for r in read_text_files(spark, path_map).collect()
+        }
+        assert got_c == got
+
         # strict (default): a mapped path absent from the scan fails LOUDLY
         bad_map = spark.createDataFrame(
             [(1, p1), (3, os.path.join(d, "nope.txt"))],
             ["document_version_id", "file_path"],
         )
-        with pytest.raises(Exception, match="no file under base_glob"):
+        with pytest.raises(Exception, match="no scanned file matched"):
             read_text_files(spark, bad_map, base_glob=glob).collect()
         # opt-out keeps the row with NULL text
         lax = {
