@@ -225,3 +225,19 @@ def test_no_cartesian_outside_documented_baselines(spark, sf_small):
         if pi.has_cartesian(df) and name not in allowed:
             offenders.append(name)
     assert not offenders, f"undocumented cartesian plans: {offenders}"
+
+
+def test_no_row_at_a_time_python_udfs_anywhere(spark, sf_small):
+    """Registry-wide guard: every Python kernel in every exported query
+    must be Arrow-batched (ArrowEvalPython / MapInPandas /
+    FlatMapGroupsInPandas).  A row-at-a-time ``@udf`` plans a
+    BatchEvalPython node — the 10-100x-slower path the scale notes
+    forbid — and fails here before it can ship."""
+    from puma_matcher_spark.queries import _ordered
+
+    offenders = []
+    for name, spec in _ordered().items():
+        df = spec.spark_fn(spark, sf_small)
+        if "BatchEvalPython" in pi.formatted_plan(df):
+            offenders.append(name)
+    assert not offenders, f"row-at-a-time Python UDF plans: {offenders}"
