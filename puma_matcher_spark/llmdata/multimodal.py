@@ -11,14 +11,15 @@ netpbm P5/P6 (8- and 16-bit, any maxval), uncompressed 24/32-bit BMP,
 in pure numpy; the DEFLATE stream is stdlib ``zlib``), GIF87a/89a (LZW),
 plus baseline sequential AND progressive JPEG (huffman +
 spectral-selection/successive-approximation scans + dequant + IDCT +
-YCbCr, llmdata/jpeg.py) — every common still-image container now
-decodes stdlib-only, run end-to-end by
+YCbCr, llmdata/jpeg.py), AND lossless WebP (VP8L: prefix codes, LZ77,
+color cache, all four transforms, llmdata/vp8l.py) — every common
+still-image container now decodes stdlib-only, run end-to-end by
 ``extract_media_features_decoded``.  Audio decodes WAV/RIFF containers
 (PCM 8/16/24/32 + float32) and raw PCM16; video decodes YUV4MPEG2
-(y4m).  WebP (a VP8 codec) and the exotic JPEG profiles (arithmetic,
-lossless, 12-bit) raise NotImplementedError honestly; the synthetic
-fixture paths keep ``fake_decode_rgb`` because their string payloads
-are not media bytes.
+(y4m).  Lossy WebP (the VP8 video intra codec) and the exotic JPEG
+profiles (arithmetic, lossless, 12-bit) raise NotImplementedError
+honestly; the synthetic fixture paths keep ``fake_decode_rgb`` because
+their string payloads are not media bytes.
 
 Scale notes: binary payloads ride the shuffle only if you shuffle them —
 process media in the partition where the scan produced it (mapInPandas
@@ -537,8 +538,9 @@ def _decode_gif(payload: bytes) -> np.ndarray:
 def decode_image(payload: bytes) -> np.ndarray:
     """REAL image decode, pure numpy + stdlib: netpbm P5/P6 (8/16-bit),
     24/32-bit BI_RGB BMP, 8/16-bit PNG incl. Adam7 interlacing (DEFLATE
-    via stdlib zlib), GIF87a/89a (LZW, first frame), and both baseline
-    and progressive JPEG (llmdata/jpeg.py).  WebP remains
+    via stdlib zlib), GIF87a/89a (LZW, first frame), baseline and
+    progressive JPEG (llmdata/jpeg.py), and lossless WebP (VP8L,
+    llmdata/vp8l.py).  Lossy WebP (the VP8 video intra codec) remains
     NotImplemented — the honest boundary.
 
     Returns (height, width, 3) uint8 RGB.
@@ -551,6 +553,10 @@ def decode_image(payload: bytes) -> np.ndarray:
         return _decode_png(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return _decode_gif(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from puma_matcher_spark.llmdata.vp8l import decode_webp
+
+        return decode_webp(payload)
     if payload[:2] == b"\xff\xd8":
         from puma_matcher_spark.llmdata.jpeg import decode_jpeg
 

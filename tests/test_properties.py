@@ -215,3 +215,34 @@ def test_decode_wav_fuzz(n, channels, fmt_bits, seed):
     if fmt == 3:
         tol = 2
     assert np.max(np.abs(out.astype(np.float64) - expect)) <= tol
+
+
+@given(
+    st.integers(1, 20),
+    st.integers(1, 20),
+    st.sampled_from([None, 2, 5, 14, 200]),
+    st.booleans(),
+    st.booleans(),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_decode_vp8l_fuzz_roundtrip(h, w, npal, sg, cache, seed):
+    """VP8L round-trip over random sizes/palettes/feature mixes —
+    lossless, so decode must reproduce the pixels exactly."""
+    from tests.test_vp8l import encode_vp8l
+    from puma_matcher_spark.llmdata.vp8l import decode_webp
+
+    rng = np.random.default_rng(seed)
+    if npal is None:
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    else:
+        pal = rng.integers(0, 256, size=(npal, 3), dtype=np.uint8)
+        px = pal[rng.integers(0, npal, size=(h, w))]
+    blob = encode_vp8l(
+        px,
+        subtract_green=sg,
+        cache_bits=5 if cache else 0,
+        backrefs=bool(npal and npal <= 14),
+        palette=bool(npal and npal <= 14 and not sg),
+    )
+    assert np.array_equal(decode_webp(blob), px)
