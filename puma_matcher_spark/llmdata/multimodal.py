@@ -11,10 +11,11 @@ netpbm P5/P6 (8- and 16-bit, any maxval), uncompressed 24/32-bit BMP,
 in pure numpy; the DEFLATE stream is stdlib ``zlib``), GIF87a/89a (LZW),
 plus baseline sequential AND progressive JPEG (huffman +
 spectral-selection/successive-approximation scans + dequant + IDCT +
-YCbCr, llmdata/jpeg.py), AND lossless WebP (VP8L: prefix codes, LZ77,
-color cache, all four transforms, llmdata/vp8l.py) — every common
-still-image container now decodes stdlib-only, run end-to-end by
-``extract_media_features_decoded``.  Audio decodes WAV/RIFF containers
+YCbCr, llmdata/jpeg.py), lossless WebP (VP8L: prefix codes, LZ77,
+color cache, all four transforms, llmdata/vp8l.py), AND baseline TIFF
+(both byte orders, none/LZW/Deflate/PackBits strips, predictor 2,
+llmdata/tiff.py) — every common still-image container now decodes
+stdlib-only, run end-to-end by ``extract_media_features_decoded``.  Audio decodes WAV/RIFF containers
 (PCM 8/16/24/32 + float32) and raw PCM16; video decodes YUV4MPEG2
 (y4m).  Lossy WebP (the VP8 video intra codec) and the exotic JPEG
 profiles (arithmetic, lossless, 12-bit) raise NotImplementedError
@@ -539,9 +540,10 @@ def decode_image(payload: bytes) -> np.ndarray:
     """REAL image decode, pure numpy + stdlib: netpbm P5/P6 (8/16-bit),
     24/32-bit BI_RGB BMP, 8/16-bit PNG incl. Adam7 interlacing (DEFLATE
     via stdlib zlib), GIF87a/89a (LZW, first frame), baseline and
-    progressive JPEG (llmdata/jpeg.py), and lossless WebP (VP8L,
-    llmdata/vp8l.py).  Lossy WebP (the VP8 video intra codec) remains
-    NotImplemented — the honest boundary.
+    progressive JPEG (llmdata/jpeg.py), lossless WebP (VP8L,
+    llmdata/vp8l.py), and baseline TIFF (none/LZW/Deflate/PackBits
+    strips, llmdata/tiff.py).  Lossy WebP (the VP8 video intra codec)
+    remains NotImplemented — the honest boundary.
 
     Returns (height, width, 3) uint8 RGB.
     """
@@ -557,6 +559,10 @@ def decode_image(payload: bytes) -> np.ndarray:
         from puma_matcher_spark.llmdata.vp8l import decode_webp
 
         return decode_webp(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from puma_matcher_spark.llmdata.tiff import decode_tiff
+
+        return decode_tiff(payload)
     if payload[:2] == b"\xff\xd8":
         from puma_matcher_spark.llmdata.jpeg import decode_jpeg
 
