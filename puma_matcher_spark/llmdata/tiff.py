@@ -172,6 +172,11 @@ def decode_tiff(payload: bytes) -> np.ndarray:
     depth = bits[0]
     if any(b != depth for b in bits) or depth not in (8, 16):
         raise NotImplementedError(f"TIFF bits-per-sample {bits} not supported")
+    if photometric == 3 and depth != 8:
+        # TIFF 6.0 limits palette images to 4/8-bit; rescaling 16-bit
+        # samples before the ColorMap lookup would silently garble
+        # indices, so refuse instead
+        raise NotImplementedError("palette TIFF requires 8-bit indices")
     if offsets is None or counts is None:
         raise ValueError("TIFF missing strip offsets/counts")
     nbytes = depth // 8

@@ -372,11 +372,12 @@ def _predict(mode: int, L, T, TL, TR) -> tuple:
         return tuple(
             _avg2(_avg2(L[c], TL[c]), _avg2(T[c], TR[c])) for c in range(4)
         )
-    if mode == 11:  # Select
+    if mode == 11:  # Select — RFC 9649: `if (pL < pT) return L else T`,
+        # so a TIE picks T (verified against the spec pseudocode)
         p = [int(L[c]) + int(T[c]) - int(TL[c]) for c in range(4)]
         p_left = sum(abs(p[c] - int(L[c])) for c in range(4))
         p_top = sum(abs(p[c] - int(T[c])) for c in range(4))
-        return L if p_left <= p_top else T
+        return L if p_left < p_top else T
     if mode == 12:  # ClampAddSubtractFull
         return tuple(
             _clamp(int(L[c]) + int(T[c]) - int(TL[c])) for c in range(4)

@@ -306,3 +306,15 @@ def test_tiff_media_dispatch(spark):
     )
     got = extract_media_features_decoded(media).collect()[0]
     assert got["perceptual_hash"] == blockhash_256(px)
+
+
+def test_tiff_16bit_palette_refused():
+    rng = np.random.default_rng(10)
+    pal = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
+    idx = rng.integers(0, 8, size=(4, 4), dtype=np.uint8)
+    blob = bytearray(encode_tiff(None, photometric=3, palette=pal, indices=idx))
+    # flip BitsPerSample (tag 258, single SHORT) to 16
+    i = blob.index((258).to_bytes(2, "little"))
+    blob[i + 8] = 16
+    with pytest.raises(NotImplementedError, match="palette"):
+        decode_tiff(bytes(blob))

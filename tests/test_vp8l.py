@@ -346,6 +346,56 @@ def _encode_entropy_image(
                 w.put(dextra, debits)
 
 
+def _predict_ref(mode: int, L, T, TL, TR) -> tuple:
+    """RFC 9649 §4.2.2 predictor modes, transcribed here INDEPENDENTLY
+    of puma_matcher_spark.llmdata.vp8l._predict (channel order A,R,G,B).
+    Spec pseudocode, abbreviated:
+
+      Average2(a, b) = (a + b) / 2          -- integer
+      Select: pX = L+T-TL per channel; pL = Σ|pX-L|; pT = Σ|pX-T|;
+              if (pL < pT) return L; else return T;
+      ClampAddSubtractFull(L, T, TL) = clamp(L + T - TL) per channel
+      ClampAddSubtractHalf: a = Average2(L, T) per channel;
+              clamp(a + (a - TL) / 2)       -- C division (trunc)
+    """
+
+    def av(x, y):
+        return (int(x) + int(y)) >> 1
+
+    def clamp(v):
+        return 0 if v < 0 else (255 if v > 255 else v)
+
+    table = {
+        0: lambda c: (255, 0, 0, 0)[c],
+        1: lambda c: L[c],
+        2: lambda c: T[c],
+        3: lambda c: TR[c],
+        4: lambda c: TL[c],
+        5: lambda c: av(av(L[c], TR[c]), T[c]),
+        6: lambda c: av(L[c], TL[c]),
+        7: lambda c: av(L[c], T[c]),
+        8: lambda c: av(TL[c], T[c]),
+        9: lambda c: av(T[c], TR[c]),
+        10: lambda c: av(av(L[c], TL[c]), av(T[c], TR[c])),
+        12: lambda c: clamp(int(L[c]) + int(T[c]) - int(TL[c])),
+    }
+    if mode in table:
+        return tuple(table[mode](c) for c in range(4))
+    if mode == 11:
+        pX = [int(L[c]) + int(T[c]) - int(TL[c]) for c in range(4)]
+        pL = sum(abs(pX[c] - int(L[c])) for c in range(4))
+        pT = sum(abs(pX[c] - int(T[c])) for c in range(4))
+        return tuple(L) if pL < pT else tuple(T)
+    if mode == 13:
+        out = []
+        for c in range(4):
+            ave = av(L[c], T[c])
+            d = ave - int(TL[c])
+            out.append(clamp(ave + int(d / 2)))  # trunc toward zero
+        return tuple(out)
+    raise ValueError(mode)
+
+
 def encode_vp8l(
     px: np.ndarray,
     cache_bits: int = 0,
@@ -379,13 +429,13 @@ def encode_vp8l(
         sub_px = [_argb_int(255, 0, predictor_mode, 0)]
         _encode_entropy_image(w, sub_px, 1, 1, False)
         # forward-transform: residual = pixel - predicted (mod 256),
-        # mirroring the decoder's border rules
+        # mirroring the decoder's border rules.  The predictor itself is
+        # _predict_ref — an INDEPENDENT transcription of RFC 9649
+        # §4.2.2, so a spec misreading in the decoder cannot cancel out.
         res_a = a.copy()
         res_r = r.copy()
         res_g = g.copy()
         res_b = b.copy()
-        from puma_matcher_spark.llmdata.vp8l import _predict
-
         for y in range(h):
             for x in range(wd):
                 if x == 0 and y == 0:
@@ -407,7 +457,7 @@ def encode_vp8l(
                         if x + 1 < wd
                         else (a[y, 0], r[y, 0], g[y, 0], b[y, 0])
                     )
-                    pred = _predict(predictor_mode, L, T, TL, TR)
+                    pred = _predict_ref(predictor_mode, L, T, TL, TR)
                 res_a[y, x] = (a[y, x] - pred[0]) % 256
                 res_r[y, x] = (r[y, x] - pred[1]) % 256
                 res_g[y, x] = (g[y, x] - pred[2]) % 256
@@ -680,3 +730,17 @@ def test_vp8l_media_dispatch_end_to_end(spark):
     got = extract_media_features_decoded(media).collect()[0]
     # VP8L is lossless → hash of the original pixels
     assert got["perceptual_hash"] == blockhash_256(px)
+
+
+def test_select_tie_breaks_toward_top():
+    """RFC 9649 Select: `if (pL < pT) return L else T` — a TIE returns
+    T.  Hand-computed: L=(255,0,0,2), T=(255,0,2,0), TL=(255,0,0,0) →
+    p=(255,0,2,2), pL = |2| = 2, pT = |2| = 2 → tie → T."""
+    from puma_matcher_spark.llmdata.vp8l import _predict
+
+    L, T, TL = (255, 0, 0, 2), (255, 0, 2, 0), (255, 0, 0, 0)
+    assert _predict(11, L, T, TL, (0, 0, 0, 0)) == T
+    assert _predict_ref(11, L, T, TL, (0, 0, 0, 0)) == T
+    # strict inequality still picks L
+    L2 = (255, 0, 2, 0)
+    assert _predict(11, L2, T, TL, (0, 0, 0, 0)) == L2
