@@ -67,15 +67,24 @@ def fdct2(block: np.ndarray) -> np.ndarray:
 
 
 class HuffmanTable:
-    """Canonical Huffman table from a DHT segment (bits + values)."""
+    """Canonical Huffman table from a DHT segment (bits + values).
+
+    ``fast`` maps every 8-bit stream prefix to (symbol, length) for
+    codes of ≤ 8 bits — the overwhelmingly common case — so the decode
+    hot path is one dict hit instead of a bit-by-bit walk."""
 
     def __init__(self, counts: list[int], symbols: bytes):
         self.lookup: dict[tuple[int, int], int] = {}
+        self.fast: dict[int, tuple[int, int]] = {}
         code = 0
         k = 0
         for length in range(1, 17):
             for _ in range(counts[length - 1]):
                 self.lookup[(length, code)] = symbols[k]
+                if length <= 8:
+                    base = code << (8 - length)
+                    for i in range(1 << (8 - length)):
+                        self.fast[base | i] = (symbols[k], length)
                 code += 1
                 k += 1
             code <<= 1
@@ -92,6 +101,10 @@ class _BitReader:
         self.nbits = 0
 
     def _fill(self) -> None:
+        # drop consumed high bits first — without this the buffer grows
+        # into an unbounded bignum over a long scan and every shift
+        # becomes O(stream length)
+        self.bitbuf &= (1 << self.nbits) - 1
         d = self.data
         if self.pos >= len(d):
             raise ValueError("truncated JPEG entropy stream")
@@ -114,6 +127,38 @@ class _BitReader:
         self.bitbuf = (self.bitbuf << 8) | b
         self.nbits += 8
 
+    def _prefetch(self) -> None:
+        """Opportunistically buffer plain data bytes (consuming FF00
+        stuffing) WITHOUT crossing a marker — markers stay in place for
+        ``_fill``'s raise/pad handling, so semantics are unchanged.
+        Runs of marker-free bytes load in ONE ``int.from_bytes`` bulk
+        step, located with ``bytes.find``."""
+        d = self.data
+        n = len(d)
+        p = self.pos
+        buf = self.bitbuf & ((1 << self.nbits) - 1)  # trim consumed bits
+        nb = self.nbits
+        while nb <= 48:
+            if p >= n:
+                break
+            q = d.find(0xFF, p, p + 7)
+            if q == p:
+                if p + 1 < n and d[p + 1] == 0x00:
+                    buf = (buf << 8) | 0xFF
+                    nb += 8
+                    p += 2
+                    continue
+                break  # marker (or truncation): slow path decides
+            if q == -1:
+                q = min(p + 7, n)
+            k = q - p
+            buf = (buf << (8 * k)) | int.from_bytes(d[p:q], "big")
+            nb += 8 * k
+            p = q
+        self.bitbuf = buf
+        self.nbits = nb
+        self.pos = p
+
     def bit(self) -> int:
         if self.nbits == 0:
             self._fill()
@@ -121,9 +166,31 @@ class _BitReader:
         return (self.bitbuf >> self.nbits) & 1
 
     def bits(self, n: int) -> int:
+        if self.nbits < n:
+            self._prefetch()
+        if self.nbits >= n:
+            self.nbits -= n
+            return (self.bitbuf >> self.nbits) & ((1 << n) - 1)
         v = 0
         for _ in range(n):
             v = (v << 1) | self.bit()
+        return v
+
+    def extend_bits(self, n: int) -> int:
+        """``_extend(bits(n), n)`` fused — the per-coefficient hot path."""
+        if n == 0:
+            return 0
+        if self.nbits < n:
+            self._prefetch()
+        if self.nbits >= n:
+            self.nbits -= n
+            v = (self.bitbuf >> self.nbits) & ((1 << n) - 1)
+        else:
+            v = 0
+            for _ in range(n):
+                v = (v << 1) | self.bit()
+        if v < (1 << (n - 1)):
+            return v - (1 << n) + 1
         return v
 
     def resync(self) -> None:
@@ -133,7 +200,96 @@ class _BitReader:
         # pos currently sits AT the 0xFF of the restart marker
         self.pos += 2
 
+    def decode_block(self, dc_t, ac_t, pred: int, coef) -> int | None:
+        """Fused fast path: decode ONE baseline 8×8 block (DC diff + AC
+        run-length) into ``coef`` with all state in locals.  Returns the
+        new DC predictor, or None — meaning the fast path could not
+        finish (marker nearby, >8-bit code, corrupt index); the reader
+        state is then UNCHANGED so the caller re-decodes the same block
+        through the generic methods, which own all edge-case handling.
+        """
+        data = self.data
+        n = len(data)
+        buf = self.bitbuf
+        nb = self.nbits
+        p = self.pos
+        fast_dc = dc_t.fast
+        fast_ac = ac_t.fast
+
+        def fill(want: int) -> bool:
+            nonlocal buf, nb, p
+            buf &= (1 << nb) - 1  # trim consumed bits
+            while nb < want:
+                if p >= n:
+                    return False
+                q = data.find(0xFF, p, p + 7)
+                if q == p:
+                    if p + 1 < n and data[p + 1] == 0:
+                        buf = (buf << 8) | 0xFF
+                        nb += 8
+                        p += 2
+                        continue
+                    return False  # marker: generic path handles it
+                if q == -1:
+                    q = min(p + 7, n)
+                k = q - p
+                buf = (buf << (8 * k)) | int.from_bytes(data[p:q], "big")
+                nb += 8 * k
+                p = q
+            return True
+
+        if not fill(19):  # ≤8-bit DC code + ≤11 magnitude bits
+            return None
+        hit = fast_dc.get((buf >> (nb - 8)) & 0xFF)
+        if hit is None:
+            return None
+        s, ln = hit
+        nb -= ln
+        if s:
+            if nb < s and not fill(s):
+                return None
+            nb -= s
+            v = (buf >> nb) & ((1 << s) - 1)
+            pred += v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+        coef[0] = pred
+        k = 1
+        while k < 64:
+            if nb < 18 and not fill(18):  # ≤8-bit AC code + ≤10 mag
+                return None
+            hit = fast_ac.get((buf >> (nb - 8)) & 0xFF)
+            if hit is None:
+                return None
+            rs, ln = hit
+            nb -= ln
+            s = rs & 0x0F
+            if s == 0:
+                if rs >> 4 != 15:
+                    break  # EOB
+                k += 16  # ZRL
+                continue
+            k += rs >> 4
+            if k > 63:
+                return None  # generic path raises the proper error
+            if nb < s and not fill(s):
+                return None
+            nb -= s
+            v = (buf >> nb) & ((1 << s) - 1)
+            coef[k] = v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+            k += 1
+        self.bitbuf = buf
+        self.nbits = nb
+        self.pos = p
+        return pred
+
     def decode(self, table: HuffmanTable) -> int:
+        if self.nbits < 8:
+            self._prefetch()
+        if self.nbits >= 8:
+            hit = table.fast.get((self.bitbuf >> (self.nbits - 8)) & 0xFF)
+            if hit is not None:
+                sym, ln = hit
+                self.nbits -= ln
+                return sym
         length = 0
         code = 0
         while length < 16:
@@ -293,24 +449,32 @@ def _decode_scan(
                 for by in range(c["v"]):
                     for bx in range(c["h"]):
                         coef = np.zeros(64, dtype=np.int32)
-                        s = reader.decode(dc_t)
-                        diff = _extend(reader.bits(s), s)
-                        preds[ci] += diff
-                        coef[0] = preds[ci]
-                        k = 1
-                        while k < 64:
-                            rs = reader.decode(ac_t)
-                            r, s = rs >> 4, rs & 0x0F
-                            if s == 0:
-                                if r == 15:
-                                    k += 16  # ZRL
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                raise ValueError("AC index overflow")
-                            coef[k] = _extend(reader.bits(s), s)
-                            k += 1
+                        new_pred = reader.decode_block(
+                            dc_t, ac_t, preds[ci], coef
+                        )
+                        if new_pred is not None:
+                            preds[ci] = new_pred
+                        else:
+                            # generic path: near markers / long codes
+                            coef[:] = 0
+                            s = reader.decode(dc_t)
+                            diff = reader.extend_bits(s)
+                            preds[ci] += diff
+                            coef[0] = preds[ci]
+                            k = 1
+                            while k < 64:
+                                rs = reader.decode(ac_t)
+                                r, s = rs >> 4, rs & 0x0F
+                                if s == 0:
+                                    if r == 15:
+                                        k += 16  # ZRL
+                                        continue
+                                    break  # EOB
+                                k += r
+                                if k > 63:
+                                    raise ValueError("AC index overflow")
+                                coef[k] = reader.extend_bits(s)
+                                k += 1
                         block = np.zeros(64, dtype=np.float64)
                         block[ZIGZAG] = coef * q
                         px = idct2(block.reshape(8, 8)) + 128.0
@@ -557,7 +721,7 @@ def _decode_dc_unit(reader, unit, coefs, htables, state, ah: int, al: int):
         block = coefs[ci][by, bx]
         if ah == 0:  # first DC pass: DPCM of the point-transformed value
             s = reader.decode(htables[(0, dt)])
-            diff = _extend(reader.bits(s), s)
+            diff = reader.extend_bits(s)
             state["preds"][ci] += diff
             block[0] = state["preds"][ci] << al
         else:  # refinement: one magnitude bit per block
@@ -596,7 +760,7 @@ def _ac_first(reader, block, table, state, ss, se, al):
         k += r
         if k > se:
             raise ValueError("progressive AC index overflow")
-        block[k] = _extend(reader.bits(s), s) << al
+        block[k] = reader.extend_bits(s) << al
         k += 1
 
 
