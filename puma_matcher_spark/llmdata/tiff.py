@@ -80,17 +80,22 @@ def _tiff_lzw(data: bytes, expected: int) -> bytes:
     grows when the next code WOULD reach the limit — one code earlier
     than GIF)."""
     out = bytearray()
-    bitpos = 0
-    nbits = len(data) * 8
+    n = len(data)
+    acc = 0
+    nacc = 0
+    p = 0
 
     def read_code(width: int) -> int:
-        nonlocal bitpos
-        if bitpos + width > nbits:
-            raise ValueError("truncated TIFF LZW stream")
-        v = 0
-        for _ in range(width):
-            v = (v << 1) | ((data[bitpos >> 3] >> (7 - (bitpos & 7))) & 1)
-            bitpos += 1
+        nonlocal acc, nacc, p
+        while nacc < width:
+            if p >= n:
+                raise ValueError("truncated TIFF LZW stream")
+            # trim consumed high bits so acc stays bounded
+            acc = ((acc & ((1 << nacc) - 1)) << 8) | data[p]
+            p += 1
+            nacc += 8
+        v = (acc >> (nacc - width)) & ((1 << width) - 1)
+        nacc -= width
         return v
 
     table: list[bytes] = []

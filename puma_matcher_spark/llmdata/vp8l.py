@@ -54,23 +54,34 @@ KDISTANCE_MAP = (
 
 
 class _Bits:
-    """LSB-first bit reader over the VP8L payload (§2)."""
+    """LSB-first bit reader over the VP8L payload (§2), buffered: bytes
+    load in bulk and the next stream bit is always bit 0 of ``buf``."""
+
+    __slots__ = ("data", "byte", "buf", "nb")
 
     def __init__(self, data: bytes, pos: int = 0):
         self.data = data
         self.byte = pos
-        self.bit = 0
+        self.buf = 0
+        self.nb = 0
+
+    def _refill(self) -> None:
+        d = self.data
+        p = self.byte
+        take = min(6, len(d) - p)
+        if take > 0:
+            self.buf |= int.from_bytes(d[p : p + take], "little") << self.nb
+            self.nb += 8 * take
+            self.byte = p + take
 
     def read(self, n: int) -> int:
-        v = 0
-        for i in range(n):
-            if self.byte >= len(self.data):
+        if self.nb < n:
+            self._refill()
+            if self.nb < n:
                 raise ValueError("truncated VP8L bitstream")
-            v |= ((self.data[self.byte] >> self.bit) & 1) << i
-            self.bit += 1
-            if self.bit == 8:
-                self.bit = 0
-                self.byte += 1
+        v = self.buf & ((1 << n) - 1)
+        self.buf >>= n
+        self.nb -= n
         return v
 
 
@@ -79,7 +90,7 @@ class _Prefix:
     assigned smallest-first within each length, read MSB-of-code-first
     from the LSB-first byte stream (the DEFLATE convention)."""
 
-    __slots__ = ("lookup", "single")
+    __slots__ = ("lookup", "single", "fast")
 
     def __init__(self, lengths: list[int]):
         self.single = None
@@ -88,19 +99,38 @@ class _Prefix:
             # degenerate code: the single symbol costs zero bits
             self.single = nonzero[0][1]
             self.lookup = {}
+            self.fast = {}
             return
         self.lookup = {}
+        # fast path keyed by the next 8 STREAM bits (LSB-first order):
+        # the canonical code, bit-reversed, padded with every suffix
+        self.fast = {}
         code = 0
         for length in range(1, max((ln for ln, _ in nonzero), default=0) + 1):
             for ln, sym in nonzero:
                 if ln == length:
                     self.lookup[(length, code)] = sym
+                    if length <= 8:
+                        rev = 0
+                        for i in range(length):
+                            rev |= ((code >> (length - 1 - i)) & 1) << i
+                        for hi in range(1 << (8 - length)):
+                            self.fast[rev | (hi << length)] = (sym, length)
                     code += 1
             code <<= 1
 
     def read(self, bits: _Bits) -> int:
         if self.single is not None:
             return self.single
+        if bits.nb < 8:
+            bits._refill()
+        if bits.nb >= 8:
+            hit = self.fast.get(bits.buf & 0xFF)
+            if hit is not None:
+                sym, ln = hit
+                bits.buf >>= ln
+                bits.nb -= ln
+                return sym
         length = 0
         code = 0
         while length < 16:
