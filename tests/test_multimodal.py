@@ -286,17 +286,25 @@ def test_extract_media_features_decoded_end_to_end(spark):
     )
 
     from tests.test_jpeg import encode_jpeg, encode_jpeg_progressive
+    from tests.test_tiff import encode_tiff
+    from tests.test_vp8l import encode_vp8l
 
     px1, px2 = _test_pixels(32, 32), _test_pixels(64, 48)
     px3, px4 = _test_pixels(32, 32), _test_pixels(48, 32)
     jpg4 = encode_jpeg(px4, quality=90)
     jpg5 = encode_jpeg_progressive(px4, quality=90)
+    rng = np.random.default_rng(31)
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    px6 = pal[rng.integers(0, 16, size=(32, 32))]
     rows = [
         (1, bytearray(_ppm_bytes(px1))),
         (2, bytearray(_bmp_bytes(px2))),
         (3, bytearray(_png_bytes(px3, filter_type=4))),
         (4, bytearray(jpg4)),
         (5, bytearray(jpg5)),
+        (6, bytearray(encode_vp8l(px6, cache_bits=4, backrefs=True))),
+        (7, bytearray(encode_tiff(px1, compression=5, predictor=2))),
+        (8, bytearray(_gif_bytes(rng.integers(0, 16, size=(32, 32), dtype=np.uint8), pal))),
     ]
     media = spark.createDataFrame(rows, "media_id LONG, payload BINARY")
     got = {r["media_id"]: r for r in extract_media_features_decoded(media).collect()}
@@ -310,6 +318,10 @@ def test_extract_media_features_decoded_end_to_end(spark):
     # the progressive serialization carries the same coefficients →
     # identical hash to the baseline one
     assert got[5]["perceptual_hash"] == got[4]["perceptual_hash"]
+    # WebP-lossless and TIFF are lossless → hashes of the originals
+    assert got[6]["perceptual_hash"] == blockhash_256(px6)
+    assert got[7]["perceptual_hash"] == blockhash_256(px1)
+    assert len(got[8]["perceptual_hash"]) == 64
 
 
 # ---- PNG (pure stdlib-zlib decode) ----------------------------------------
