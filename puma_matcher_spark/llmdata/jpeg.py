@@ -766,47 +766,53 @@ def _ac_first(reader, block, table, state, ss, se, al):
 
 def _ac_refine(reader, block, table, state, ss, se, al):
     """T.81 G.2.3 successive-approximation refinement: correction bits
-    for already-nonzero coefficients, ±1<<Al insertions for new ones."""
+    for already-nonzero coefficients, ±1<<Al insertions for new ones.
+
+    Hot path: the band is copied to a plain list once and written back
+    once — numpy scalar indexing per correction bit costs more than the
+    whole arithmetic."""
     p1 = 1 << al
     m1 = -1 << al
-
-    def correct(k: int) -> None:
-        if reader.bit() and not (int(block[k]) & p1):
-            block[k] += p1 if block[k] >= 0 else m1
-
-    k = ss
+    vals = block[ss : se + 1].tolist()
+    end = se - ss
+    bit = reader.bit
+    k = 0
     if state["eobrun"] == 0:
-        while k <= se:
+        while k <= end:
             rs = reader.decode(table)
             r, s = rs >> 4, rs & 0x0F
             newval = 0
             if s:
                 if s != 1:
                     raise ValueError("bad magnitude in AC refinement scan")
-                newval = p1 if reader.bit() else m1
+                newval = p1 if bit() else m1
             elif r < 15:
                 state["eobrun"] = 1 << r
                 if r:
                     state["eobrun"] += reader.bits(r)
                 break  # remaining band handled by the EOB branch below
             # advance r zero-history positions, correcting nonzero ones
-            while k <= se:
-                if block[k]:
-                    correct(k)
+            while k <= end:
+                v = vals[k]
+                if v:
+                    if bit() and not (v & p1):
+                        vals[k] = v + (p1 if v >= 0 else m1)
                 else:
                     r -= 1
                     if r < 0:
                         break
                 k += 1
-            if newval and k <= se:
-                block[k] = newval
+            if newval and k <= end:
+                vals[k] = newval
             k += 1
     if state["eobrun"] > 0:
-        while k <= se:
-            if block[k]:
-                correct(k)
+        while k <= end:
+            v = vals[k]
+            if v and bit() and not (v & p1):
+                vals[k] = v + (p1 if v >= 0 else m1)
             k += 1
         state["eobrun"] -= 1
+    block[ss : se + 1] = vals
 
 
 def _reconstruct_progressive(frame, coefs, qtables, hmax, vmax):
