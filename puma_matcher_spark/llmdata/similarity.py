@@ -478,3 +478,77 @@ def nearest_centroid_confusion(embeddings: DataFrame) -> DataFrame:
         F.col("label").alias("true_label"),
         F.col("c_label").alias("assigned_label"),
     ).agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+
+
+def cosine_threshold_pairs(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Undirected (id1 < id2) vector pairs with 4-dec-rounded cosine >=
+    ``threshold`` — the edge stage of semantic deduplication.
+
+    This is the exact all-pairs baseline (documented cartesian; fine at
+    fixture scale and for per-cell rerank sets).  At 100 TB the caller
+    swaps in a blocked candidate generator — ``sign_lsh_keys`` bucket
+    equi-join or ``ivf_topk``'s cell partitioning — and feeds those
+    candidate pairs to :func:`semantic_dedup_groups` via ``pairs=``;
+    the grouping stage is identical either way.
+    """
+    v = embeddings.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_e")
+    )
+    a = v.select(F.col("_id").alias("id1"), F.col("_e").alias("_e1"))
+    b = v.select(F.col("_id").alias("id2"), F.col("_e").alias("_e2"))
+    return (
+        a.join(b, F.col("id1") < F.col("id2"))
+        .select(
+            "id1",
+            "id2",
+            pround(cosine(F.col("_e1"), F.col("_e2")), 4).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= threshold)
+        .select("id1", "id2")
+    )
+
+
+def semantic_dedup_groups(
+    embeddings: DataFrame,
+    threshold: float = 0.35,
+    pairs: DataFrame | None = None,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): vectors
+    whose cosine clears ``threshold`` are duplicates; duplicate GROUPS are
+    the connected components of that pair graph; each group keeps one
+    representative (the min id, deterministic) and drops the rest.
+
+    Output (flat, one row per grouped vector): (vec_id, group_id,
+    group_size, is_representative).  Vectors with no near-duplicate do
+    not appear — they are trivially their own group and the caller keeps
+    them all (same contract as the MinHash near-dup clusters).
+
+    Scale shape: the pair stage is pluggable (``pairs=``, see
+    :func:`cosine_threshold_pairs`); the grouping is the min-label
+    connected-components loop (one co-partitioned join + one aggregate
+    per round, localCheckpoint-ed) and the roll-up is one hash aggregate
+    on group_id — nothing quadratic outside candidate generation.
+    """
+    from puma_matcher_spark.operators.dedup import connected_components
+
+    if pairs is None:
+        pairs = cosine_threshold_pairs(embeddings, threshold, id_col=id_col)
+    comp = connected_components(pairs)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("group_size")
+    )
+    return (
+        comp.join(sizes, "component")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("component").alias("group_id"),
+            "group_size",
+            (F.col("id") == F.col("component")).alias("is_representative"),
+        )
+    )

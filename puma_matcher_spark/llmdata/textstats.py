@@ -452,3 +452,61 @@ def bpe_top_merges(docs: DataFrame, k: int = 50, text_col: str = "text") -> Data
             "pair_count",
         )
     )
+
+
+def ngram_novelty(
+    docs: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document n-gram novelty against everything EARLIER in the
+    corpus (doc-id order): the fraction of a document's distinct word
+    n-grams whose first corpus occurrence is this document.  The
+    curriculum / data-selection signal behind "how much of this shard is
+    new text" — near-1 for fresh material, near-0 for boilerplate
+    re-crawls.
+
+    Shape: map-side shingling (higher-order expressions, one explode),
+    one (shingle) aggregate for the global first-occurrence id, one
+    equi-join back on shingle, one (doc) aggregate.  Two shuffles total,
+    both on keys with corpus-bounded cardinality; nothing quadratic.
+
+    Output: (doc_id, n_shingles, n_novel, novel_frac) — docs with fewer
+    than ``n`` tokens carry zero shingles and are emitted with
+    novel_frac NULL.
+    """
+    from puma_matcher_spark.functions.rounding import pround
+
+    # array_distinct keeps the per-doc shingle SET, so the first-occurrence
+    # aggregate and the per-doc counts each see a (doc, shingle) once
+    sh = (
+        docs.select(
+            F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__tk")
+        )
+        .select(
+            "doc_id", F.array_distinct(ngram_array("__tk", n)).alias("__shs")
+        )
+        .select("doc_id", F.explode_outer("__shs").alias("shingle"))
+    )
+    first = (
+        sh.where(F.col("shingle").isNotNull())
+        .groupBy("shingle")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    joined = sh.join(first, "shingle", "left")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count("shingle").cast("long").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .withColumn(
+            "novel_frac",
+            F.when(
+                F.col("n_shingles") > 0,
+                pround(F.col("n_novel") / F.col("n_shingles"), 4),
+            ),
+        )
+    )

@@ -2339,18 +2339,25 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
   SELECT label, unnest(embedding::DOUBLE[]) AS v,
          generate_subscripts(embedding, 1) AS dim
   FROM embeddings),
-m AS (SELECT label, dim, AVG(v) AS av FROM e GROUP BY 1, 2),
-c AS (SELECT label, list(ROUND(av, 4) ORDER BY dim) AS centroid
-      FROM m GROUP BY label),
+m AS (SELECT label, dim, ROUND(AVG(v), 4) AS centroid_v FROM e GROUP BY 1, 2),
 n AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors
       FROM embeddings GROUP BY label)
-SELECT c.label, c.centroid, n.n_vectors FROM c JOIN n USING (label)""",
+SELECT m.label, CAST(m.dim AS INTEGER) AS dim, m.centroid_v, n.n_vectors
+FROM m JOIN n USING (label)""",
 )
 def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroids (llmdata/similarity.py) — the
-    prototype-vector computation; collect_list groups bounded by the
-    embedding width, never corpus size."""
-    return sim.label_centroids(load_tables(spark, sf_dir).llm_embeddings())
+    prototype-vector computation, exported in LONG form (label, dim,
+    centroid_v, n_vectors; dim is 1-based) because the round driver's
+    canonicaliser sorts result frames by every column and cannot order an
+    array cell (round-4 CORRECTNESS err).  The wide array-valued operator
+    (``sim.label_centroids``) is unchanged and pytest-covered."""
+    cents = sim.label_centroids(load_tables(spark, sf_dir).llm_embeddings())
+    return cents.select(
+        "label",
+        F.posexplode("centroid").alias("dim", "centroid_v"),
+        "n_vectors",
+    ).withColumn("dim", (F.col("dim") + F.lit(1)).cast("int"))
 
 
 @register(
@@ -5906,8 +5913,283 @@ def q_pagerank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------- round 5: TPC-H completion (Q6 / Q9 / Q12 / Q14) ----------
+
+
+@register(
+    "forecast_revenue",
+    f"""SELECT ROUND(SUM({money_units_sql("l_extendedprice * l_discount")}) / 10000.0, 2)
+         AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24""",
+)
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 — forecasting-revenue-change: a single scan with every
+    predicate pushed to the parquet reader and ONE partial+final
+    aggregate; no join, no shuffle beyond the 1-row exchange.  The
+    canonical 'is the scan path healthy' probe: at 100 TB this query is
+    IO-bound and its plan must show PushedFilters on all three columns."""
+    li = load_tables(spark, sf_dir).raw("lineitem")
+    units = money_units(F.col("l_extendedprice") * F.col("l_discount"))
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            pround(F.sum(units) / 10000.0, 2).alias("revenue"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "product_profit",
+    f"""SELECT n.n_name AS nation,
+       CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT) AS o_year,
+       ROUND(SUM({_REV_UNITS_SQL}) / 10000.0, 2) AS profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%bolt%'
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+GROUP BY 1, 2""",
+)
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-shape product-type profit: the widest join tree in the
+    suite — fact × part (filtered on a non-key predicate) × supplier ×
+    nation × orders, rolled up by (nation, order year).  part/supplier/
+    nation broadcast (dimension-sized); orders co-shuffles with lineitem
+    on orderkey.  Adapted to the fixture star (no partsupp table, so no
+    supplycost term): profit = discounted revenue, same plan shape."""
+    t = load_tables(spark, sf_dir)
+    li, p, s, n, o = (
+        t.raw("lineitem"),
+        t.raw("part"),
+        t.raw("supplier"),
+        t.raw("nation"),
+        t.raw("orders"),
+    )
+    units = money_units(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(
+            p.where(F.col("p_name").like("%bolt%")).select("p_partkey"),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .join(s.select("s_suppkey", "s_nationkey"), li.l_suppkey == F.col("s_suppkey"))
+        .join(n.select("n_nationkey", "n_name"), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(pround(F.sum(units) / 10000.0, 2).alias("profit"))
+    )
+
+
+@register(
+    "returnflag_priority_mix",
+    """SELECT l.l_returnflag,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+GROUP BY 1""",
+)
+def q_returnflag_priority_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shape shipping-priority mix: one fact × orders equi-join
+    with a cross-table residual predicate (shipped > 30 days after the
+    order date), then a two-way conditional count pivot per class — the
+    CASE-pivot aggregation pattern.  Adapted to the fixture star (no
+    l_shipmode column; l_returnflag is the class key)."""
+    t = load_tables(spark, sf_dir)
+    o, li = t.raw("orders"), t.raw("lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .where(li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 30 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "promo_revenue_share",
+    f"""SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                              THEN {_REV_UNITS_SQL} ELSE 0 END)
+                    / SUM({_REV_UNITS_SQL}), 4) AS promo_share,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-09-01'
+  AND l.l_shipdate <  TIMESTAMP '1996-10-01'""",
+)
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 — promotion-effect ratio: a month-sliced fact scan,
+    broadcast part join, and a conditional-sum ratio in ONE aggregate
+    (never two jobs).  Both sums are exact integer micro-units, so the
+    ratio is engine-deterministic before the final rounding."""
+    t = load_tables(spark, sf_dir)
+    li, p = t.raw("lineitem"), t.raw("part")
+    units = money_units(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+        )
+        .join(p.select("p_partkey", "p_type"), li.l_partkey == F.col("p_partkey"))
+        .agg(
+            pround(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", units).otherwise(F.lit(0)))
+                / F.sum(units),
+                4,
+            ).alias("promo_share"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+
+
+# ---------------- round 5: LLM-data plane additions ----------------
+
+
+@register(
+    "semantic_dedup",
+    """WITH RECURSIVE v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+  WHERE ROUND(list_dot_product(a.e, b.e) /
+        (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4)
+        >= 0.35),
+e AS (SELECT id1 AS a, id2 AS b FROM pairs
+      UNION SELECT id2, id1 FROM pairs),
+reach(id, r) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a),
+comp AS (SELECT id, CAST(MIN(r) AS BIGINT) AS group_id FROM reach GROUP BY id),
+sz AS (SELECT group_id, CAST(COUNT(*) AS BIGINT) AS group_size
+       FROM comp GROUP BY 1)
+SELECT comp.id AS vec_id, comp.group_id, sz.group_size,
+       comp.id = comp.group_id AS is_representative
+FROM comp JOIN sz USING (group_id)""",
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cosine >= 0.35 pairs →
+    connected components → per-group size + min-id representative
+    (llmdata/similarity.py:semantic_dedup_groups).  The pair stage here
+    is the exact all-pairs baseline (documented cartesian, fixture
+    scale); at 100 TB the caller plugs the sign-LSH / IVF candidate
+    join into ``pairs=`` and the grouping stage is unchanged.  The
+    DuckDB twin recomputes the same fixpoint as a recursive-CTE
+    transitive closure."""
+    emb = load_tables(spark, sf_dir).llm_embeddings()
+    return sim.semantic_dedup_groups(emb, threshold=0.35)
+
+
+@register(
+    "ngram_novelty",
+    """WITH toksl AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
+  FROM documents),
+shl AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) >= 3 THEN
+           list_distinct(list_transform(range(1, len(tk) - 1),
+             i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]))
+         ELSE [] END AS shs
+  FROM toksl),
+sh AS (SELECT doc_id, unnest(shs) AS shingle FROM shl),
+first AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sh GROUP BY 1),
+per AS (
+  SELECT s.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_novel
+  FROM sh s JOIN first f USING (shingle) GROUP BY 1)
+SELECT t.doc_id,
+       COALESCE(p.n_shingles, 0) AS n_shingles,
+       COALESCE(p.n_novel, 0) AS n_novel,
+       CASE WHEN COALESCE(p.n_shingles, 0) > 0
+            THEN ROUND(p.n_novel * 1.0 / p.n_shingles, 4) END AS novel_frac
+FROM toksl t LEFT JOIN per p USING (doc_id)""",
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 3-gram novelty against everything earlier in the
+    corpus (llmdata/textstats.py:ngram_novelty) — the data-selection
+    signal for 'how much of this shard is new text'.  Two shuffles
+    total: one first-occurrence aggregate on the shingle key, one
+    per-doc roll-up."""
+    docs = load_tables(spark, sf_dir).llm_documents()
+    return ts.ngram_novelty(docs, n=3)
+
+
+@register(
+    "embedding_outliers",
+    """WITH v AS (
+  SELECT vec_id, label,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings),
+st AS (
+  SELECT label, AVG(nrm) AS mu, STDDEV_SAMP(nrm) AS sigma
+  FROM v GROUP BY label)
+SELECT v.vec_id, v.label, ROUND(v.nrm, 4) AS l2_norm,
+       CASE WHEN st.sigma IS NOT NULL AND st.sigma > 0
+            THEN ROUND((v.nrm - st.mu) / st.sigma, 4) END AS z_score,
+       CASE WHEN st.sigma IS NOT NULL AND st.sigma > 0
+            THEN ABS((v.nrm - st.mu) / st.sigma) > 2.0 END AS is_outlier
+FROM v JOIN st USING (label)""",
+)
+def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality audit: per-label L2-norm z-scores flag vectors
+    whose magnitude is anomalous for their class (dead encoders emit
+    near-zero vectors; saturated ones blow up).  One narrow aggregate on
+    the label key joined back — the norm itself is a map-side sequential
+    fold, deterministic across engines."""
+    emb = load_tables(spark, sf_dir).llm_embeddings()
+    v = emb.select(
+        "vec_id",
+        "label",
+        sim.norm(F.col("embedding").cast("array<double>")).alias("nrm"),
+    )
+    st = v.groupBy(F.col("label").alias("st_label")).agg(
+        F.avg("nrm").alias("mu"), F.stddev_samp("nrm").alias("sigma")
+    )
+    ok = F.col("sigma").isNotNull() & (F.col("sigma") > 0)
+    z = (F.col("nrm") - F.col("mu")) / F.col("sigma")
+    return (
+        v.join(F.broadcast(st), v.label == F.col("st_label"))
+        .select(
+            "vec_id",
+            "label",
+            pround("nrm", 4).alias("l2_norm"),
+            F.when(ok, pround(z, 4)).alias("z_score"),
+            F.when(ok, F.abs(z) > 2.0).alias("is_outlier"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
-# Driver-window ordering — ROUND 4.
+# Driver-window ordering — ROUND 5.
 #
 # The round driver's CORRECTNESS gate checks the first 50 entries of
 # ``queries()``.  We decouple *presentation* order from *registration*
@@ -5915,22 +6197,21 @@ def q_pagerank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registration order after them.  Rotate the list each round so every query
 # earns a hard driver-side CORRECTNESS row, not just the local parity sweep.
 #
-# Round-4 window: all 50 slots go to never-driver-checked registrations
-# (union of CORRECTNESS_r01-r03 keys = 95 of 161; the backlog was 66).
-# Every name below is oracle-backed and green in the local sf0.001 + sf0.01
-# sweeps (scripts/driver_gate_check.py).
-#
-# ROUND-5 SPILL (14 names, per the round-3 verdict's guidance: property
-# twins whose operators are pytest-covered, the smallest shapes, and the
-# simplest TPC-H variants): events_hll_rollup, events_theta_setops,
-# events_kll_quantiles, events_top_users, large_orders, weighted_sample,
-# customer_order_distribution, disjunctive_promo_revenue,
-# idle_rich_customers, order_priority_late, small_quantity_revenue,
-# brand_supplier_counts, nation_trade_volume, nation_market_share —
-# plus the four round-4 TPC-H decorrelation additions (supplier_min_cost
-# q2, important_stock q11, top_revenue_supplier q15, excess_stock_suppliers
-# q20).  18 names total: the whole remainder fits round 5's window with
-# ~32 slots spare for re-verification of changed implementations.
+# Round-5 window, in order:
+#   1. the 18 round-4 spill names — after this round EVERY exported query
+#      has had a driver CORRECTNESS row (backlog 66 -> 18 -> 0);
+#   2. label_centroids — round 4's single err (array column broke the
+#      driver canonicaliser); re-checked on the new long-form export;
+#   3. re-verification of the four implementations changed since their
+#      last driver row: entity_pairs / match_candidates / word_spec (the
+#      round-4 eager-count -> `.scalar()` subquery conversion) and
+#      word_features (functions/nlp.py was reworked in round 4 for the
+#      perceptron backend; the export stays pinned to the heuristic
+#      backend whose generated-SQL oracle is exact);
+#   4. round-5 net-new registrations (appended below as they are built, so
+#      nothing new re-grows the backlog).
+# Slots left over fall through to registration order, i.e. the stable
+# round-1 spine — all green in r1/r2 and harmless to re-check.
 #
 # RETIRED FROM EXPORT (``_PYTEST_ONLY`` below): the seven permanently
 # rows-only originals whose hard signal is carried by an oracle-backed
@@ -5958,65 +6239,43 @@ _PYTEST_ONLY: frozenset[str] = frozenset(
 )
 
 _PRIORITY: list[str] = [
-    # -- score / events window-function shapes (round 2, never checked)
-    "score_unpivot",
-    "score_deciles",
-    "events_resampled",
-    "events_rolling",
-    "events_anomaly",
-    "events_attribution_models",
-    "events_asof",
-    "events_funnel",
-    "events_cohorts",
-    "events_debounce",
-    "events_robust_outliers",
-    "events_trend",
-    # -- dedup / similarity plane
-    "dedup_triangles",
-    "dup_substring_spans",
-    "span_cut_corpus",
-    "decontaminated_corpus",
-    "incremental_near_dups",
-    "jaccard_prefix_join",
-    "part_edit_pairs",
-    "cluster_representatives",
+    # -- 1. round-4 spill: sketch / events shapes
+    "events_hll_rollup",
+    "events_theta_setops",
+    "events_kll_quantiles",
+    "events_top_users",
+    # -- 1. round-4 spill: sampling
+    "weighted_sample",
+    # -- 1. round-4 spill: TPC-H shapes
+    "large_orders",
+    "order_priority_late",
+    "brand_supplier_counts",
+    "small_quantity_revenue",
+    "nation_trade_volume",
+    "nation_market_share",
+    "customer_order_distribution",
+    "idle_rich_customers",
+    "disjunctive_promo_revenue",
+    # -- 1. round-4 spill: TPC-H decorrelation patterns (q2/q11/q15/q20)
+    "supplier_min_cost",
+    "important_stock",
+    "top_revenue_supplier",
+    "excess_stock_suppliers",
+    # -- 2. round-4 err, re-exported long-form
     "label_centroids",
-    "centroid_confusion",
-    "embedding_int8_topk",
-    "embedding_prefix_rerank",
-    # -- text / tokenizer plane
-    "bpe_merges",
-    "vocab_topk",
-    "bigram_logprob",
-    "doc_keywords",
-    "quality_sample",
-    # -- retrieval plane
-    "bm25_search",
-    "phrase_search",
-    # -- quality / CDC plane (round 3)
-    "dq_profile",
-    "dq_expectations",
-    "k_anonymity",
-    "cdc_latest_state",
-    "scd2_history",
-    "scd2_point_in_time",
-    "snapshot_diff",
-    "incremental_ingest",
-    # -- linkage plane
-    "fs_linkage_weights",
-    "fs_agreement_patterns",
-    # -- layout / maintenance plane
-    "zorder_values",
-    "zorder3_values",
-    # -- graph plane
-    "pagerank_mass",
-    "purchase_communities",
-    "purchase_kcore",
-    # -- stats / TPC-H decorrelation shapes kept in-window (operator-dense)
-    "winsorized_prices",
-    "av_features_shape",
-    "late_lone_suppliers",
-    "returned_item_customers",
+    # -- 3. changed since last driver row
+    "entity_pairs",
+    "match_candidates",
+    "word_spec",
+    "word_features",
+    # -- 4. round-5 net-new registrations
+    "forecast_revenue",
+    "product_profit",
+    "returnflag_priority_mix",
+    "promo_revenue_share",
+    "semantic_dedup",
+    "ngram_novelty",
+    "embedding_outliers",
 ]
 
 

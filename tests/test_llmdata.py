@@ -685,3 +685,51 @@ def test_chunk_documents_empty_doc_yields_no_rows(spark):
     docs = _docs(spark, [(1, ""), (2, "   "), (3, "one two")])
     rows = chunk_documents(docs, chunk_len=4, overlap=1).collect()
     assert {r["doc_id"] for r in rows} == {3}
+
+
+def test_ngram_novelty_first_doc_owns_shared_shingles(spark):
+    # doc 1 introduces "a b c" / "b c d"; doc 2 repeats "a b c" and adds
+    # "b c e"; doc 3 is too short for any 3-gram
+    docs = _docs(spark, [(1, "a b c d"), (2, "a b c e"), (3, "x y")])
+    rows = {r["doc_id"]: r for r in ts.ngram_novelty(docs, n=3).collect()}
+    assert rows[1]["n_shingles"] == 2 and rows[1]["n_novel"] == 2
+    assert rows[1]["novel_frac"] == 1.0
+    assert rows[2]["n_shingles"] == 2 and rows[2]["n_novel"] == 1
+    assert rows[2]["novel_frac"] == 0.5
+    assert rows[3]["n_shingles"] == 0 and rows[3]["novel_frac"] is None
+
+
+def test_ngram_novelty_counts_repeated_shingles_once(spark):
+    # the same 3-gram repeated within one doc counts once (distinct set)
+    docs = _docs(spark, [(7, "a b c a b c a b c")])
+    row = ts.ngram_novelty(docs, n=3).collect()[0]
+    # distinct shingles: "a b c", "b c a", "c a b" -> all novel
+    assert row["n_shingles"] == 3 and row["n_novel"] == 3
+
+
+def test_semantic_dedup_groups_transitive_chain(spark):
+    # 1~2 and 2~3 but 1!~3: one transitive group {1,2,3}; 4 isolated
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.45]),    # cos(1,2) ~ .895, cos(2,3) ~ .45/1.006
+            (3, [0.0, 1.0]),     # cos(1,3) = 0
+            (4, [-1.0, -1.0]),   # negative cosine to all others
+        ],
+        ["vec_id", "embedding"],
+    )
+    rows = sim.semantic_dedup_groups(emb, threshold=0.4).collect()
+    got = {r["vec_id"]: (r["group_id"], r["group_size"], r["is_representative"]) for r in rows}
+    assert got == {1: (1, 3, True), 2: (1, 3, False), 3: (1, 3, False)}
+
+
+def test_semantic_dedup_groups_accepts_external_pairs(spark):
+    # the pairs= hook (LSH/IVF candidates at scale) bypasses the
+    # all-pairs edge stage entirely
+    emb = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(1, 5)], ["vec_id", "embedding"]
+    )
+    pairs = spark.createDataFrame([(1, 2), (3, 4)], ["id1", "id2"])
+    rows = sim.semantic_dedup_groups(emb, pairs=pairs).collect()
+    got = {r["vec_id"]: r["group_id"] for r in rows}
+    assert got == {1: 1, 2: 1, 3: 3, 4: 3}

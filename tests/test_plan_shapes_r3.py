@@ -218,6 +218,8 @@ def test_no_cartesian_outside_documented_baselines(spark, sf_small):
         "embedding_int8_topk",     # int8 re-scoring over the same all-pairs base
         "embedding_prefix_rerank", # matryoshka prefix stage (bounded query side)
         "centroid_confusion",      # k-centroid broadcast side (constant k)
+        "semantic_dedup",          # exact all-pairs edge stage (documented
+                                   # baseline; LSH/IVF pairs= at scale)
     }
     offenders = []
     for name, spec in _ordered().items():
@@ -241,3 +243,27 @@ def test_no_row_at_a_time_python_udfs_anywhere(spark, sf_small):
         if "BatchEvalPython" in pi.formatted_plan(df):
             offenders.append(name)
     assert not offenders, f"row-at-a-time Python UDF plans: {offenders}"
+
+
+def test_exported_queries_have_flat_schemas(spark, sf_small):
+    """Registry-wide guard (round 5): the round driver canonicalises each
+    result by ``DataFrame.sort_values`` over EVERY column before hashing,
+    and pandas cannot order list/dict cells — an exported query returning
+    an array/map/struct column errors at the driver even when the local
+    oracle harness passes it (round-4 CORRECTNESS: ``label_centroids``).
+    Export complex values in long form (one row per element) instead."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from puma_matcher_spark.queries import _ordered
+
+    offenders = []
+    for name, spec in _ordered().items():
+        df = spec.spark_fn(spark, sf_small)
+        bad = [
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType, StructType))
+        ]
+        if bad:
+            offenders.append((name, bad))
+    assert not offenders, f"complex-typed exported columns: {offenders}"
