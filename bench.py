@@ -51,6 +51,41 @@ BENCH_QUERIES_PLANES = [
 ]
 
 
+def _time_media(spark, n_per_format: int = 8) -> float | None:
+    """One mixed-format frame (8 codecs x n images at 128x128) through the
+    REAL distributed decode path (mapInPandas) — min-of-3 like the query
+    groups.  Payloads come from the independent test encoders; workload
+    generation is outside the timed region.  Returns None (group omitted)
+    if the encoders are unavailable, so the bench contract never breaks
+    on a stripped checkout."""
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        sys.path.insert(0, os.path.join(here, "scripts"))
+        sys.path.insert(0, os.path.join(here, "tests"))
+        from media_stress import _payloads
+
+        from puma_matcher_spark.llmdata.multimodal import (
+            extract_media_features_decoded,
+        )
+
+        blobs = [b for fmt in _payloads(n_per_format).values() for b in fmt]
+        media = spark.createDataFrame(
+            [(i, bytearray(b)) for i, b in enumerate(blobs)],
+            "media_id LONG, payload BINARY",
+        ).repartition(32).persist()
+        n = media.count()  # materialize the input outside the timed region
+        assert n == len(blobs)
+        best = float("inf")
+        for _ in range(3):
+            start = time.monotonic()
+            extract_media_features_decoded(media).count()
+            best = min(best, time.monotonic() - start)
+        media.unpersist()
+        return round(best, 3)
+    except Exception:
+        return None
+
+
 def _time_queries(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
     timings: dict[str, float] = {}
     for name in names:
@@ -75,6 +110,16 @@ def main() -> None:
     total = round(sum(timings.values()), 3)  # spine only: round-1-comparable
     plane_timings = _time_queries(spark, sf_dir, BENCH_QUERIES_PLANES)
     plane_total = round(sum(plane_timings.values()), 3)
+    groups = {
+        "spine_total": total,
+        "operator_planes_total": plane_total,
+    }
+    media = _time_media(spark)
+    if media is not None:
+        # tracked since round 5 (baseline in BASELINE.md §"media plane");
+        # a separate group so spine/plane totals stay round-comparable
+        plane_timings["media_decode_mixed"] = media
+        groups["media_total"] = media
     print(
         json.dumps(
             {
@@ -83,10 +128,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": {**timings, **plane_timings},
                 "sf": float(sf),
-                "groups": {
-                    "spine_total": total,
-                    "operator_planes_total": plane_total,
-                },
+                "groups": groups,
             }
         )
     )

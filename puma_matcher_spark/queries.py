@@ -577,6 +577,45 @@ def q_events_resampled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_forward_fill",
+    """WITH b AS (
+  SELECT CAST(FLOOR(epoch(MIN(ts)) / 3600) * 3600 AS BIGINT) AS lo,
+         CAST(FLOOR(epoch(MAX(ts)) / 3600) * 3600 AS BIGINT) AS hi
+  FROM events),
+g AS (
+  SELECT t.event_type,
+         CAST(unnest(generate_series(b.lo, b.hi, 3600)) AS BIGINT) AS bucket_epoch
+  FROM (SELECT DISTINCT event_type FROM events) t, b),
+obs AS (
+  SELECT event_type, bucket_epoch, value AS obs FROM (
+    SELECT event_type,
+           CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket_epoch,
+           value,
+           ROW_NUMBER() OVER (
+             PARTITION BY event_type, CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT)
+             ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events) WHERE rn = 1),
+dense AS (
+  SELECT g.event_type, g.bucket_epoch, o.obs
+  FROM g LEFT JOIN obs o USING (event_type, bucket_epoch))
+SELECT event_type, bucket_epoch,
+       ROUND(last_value(obs IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY bucket_epoch
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS value_filled,
+       obs IS NOT NULL AS was_observed
+FROM dense""",
+)
+def q_events_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-filled hourly value series per event_type
+    (streaming/events.py ``forward_fill_values``): last observation
+    carried forward through empty buckets, (ts, event_id)-deterministic
+    within a bucket, NULL before a type's first observation."""
+    from puma_matcher_spark.streaming.events import forward_fill_values
+
+    return forward_fill_values(load_tables(spark, sf_dir).events())
+
+
+@register(
     "events_rolling",
     """SELECT event_id, event_type,
        CAST(COUNT(*) OVER w AS BIGINT) AS trailing_count,
@@ -6276,6 +6315,7 @@ _PRIORITY: list[str] = [
     "semantic_dedup",
     "ngram_novelty",
     "embedding_outliers",
+    "events_forward_fill",
 ]
 
 

@@ -141,6 +141,67 @@ def resample_counts(events: DataFrame, bucket_seconds: int = 3600) -> DataFrame:
     )
 
 
+def forward_fill_values(
+    events: DataFrame, bucket_seconds: int = 3600
+) -> DataFrame:
+    """Last-observation-carried-forward resampling: per event_type, the
+    last observed ``value`` in each bucket, carried FORWARD through
+    empty buckets (the sensor/metrics companion to
+    :func:`resample_counts`, which zero-fills counts).  Buckets before a
+    type's first observation stay NULL.
+
+    Determinism: "last in bucket" is resolved by (ts, event_id) —
+    event_id breaks equal-timestamp ties — so the result is a pure
+    function of the input across engines.
+
+    Scale shape: one hash aggregate per (type, bucket) via max_by over
+    the tie-break struct, the same scalar-subquery dense grid as
+    resample_counts, and ONE window pass per type for the fill — state
+    bounded by (types × buckets), tiny versus the fact table.
+    """
+    from pyspark.sql.window import Window
+
+    bucket = (
+        F.floor(F.unix_timestamp("ts") / bucket_seconds) * bucket_seconds
+    ).cast("long")
+    observed = events.groupBy(
+        F.col("event_type"), bucket.alias("bucket_epoch")
+    ).agg(
+        F.max_by(
+            F.col("value"), F.struct(F.col("ts"), F.col("event_id"))
+        ).alias("obs")
+    )
+    bounds = events.agg(
+        F.struct(F.min(bucket).alias("lo"), F.max(bucket).alias("hi")).alias("b")
+    ).scalar()
+    grid = (
+        events.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(
+                    bounds.getField("lo"),
+                    bounds.getField("hi"),
+                    F.lit(bucket_seconds),
+                )
+            ).alias("bucket_epoch"),
+        )
+    )
+    dense = grid.join(observed, ["event_type", "bucket_epoch"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket_epoch")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return dense.select(
+        "event_type",
+        "bucket_epoch",
+        pround(F.last("obs", ignorenulls=True).over(w), 4).alias("value_filled"),
+        F.col("obs").isNotNull().alias("was_observed"),
+    )
+
+
 def anomaly_flags(
     events: DataFrame,
     bucket_seconds: int = 3600,

@@ -351,3 +351,33 @@ def test_transform_with_state_matches_batch(spark, sf_small):
     }
     assert streamed == batch
     assert len(batch) > 10
+
+
+def test_forward_fill_carries_last_observation(spark):
+    rows = [
+        (1, "2024-01-01 00:10:00", "a", 2.0),
+        (2, "2024-01-01 00:50:00", "a", 3.0),   # same bucket: later ts wins
+        (3, "2024-01-01 03:20:00", "a", 9.0),   # hours 1-2 are gaps
+        (4, "2024-01-01 01:00:00", "b", 7.0),   # b unseen in hour 0
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "ts", "event_type", "value"]) \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {(r["event_type"], r["bucket_epoch"]): (r["value_filled"], r["was_observed"])
+           for r in se.forward_fill_values(ev).collect()}
+    assert len(out) == 8  # 2 types x 4 hourly buckets
+    a = [v for (t, _), v in sorted(out.items()) if t == "a"]
+    assert a == [(3.0, True), (3.0, False), (3.0, False), (9.0, True)]
+    b = [v for (t, _), v in sorted(out.items()) if t == "b"]
+    # NULL before b's first observation, carried forward after
+    assert b == [(None, False), (7.0, True), (7.0, False), (7.0, False)]
+
+
+def test_forward_fill_bucket_tie_breaks_on_event_id(spark):
+    rows = [
+        (5, "2024-01-01 00:30:00", "a", 1.0),
+        (9, "2024-01-01 00:30:00", "a", 4.0),   # equal ts: higher id wins
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "ts", "event_type", "value"]) \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    row = se.forward_fill_values(ev).collect()[0]
+    assert row["value_filled"] == 4.0
