@@ -70,3 +70,74 @@ def retention_cohorts(events: DataFrame) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
     )
+
+
+def markov_transitions(events: DataFrame) -> DataFrame:
+    """First-order Markov transition matrix over each user's event-type
+    timeline: P(next_type | type), the session-flow model behind
+    next-action prediction and journey anomaly detection.
+
+    One window pass per user for lead() (ordered by (ts, event_id) so
+    equal timestamps are deterministic), one hash aggregate on the
+    (from, to) pair, and the per-row probability divides by a window sum
+    over the from-side — reusing the aggregate's shuffle partitioning,
+    no second job.  Output: (from_type, to_type, n_transitions, p).
+    """
+    from pyspark.sql.window import Window
+
+    from puma_matcher_spark.functions.rounding import pround
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = events.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    counts = steps.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_transitions")
+    )
+    w_from = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        pround(
+            F.col("n_transitions") / F.sum("n_transitions").over(w_from), 4
+        ).alias("p"),
+    )
+
+
+def session_paths(events: DataFrame, max_steps: int = 5) -> DataFrame:
+    """Top user-journey prefixes: each user's first ``max_steps`` event
+    types (by time, (ts, event_id)-deterministic) joined into a path
+    string, rolled up by frequency.
+
+    The per-user sequence is bounded by ``max_steps`` before any
+    aggregation — a rank filter on the same window that orders the
+    events — so the collect_list group is O(max_steps), never O(events
+    per user).  Output: (path, n_users).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    firstk = (
+        events.select(
+            "user_id",
+            "event_type",
+            F.row_number().over(w).alias("step"),
+        )
+        .where(F.col("step") <= max_steps)
+    )
+    paths = firstk.groupBy("user_id").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("step", "event_type"))
+                ),
+                lambda s: s["event_type"],
+            ),
+        ).alias("path")
+    )
+    return paths.groupBy("path").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )

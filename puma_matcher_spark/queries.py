@@ -1970,6 +1970,53 @@ def q_events_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_markov",
+    """WITH steps AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS to_type
+  FROM events),
+c AS (
+  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+  FROM steps WHERE to_type IS NOT NULL GROUP BY 1, 2)
+SELECT from_type, to_type, n_transitions,
+       ROUND(n_transitions * 1.0 /
+             SUM(n_transitions) OVER (PARTITION BY from_type), 4) AS p
+FROM c""",
+)
+def q_events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov event-type transition matrix
+    (operators/events_analytics.py markov_transitions): lead() per user
+    timeline, pair counts, per-from-state probabilities."""
+    from puma_matcher_spark.operators.events_analytics import markov_transitions
+
+    return markov_transitions(load_tables(spark, sf_dir).events())
+
+
+@register(
+    "events_paths",
+    """WITH ranked AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS step
+  FROM events),
+p AS (
+  SELECT user_id,
+         string_agg(event_type, '>' ORDER BY step) AS path
+  FROM ranked WHERE step <= 5 GROUP BY user_id)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users FROM p GROUP BY 1""",
+)
+def q_events_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user-journey prefixes (operators/events_analytics.py
+    session_paths): first-5 event types per user joined into a path
+    string, rolled up by frequency; the collect group is bounded by the
+    step cap, never by events-per-user."""
+    from puma_matcher_spark.operators.events_analytics import session_paths
+
+    return session_paths(load_tables(spark, sf_dir).events(), max_steps=5)
+
+
+@register(
     "events_debounce",
     """SELECT event_id, user_id, ts, event_type, ROUND(value, 4) AS value
 FROM (
@@ -6316,6 +6363,8 @@ _PRIORITY: list[str] = [
     "ngram_novelty",
     "embedding_outliers",
     "events_forward_fill",
+    "events_markov",
+    "events_paths",
 ]
 
 

@@ -42,6 +42,9 @@ def get_spark(
         .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1024")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # planner filter pushdown into Python data sources (Spark 4.1;
+        # the manifest_text source prunes files on pushed predicates)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # NOTE: ignoreCorruptFiles stays at its default (false) on purpose.
         # For a training-data engine, silently dropping unreadable inputs
         # is data loss masquerading as success — at 100 TB a corrupt

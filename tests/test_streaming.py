@@ -381,3 +381,39 @@ def test_forward_fill_bucket_tie_breaks_on_event_id(spark):
         .withColumn("ts", F.col("ts").cast("timestamp"))
     row = se.forward_fill_values(ev).collect()[0]
     assert row["value_filled"] == 4.0
+
+
+def test_markov_transitions_probabilities(spark):
+    rows = [
+        (1, 1, "2024-01-01 00:00:00", "a"),
+        (2, 1, "2024-01-01 00:01:00", "b"),
+        (3, 1, "2024-01-01 00:02:00", "a"),
+        (4, 2, "2024-01-01 00:00:00", "a"),
+        (5, 2, "2024-01-01 00:01:00", "a"),
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "event_type"]) \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    from puma_matcher_spark.operators.events_analytics import markov_transitions
+
+    got = {(r["from_type"], r["to_type"]): (r["n_transitions"], r["p"])
+           for r in markov_transitions(ev).collect()}
+    # from 'a': a->b once, a->a once (p=0.5 each); from 'b': b->a once
+    assert got == {("a", "b"): (1, 0.5), ("a", "a"): (1, 0.5), ("b", "a"): (1, 1.0)}
+
+
+def test_session_paths_caps_steps_and_orders_by_time(spark):
+    rows = [
+        (3, 1, "2024-01-01 00:02:00", "c"),
+        (1, 1, "2024-01-01 00:00:00", "a"),
+        (2, 1, "2024-01-01 00:01:00", "b"),
+        (4, 2, "2024-01-01 00:00:00", "a"),
+        (5, 2, "2024-01-01 00:01:00", "b"),
+        (6, 2, "2024-01-01 00:02:00", "c"),
+        (7, 2, "2024-01-01 00:03:00", "d"),  # beyond max_steps=3
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "event_type"]) \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    from puma_matcher_spark.operators.events_analytics import session_paths
+
+    got = {r["path"]: r["n_users"] for r in session_paths(ev, max_steps=3).collect()}
+    assert got == {"a>b>c": 2}
