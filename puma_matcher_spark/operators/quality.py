@@ -21,7 +21,7 @@ collects to the driver; the report frames are a handful of rows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -167,4 +167,34 @@ def expectation_report(
         "n_checked",
         "violations",
         (F.col("violations") == 0).alias("passed"),
+    )
+
+
+def route_dead_letters(
+    df: DataFrame, rules: list[tuple[str, Column]]
+) -> DataFrame:
+    """Row-level contract routing (the dead-letter-queue pattern): every
+    row gets ``status`` ('ok' | 'quarantined') and ``reason`` — the name
+    of the FIRST violated rule in list order, NULL when all pass.
+
+    ``rules`` are (name, is-valid predicate) pairs; a predicate that
+    evaluates to NULL (e.g. a comparison on an unparseable field) counts
+    as violated — contract checks must never let nulls slip through as
+    vacuously true.
+
+    Scale shape: pure map-side column logic — no shuffle, no UDF; the
+    quarantine split downstream is a predicate on ``status``, so both
+    sides stay one scan.  Table-level expectations (rates/aggregates)
+    live in :func:`expectation_report`; this is its row-level sibling.
+    """
+    reason = F.lit(None).cast("string")
+    # fold in REVERSE so the first rule in list order takes precedence
+    for name, pred in reversed(rules):
+        violated = ~F.coalesce(pred, F.lit(False))
+        reason = F.when(violated, F.lit(name)).otherwise(reason)
+    return df.withColumn("reason", reason).withColumn(
+        "status",
+        F.when(F.col("reason").isNull(), F.lit("ok")).otherwise(
+            F.lit("quarantined")
+        ),
     )

@@ -4438,6 +4438,48 @@ def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_deadletter",
+    """WITH e AS (
+  SELECT event_id,
+         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+         value
+  FROM events),
+r AS (
+  SELECT event_id, k, ROUND(value, 4) AS value,
+         CASE WHEN k IS NULL THEN 'k_parse'
+              WHEN NOT (k < 90) THEN 'k_range'
+              WHEN NOT (value <= 400.0) THEN 'value_cap'
+         END AS reason
+  FROM e)
+SELECT event_id, k, value, reason,
+       CASE WHEN reason IS NULL THEN 'ok' ELSE 'quarantined' END AS status
+FROM r""",
+)
+def q_events_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level contract routing / dead-letter queue
+    (operators/quality.py route_dead_letters): parse the props JSON,
+    enforce k-parseable, k < 90, value <= 400 in rule order, and stamp
+    every row ok/quarantined with the first violated rule — map-side
+    only, no shuffle; downstream splits are a status predicate."""
+    from puma_matcher_spark.operators.quality import route_dead_letters
+
+    ev = load_tables(spark, sf_dir).events()
+    e = ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        "value",
+    )
+    rules = [
+        ("k_parse", F.col("k").isNotNull()),
+        ("k_range", F.col("k") < 90),
+        ("value_cap", F.col("value") <= 400.0),
+    ]
+    return route_dead_letters(e, rules).select(
+        "event_id", "k", pround("value", 4).alias("value"), "reason", "status"
+    )
+
+
+@register(
     "cdc_latest_state",
     """WITH ranked AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
@@ -6365,6 +6407,7 @@ _PRIORITY: list[str] = [
     "events_forward_fill",
     "events_markov",
     "events_paths",
+    "events_deadletter",
 ]
 
 

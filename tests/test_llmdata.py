@@ -733,3 +733,46 @@ def test_semantic_dedup_groups_accepts_external_pairs(spark):
     rows = sim.semantic_dedup_groups(emb, pairs=pairs).collect()
     got = {r["vec_id"]: r["group_id"] for r in rows}
     assert got == {1: 1, 2: 1, 3: 3, 4: 3}
+
+
+def test_semantic_dedup_lsh_pairs_are_a_refinement(spark):
+    # the 100 TB path: sign-LSH bucket candidates feed semantic_dedup's
+    # pairs= hook.  LSH can only MISS edges (same-bucket constraint), so
+    # every LSH-derived group must sit inside one exact-threshold group.
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(6, 8))
+    rows = []
+    vid = 0
+    for b in base:
+        for _ in range(3):  # 3 near-copies per cluster
+            vid += 1
+            rows.append((vid, [float(x) for x in b + rng.normal(scale=0.01, size=8)]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    exact = {r["vec_id"]: r["group_id"]
+             for r in sim.semantic_dedup_groups(emb, threshold=0.9).collect()}
+
+    buckets = sim.sign_lsh_keys(emb, dim=8, n_planes=4)
+    b1 = buckets.select(F.col("vec_id").alias("id1"), F.col("bucket").alias("b1"))
+    b2 = buckets.select(F.col("vec_id").alias("id2"), F.col("bucket").alias("b2"))
+    cand = (b1.join(b2, (F.col("b1") == F.col("b2")) & (F.col("id1") < F.col("id2")))
+            .select("id1", "id2"))
+    # verify candidates at the same cosine threshold (LSH = candidate gen,
+    # exact check stays)
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    verified = (cand
+        .join(v.select(F.col("vec_id").alias("id1"), F.col("e").alias("e1")), "id1")
+        .join(v.select(F.col("vec_id").alias("id2"), F.col("e").alias("e2")), "id2")
+        .where(sim.cosine(F.col("e1"), F.col("e2")) >= 0.9)
+        .select("id1", "id2"))
+    lsh = {r["vec_id"]: r["group_id"]
+           for r in sim.semantic_dedup_groups(emb, pairs=verified).collect()}
+
+    # refinement: two vectors in the same LSH group are in the same exact group
+    by_group = {}
+    for vec, g in lsh.items():
+        by_group.setdefault(g, []).append(vec)
+    for members in by_group.values():
+        assert len({exact[m] for m in members}) == 1, members

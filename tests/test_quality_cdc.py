@@ -222,3 +222,26 @@ def test_point_in_time_join_chains_onto_second_dimension(spark, sf_small):
     twice = point_in_time_join(once, hist)
     assert "dim_valid_from_epoch" in twice.columns
     assert twice.count() == once.count()
+
+
+def test_route_dead_letters_first_rule_wins_and_nulls_violate(spark):
+    from puma_matcher_spark.operators.quality import route_dead_letters
+
+    df = spark.createDataFrame(
+        [(1, 5, 10.0), (2, None, 10.0), (3, 95, 10.0), (4, 95, 500.0), (5, 5, 500.0)],
+        "id INT, k INT, value DOUBLE",
+    )
+    rules = [
+        ("k_parse", F.col("k").isNotNull()),
+        ("k_range", F.col("k") < 90),
+        ("value_cap", F.col("value") <= 400.0),
+    ]
+    got = {r["id"]: (r["status"], r["reason"])
+           for r in route_dead_letters(df, rules).collect()}
+    assert got == {
+        1: ("ok", None),
+        2: ("quarantined", "k_parse"),      # null predicate counts as violated
+        3: ("quarantined", "k_range"),
+        4: ("quarantined", "k_range"),      # first violated rule wins
+        5: ("quarantined", "value_cap"),
+    }
