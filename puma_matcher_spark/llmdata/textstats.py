@@ -510,3 +510,97 @@ def ngram_novelty(
             ),
         )
     )
+
+
+def vocab_coverage(
+    docs: DataFrame, ks: tuple = (100, 500, 2000), text_col: str = "text"
+) -> DataFrame:
+    """Tokenizer design metric: the share of all token OCCURRENCES that a
+    top-k vocabulary covers, for each candidate k — the curve that decides
+    how large a wordpiece/BPE vocab needs to be before <unk> rates are
+    acceptable.
+
+    Shape: one token-count aggregate, ONE global window over the
+    vocab-sized count frame (bounded by distinct tokens, not corpus —
+    acceptable single-partition window, same class as the score-decile
+    ranking), then a tiny broadcast of the k list and one conditional
+    aggregate.  Output: (k, vocab_size, covered_share).
+    """
+    from pyspark.sql.window import Window
+
+    from puma_matcher_spark.functions.rounding import pround
+
+    counts = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+    ranked = counts.withColumn("rank", F.row_number().over(w))
+    total = counts.agg(F.sum("cnt").cast("long").alias("t")).scalar()
+    n_vocab = counts.agg(F.count(F.lit(1)).cast("long").alias("v")).scalar()
+    # fan the constant k list out as an exploded literal array — pure
+    # projection, no join (a 3-row broadcast cross join would be fine at
+    # any scale but trips the repo's no-cartesian CI guard for nothing)
+    return (
+        ranked.select(
+            "cnt",
+            "rank",
+            F.explode(
+                F.array(*[F.lit(int(k)).cast("long") for k in ks])
+            ).alias("k"),
+        )
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.when(F.col("rank") <= F.col("k"), F.col("cnt")).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("_covered")
+        )
+        .select(
+            "k",
+            F.least(F.col("k"), n_vocab).cast("long").alias("vocab_size"),
+            pround(F.col("_covered") / total, 4).alias("covered_share"),
+        )
+    )
+
+
+def vocab_drift(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Distribution-shift monitor between the even- and odd-doc_id halves
+    of the corpus: add-one-smoothed unigram distributions over the union
+    vocabulary, symmetric KL divergences — the drift alarm a rolling
+    ingest pipeline watches between shards/snapshots.
+
+    Shape: one (half, token) aggregate, a half-pivot via conditional
+    sums (no join), two scalar totals, one global sum.  Output: one row
+    (n_vocab, n_even_tokens, n_odd_tokens, kl_even_odd, kl_odd_even).
+    """
+    from puma_matcher_spark.functions.rounding import pround
+
+    tok = docs.select(
+        (F.col("doc_id") % 2 == 0).alias("even"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    )
+    per = tok.groupBy("tok").agg(
+        F.sum(F.when(F.col("even"), 1).otherwise(0)).cast("long").alias("c_even"),
+        F.sum(F.when(F.col("even"), 0).otherwise(1)).cast("long").alias("c_odd"),
+    )
+    v = per.agg(F.count(F.lit(1)).cast("long").alias("v")).scalar()
+    n_even = per.agg(F.sum("c_even").cast("long").alias("s")).scalar()
+    n_odd = per.agg(F.sum("c_odd").cast("long").alias("s")).scalar()
+    p = (F.col("c_even") + 1) / (n_even + v)
+    q = (F.col("c_odd") + 1) / (n_odd + v)
+    return (
+        per.agg(
+            pround(F.sum(p * F.log(p / q)), 4).alias("kl_even_odd"),
+            pround(F.sum(q * F.log(q / p)), 4).alias("kl_odd_even"),
+        )
+        .select(
+            v.alias("n_vocab"),
+            n_even.alias("n_even_tokens"),
+            n_odd.alias("n_odd_tokens"),
+            "kl_even_odd",
+            "kl_odd_even",
+        )
+    )

@@ -6316,6 +6316,63 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "vocab_coverage",
+    """WITH c AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+    FROM documents) GROUP BY 1),
+r AS (SELECT tok, cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, tok ASC) AS rank
+      FROM c),
+t AS (SELECT SUM(cnt) AS total, COUNT(*) AS v FROM c),
+k AS (SELECT unnest([100, 500, 2000]) AS k)
+SELECT CAST(k.k AS BIGINT) AS k,
+       CAST(LEAST(k.k, (SELECT v FROM t)) AS BIGINT) AS vocab_size,
+       ROUND(SUM(CASE WHEN r.rank <= k.k THEN r.cnt ELSE 0 END) * 1.0
+             / (SELECT total FROM t), 4) AS covered_share
+FROM r, k GROUP BY k.k""",
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k vocabulary coverage curve (llmdata/textstats.py
+    vocab_coverage): the share of all token occurrences a k-entry vocab
+    covers, for k in {100, 500, 2000} — the tokenizer-sizing metric."""
+    docs = load_tables(spark, sf_dir).llm_documents()
+    return ts.vocab_coverage(docs, ks=(100, 500, 2000))
+
+
+@register(
+    "vocab_drift",
+    """WITH tk AS (
+  SELECT (doc_id % 2 = 0) AS even,
+         unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+  FROM documents),
+per AS (
+  SELECT tok,
+         CAST(SUM(CASE WHEN even THEN 1 ELSE 0 END) AS BIGINT) AS c_even,
+         CAST(SUM(CASE WHEN even THEN 0 ELSE 1 END) AS BIGINT) AS c_odd
+  FROM tk GROUP BY 1),
+t AS (SELECT CAST(COUNT(*) AS BIGINT) AS v,
+             CAST(SUM(c_even) AS BIGINT) AS ne,
+             CAST(SUM(c_odd) AS BIGINT) AS no
+      FROM per)
+SELECT t.v AS n_vocab, t.ne AS n_even_tokens, t.no AS n_odd_tokens,
+       ROUND(SUM(((per.c_even + 1.0) / (t.ne + t.v)) *
+             ln(((per.c_even + 1.0) / (t.ne + t.v)) /
+                ((per.c_odd + 1.0) / (t.no + t.v)))), 4) AS kl_even_odd,
+       ROUND(SUM(((per.c_odd + 1.0) / (t.no + t.v)) *
+             ln(((per.c_odd + 1.0) / (t.no + t.v)) /
+                ((per.c_even + 1.0) / (t.ne + t.v)))), 4) AS kl_odd_even
+FROM per, t GROUP BY 1, 2, 3""",
+)
+def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram distribution drift between the even/odd doc_id halves
+    (llmdata/textstats.py vocab_drift): add-one-smoothed KL divergences
+    over the union vocabulary — the shard/snapshot drift alarm."""
+    docs = load_tables(spark, sf_dir).llm_documents()
+    return ts.vocab_drift(docs)
+
+
 # --------------------------------------------------------------------------
 # Driver-window ordering — ROUND 5.
 #
@@ -6408,6 +6465,8 @@ _PRIORITY: list[str] = [
     "events_markov",
     "events_paths",
     "events_deadletter",
+    "vocab_coverage",
+    "vocab_drift",
 ]
 
 

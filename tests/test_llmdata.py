@@ -776,3 +776,26 @@ def test_semantic_dedup_lsh_pairs_are_a_refinement(spark):
         by_group.setdefault(g, []).append(vec)
     for members in by_group.values():
         assert len({exact[m] for m in members}) == 1, members
+
+
+def test_vocab_coverage_curve(spark):
+    # corpus: 'a' x4, 'b' x2, 'c' x1, 'd' x1  (total 8 occurrences)
+    docs = _docs(spark, [(1, "a a b c"), (2, "a a b d")])
+    got = {r["k"]: (r["vocab_size"], r["covered_share"])
+           for r in ts.vocab_coverage(docs, ks=(1, 2, 10)).collect()}
+    assert got == {1: (1, 0.5), 2: (2, 0.75), 10: (4, 1.0)}
+
+
+def test_vocab_drift_identical_halves_is_zero(spark):
+    # even and odd halves have identical unigram distributions -> KL = 0
+    docs = _docs(spark, [(0, "x y"), (1, "x y"), (2, "y z"), (3, "y z")])
+    row = ts.vocab_drift(docs).collect()[0]
+    assert row["n_vocab"] == 3
+    assert row["n_even_tokens"] == 4 and row["n_odd_tokens"] == 4
+    assert row["kl_even_odd"] == 0.0 and row["kl_odd_even"] == 0.0
+
+
+def test_vocab_drift_detects_shift(spark):
+    docs = _docs(spark, [(0, "x x x x"), (1, "z z z z")])
+    row = ts.vocab_drift(docs).collect()[0]
+    assert row["kl_even_odd"] > 0.5 and row["kl_odd_even"] > 0.5
