@@ -799,3 +799,54 @@ def test_vocab_drift_detects_shift(spark):
     docs = _docs(spark, [(0, "x x x x"), (1, "z z z z")])
     row = ts.vocab_drift(docs).collect()[0]
     assert row["kl_even_odd"] > 0.5 and row["kl_odd_even"] > 0.5
+
+
+def test_ngram_novelty_invariants_on_generated_corpus(spark):
+    """Every distinct corpus shingle is novel in EXACTLY one document
+    (its first), so sum(n_novel) == |distinct shingles|; novelty is
+    bounded by the doc's shingle count; the earliest doc is fully novel."""
+    import random
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = _docs(
+        spark,
+        [(i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 20))))
+         for i in range(30)],
+    )
+    rows = ts.ngram_novelty(docs, n=3).collect()
+    assert len(rows) == 30
+    assert all(0 <= r["n_novel"] <= r["n_shingles"] for r in rows)
+    total_novel = sum(r["n_novel"] for r in rows)
+    # recompute distinct shingles directly from the same tokenizer
+    toks = docs.select(ts.tokens(F.col("text")).alias("__tk"))
+    distinct_shingles = (
+        toks.select(F.explode(ts.ngram_array("__tk", 3)).alias("s"))
+        .distinct()
+        .count()
+    )
+    assert total_novel == distinct_shingles
+    first_with = min(r["doc_id"] for r in rows if r["n_shingles"] > 0)
+    first_row = next(r for r in rows if r["doc_id"] == first_with)
+    assert first_row["novel_frac"] == 1.0
+
+
+def test_semantic_dedup_group_invariants(spark):
+    """group_id is the min member id, exactly one representative per
+    group, and group_size matches the actual member count."""
+    import random
+
+    rng = random.Random(23)
+    rows = []
+    for i in range(40):
+        base = [rng.gauss(0, 1) for _ in range(4)]
+        rows.append((i + 1, [float(x) for x in base]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = sim.semantic_dedup_groups(emb, threshold=0.8).collect()
+    groups = {}
+    for r in out:
+        groups.setdefault(r["group_id"], []).append(r)
+    for gid, members in groups.items():
+        assert gid == min(m["vec_id"] for m in members)
+        assert sum(m["is_representative"] for m in members) == 1
+        assert all(m["group_size"] == len(members) for m in members)
