@@ -67,7 +67,11 @@ def _time_media(spark, n_per_format: int = 8) -> float | None:
         from puma_matcher_spark.llmdata.multimodal import (
             extract_media_features_decoded,
         )
+    except ImportError:
+        return None  # stripped checkout: encoders/scripts absent
 
+    media = None
+    try:
         blobs = [b for fmt in _payloads(n_per_format).values() for b in fmt]
         media = spark.createDataFrame(
             [(i, bytearray(b)) for i, b in enumerate(blobs)],
@@ -80,10 +84,15 @@ def _time_media(spark, n_per_format: int = 8) -> float | None:
             start = time.monotonic()
             extract_media_features_decoded(media).count()
             best = min(best, time.monotonic() - start)
-        media.unpersist()
         return round(best, 3)
-    except Exception:
+    except Exception as e:
+        # a decode/runtime failure is a REGRESSION, not a missing group —
+        # keep the bench contract (one JSON line) but say so loudly
+        print(f"bench: media group FAILED: {type(e).__name__}: {e}", file=sys.stderr)
         return None
+    finally:
+        if media is not None:
+            media.unpersist()
 
 
 def _time_queries(spark, sf_dir: str, names: list[str]) -> dict[str, float]:

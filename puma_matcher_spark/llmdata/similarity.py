@@ -496,17 +496,28 @@ def cosine_threshold_pairs(
     candidate pairs to :func:`semantic_dedup_groups` via ``pairs=``;
     the grouping stage is identical either way.
     """
+    # norms are per-vector map-side work hoisted OUT of the O(n^2) pair
+    # stage — same doubles as computing them per pair (sqrt of the same
+    # fold), so the 4-dec-rounded cosine is unchanged, but each pair
+    # folds only the dot product instead of dot + two norms
     v = embeddings.select(
-        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_e")
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_e"),
+    ).withColumn("_n", norm(F.col("_e")))
+    a = v.select(
+        F.col("_id").alias("id1"), F.col("_e").alias("_e1"), F.col("_n").alias("_n1")
     )
-    a = v.select(F.col("_id").alias("id1"), F.col("_e").alias("_e1"))
-    b = v.select(F.col("_id").alias("id2"), F.col("_e").alias("_e2"))
+    b = v.select(
+        F.col("_id").alias("id2"), F.col("_e").alias("_e2"), F.col("_n").alias("_n2")
+    )
     return (
         a.join(b, F.col("id1") < F.col("id2"))
         .select(
             "id1",
             "id2",
-            pround(cosine(F.col("_e1"), F.col("_e2")), 4).alias("cosine_sim"),
+            pround(
+                dot(F.col("_e1"), F.col("_e2")) / (F.col("_n1") * F.col("_n2")), 4
+            ).alias("cosine_sim"),
         )
         .where(F.col("cosine_sim") >= threshold)
         .select("id1", "id2")

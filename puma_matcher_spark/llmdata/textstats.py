@@ -537,8 +537,16 @@ def vocab_coverage(
     )
     w = Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())
     ranked = counts.withColumn("rank", F.row_number().over(w))
-    total = counts.agg(F.sum("cnt").cast("long").alias("t")).scalar()
-    n_vocab = counts.agg(F.count(F.lit(1)).cast("long").alias("v")).scalar()
+    # ONE scalar subquery (a struct of both totals — a single aggregate
+    # pass over the count frame), not one per field: separate .scalar()
+    # calls each replan the token explode + aggregate
+    stats = counts.agg(
+        F.struct(
+            F.sum("cnt").cast("long").alias("t"),
+            F.count(F.lit(1)).cast("long").alias("v"),
+        ).alias("s")
+    ).scalar()
+    total, n_vocab = stats.getField("t"), stats.getField("v")
     # fan the constant k list out as an exploded literal array — pure
     # projection, no join (a 3-row broadcast cross join would be fine at
     # any scale but trips the repo's no-cartesian CI guard for nothing)
@@ -586,9 +594,17 @@ def vocab_drift(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.sum(F.when(F.col("even"), 1).otherwise(0)).cast("long").alias("c_even"),
         F.sum(F.when(F.col("even"), 0).otherwise(1)).cast("long").alias("c_odd"),
     )
-    v = per.agg(F.count(F.lit(1)).cast("long").alias("v")).scalar()
-    n_even = per.agg(F.sum("c_even").cast("long").alias("s")).scalar()
-    n_odd = per.agg(F.sum("c_odd").cast("long").alias("s")).scalar()
+    # one struct scalar = one aggregate pass over `per`, not three
+    stats = per.agg(
+        F.struct(
+            F.count(F.lit(1)).cast("long").alias("v"),
+            F.sum("c_even").cast("long").alias("ne"),
+            F.sum("c_odd").cast("long").alias("no"),
+        ).alias("s")
+    ).scalar()
+    v = stats.getField("v")
+    n_even = stats.getField("ne")
+    n_odd = stats.getField("no")
     p = (F.col("c_even") + 1) / (n_even + v)
     q = (F.col("c_odd") + 1) / (n_odd + v)
     return (

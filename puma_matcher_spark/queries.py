@@ -4448,7 +4448,7 @@ r AS (
   SELECT event_id, k, ROUND(value, 4) AS value,
          CASE WHEN k IS NULL THEN 'k_parse'
               WHEN NOT (k < 90) THEN 'k_range'
-              WHEN NOT (value <= 400.0) THEN 'value_cap'
+              WHEN value IS NULL OR NOT (value <= 400.0) THEN 'value_cap'
          END AS reason
   FROM e)
 SELECT event_id, k, value, reason,
@@ -4464,9 +4464,13 @@ def q_events_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from puma_matcher_spark.operators.quality import route_dead_letters
 
     ev = load_tables(spark, sf_dir).events()
+    # try_cast, not cast: under Spark 4's default ANSI mode a plain cast
+    # CRASHES on a non-numeric $.k — the exact input class this query
+    # exists to quarantine (the oracle twin uses TRY_CAST for the same
+    # reason; both yield NULL -> 'k_parse')
     e = ev.select(
         "event_id",
-        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        F.get_json_object("props", "$.k").try_cast("long").alias("k"),
         "value",
     )
     rules = [

@@ -55,23 +55,31 @@ class _FileSlice(InputPartition):
 def pack_by_size(
     sized: list[tuple[int, str, int]], target_bytes: int
 ) -> list[list[tuple[int, str]]]:
-    """First-fit-decreasing bin packing of (doc_id, path, n_bytes) into
-    bins of ~``target_bytes``.  Deterministic: sort by (-size, path).
-    Files larger than the target get their own bin (a file is the
-    smallest split unit for wholetext semantics)."""
+    """Best-fit-decreasing bin packing of (doc_id, path, n_bytes) into
+    bins of ~``target_bytes``.  Deterministic: files sort by (-size,
+    path); each goes to the fullest bin that still fits it (ties to the
+    oldest bin).  Files larger than the target get their own bin (a
+    file is the smallest split unit for wholetext semantics).
+
+    The fit search is a bisect over a sorted residual-capacity index —
+    O(n log n + n·B) list maintenance in C, not the O(n·B) PYTHON scan
+    of naive first-fit — so planning a million-entry manifest stays in
+    seconds on the driver."""
+    import bisect
+
     bins: list[list[tuple[int, str]]] = []
-    loads: list[int] = []
+    # ascending (residual_capacity, bin_id); bisect finds the SMALLEST
+    # residual that fits = best fit, ties resolved to the oldest bin
+    residuals: list[tuple[int, int]] = []
     for doc_id, path, n in sorted(sized, key=lambda t: (-t[2], t[1])):
-        placed = False
-        for i, load in enumerate(loads):
-            if load + n <= target_bytes:
-                bins[i].append((doc_id, path))
-                loads[i] += n
-                placed = True
-                break
-        if not placed:
+        i = bisect.bisect_left(residuals, (n, -1))
+        if i < len(residuals):
+            cap, b = residuals.pop(i)
+            bins[b].append((doc_id, path))
+            bisect.insort(residuals, (cap - n, b))
+        else:
             bins.append([(doc_id, path)])
-            loads.append(n)
+            bisect.insort(residuals, (max(target_bytes - n, 0), len(bins) - 1))
     return bins
 
 

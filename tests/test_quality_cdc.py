@@ -245,3 +245,33 @@ def test_route_dead_letters_first_rule_wins_and_nulls_violate(spark):
         4: ("quarantined", "k_range"),      # first violated rule wins
         5: ("quarantined", "value_cap"),
     }
+
+
+def test_deadletter_unparseable_json_quarantines_instead_of_crashing(spark):
+    # Spark 4 ANSI mode: a plain cast('long') would CRASH on 'abc'/'12.5';
+    # the query path must try_cast so bad inputs route to quarantine
+    from puma_matcher_spark.operators.quality import route_dead_letters
+
+    df = spark.createDataFrame(
+        [
+            (1, '{"k": "abc"}', 5.0),
+            (2, '{"k": 12.5}', 5.0),
+            (3, "not json at all", 5.0),
+            (4, '{"k": 5}', None),
+            (5, '{"k": 5}', 5.0),
+        ],
+        "event_id INT, props STRING, value DOUBLE",
+    )
+    e = df.select(
+        "event_id",
+        F.get_json_object("props", "$.k").try_cast("long").alias("k"),
+        "value",
+    )
+    rules = [
+        ("k_parse", F.col("k").isNotNull()),
+        ("k_range", F.col("k") < 90),
+        ("value_cap", F.col("value") <= 400.0),
+    ]
+    got = {r["event_id"]: r["reason"] for r in route_dead_letters(e, rules).collect()}
+    assert got == {1: "k_parse", 2: "k_parse", 3: "k_parse",
+                   4: "value_cap", 5: None}
