@@ -729,3 +729,82 @@ def jaccard_prefix_join(
         .withColumn("jaccard", pround(raw_j, 4))
         .select("doc1_id", "doc2_id", "common", "jaccard")
     )
+
+
+def simhash_hamming_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    max_band_bucket: int | None = 2000,
+) -> DataFrame:
+    """SimHash near-duplicate self-join with pigeonhole band blocking —
+    the web-scale dedup pattern of Manku et al. (WWW'07): split the
+    60-bit fingerprint into ``max_hamming + 1`` bands; two fingerprints
+    within ``max_hamming`` bit flips MUST agree on at least one whole
+    band, so an equi-join on (band_id, band_value) generates a COMPLETE
+    candidate set and the exact popcount(xor) check keeps only true
+    near-dups.  Output: (doc1_id, doc2_id, hamming), id1 < id2.
+
+    Scale shape: fingerprints are map-side (zero-shuffle simhash64
+    kernel); candidates come from ONE equi-join on the band key — never
+    an all-pairs product; completeness is a theorem, not a recall knob
+    (unlike MinHash-LSH).  ``max_band_bucket`` guards degenerate bands
+    (boilerplate corpora hashing identically) exactly like the LSH
+    band-bucket cap.
+    """
+    n_bands = max_hamming + 1
+    width = 60 // n_bands  # 60-bit fingerprint (simhash64 votes bits 0..59)
+    # no persist: the fingerprint kernel is a zero-shuffle map-side pass,
+    # so the three consumers below (bands + both verify sides) cost two
+    # extra codegen scans, not a recomputed shuffle
+    sh = simhash64_mapside(docs, text_col=text_col)
+    bands = sh.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band"),
+                            (
+                                F.shiftright(F.col("simhash"), i * width)
+                                .bitwiseAND(F.lit((1 << width) - 1))
+                            ).alias("val"),
+                        )
+                        for i in range(n_bands)
+                    ]
+                )
+            ).alias("b"),
+    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.val").alias("val"))
+    if max_band_bucket is not None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("band", "val")
+        bands = bands.withColumn("_n", F.count(F.lit(1)).over(w)).where(
+            F.col("_n") <= max_band_bucket
+        )
+    a = bands.select(
+        F.col("band"), F.col("val"), F.col("doc_id").alias("doc1_id")
+    )
+    b = bands.select(
+        F.col("band"), F.col("val"), F.col("doc_id").alias("doc2_id")
+    )
+    cand = (
+        a.join(b, ["band", "val"])
+        .where(F.col("doc1_id") < F.col("doc2_id"))
+        .select("doc1_id", "doc2_id")
+        .distinct()
+    )
+    s1 = sh.select(F.col("doc_id").alias("doc1_id"), F.col("simhash").alias("_s1"))
+    s2 = sh.select(F.col("doc_id").alias("doc2_id"), F.col("simhash").alias("_s2"))
+    return (
+        cand.join(s1, "doc1_id")
+        .join(s2, "doc2_id")
+        .select(
+            "doc1_id",
+            "doc2_id",
+            F.bit_count(F.col("_s1").bitwiseXOR(F.col("_s2")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -2420,6 +2420,38 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "simhash_near_dups",
+    f"""WITH toksl AS (SELECT doc_id, {_LLM_TOKS} AS tk FROM documents),
+words AS (SELECT doc_id, unnest(tk) AS tok FROM toksl),
+tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM words GROUP BY 1, 2),
+hashed AS (
+  SELECT doc_id, tf, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tf),
+bits AS (SELECT doc_id, tf, h, unnest(range(60)) AS bit FROM hashed),
+votes AS (
+  SELECT doc_id, bit,
+         SUM(CASE WHEN (h >> bit) & 1 = 1 THEN tf ELSE -tf END) AS vote
+  FROM bits GROUP BY 1, 2),
+simh AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY 1)
+SELECT a.doc_id AS doc1_id, b.doc_id AS doc2_id,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM simh a JOIN simh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+)
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup self-join with pigeonhole band blocking
+    (llmdata/dedup.py simhash_hamming_pairs; Manku et al. WWW'07): 4
+    bands of 15 bits — Hamming <= 3 implies at least one identical band,
+    so the band equi-join's candidate set is provably complete.  The
+    oracle is the EXACT all-pairs definition, so a driver pass checks
+    the completeness theorem itself, not just the arithmetic."""
+    docs = load_tables(spark, sf_dir).llm_documents()
+    return dd.simhash_hamming_pairs(docs, max_hamming=3)
+
+
+@register(
     "label_centroids",
     """WITH e AS (
   SELECT label, unnest(embedding::DOUBLE[]) AS v,
@@ -6471,6 +6503,7 @@ _PRIORITY: list[str] = [
     "events_deadletter",
     "vocab_coverage",
     "vocab_drift",
+    "simhash_near_dups",
 ]
 
 

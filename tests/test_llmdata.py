@@ -850,3 +850,35 @@ def test_semantic_dedup_group_invariants(spark):
         assert gid == min(m["vec_id"] for m in members)
         assert sum(m["is_representative"] for m in members) == 1
         assert all(m["group_size"] == len(members) for m in members)
+
+
+def test_simhash_band_blocking_is_complete(spark):
+    """The pigeonhole guarantee, checked against brute force: band
+    blocking must find EVERY pair within the Hamming radius."""
+    import random
+
+    rng = random.Random(5)
+    vocab = [f"w{i}" for i in range(15)]
+    docs = _docs(
+        spark,
+        [(i, " ".join(rng.choice(vocab) for _ in range(25))) for i in range(60)],
+    )
+    blocked = {
+        (r["doc1_id"], r["doc2_id"]): r["hamming"]
+        for r in dd.simhash_hamming_pairs(docs, max_hamming=3).collect()
+    }
+    sh = {r["doc_id"]: r["simhash"] for r in dd.simhash64(docs).collect()}
+    brute = {
+        (a, b): bin(sh[a] ^ sh[b]).count("1")
+        for a in sh for b in sh
+        if a < b and bin(sh[a] ^ sh[b]).count("1") <= 3
+    }
+    assert blocked == brute
+
+
+def test_simhash_band_bucket_cap_drops_degenerate_bands(spark):
+    # identical docs share every band; a cap below the clique size must
+    # remove those candidates entirely
+    docs = _docs(spark, [(i, "same boilerplate text here") for i in range(8)])
+    assert dd.simhash_hamming_pairs(docs, max_band_bucket=4).count() == 0
+    assert dd.simhash_hamming_pairs(docs, max_band_bucket=None).count() == 28
