@@ -49,28 +49,16 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def shingles(
+def _shingle_expr(
     docs: DataFrame,
-    n: int = DEFAULT_SHINGLE,
-    text_col: str = "text",
-    spread: bool | None = None,
-) -> DataFrame:
-    """Distinct word n-gram shingles per document — fully map-side.
-
-    The shingle array is built inside the row with higher-order array
-    functions (transform over a position sequence + element_at), then
-    array_distinct'ed BEFORE the explode: no shuffle, no 1-row-per-token
-    blowup between scan and explode.  The previous formulation
-    (posexplode + lead() windows) shuffled every token row on doc_id;
-    at corpus scale that exchange dominated the whole dedup plane.
-
-    ``spread``: the heavy expression work is pipelined with the scan, so
-    its parallelism equals the input split count.  A 100 TB corpus has
-    thousands of splits (leave False/auto); small fixtures arrive as ONE
-    parquet row group and would run serially — auto (None) repartitions
-    the (cheap, pre-explode) document rows up to the session's shuffle
-    parallelism when the scan has materially fewer splits.
-    """
+    n: int,
+    text_col: str,
+    spread: bool | None,
+) -> tuple[DataFrame, Column]:
+    """(base, expr): the (doc_id, _tk) frame and the distinct-shingle-array
+    Column over it — the single definition shared by :func:`shingles` and
+    :func:`shingle_arrays`, so the shingle set feeding join candidates and
+    the one feeding verify embeddings can never drift apart."""
     from puma_matcher_spark.operators.skew import spread_input
 
     if spread is None:
@@ -93,9 +81,54 @@ def shingles(
             " ", *[F.element_at(F.col("_tk"), i + j) for j in range(n)]
         ),
     )
-    return base.select(
-        "doc_id", F.explode(F.array_distinct(sh_arr)).alias("shingle")
-    )
+    return base, F.array_distinct(sh_arr)
+
+
+def shingle_arrays(
+    docs: DataFrame,
+    n: int = DEFAULT_SHINGLE,
+    text_col: str = "text",
+    spread: bool | None = None,
+) -> DataFrame:
+    """(doc_id, shingle_arr) — the distinct word-n-gram array per document,
+    fully map-side, BEFORE any explode (the embedding/count-vector entry
+    point; :func:`shingles` is the exploded twin)."""
+    base, e = _shingle_expr(docs, n, text_col, spread)
+    return base.select("doc_id", e.alias("shingle_arr"))
+
+
+def shingles(
+    docs: DataFrame,
+    n: int = DEFAULT_SHINGLE,
+    text_col: str = "text",
+    spread: bool | None = None,
+) -> DataFrame:
+    """Distinct word n-gram shingles per document — fully map-side.
+
+    The shingle array is built inside the row with higher-order array
+    functions (transform over a position sequence + element_at), then
+    array_distinct'ed BEFORE the explode: no shuffle, no 1-row-per-token
+    blowup between scan and explode.  The previous formulation
+    (posexplode + lead() windows) shuffled every token row on doc_id;
+    at corpus scale that exchange dominated the whole dedup plane.
+
+    The explode argument must stay the INLINE expression, never a
+    projected attribute: Catalyst's InferFiltersFromGenerate skips
+    expensive generator inputs, but an attribute input is "cheap", gets a
+    size()>0 filter inferred, and projection collapse then substitutes
+    the WHOLE shingle expression into that filter — measured 5-6x on
+    minhash_pairs/ngram_jaccard/incremental_near_dups when a round-6
+    refactor briefly exploded an aliased column (PLANS.md §round-6).
+
+    ``spread``: the heavy expression work is pipelined with the scan, so
+    its parallelism equals the input split count.  A 100 TB corpus has
+    thousands of splits (leave False/auto); small fixtures arrive as ONE
+    parquet row group and would run serially — auto (None) repartitions
+    the (cheap, pre-explode) document rows up to the session's shuffle
+    parallelism when the scan has materially fewer splits.
+    """
+    base, e = _shingle_expr(docs, n, text_col, spread)
+    return base.select("doc_id", F.explode(e).alias("shingle"))
 
 
 def minhash_signatures(

@@ -563,3 +563,136 @@ def semantic_dedup_groups(
             (F.col("id") == F.col("component")).alias("is_representative"),
         )
     )
+
+
+def shingle_hash_embeddings(
+    docs: DataFrame,
+    n_buckets: int = 128,
+    n: int = 3,
+    text_col: str = "text",
+    spread: bool | None = None,
+) -> DataFrame:
+    """Hashed bag-of-shingles document "embedding": each distinct word
+    n-gram is md5-hashed (portable 60-bit arithmetic, DuckDB-reproducible)
+    into one of ``n_buckets`` buckets; the embedding is the per-bucket
+    count vector.  Output: (doc_id, embedding array<double>).
+
+    Entirely map-side — the shingle array, the bucket assignments, and the
+    count fold all happen inside the row with higher-order array
+    functions; zero shuffles, so at 100 TB this costs one scan.  Docs with
+    fewer than ``n`` tokens get the all-zero vector (no shingles).
+    """
+    from puma_matcher_spark.llmdata.dedup import portable_hash60, shingle_arrays
+
+    base = shingle_arrays(docs, n=n, text_col=text_col, spread=spread)
+    buckets = F.transform(
+        F.col("shingle_arr"),
+        lambda s: (portable_hash60(s) % F.lit(n_buckets)).cast("int"),
+    )
+    emb = F.transform(
+        F.sequence(F.lit(0), F.lit(n_buckets - 1)),
+        lambda b: F.size(F.filter(buckets, lambda x: x == b)).cast("double"),
+    )
+    return base.select("doc_id", emb.alias("embedding"))
+
+
+def shared_shingle_pairs(
+    docs: DataFrame,
+    df_cap: int = 5,
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """Candidate near-duplicate pairs: documents sharing at least one
+    *rare* shingle (document frequency <= ``df_cap``).  One window pass to
+    tag frequencies + one self equi-join on the shingle key, reusing the
+    same hash partitioning — never an all-pairs product.
+
+    Scale shape: candidate volume is sum(df^2) over rare shingles — linear
+    in the corpus for a fixed duplication rate — and the df cap excises
+    boilerplate shingles exactly like the entity-frequency guard
+    (EntitiesMatcherV2.scala:44-52) excises hub entities.  Completeness is
+    empirical, with a large measured margin: near-duplicate texts share
+    many rare shingles (every true pair in the fixtures shares >= 8 of
+    them; gate in tests/test_semantic_blocked.py).
+    """
+    from puma_matcher_spark.llmdata.dedup import shingles
+
+    sh = shingles(docs, n=n, text_col=text_col)
+    w = Window.partitionBy("shingle")
+    rare = (
+        sh.withColumn("_df", F.count(F.lit(1)).over(w))
+        .where(F.col("_df") <= df_cap)
+        .select("doc_id", "shingle")
+    )
+    a = rare.select(F.col("doc_id").alias("id1"), "shingle")
+    b = rare.select(F.col("doc_id").alias("id2"), "shingle")
+    return (
+        a.join(b, "shingle")
+        .where(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+
+
+def semantic_dedup_blocked(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n_buckets: int = 128,
+    n: int = 3,
+    df_cap: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """SemDeDup over document text with a *blocked* pair stage — the 100x
+    plan: shared-rare-shingle candidates (one equi-join) → exact cosine
+    verify on the hashed-shingle embedding → connected components.  Same
+    output contract as :func:`semantic_dedup_groups`, keyed by doc_id.
+
+    Why blocking works HERE and not on the isotropic embeddings fixture:
+    hashed-shingle vectors of near-duplicate texts sit at cosine >= 0.94
+    while the background tops out at ~0.64 (measured, PLANS.md §round-6),
+    so the threshold lives in a real gap and the candidate stage only has
+    to find pairs that, by construction of near-duplication, share many
+    rare shingles.  Every candidate is verified EXACTLY, so false
+    candidates cost work, never correctness.
+
+    Reference parity: the reference's cosine matcher
+    (matching/matcher/CosineMatcher.scala) thresholds pairwise cosine over
+    derived term vectors; this adds the blocked candidate stage its plan
+    lacks and feeds the same CC grouping as the dedup chains
+    (PersonDeduplication).
+    """
+    emb = shingle_hash_embeddings(
+        docs, n_buckets=n_buckets, n=n, text_col=text_col
+    )
+    cands = shared_shingle_pairs(docs, df_cap=df_cap, n=n, text_col=text_col)
+    v = emb.select(
+        F.col("doc_id").alias("_id"),
+        F.col("embedding").alias("_e"),
+        norm(F.col("embedding")).alias("_n"),
+    )
+    verified = (
+        cands.join(
+            v.select(
+                F.col("_id").alias("id1"),
+                F.col("_e").alias("_e1"),
+                F.col("_n").alias("_n1"),
+            ),
+            "id1",
+        )
+        .join(
+            v.select(
+                F.col("_id").alias("id2"),
+                F.col("_e").alias("_e2"),
+                F.col("_n").alias("_n2"),
+            ),
+            "id2",
+        )
+        .where(
+            pround(
+                dot(F.col("_e1"), F.col("_e2")) / (F.col("_n1") * F.col("_n2")), 4
+            )
+            >= threshold
+        )
+        .select("id1", "id2")
+    )
+    return semantic_dedup_groups(emb, pairs=verified, id_col="doc_id")

@@ -6260,14 +6260,79 @@ FROM comp JOIN sz USING (group_id)""",
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic deduplication: cosine >= 0.35 pairs →
     connected components → per-group size + min-id representative
-    (llmdata/similarity.py:semantic_dedup_groups).  The pair stage here
-    is the exact all-pairs baseline (documented cartesian, fixture
-    scale); at 100 TB the caller plugs the sign-LSH / IVF candidate
-    join into ``pairs=`` and the grouping stage is unchanged.  The
-    DuckDB twin recomputes the same fixpoint as a recursive-CTE
-    transitive closure."""
+    (llmdata/similarity.py:semantic_dedup_groups).  The pair stage is the
+    exact all-pairs definition — DELIBERATELY: this fixture's embeddings
+    are isotropic (max pairwise cosine 0.51 across 125k pairs; 0.35 is the
+    99.78th background percentile), so the qualifying output is itself
+    Θ(n²) and *no* sub-quadratic candidate stage can exist — a
+    pigeonhole-complete sign-LSH banding costs ~60× MORE than this join
+    (measured analysis: PLANS.md §round-6 semantic-dedup).  The 100× plan
+    for data that actually HAS semantic duplicates is the exported
+    ``semantic_dedup_blocked`` below, which feeds the same grouping stage
+    through the ``pairs=`` hook.  The DuckDB twin recomputes the same
+    fixpoint as a recursive-CTE transitive closure."""
     emb = load_tables(spark, sf_dir).llm_embeddings()
     return sim.semantic_dedup_groups(emb, threshold=0.35)
+
+
+@register(
+    "semantic_dedup_blocked",
+    """WITH RECURSIVE toks AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+  FROM documents),
+shl AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) >= 3 THEN
+           list_distinct(list_transform(range(1, len(tk) - 1),
+             i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]))
+         ELSE [] END AS shs
+  FROM toks),
+sh AS (SELECT doc_id, unnest(shs) AS shingle FROM shl),
+bc AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 128 AS bucket,
+         CAST(COUNT(*) AS DOUBLE) AS c
+  FROM sh GROUP BY 1, 2),
+nrm AS (SELECT doc_id, sqrt(SUM(c * c)) AS nv FROM bc GROUP BY 1),
+dots AS (
+  SELECT a.doc_id AS id1, b.doc_id AS id2, SUM(a.c * b.c) AS dp
+  FROM bc a JOIN bc b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id1, id2 FROM dots
+  JOIN nrm n1 ON dots.id1 = n1.doc_id
+  JOIN nrm n2 ON dots.id2 = n2.doc_id
+  WHERE ROUND(dp / (n1.nv * n2.nv), 4) >= 0.8),
+e AS (SELECT id1 AS a, id2 AS b FROM pairs
+      UNION SELECT id2, id1 FROM pairs),
+reach(id, r) AS (
+  SELECT a, a FROM e
+  UNION
+  SELECT reach.id, e.b FROM reach JOIN e ON reach.r = e.a),
+comp AS (SELECT id, CAST(MIN(r) AS BIGINT) AS group_id FROM reach GROUP BY id),
+sz AS (SELECT group_id, CAST(COUNT(*) AS BIGINT) AS group_size
+       FROM comp GROUP BY 1)
+SELECT comp.id AS doc_id, comp.group_id, sz.group_size,
+       comp.id = comp.group_id AS is_representative
+FROM comp JOIN sz USING (group_id)""",
+)
+def q_semantic_dedup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the BLOCKED pair stage — the 100×-safe exported plan
+    (llmdata/similarity.py:semantic_dedup_blocked): documents embed as
+    128-bucket hashed-shingle count vectors (map-side, portable md5
+    arithmetic); candidates come from one shared-rare-shingle equi-join
+    (df <= 5, the entity-frequency-guard pattern of
+    EntitiesMatcherV2.scala:44-52); every candidate is verified with the
+    EXACT cosine before the connected-components grouping, so blocking can
+    only miss pairs, never admit wrong ones — and the DuckDB twin is the
+    unblocked all-pairs definition, making this driver gate a standing
+    completeness check (measured margin: every true pair in the fixtures
+    shares >= 8 blocking shingles; candidates are 8.8× fewer than
+    all-pairs at sf0.01 and grow linearly, PLANS.md §round-6).  Reference
+    parity: matching/matcher/CosineMatcher.scala's thresholded cosine
+    pairs, with the candidate stage its plan lacks."""
+    docs = load_tables(spark, sf_dir).llm_documents()
+    return sim.semantic_dedup_blocked(docs, threshold=0.8)
 
 
 @register(
@@ -6459,51 +6524,68 @@ _PYTEST_ONLY: frozenset[str] = frozenset(
     }
 )
 
+# Round-6 window policy (freshness rotation — see
+# scripts/driver_gate_check.py freshness_audit): with the backlog cleared
+# in r5, each round's 50 slots now go to (a) this round's net-new
+# registrations (budget: <= 10/round), (b) every exported query whose last
+# hard driver row is oldest, oldest cohort first.  Capacity arithmetic:
+# 50 slots/round * 4 rounds = 200 >= exported count, so the standing
+# invariant is max row age <= 4 rounds (audit hard-fails beyond that);
+# after this round the oldest cohort is r3 (age 3).
 _PRIORITY: list[str] = [
-    # -- 1. round-4 spill: sketch / events shapes
-    "events_hll_rollup",
-    "events_theta_setops",
-    "events_kll_quantiles",
-    "events_top_users",
-    # -- 1. round-4 spill: sampling
-    "weighted_sample",
-    # -- 1. round-4 spill: TPC-H shapes
-    "large_orders",
-    "order_priority_late",
-    "brand_supplier_counts",
-    "small_quantity_revenue",
-    "nation_trade_volume",
-    "nation_market_share",
-    "customer_order_distribution",
-    "idle_rich_customers",
-    "disjunctive_promo_revenue",
-    # -- 1. round-4 spill: TPC-H decorrelation patterns (q2/q11/q15/q20)
-    "supplier_min_cost",
-    "important_stock",
-    "top_revenue_supplier",
-    "excess_stock_suppliers",
-    # -- 2. round-4 err, re-exported long-form
-    "label_centroids",
-    # -- 3. changed since last driver row
-    "entity_pairs",
-    "match_candidates",
-    "word_spec",
-    "word_features",
-    # -- 4. round-5 net-new registrations
-    "forecast_revenue",
-    "product_profit",
-    "returnflag_priority_mix",
-    "promo_revenue_share",
-    "semantic_dedup",
-    "ngram_novelty",
-    "embedding_outliers",
-    "events_forward_fill",
-    "events_markov",
-    "events_paths",
-    "events_deadletter",
-    "vocab_coverage",
-    "vocab_drift",
-    "simhash_near_dups",
+    # -- 1. round-6 net-new
+    "semantic_dedup_blocked",
+    # -- 2. last hard driver row r2 (the full stale cohort, 31 names)
+    "code_extraction",
+    "context_windows",
+    "dedup_blocked_pairs",
+    "dedup_components_cc",
+    "dedup_components_exact",
+    "dedup_exact",
+    "doc_fingerprint",
+    "doc_token_stats",
+    "dual_type_pairs",
+    "embedding_lsh_topk",
+    "embedding_near_dups",
+    "embedding_topk",
+    "events_json",
+    "events_sessions",
+    "events_windowed",
+    "hamming_pairs",
+    "lang_id",
+    "local_supplier_volume",
+    "minhash_pairs",
+    "ngram_jaccard",
+    "person_clean",
+    "pricing_summary",
+    "rank_evaluation",
+    "rare_words",
+    "shipping_priority",
+    "text_match_merged",
+    "text_match_pairs",
+    "text_match_scores",
+    "top_context_words",
+    "total_score",
+    "weight_eval",
+    # -- 3. oldest r3 cohort, first slice (the rest rotate in r7)
+    "bpe_token_stats",
+    "char_entropy",
+    "contamination_check",
+    "corpus_shuffle",
+    "corpus_split",
+    "cosine_titles",
+    "date_doc_type_filter",
+    "dedup_person_chain",
+    "doc_chunks",
+    "doc_quality",
+    "embedding_dup_clusters",
+    "events_approx_users",
+    "events_attribution",
+    "events_cube",
+    "events_dedup",
+    "events_rollup",
+    "frequent_itemsets",
+    "hundred_editor",
 ]
 
 

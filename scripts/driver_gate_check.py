@@ -18,10 +18,96 @@ from puma_matcher_spark.oracle import compare_query, duck_connection
 from puma_matcher_spark.queries import _ordered
 from puma_matcher_spark.session import get_spark
 
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+#: window freshness policy: every exported query must earn a hard driver
+#: CORRECTNESS row at least every MAX_ROW_AGE rounds.  Capacity arithmetic
+#: fixes the bound: 50 window slots/round x 4 rounds = 200 >= exported
+#: count, so age <= 4 is the tightest standing invariant the window can
+#: sustain (age <= 3 would cap the registry at 150 exported).
+MAX_ROW_AGE = 4
+#: net-new exported queries per round must fit the window alongside the
+#: oldest-cohort rotation: 50 slots - ~40 rotation slots => budget 10.
+NET_NEW_BUDGET = 10
+WINDOW = 50
+
+
+def freshness_audit(verbose: bool = True) -> list[str]:
+    """Project every exported query's driver-row age through this round's
+    window; return violation strings (empty == policy holds).
+
+    'This round' is inferred as max(N of CORRECTNESS_rN.json) + 1.  A query
+    inside the current window is treated as re-greened this round (the
+    spark gate below is what actually proves it).
+    """
+    import glob
+    import json
+    import re
+
+    last: dict[str, int] = {}
+    rounds = []
+    for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        if not m:
+            continue
+        r = int(m.group(1))
+        rounds.append(r)
+        for k, v in json.load(open(p)).items():
+            if v.get("err") is None and v.get("rows_match"):
+                last[k] = max(last.get(k, 0), r)
+    this_round = (max(rounds) + 1) if rounds else 1
+    exported = list(_ordered().keys())
+    window = set(exported[:WINDOW])
+    problems: list[str] = []
+    if len(exported) > WINDOW * MAX_ROW_AGE:
+        problems.append(
+            f"registry infeasible: {len(exported)} exported > "
+            f"{WINDOW}*{MAX_ROW_AGE} window capacity — retire or merge queries"
+        )
+    net_new = [n for n in exported if n not in last]
+    if len(net_new) > NET_NEW_BUDGET:
+        problems.append(
+            f"net-new budget exceeded: {len(net_new)} queries have no prior "
+            f"driver row (budget {NET_NEW_BUDGET}): {net_new}"
+        )
+    orphans = [n for n in net_new if n not in window]
+    if orphans:
+        problems.append(f"net-new queries outside the window: {orphans}")
+    stale = []
+    for n in exported:
+        if n in window:
+            continue  # earns a row this round
+        age = this_round - last.get(n, 0)
+        if n not in last:
+            stale.append((n, "never"))
+        elif age > MAX_ROW_AGE:
+            stale.append((n, age))
+    if stale:
+        problems.append(
+            f"row-age > {MAX_ROW_AGE} rounds after this window: {stale}"
+        )
+    if verbose:
+        ages = {}
+        for n in exported:
+            a = 0 if n in window else this_round - last.get(n, this_round)
+            ages[a] = ages.get(a, 0) + 1
+        print(
+            f"[freshness] round {this_round}: projected age histogram "
+            f"{dict(sorted(ages.items()))}, net-new {len(net_new)}/{NET_NEW_BUDGET}"
+        )
+        for p in problems:
+            print(f"[freshness] VIOLATION: {p}")
+        if not problems:
+            print("[freshness] policy holds")
+    return problems
+
 
 def main() -> int:
+    if "--audit-only" in sys.argv:
+        return 1 if freshness_audit() else 0
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     window = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+    violations = freshness_audit()
     spark = get_spark("driver-gate-check")
     con = duck_connection(sf_dir)
     ordered = list(_ordered().items())[:window]
@@ -46,7 +132,9 @@ def main() -> int:
             n_fail += 1
         print(f"{res}  ({time.time()-t0:.1f}s)")
     print(f"\n{window - n_fail}/{window} pass")
-    return 1 if n_fail else 0
+    if violations:
+        print(f"[freshness] {len(violations)} policy violation(s) — see above")
+    return 1 if (n_fail or violations) else 0
 
 
 if __name__ == "__main__":

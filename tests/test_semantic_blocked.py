@@ -1,0 +1,111 @@
+"""Round-6 guards for the blocked SemDeDup plane (VERDICT r5 #1): the
+exported ``semantic_dedup_blocked`` must (a) equal the exact all-pairs
+definition — i.e. the candidate stage is COMPLETE on the fixtures, with
+margin — and (b) keep its 100×-safe plan shape (equi-joins only, no
+cartesian, no row-UDFs).  The measured analysis behind the design —
+why the isotropic ``embeddings`` fixture at threshold 0.35 admits NO
+sub-quadratic pair stage, and why text near-dups do — lives in
+PLANS.md §round-6 semantic-dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from puma_matcher_spark.llmdata import similarity as sim
+from puma_matcher_spark.plans import inspect as pi
+from puma_matcher_spark.sources.testdata import load_tables
+
+THRESHOLD = 0.8
+
+
+def _docs(spark, sf_dir):
+    return load_tables(spark, sf_dir).llm_documents()
+
+
+def test_blocked_equals_exact_definition(spark, sf_small):
+    """The blocked pipeline (rare-shingle candidates → exact verify → CC)
+    must reproduce the unblocked all-pairs definition row-for-row."""
+    docs = _docs(spark, sf_small)
+    emb = sim.shingle_hash_embeddings(docs)
+    exact = sim.semantic_dedup_groups(
+        emb, threshold=THRESHOLD, id_col="doc_id"
+    )
+    blocked = sim.semantic_dedup_blocked(docs, threshold=THRESHOLD)
+    assert blocked.exceptAll(exact).count() == 0
+    assert exact.exceptAll(blocked).count() == 0
+    assert blocked.count() > 0  # non-trivial: the fixture has real dups
+
+
+def test_candidate_stage_complete_with_margin(spark, sf_small):
+    """Every true pair (exact cosine >= threshold) must appear among the
+    shared-rare-shingle candidates — and not via a single lucky shingle:
+    the fixtures' near-dup pairs each share >= 8 rare shingles (measured;
+    re-checked here at >= 4 so fixture regeneration noise can't flip the
+    gate), so blocking completeness has real margin."""
+    from puma_matcher_spark.llmdata.dedup import shingles
+
+    docs = _docs(spark, sf_small)
+    emb = sim.shingle_hash_embeddings(docs)
+    true_pairs = sim.cosine_threshold_pairs(
+        emb, THRESHOLD, id_col="doc_id"
+    )
+    cands = sim.shared_shingle_pairs(docs, df_cap=5)
+    missed = true_pairs.join(cands, ["id1", "id2"], "left_anti")
+    assert missed.count() == 0
+
+    # margin: shared rare-shingle count per true pair
+    sh = shingles(docs)
+    w_df = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= 5)
+    )
+    rare = sh.join(w_df.select("shingle"), "shingle")
+    a = rare.select(F.col("doc_id").alias("id1"), "shingle")
+    b = rare.select(F.col("doc_id").alias("id2"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .where(F.col("id1") < F.col("id2"))
+        .groupBy("id1", "id2")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    min_shared = (
+        true_pairs.join(shared, ["id1", "id2"])
+        .agg(F.min("n_shared"))
+        .first()[0]
+    )
+    assert min_shared is not None and min_shared >= 4, min_shared
+
+
+def test_candidate_stage_actually_blocks(spark, sf_small):
+    """The candidate set must be materially smaller than all-pairs —
+    otherwise the 'blocked' plan is all-pairs with extra steps.  Measured
+    at sf0.001/sf0.01: ~14k candidate rows (pre-distinct) vs 124,750
+    all-pairs; assert the distinct candidate count stays under a third."""
+    docs = _docs(spark, sf_small)
+    n = docs.count()
+    cands = sim.shared_shingle_pairs(docs, df_cap=5).count()
+    assert cands < (n * (n - 1) // 2) / 3, (cands, n)
+
+
+def test_blocked_plan_shape(spark, sf_small):
+    """No cartesian / broadcast-nested-loop anywhere in the exported
+    query's DAG (the registry-wide guard also enforces this — the name is
+    deliberately NOT on its whitelist), and no row-at-a-time Python."""
+    from puma_matcher_spark.queries import REGISTRY
+
+    df = REGISTRY["semantic_dedup_blocked"].spark_fn(spark, sf_small)
+    assert not pi.has_cartesian(df)
+    assert "BatchEvalPython" not in pi.formatted_plan(df)
+
+
+def test_embeddings_are_map_side(spark, sf_small):
+    """shingle_hash_embeddings must not shuffle: the whole hashed count
+    vector folds inside the row (one scan, zero exchanges; spread=False
+    pins off the small-fixture round-robin spread, which is the one
+    deliberate repartition the auto mode may add)."""
+    docs = _docs(spark, sf_small)
+    emb = sim.shingle_hash_embeddings(docs, spread=False)
+    plan = pi.formatted_plan(emb)
+    assert "Exchange" not in plan, plan
