@@ -95,17 +95,39 @@ def _time_media(spark, n_per_format: int = 8) -> float | None:
             media.unpersist()
 
 
-def _time_queries(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
+#: timed runs per query (after one warm run).  Raised 3 → 5 in round 6 so
+#: the output carries median + MAD dispersion: the r5 verdict flagged a
+#: broad ±10-30% drift vs r4 that single min-of-N numbers can't attribute
+#: (host noise vs regression).  The headline per-query value stays the MIN
+#: (round-1-comparable); median/MAD/samples ride alongside.
+BENCH_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    m = len(s) // 2
+    return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
+
+
+def _time_queries(
+    spark, sf_dir: str, names: list[str], samples_out: dict[str, dict]
+) -> dict[str, float]:
     timings: dict[str, float] = {}
     for name in names:
         fn = REGISTRY[name].spark_fn
         fn(spark, sf_dir).count()  # warm once (plan + IO caches)
-        best = float("inf")
-        for _ in range(3):  # min-of-3: steady-state, robust to host noise
+        runs: list[float] = []
+        for _ in range(BENCH_RUNS):
             start = time.monotonic()
             fn(spark, sf_dir).count()
-            best = min(best, time.monotonic() - start)
-        timings[name] = round(best, 3)
+            runs.append(round(time.monotonic() - start, 3))
+        med = _median(runs)
+        timings[name] = min(runs)
+        samples_out[name] = {
+            "samples": runs,
+            "median": round(med, 3),
+            "mad": round(_median([abs(x - med) for x in runs]), 3),
+        }
     return timings
 
 
@@ -115,9 +137,10 @@ def main() -> None:
     spark = get_spark("puma-matcher-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    timings = _time_queries(spark, sf_dir, BENCH_QUERIES)
+    dispersion: dict[str, dict] = {}
+    timings = _time_queries(spark, sf_dir, BENCH_QUERIES, dispersion)
     total = round(sum(timings.values()), 3)  # spine only: round-1-comparable
-    plane_timings = _time_queries(spark, sf_dir, BENCH_QUERIES_PLANES)
+    plane_timings = _time_queries(spark, sf_dir, BENCH_QUERIES_PLANES, dispersion)
     plane_total = round(sum(plane_timings.values()), 3)
     groups = {
         "spine_total": total,
@@ -138,6 +161,8 @@ def main() -> None:
                 "queries": {**timings, **plane_timings},
                 "sf": float(sf),
                 "groups": groups,
+                "runs_per_query": BENCH_RUNS,
+                "dispersion": dispersion,
             }
         )
     )
