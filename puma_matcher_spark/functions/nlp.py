@@ -150,14 +150,34 @@ def _pos_batch(arr, backend: str | None = None):
     return [_heuristic_pos(t) for t in arr]
 
 
+def _load_perceptron_ner():
+    from puma_matcher_spark.functions.perceptron import load_default_ner
+
+    return load_default_ner()
+
+
+def _load_lemmatizer():
+    from puma_matcher_spark.functions.lemmatizer import load_default
+
+    return load_default()
+
+
 def _ner_batch(arr, backend: str | None = None):
     if arr is None:
         return None
-    if _resolve(backend) == "spacy":
+    how = _resolve(backend)
+    if how == "spacy":
         return [
             t.ent_type_ or "O" for t in _spacy_doc(_load_spacy(), arr)
         ]
-    # perceptron backend is POS-only → capitalisation heuristic for NER
+    if how == "perceptron":
+        ner = _load_perceptron_ner()
+        if ner is not None:
+            # vendored averaged-perceptron NER (functions/perceptron.py,
+            # trained weights in data/ner_weights.json) — a real
+            # statistical model with the reference's 'O' default class
+            return ner.tag(list(arr))
+    # heuristic fallback: capitalisation with the 'O' default class
     out = []
     for i, t in enumerate(arr):
         out.append("ENTITY" if i > 0 and t[:1].isupper() else "O")
@@ -167,11 +187,21 @@ def _ner_batch(arr, backend: str | None = None):
 def _lemma_batch(arr, backend: str | None = None):
     if arr is None:
         return None
-    if _resolve(backend) == "spacy":
+    how = _resolve(backend)
+    if how == "spacy":
         return [
             t.lemma_ or t.text for t in _spacy_doc(_load_spacy(), arr)
         ]
-    # perceptron backend is POS-only → rule lemmatiser
+    if how == "perceptron":
+        lem = _load_lemmatizer()
+        tagger = _load_perceptron()
+        if lem is not None and tagger is not None:
+            # POS-conditioned morphy lemmatisation (functions/
+            # lemmatizer.py): detachment rules validated against the
+            # vendored lexicon, POS from the perceptron tagger — the
+            # CoreNLP lemma() contract (tag first, then lemmatise)
+            tags = tagger.tag(list(arr))
+            return [lem.lemma(t, tag) for t, tag in zip(arr, tags)]
     return [_heuristic_lemma(t) for t in arr]
 
 

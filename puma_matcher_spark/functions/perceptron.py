@@ -36,6 +36,8 @@ from collections import defaultdict
 _DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
 WEIGHTS_PATH = os.path.join(_DATA_DIR, "perceptron_weights.json")
 TRAIN_PATH = os.path.join(_DATA_DIR, "pos_train.txt")
+NER_WEIGHTS_PATH = os.path.join(_DATA_DIR, "ner_weights.json")
+NER_TRAIN_PATH = os.path.join(_DATA_DIR, "ner_train.txt")
 
 START = ("-START-", "-START2-")
 
@@ -48,7 +50,14 @@ def _normalize(word: str) -> str:
     return word.lower()
 
 
-def _features(i: int, word: str, context: list[str], prev: str, prev2: str):
+def _features(
+    i: int,
+    word: str,
+    context: list[str],
+    prev: str,
+    prev2: str,
+    raw: list[str] | None = None,
+):
     """Feature set for position ``i`` (padded context).  The classic
     greedy-perceptron features: current word + affixes, previous two
     predicted tags, and a ±1-word window with suffixes."""
@@ -76,6 +85,65 @@ def _features(i: int, word: str, context: list[str], prev: str, prev2: str):
         yield f("cap")
 
 
+def _shape(w: str) -> str:
+    """Collapsed orthographic shape class: 'Aa' (Capitalised), 'AA'
+    (acronym), 'A9' (instrument-style alnum code), 'a9', '9', 'a'."""
+    has_digit = any(c.isdigit() for c in w)
+    if w.isdigit():
+        return "9"
+    if has_digit:
+        return "A9" if w[:1].isupper() else "a9"
+    if w.isupper() and len(w) > 1:
+        return "AA"
+    if w[:1].isupper():
+        return "Aa"
+    return "a"
+
+
+def _ner_features(
+    i: int,
+    word: str,
+    context: list[str],
+    prev: str,
+    prev2: str,
+    raw: list[str] | None = None,
+):
+    """NER feature set: the POS features' word/affix/window core plus the
+    orthographic-shape signals entity recognition lives on (case and
+    digit patterns of the ORIGINAL tokens, which ``context`` normalises
+    away).  ``raw`` is the unpadded-case padded context."""
+    w = context[i]
+    r = raw[i] if raw else word
+
+    def f(name, *args):
+        return "+".join((name,) + tuple(args))
+
+    yield f("bias")
+    yield f("w", w)
+    yield f("suf3", w[-3:])
+    yield f("pre1", w[:1])
+    yield f("t-1", prev)
+    yield f("t-2", prev2)
+    yield f("w-1", context[i - 1])
+    yield f("w+1", context[i + 1])
+    yield f("t-1 w", prev, w)
+    yield f("shape", _shape(r))
+    yield f("t-1 shape", prev, _shape(r))
+    if raw:
+        yield f("shape-1", _shape(raw[i - 1]))
+        yield f("shape+1", _shape(raw[i + 1]))
+        yield f("shape-1 shape", _shape(raw[i - 1]), _shape(r))
+        yield f("w-1 shape", context[i - 1], _shape(r))
+        yield f("w shape+1", w, _shape(raw[i + 1]))
+    if i == 2:  # sentence-initial (padded index)
+        yield f("first")
+    if r[:1].isupper() and i > 2:
+        yield f("cap")
+
+
+FEATURE_SETS = {"pos": _features, "ner": _ner_features}
+
+
 class AveragedPerceptron:
     """Multi-class perceptron with weight averaging.
 
@@ -93,7 +161,7 @@ class AveragedPerceptron:
         self._tstamps: dict[tuple, int] = defaultdict(int)
         self._i = 0
 
-    def predict(self, features) -> str:
+    def predict(self, features, default: str = "NN") -> str:
         scores: dict[str, float] = defaultdict(float)
         for feat in features:
             ws = self.weights.get(feat)
@@ -102,7 +170,7 @@ class AveragedPerceptron:
             for tag, weight in ws.items():
                 scores[tag] += weight
         if not scores:
-            return "NN"
+            return default
         return max(self.classes, key=lambda t: (scores.get(t, 0.0), t))
 
     # -- training ----------------------------------------------------------
@@ -135,12 +203,24 @@ class AveragedPerceptron:
 
 
 class PerceptronTagger:
-    """Greedy left-to-right tagging with the averaged-perceptron model."""
+    """Greedy left-to-right tagging with the averaged-perceptron model.
 
-    def __init__(self, model: AveragedPerceptron, tagdict: dict[str, str]):
+    ``features`` names the feature extractor ('pos' | 'ner'); ``default``
+    is the no-evidence class ('NN' for POS, 'O' for NER)."""
+
+    def __init__(
+        self,
+        model: AveragedPerceptron,
+        tagdict: dict[str, str],
+        features: str = "pos",
+        default: str = "NN",
+    ):
         self.model = model
         # unambiguous frequent words bypass the model (speed + stability)
         self.tagdict = tagdict
+        self.features = features
+        self.default = default
+        self._extract = FEATURE_SETS[features]
 
     def tag(self, tokens: list[str]) -> list[str]:
         prev, prev2 = START
@@ -150,11 +230,12 @@ class PerceptronTagger:
             + [_normalize(t) for t in tokens]
             + ["-END-", "-END2-"]
         )
+        raw = list(START) + list(tokens) + ["-END-", "-END2-"]
         for i, word in enumerate(tokens):
             tag = self.tagdict.get(_normalize(word))
             if tag is None:
-                feats = _features(i + 2, word, context, prev, prev2)
-                tag = self.model.predict(feats)
+                feats = self._extract(i + 2, word, context, prev, prev2, raw)
+                tag = self.model.predict(feats, self.default)
             out.append(tag)
             prev2 = prev
             prev = tag
@@ -169,6 +250,8 @@ class PerceptronTagger:
                     "weights": self.model.weights,
                     "tagdict": self.tagdict,
                     "classes": sorted(self.model.classes),
+                    "features": self.features,
+                    "default": self.default,
                 },
                 fh,
                 separators=(",", ":"),
@@ -181,7 +264,12 @@ class PerceptronTagger:
             blob = json.load(fh)
         model = AveragedPerceptron(blob["weights"])
         model.classes = set(blob["classes"])
-        return cls(model, blob["tagdict"])
+        return cls(
+            model,
+            blob["tagdict"],
+            features=blob.get("features", "pos"),
+            default=blob.get("default", "NN"),
+        )
 
 
 def read_tagged_corpus(path: str = TRAIN_PATH) -> list[list[tuple[str, str]]]:
@@ -205,10 +293,13 @@ def train(
     n_iter: int = 8,
     tagdict_min: int = 3,
     tagdict_ratio: float = 0.97,
+    features: str = "pos",
+    default: str = "NN",
 ) -> PerceptronTagger:
     """Train on tagged sentences.  Deterministic: epochs walk the corpus
     in a fixed modular stride (no RNG), so retraining reproduces the
     shipped weights byte-for-byte."""
+    extract = FEATURE_SETS[features]
     counts: dict[str, dict[str, int]] = defaultdict(lambda: defaultdict(int))
     classes: set[str] = set()
     for sent in sentences:
@@ -240,19 +331,23 @@ def train(
                 + [_normalize(w) for w, _ in sent]
                 + ["-END-", "-END2-"]
             )
+            raw = list(START) + [w for w, _ in sent] + ["-END-", "-END2-"]
             for i, (word, truth) in enumerate(sent):
                 guess = tagdict.get(_normalize(word))
                 if guess is None:
-                    feats = list(_features(i + 2, word, context, prev, prev2))
-                    guess = model.predict(feats)
+                    feats = list(
+                        extract(i + 2, word, context, prev, prev2, raw)
+                    )
+                    guess = model.predict(feats, default)
                     model.update(truth, guess, feats)
                 prev2 = prev
                 prev = guess
     model.average_weights()
-    return PerceptronTagger(model, tagdict)
+    return PerceptronTagger(model, tagdict, features=features, default=default)
 
 
 _TAGGER: PerceptronTagger | None | object = None
+_NER_TAGGER: PerceptronTagger | None | object = None
 
 
 def load_default() -> PerceptronTagger | None:
@@ -265,3 +360,15 @@ def load_default() -> PerceptronTagger | None:
         except OSError:
             _TAGGER = False  # sentinel: tried and missing
     return _TAGGER if isinstance(_TAGGER, PerceptronTagger) else None
+
+
+def load_default_ner() -> PerceptronTagger | None:
+    """The vendored NER model (trained by scripts/train_perceptron.py on
+    data/ner_train.txt), or None when its weights file is absent."""
+    global _NER_TAGGER
+    if _NER_TAGGER is None:
+        try:
+            _NER_TAGGER = PerceptronTagger.load(NER_WEIGHTS_PATH)
+        except OSError:
+            _NER_TAGGER = False
+    return _NER_TAGGER if isinstance(_NER_TAGGER, PerceptronTagger) else None

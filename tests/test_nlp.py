@@ -165,3 +165,128 @@ def test_word_features_whitelist_and_positions(spark):
     assert all(tag in POS_WHITELIST for _, tag, _ in rows.values())
     # positions are 1-based over the filtered token stream
     assert min(p for _, _, p in rows.values()) >= 1
+
+
+# ---- round 6: vendored statistical NER + lexicon lemmatiser (M7) ----------
+
+# held-out NER fixture: sentence patterns from the training distribution,
+# ENTITIES unseen in data/ner_train.txt (the generalization that matters:
+# new names, known contexts/shapes)
+NER_FIXTURE = [
+    (
+        "the spectra from IN11 were processed by Karl Jensen in Grenoble",
+        "O O O INSTRUMENT O O O PERSON PERSON O LOCATION",
+    ),
+    (
+        "Eva Novotna installed the cryostat on MIRA at the reactor in Garching",
+        "PERSON PERSON O O O O INSTRUMENT O O O O LOCATION",
+    ),
+    (
+        "the committee from Uppsala University approved the proposal",
+        "O O O ORGANIZATION ORGANIZATION O O O",
+    ),
+    (
+        "the vacuum pump failed during the weekend and the run was lost",
+        "O O O O O O O O O O O O",
+    ),
+    (
+        "data from D22 were compared with results from LOKI in Lund",
+        "O O INSTRUMENT O O O O O INSTRUMENT O LOCATION",
+    ),
+]
+
+
+def test_perceptron_ner_accuracy_on_held_out():
+    """The vendored averaged-perceptron NER (data/ner_weights.json) must
+    clear labelled gates on HELD-OUT sentences: >= 0.9 token accuracy and
+    >= 0.75 entity recall (SURVEY §7.4 doctrine — labelled metrics, not
+    exact match against a tagger we don't ship)."""
+    from puma_matcher_spark.functions.perceptron import load_default_ner
+
+    ner = load_default_ner()
+    assert ner is not None, "vendored NER weights missing"
+    tok_hits = tok_total = ent_hits = ent_total = 0
+    for sent, tags in NER_FIXTURE:
+        got = ner.tag(sent.split())
+        for g, o in zip(tags.split(), got):
+            tok_total += 1
+            tok_hits += g == o
+            if g != "O":
+                ent_total += 1
+                ent_hits += g == o
+    assert tok_hits / tok_total >= 0.9, f"NER token acc {tok_hits/tok_total:.2f}"
+    assert ent_hits / ent_total >= 0.75, f"NER entity recall {ent_hits/ent_total:.2f}"
+
+
+def test_ner_batch_dispatches_to_statistical_model(monkeypatch):
+    """Under the perceptron backend, _ner_batch must run the statistical
+    model (CoreNLP-style classes), not the capitalisation stand-in."""
+    from puma_matcher_spark.functions import nlp
+
+    monkeypatch.setenv("PUMA_NLP_BACKEND", "perceptron")
+    if nlp._load_spacy() is not None:
+        return  # env has the stronger backend pinned-over below anyway
+    out = nlp._ner_batch(
+        "the spectra from IN11 were checked by Emma Rossi".split(),
+        backend="perceptron",
+    )
+    assert out[3] == "INSTRUMENT"
+    assert out[-2:] == ["PERSON", "PERSON"]
+    assert set(out) - {"INSTRUMENT", "PERSON"} == {"O"}
+
+
+# (token, penn_tag, gold_lemma) — linguistically correct golds, beyond
+# what blind suffix stripping can do (ring, analysis, spectrum, axis)
+LEMMA_FIXTURE = [
+    ("measured", "VBD", "measure"),
+    ("beams", "NNS", "beam"),
+    ("studied", "VBD", "study"),
+    ("analyses", "NNS", "analysis"),
+    ("spectra", "NNS", "spectrum"),
+    ("running", "VBG", "run"),
+    ("ring", "NN", "ring"),
+    ("was", "VBD", "be"),
+    ("detectors", "NNS", "detector"),
+    ("energies", "NNS", "energy"),
+    ("making", "VBG", "make"),
+    ("stopped", "VBD", "stop"),
+    ("axes", "NNS", "axis"),
+    ("indices", "NNS", "index"),
+    ("filters", "VBZ", "filter"),
+    ("processes", "VBZ", "process"),
+    ("carefully", "RB", "carefully"),
+    ("instruments", "NNS", "instrument"),
+    ("scattered", "VBD", "scatter"),
+    ("counting", "VBG", "count"),
+]
+
+
+def test_lexicon_lemmatiser_accuracy():
+    """The vendored morphy lemmatiser (exceptions + lexicon-validated
+    detachment) must clear 0.95 on the POS-conditioned fixture —
+    including the cases blind stripping gets wrong (ring/analysis/
+    spectrum/axis)."""
+    from puma_matcher_spark.functions.lemmatizer import load_default
+
+    lem = load_default()
+    assert lem is not None, "vendored lemma data files missing"
+    hits = sum(
+        1 for tok, pos, gold in LEMMA_FIXTURE if lem.lemma(tok, pos) == gold
+    )
+    acc = hits / len(LEMMA_FIXTURE)
+    assert acc >= 0.95, f"lexicon lemma accuracy {acc:.2f} below gate"
+
+
+def test_lemma_batch_perceptron_backend_chains_pos():
+    """Under the perceptron backend, _lemma_batch must tag first and
+    lemmatise with the predicted POS (the CoreNLP lemma() contract)."""
+    from puma_matcher_spark.functions import nlp
+
+    if nlp._load_spacy() is not None:
+        return
+    out = nlp._lemma_batch(
+        ["the", "detectors", "measured", "the", "scattering"],
+        backend="perceptron",
+    )
+    assert out[1] == "detector"
+    assert out[2] == "measure"
