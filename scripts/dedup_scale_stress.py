@@ -1,0 +1,161 @@
+#!/usr/bin/env python
+"""Candidate-set growth of the dedup/similarity planes under a 10x corpus
+(VERDICT r5 #5): the graph plane got per-round flatness evidence in round
+4; this gives the LSH/banding planes the equivalent — candidate volume
+measured at n and 10n on the same synthetic mixture (unique docs + planted
+dup clusters + a boilerplate cluster), with the growth exponent
+log10(c_10n / c_n).  Linear growth (exponent ~1) is the pass bar: each
+plane's blocking must scale with the corpus, not its square.
+
+Planes measured:
+* minhash_pairs candidates (lsh_candidate_pairs, bucket guard on)
+* simhash banded candidates (pre-verify equi-join volume)
+* incremental ingest candidates (batch x corpus, batch fixed at 2%)
+* semantic_dedup_blocked candidates (shared_shingle_pairs, df cap 5)
+
+Run: python scripts/dedup_scale_stress.py   (~3 min)
+Results recorded in PLANS.md §round-6 dedup-plane scaling.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from puma_matcher_spark.llmdata import dedup as dd
+from puma_matcher_spark.llmdata import similarity as sim
+from puma_matcher_spark.session import get_spark
+
+VOCAB = (
+    "a batch part spark line column order small sort fast value scan "
+    "slow hash group agg filter query big key window row table stream "
+    "merge data join shuffle plan cache scala"
+).split()
+
+
+def corpus(spark, n_docs: int):
+    """Deterministic synthetic mixture: 90% unique word-salad docs, 8%
+    members of 50-doc near-dup clusters (one token perturbed), 2% a
+    single boilerplate cluster (the skew case the bucket guards exist
+    for).  Seedless-RNG-free: everything derives from doc_id arithmetic
+    so both scale points use the SAME generator."""
+    vocab = F.array(*[F.lit(w) for w in VOCAB])
+    base = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+    n_tok = 40
+    # token t of doc d = vocab[(d*2654435761 + t*40503) % |V|] — fixed
+    # multiplicative hashes, unique-ish salads
+    salad = F.concat_ws(
+        " ",
+        *[
+            F.element_at(
+                vocab,
+                ((F.col("doc_id") * 2654435761 + i * 40503) % len(VOCAB) + 1)
+                .cast("int"),
+            )
+            for i in range(n_tok)
+        ],
+    )
+    cluster = (F.col("doc_id") % 50).cast("long")  # 50-doc dup clusters
+    cluster_doc = F.col("doc_id") - (F.col("doc_id") % 50)
+    cluster_salad = F.concat_ws(
+        " ",
+        *[
+            F.element_at(
+                vocab,
+                ((cluster_doc * 2654435761 + i * 40503) % len(VOCAB) + 1)
+                .cast("int"),
+            )
+            for i in range(n_tok)
+        ],
+    )
+    frac = F.col("doc_id") % 100
+    text = (
+        F.when(frac < 2, F.lit("this corpus uses boilerplate " * 10))
+        .when(frac < 10, F.concat_ws(" ", cluster_salad, cluster.cast("string")))
+        .otherwise(salad)
+    )
+    return base.select("doc_id", text.alias("text"))
+
+
+def simhash_band_candidates(docs, max_hamming: int = 3):
+    sh = dd.simhash64(docs, method="mapside")
+    n_bands = max_hamming + 1
+    width = 60 // n_bands
+    bands = sh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(
+                            F.col("simhash"), b * width
+                        ).bitwiseAND(F.lit((1 << width) - 1)).alias("val"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "bv.band", "bv.val")
+    a = bands.select(F.col("doc_id").alias("id1"), "band", "val")
+    b = bands.select(F.col("doc_id").alias("id2"), "band", "val")
+    w = F.count(F.lit(1)).over(
+        __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
+            "band", "val"
+        )
+    )
+    a = a.withColumn("_n", w).where(F.col("_n") <= 2000).drop("_n")
+    b = b.withColumn("_n", w).where(F.col("_n") <= 2000).drop("_n")
+    return (
+        a.join(b, ["band", "val"])
+        .where(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+
+
+def measure(spark, n_docs: int) -> dict[str, int]:
+    docs = corpus(spark, n_docs).persist()
+    docs.count()
+    out: dict[str, int] = {}
+    t0 = time.time()
+    bands = dd.lsh_band_keys(dd.minhash_signatures(dd.shingles(docs)))
+    out["minhash_candidates"] = dd.lsh_candidate_pairs(bands).count()
+    out["simhash_candidates"] = simhash_band_candidates(docs).count()
+    batch = docs.where(F.col("doc_id") % 50 == 7)  # 2% fixed-rate batch
+    out["incremental_candidates"] = dd.minhash_incremental_pairs(
+        batch.select(F.col("doc_id"), "text"), docs
+    ).count()
+    out["semantic_candidates"] = sim.shared_shingle_pairs(docs, df_cap=5).count()
+    out["_elapsed_s"] = round(time.time() - t0, 1)
+    docs.unpersist()
+    return out
+
+
+def main() -> None:
+    spark = get_spark("dedup-scale-stress")
+    spark.sparkContext.setLogLevel("ERROR")
+    n1, n2 = 5_000, 50_000
+    m1 = measure(spark, n1)
+    m2 = measure(spark, n2)
+    print(f"{'plane':26s} {'n=5k':>12s} {'n=50k':>12s} {'exponent':>9s}")
+    for k in (
+        "minhash_candidates",
+        "simhash_candidates",
+        "incremental_candidates",
+        "semantic_candidates",
+    ):
+        e = math.log10(max(m2[k], 1) / max(m1[k], 1))
+        flag = "" if e <= 1.3 else "  << SUPER-LINEAR"
+        print(f"{k:26s} {m1[k]:12d} {m2[k]:12d} {e:9.2f}{flag}")
+    print(f"elapsed: {m1['_elapsed_s']}s @5k, {m2['_elapsed_s']}s @50k")
+
+
+if __name__ == "__main__":
+    main()
