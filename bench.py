@@ -137,16 +137,23 @@ def main() -> None:
     spark = get_spark("puma-matcher-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # SPARK_GRAFT_BENCH_ONLY=a,b,c restricts both groups — used by the
+    # sf1.0 scaling study (scripts/gen_sf1.py), never by the driver
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    keep = set(only.split(",")) if only else None
+    spine = [q for q in BENCH_QUERIES if keep is None or q in keep]
+    planes = [q for q in BENCH_QUERIES_PLANES if keep is None or q in keep]
+
     dispersion: dict[str, dict] = {}
-    timings = _time_queries(spark, sf_dir, BENCH_QUERIES, dispersion)
+    timings = _time_queries(spark, sf_dir, spine, dispersion)
     total = round(sum(timings.values()), 3)  # spine only: round-1-comparable
-    plane_timings = _time_queries(spark, sf_dir, BENCH_QUERIES_PLANES, dispersion)
+    plane_timings = _time_queries(spark, sf_dir, planes, dispersion)
     plane_total = round(sum(plane_timings.values()), 3)
     groups = {
         "spine_total": total,
         "operator_planes_total": plane_total,
     }
-    media = _time_media(spark)
+    media = _time_media(spark) if keep is None else None
     if media is not None:
         # tracked since round 5 (baseline in BASELINE.md §"media plane");
         # a separate group so spine/plane totals stay round-comparable

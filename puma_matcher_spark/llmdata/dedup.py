@@ -783,7 +783,11 @@ def simhash_hamming_pairs(
     an all-pairs product; completeness is a theorem, not a recall knob
     (unlike MinHash-LSH).  ``max_band_bucket`` guards degenerate bands
     (boilerplate corpora hashing identically) exactly like the LSH
-    band-bucket cap.
+    band-bucket cap.  One measured caveat (PLANS.md §round-6 dedup-plane
+    scaling): RANDOM band collisions add a quadratic candidate term
+    n²·bands/2^width (width = 15 bits here) — negligible below ~10⁶ docs,
+    and the fix at larger n is a wider fingerprint (128-bit simhash →
+    32-bit bands pushes the crossover past 10⁹), not a different join.
     """
     n_bands = max_hamming + 1
     width = 60 // n_bands  # 60-bit fingerprint (simhash64 votes bits 0..59)

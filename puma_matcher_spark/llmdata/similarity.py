@@ -598,7 +598,7 @@ def shingle_hash_embeddings(
 
 def shared_shingle_pairs(
     docs: DataFrame,
-    df_cap: int = 5,
+    df_cap: int = 64,
     n: int = 3,
     text_col: str = "text",
 ) -> DataFrame:
@@ -607,13 +607,19 @@ def shared_shingle_pairs(
     tag frequencies + one self equi-join on the shingle key, reusing the
     same hash partitioning — never an all-pairs product.
 
-    Scale shape: candidate volume is sum(df^2) over rare shingles — linear
-    in the corpus for a fixed duplication rate — and the df cap excises
-    boilerplate shingles exactly like the entity-frequency guard
-    (EntitiesMatcherV2.scala:44-52) excises hub entities.  Completeness is
-    empirical, with a large measured margin: near-duplicate texts share
-    many rare shingles (every true pair in the fixtures shares >= 8 of
-    them; gate in tests/test_semantic_blocked.py).
+    Scale shape: candidate volume is sum(df^2) over rare shingles —
+    bounded by ``df_cap`` x the shingle-row count, linear in the corpus —
+    and the df cap excises boilerplate shingles exactly like the
+    entity-frequency guard (EntitiesMatcherV2.scala:44-52) excises hub
+    entities.  The completeness CONTRACT the cap sets: a near-dup group of
+    G documents shares shingles with df ≈ G, so groups up to ~``df_cap``
+    members are found (the 10x stress plants 8-doc clusters and finds all
+    of them); a mega-group whose every shared shingle exceeds the cap is
+    deliberately out of scope — byte-identical boilerplate belongs to the
+    exact-dedup pass, and df_cap=64 costs nothing extra at the fixtures
+    (their df histogram tops out below 50, so 64 == uncapped there).
+    Fixture margin: every true pair shares >= 8 rare shingles (gate in
+    tests/test_semantic_blocked.py).
     """
     from puma_matcher_spark.llmdata.dedup import shingles
 
@@ -639,7 +645,7 @@ def semantic_dedup_blocked(
     threshold: float = 0.8,
     n_buckets: int = 128,
     n: int = 3,
-    df_cap: int = 5,
+    df_cap: int = 64,
     text_col: str = "text",
 ) -> DataFrame:
     """SemDeDup over document text with a *blocked* pair stage — the 100x

@@ -6321,7 +6321,8 @@ def q_semantic_dedup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     (llmdata/similarity.py:semantic_dedup_blocked): documents embed as
     128-bucket hashed-shingle count vectors (map-side, portable md5
     arithmetic); candidates come from one shared-rare-shingle equi-join
-    (df <= 5, the entity-frequency-guard pattern of
+    (df <= 64 — complete for dup groups up to the cap, the
+    entity-frequency-guard pattern of
     EntitiesMatcherV2.scala:44-52); every candidate is verified with the
     EXACT cosine before the connected-components grouping, so blocking can
     only miss pairs, never admit wrong ones — and the DuckDB twin is the

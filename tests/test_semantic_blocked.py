@@ -50,7 +50,7 @@ def test_candidate_stage_complete_with_margin(spark, sf_small):
     true_pairs = sim.cosine_threshold_pairs(
         emb, THRESHOLD, id_col="doc_id"
     )
-    cands = sim.shared_shingle_pairs(docs, df_cap=5)
+    cands = sim.shared_shingle_pairs(docs)
     missed = true_pairs.join(cands, ["id1", "id2"], "left_anti")
     assert missed.count() == 0
 
@@ -59,7 +59,7 @@ def test_candidate_stage_complete_with_margin(spark, sf_small):
     w_df = (
         sh.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") <= 5)
+        .where(F.col("df") <= 64)
     )
     rare = sh.join(w_df.select("shingle"), "shingle")
     a = rare.select(F.col("doc_id").alias("id1"), "shingle")
@@ -85,7 +85,7 @@ def test_candidate_stage_actually_blocks(spark, sf_small):
     all-pairs; assert the distinct candidate count stays under a third."""
     docs = _docs(spark, sf_small)
     n = docs.count()
-    cands = sim.shared_shingle_pairs(docs, df_cap=5).count()
+    cands = sim.shared_shingle_pairs(docs).count()
     assert cands < (n * (n - 1) // 2) / 3, (cands, n)
 
 
