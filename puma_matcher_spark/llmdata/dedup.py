@@ -506,6 +506,44 @@ def contamination_check(
     )
 
 
+def containment_scores(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    shingle_n: int = DEFAULT_SHINGLE,
+    text_col: str = "text",
+) -> DataFrame:
+    """Normalised benchmark containment — the severity metric
+    decontamination pipelines threshold on (e.g. the GPT-3 appendix's
+    13-gram overlap checks): for each (corpus doc c, eval doc e) sharing
+    at least one n-gram, containment = |sh(e) ∩ sh(c)| / |sh(e)| — the
+    FRACTION of the eval example present in the training doc, which
+    :func:`contamination_check`'s raw shared counts don't normalise.
+
+    Output: (corpus_id, benchmark_id, shared_ngrams, containment),
+    containment rounded to 4 decimals.  Same scale shape as the scan:
+    one shingle equi-join (benchmark side tiny → AQE broadcast), plus a
+    benchmark-size aggregate that is |benchmark|-bounded.
+    """
+    shared = contamination_check(corpus, benchmark, shingle_n, text_col)
+    bsz = (
+        shingles(benchmark, shingle_n, text_col)
+        .groupBy(F.col("doc_id").alias("benchmark_id"))
+        .agg(F.count(F.lit(1)).alias("_nb"))
+    )
+    return (
+        shared.join(bsz, "benchmark_id")
+        .where(F.col("corpus_id") != F.col("benchmark_id"))
+        .select(
+            "corpus_id",
+            "benchmark_id",
+            "shared_ngrams",
+            pround(F.col("shared_ngrams") / F.col("_nb"), 4).alias(
+                "containment"
+            ),
+        )
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -6337,6 +6337,44 @@ def q_semantic_dedup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ngram_containment",
+    """WITH toks AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+  FROM documents),
+shl AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) >= 3 THEN
+           list_distinct(list_transform(range(1, len(tk) - 1),
+             i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]))
+         ELSE [] END AS shs
+  FROM toks),
+sh AS (SELECT doc_id, unnest(shs) AS shingle FROM shl),
+bm AS (SELECT * FROM sh WHERE doc_id % 97 = 0),
+bsz AS (SELECT doc_id AS benchmark_id, COUNT(*) AS nb FROM bm GROUP BY 1),
+j AS (
+  SELECT c.doc_id AS corpus_id, b.doc_id AS benchmark_id,
+         CAST(COUNT(*) AS BIGINT) AS shared_ngrams
+  FROM sh c JOIN bm b USING (shingle)
+  WHERE c.doc_id <> b.doc_id GROUP BY 1, 2)
+SELECT corpus_id, benchmark_id, shared_ngrams,
+       ROUND(shared_ngrams * 1.0 / nb, 4) AS containment
+FROM j JOIN bsz USING (benchmark_id)""",
+)
+def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalised benchmark containment (llmdata/dedup.py:
+    containment_scores): for every corpus doc sharing a 3-gram with a
+    held-out eval subset (doc_id % 97), the FRACTION of the eval doc's
+    distinct shingles present in it — the severity metric
+    decontamination pipelines threshold on, complementing
+    contamination_check's raw counts.  One shingle equi-join (benchmark
+    side tiny → AQE broadcast) + a |benchmark|-bounded size aggregate."""
+    docs = load_tables(spark, sf_dir).llm_documents()
+    return dd.containment_scores(
+        docs, docs.where(F.col("doc_id") % 97 == 0), shingle_n=3
+    )
+
+
+@register(
     "ngram_novelty",
     """WITH toksl AS (
   SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk
@@ -6536,6 +6574,7 @@ _PYTEST_ONLY: frozenset[str] = frozenset(
 _PRIORITY: list[str] = [
     # -- 1. round-6 net-new
     "semantic_dedup_blocked",
+    "ngram_containment",
     # -- 2. last hard driver row r2 (the full stale cohort, 31 names)
     "code_extraction",
     "context_windows",
@@ -6586,7 +6625,6 @@ _PRIORITY: list[str] = [
     "events_dedup",
     "events_rollup",
     "frequent_itemsets",
-    "hundred_editor",
 ]
 
 

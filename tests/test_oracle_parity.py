@@ -129,3 +129,22 @@ def test_entry_smoke(spark):
     }
     names = set(entry_mod.queries())
     assert set(entry_mod.oracle_sql()) <= names
+
+
+def test_window_freshness_policy():
+    """Round-6 policy (VERDICT r5 #2/#8): every exported query must earn
+    a hard driver row at least every MAX_ROW_AGE rounds (window capacity
+    arithmetic: 50 slots x 4 rounds >= exported count) and net-new
+    exports per round stay inside the budget.  The audit projects ages
+    through the CURRENT _PRIORITY window, so this fails at build time —
+    before the driver window runs with a stale registry."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0,
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"),
+    )
+    from driver_gate_check import freshness_audit
+
+    assert freshness_audit(verbose=False) == []
