@@ -1,0 +1,53 @@
+#!/usr/bin/env python
+"""Attribute bench drift between two runs (VERDICT r5 #3): compare a
+CURRENT bench.py JSON (with the round-6 ``dispersion`` median/MAD
+samples) against a REFERENCE run's per-query values, and classify each
+delta as noise or signal.
+
+Classification: a query drifts if |median_now - ref| > max(3 * MAD_now,
+0.05 s) — i.e. the reference value lies outside the current run's own
+dispersion envelope by a margin no timer jitter explains.  With min-of-N
+references (rounds 1-5 store only mins) the median-vs-min comparison is
+conservative: medians sit above mins, so only flag when the MIN also
+exceeds the envelope.
+
+Usage: python scripts/bench_compare.py CURRENT.json REFERENCE.json
+(REFERENCE may be a driver BENCH_r{N}.json wrapper or a raw bench line).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def _queries(blob: dict) -> dict[str, float]:
+    if "parsed" in blob:  # driver wrapper
+        blob = blob["parsed"]
+    return blob["queries"]
+
+
+def main() -> int:
+    cur = json.load(open(sys.argv[1]))
+    ref = _queries(json.load(open(sys.argv[2])))
+    disp = cur.get("dispersion", {})
+    drifted = []
+    print(f"{'query':26s} {'ref-min':>8s} {'now-min':>8s} {'now-med':>8s} {'MAD':>6s}  verdict")
+    for q, now_min in cur["queries"].items():
+        r = ref.get(q)
+        if r is None:
+            continue
+        d = disp.get(q, {})
+        med, mad = d.get("median", now_min), d.get("mad", 0.0)
+        envelope = max(3 * mad, 0.05)
+        is_drift = abs(now_min - r) > envelope and abs(med - r) > envelope
+        verdict = "DRIFT" if is_drift else "noise"
+        if is_drift:
+            drifted.append(q)
+        print(f"{q:26s} {r:8.3f} {now_min:8.3f} {med:8.3f} {mad:6.3f}  {verdict}")
+    print(f"\n{len(drifted)} drifted beyond the noise envelope: {drifted}")
+    return 0
+
+
+if __name__ == "__main__":
+    main()
