@@ -203,15 +203,33 @@ def test_tpch_r4_decorrelation_shapes(spark, sf_small):
     assert pi.count_occurrences(q20, "LeftSemi") >= 3  # part→shipped→nation chain
 
 
-def test_no_cartesian_outside_documented_baselines(spark, sf_small):
+import pytest
+
+
+@pytest.fixture(scope="module")
+def exported_dfs(spark, sf_small):
+    """Every exported query's DataFrame, built ONCE for all the
+    registry-wide sweeps below.  Building a frame is not free for every
+    query — the iterative ones (connected-components loops) run their
+    convergence actions at build time, and manifest_roundtrip
+    materialises its file fixture — so the three sweeps sharing one
+    build pass keeps this file inside the shell-call timeout (it tripled
+    past it in round 6 when each sweep rebuilt all ~175 frames)."""
+    from puma_matcher_spark.queries import _ordered
+
+    return {
+        name: spec.spark_fn(spark, sf_small)
+        for name, spec in _ordered().items()
+    }
+
+
+def test_no_cartesian_outside_documented_baselines(exported_dfs):
     """Registry-wide guard: no exported query may plan a cartesian /
     broadcast-nested-loop join EXCEPT the documented brute-force
     embedding baselines (all-pairs IS their semantic; the scale paths
     are the LSH/IVF/prefix variants) and the nearest-centroid scans
     whose broadcast side is a constant k centroids.  Anything new that
     plans a cartesian fails here before it can reach a 100 TB run."""
-    from puma_matcher_spark.queries import _ordered
-
     allowed = {
         "embedding_topk",          # brute-force cosine baseline (doc'd)
         "embedding_near_dups",     # brute-force near-dup baseline
@@ -222,30 +240,26 @@ def test_no_cartesian_outside_documented_baselines(spark, sf_small):
                                    # baseline; LSH/IVF pairs= at scale)
     }
     offenders = []
-    for name, spec in _ordered().items():
-        df = spec.spark_fn(spark, sf_small)
+    for name, df in exported_dfs.items():
         if pi.has_cartesian(df) and name not in allowed:
             offenders.append(name)
     assert not offenders, f"undocumented cartesian plans: {offenders}"
 
 
-def test_no_row_at_a_time_python_udfs_anywhere(spark, sf_small):
+def test_no_row_at_a_time_python_udfs_anywhere(exported_dfs):
     """Registry-wide guard: every Python kernel in every exported query
     must be Arrow-batched (ArrowEvalPython / MapInPandas /
     FlatMapGroupsInPandas).  A row-at-a-time ``@udf`` plans a
     BatchEvalPython node — the 10-100x-slower path the scale notes
     forbid — and fails here before it can ship."""
-    from puma_matcher_spark.queries import _ordered
-
     offenders = []
-    for name, spec in _ordered().items():
-        df = spec.spark_fn(spark, sf_small)
+    for name, df in exported_dfs.items():
         if "BatchEvalPython" in pi.formatted_plan(df):
             offenders.append(name)
     assert not offenders, f"row-at-a-time Python UDF plans: {offenders}"
 
 
-def test_exported_queries_have_flat_schemas(spark, sf_small):
+def test_exported_queries_have_flat_schemas(exported_dfs):
     """Registry-wide guard (round 5): the round driver canonicalises each
     result by ``DataFrame.sort_values`` over EVERY column before hashing,
     and pandas cannot order list/dict cells — an exported query returning
@@ -254,11 +268,8 @@ def test_exported_queries_have_flat_schemas(spark, sf_small):
     Export complex values in long form (one row per element) instead."""
     from pyspark.sql.types import ArrayType, MapType, StructType
 
-    from puma_matcher_spark.queries import _ordered
-
     offenders = []
-    for name, spec in _ordered().items():
-        df = spec.spark_fn(spark, sf_small)
+    for name, df in exported_dfs.items():
         bad = [
             f.name
             for f in df.schema.fields
