@@ -6337,30 +6337,6 @@ def q_semantic_dedup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "ngram_containment",
-    """WITH toks AS (
-  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
-  FROM documents),
-shl AS (
-  SELECT doc_id,
-         CASE WHEN len(tk) >= 3 THEN
-           list_distinct(list_transform(range(1, len(tk) - 1),
-             i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]))
-         ELSE [] END AS shs
-  FROM toks),
-sh AS (SELECT doc_id, unnest(shs) AS shingle FROM shl),
-bm AS (SELECT * FROM sh WHERE doc_id % 97 = 0),
-bsz AS (SELECT doc_id AS benchmark_id, COUNT(*) AS nb FROM bm GROUP BY 1),
-j AS (
-  SELECT c.doc_id AS corpus_id, b.doc_id AS benchmark_id,
-         CAST(COUNT(*) AS BIGINT) AS shared_ngrams
-  FROM sh c JOIN bm b USING (shingle)
-  WHERE c.doc_id <> b.doc_id GROUP BY 1, 2)
-SELECT corpus_id, benchmark_id, shared_ngrams,
-       ROUND(shared_ngrams * 1.0 / nb, 4) AS containment
-FROM j JOIN bsz USING (benchmark_id)""",
-)
-@register(
     "manifest_roundtrip",
     """SELECT doc_id,
        CAST(length(text) AS BIGINT) AS n_chars,
@@ -6416,6 +6392,30 @@ def q_manifest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ngram_containment",
+    """WITH toks AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+  FROM documents),
+shl AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) >= 3 THEN
+           list_distinct(list_transform(range(1, len(tk) - 1),
+             i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]))
+         ELSE [] END AS shs
+  FROM toks),
+sh AS (SELECT doc_id, unnest(shs) AS shingle FROM shl),
+bm AS (SELECT * FROM sh WHERE doc_id % 97 = 0),
+bsz AS (SELECT doc_id AS benchmark_id, COUNT(*) AS nb FROM bm GROUP BY 1),
+j AS (
+  SELECT c.doc_id AS corpus_id, b.doc_id AS benchmark_id,
+         CAST(COUNT(*) AS BIGINT) AS shared_ngrams
+  FROM sh c JOIN bm b USING (shingle)
+  WHERE c.doc_id <> b.doc_id GROUP BY 1, 2)
+SELECT corpus_id, benchmark_id, shared_ngrams,
+       ROUND(shared_ngrams * 1.0 / nb, 4) AS containment
+FROM j JOIN bsz USING (benchmark_id)""",
+)
 def q_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalised benchmark containment (llmdata/dedup.py:
     containment_scores): for every corpus doc sharing a 3-gram with a

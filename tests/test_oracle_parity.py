@@ -148,3 +148,21 @@ def test_window_freshness_policy():
     from driver_gate_check import freshness_audit
 
     assert freshness_audit(verbose=False) == []
+
+
+def test_no_two_registry_names_share_a_function():
+    """Round-6 regression guard: inserting a @register block between
+    another query's decorator and its def silently stacks both names
+    onto ONE function (the gate then compares the wrong result against
+    the orphaned oracle — live-reproduced with ngram_containment /
+    manifest_roundtrip).  Every registered name must own a distinct
+    callable."""
+    from collections import Counter
+
+    from puma_matcher_spark.queries import REGISTRY
+
+    owners = Counter(id(s.spark_fn) for s in REGISTRY.values())
+    dupes = [
+        n for n, s in REGISTRY.items() if owners[id(s.spark_fn)] > 1
+    ]
+    assert not dupes, f"registry names sharing one function: {dupes}"
