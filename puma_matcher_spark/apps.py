@@ -177,15 +177,16 @@ def load_manifest_documents(
     excluded manifest entries are pruned BEFORE their files are stat-ed
     or opened (a missing file behind a filtered-out entry never errors,
     even with strict=True — the e2e pushdown probe in
-    tests/test_apps.py relies on this).  ``lang`` is derived with the
-    same stopword-ratio kernel as llmdata.textstats.with_lang_id;
+    tests/test_apps.py relies on this).  ``lang`` comes from the SHARED
+    lang-ID kernel (llmdata.textstats.lang_id_label), so the manifest
+    and parquet ingest paths can never label the same text differently;
     ``source`` is the file's parent directory (the manifest analogue of
     the fixture's source column).
 
     Reference: datasource/FileDataSource.scala:37-61 feeding
     FullMatcherApp's full_text materialization.
     """
-    from puma_matcher_spark.llmdata.textstats import EN_STOPWORDS, tokens
+    from puma_matcher_spark.llmdata.textstats import lang_id_label
     from puma_matcher_spark.sources.pydatasource import register
 
     register(spark)
@@ -197,15 +198,10 @@ def load_manifest_documents(
     )
     if doc_ids is not None:
         df = df.where(F.col("doc_id").isin([int(i) for i in doc_ids]))
-    toks = tokens(F.col("text"))
-    sw = F.array(*[F.lit(s) for s in EN_STOPWORDS])
-    ratio = F.size(F.filter(toks, lambda x: F.array_contains(sw, x))) / F.size(
-        toks
-    )
     return df.select(
         "doc_id",
         "text",
-        F.when(ratio >= 0.03, F.lit("en")).otherwise(F.lit("unk")).alias("lang"),
+        lang_id_label(F.col("text")).alias("lang"),
         F.element_at(F.split("file_path", "/"), -2).alias("source"),
     )
 
@@ -233,7 +229,11 @@ def run_curation_app(
     one pass at the end, so the whole app is a handful of jobs, not one
     per stage.  When ``out_root`` is given the cleaned corpus lands
     partitioned by source (readers prune by partition), written before
-    the counts are resolved so the write reuses the same plan.
+    the counts are resolved so the write reuses the same plan — and for
+    the manifest source the cached connector input is then RELEASED and
+    ``clean`` re-pointed at the published parquet (blue/green hand-off).
+    With manifest input and no ``out_root`` the input cache is kept for
+    the returned lazy frame; callers done with it own the unpersist.
     """
     from puma_matcher_spark.llmdata.dedup import cut_spans, duplicate_spans
     from puma_matcher_spark.llmdata.pipeline import curate_documents
@@ -269,6 +269,17 @@ def run_curation_app(
     counts["tokens_cut"] = int(
         cut.agg(F.sum("n_tokens_removed").alias("n")).first()["n"] or 0
     )
+    if source == "manifest_text" and out_root is not None:
+        # all heavy reuse of the cached connector input is done (counts
+        # are resolved, the corpus is published): release the executor
+        # storage and hand the caller the published parquet instead —
+        # the blue/green pattern, and cheaper for them than re-reading
+        # the Python source (column order restated: partition columns
+        # come back last on a partitioned read)
+        docs.unpersist()
+        final = spark.read.parquet(out_root).select(
+            "doc_id", "lang", "source", "clean_text", "n_tokens_removed"
+        )
     return CurationAppResult(clean=final, stage_counts=counts)
 
 

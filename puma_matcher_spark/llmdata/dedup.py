@@ -509,7 +509,9 @@ def contamination_check(
 def containment_scores(
     corpus: DataFrame,
     benchmark: DataFrame,
-    shingle_n: int = DEFAULT_SHINGLE,
+    shingle_n: int = 8,  # matches contamination_check — a caller swapping
+    # between the two siblings with default args must not silently switch
+    # from 8-gram to far-looser 3-gram overlap
     text_col: str = "text",
 ) -> DataFrame:
     """Normalised benchmark containment — the severity metric

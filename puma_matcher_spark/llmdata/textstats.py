@@ -42,16 +42,36 @@ def with_token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def with_lang_id(docs: DataFrame, text_col: str = "text", threshold: float = 0.03) -> DataFrame:
-    """Heuristic language ID: English function-word hit ratio."""
-    toks = tokens(F.col(text_col))
+#: the lang-ID decision threshold — the ONE definition both the parquet
+#: path (with_lang_id) and the manifest-ingest path (apps) share
+LANG_ID_THRESHOLD = 0.03
+
+
+def english_stopword_ratio(text_col: Column) -> Column:
+    """English function-word hit ratio — the lang-ID kernel, factored so
+    every ingest path labels the same text identically."""
+    toks = tokens(text_col)
     sw = F.array(*[F.lit(s) for s in EN_STOPWORDS])
-    ratio = F.size(F.filter(toks, lambda x: F.array_contains(sw, x))) / F.size(toks)
+    return F.size(F.filter(toks, lambda x: F.array_contains(sw, x))) / F.size(toks)
+
+
+def lang_id_label(text_col: Column, threshold: float = LANG_ID_THRESHOLD) -> Column:
+    """'en' / 'unk' label from :func:`english_stopword_ratio`."""
+    return (
+        F.when(english_stopword_ratio(text_col) >= threshold, F.lit("en"))
+        .otherwise(F.lit("unk"))
+    )
+
+
+def with_lang_id(
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = LANG_ID_THRESHOLD,
+) -> DataFrame:
+    """Heuristic language ID: English function-word hit ratio."""
     return docs.select(
         "doc_id",
-        F.when(ratio >= threshold, F.lit("en")).otherwise(F.lit("unk")).alias(
-            "predicted_lang"
-        ),
+        lang_id_label(F.col(text_col), threshold).alias("predicted_lang"),
     )
 
 

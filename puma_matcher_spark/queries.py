@@ -6336,6 +6336,43 @@ def q_semantic_dedup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.semantic_dedup_blocked(docs, threshold=0.8)
 
 
+_MANIFEST_RT_CACHE: dict[str, str] = {}
+_MANIFEST_RT_LOCK = threading.Lock()
+
+
+def _manifest_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Materialise the documents fixture as per-doc files + manifest,
+    once per (process, sf_dir); the directories are removed at exit."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    with _MANIFEST_RT_LOCK:
+        cached = _MANIFEST_RT_CACHE.get(sf_dir)
+        if cached is not None and os.path.exists(cached):
+            return cached
+        rows = (
+            load_tables(spark, sf_dir)
+            .llm_documents()
+            .select("doc_id", "text")
+            .collect()
+        )
+        d = tempfile.mkdtemp(prefix="manifest_roundtrip_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        lines = ["doc_id,file_path"]
+        for r in rows:
+            p = os.path.join(d, f"doc_{r['doc_id']}.txt")
+            with open(p, "w", encoding="utf-8") as fh:
+                fh.write(r["text"])
+            lines.append(f"{r['doc_id']},{p}")
+        mpath = os.path.join(d, "manifest.csv")
+        with open(mpath, "w", encoding="utf-8") as fh:
+            fh.write("\n".join(lines) + "\n")
+        _MANIFEST_RT_CACHE[sf_dir] = mpath
+        return mpath
+
+
 @register(
     "manifest_roundtrip",
     """SELECT doc_id,
@@ -6358,28 +6395,13 @@ def q_manifest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents) is the test harness's file-factory, not the operator —
     at production scale the files already exist and only the manifest
     is driver-side inventory (planner contract, pydatasource.py:86).
+    The fixture is built ONCE per (process, sf_dir) and removed at exit:
+    every plan/gate sweep invokes this builder, and an uncached version
+    re-collected the corpus and leaked a fresh temp directory per call.
     Reference: datasource/FileDataSource.scala:37-61."""
-    import os
-    import tempfile
-
     from puma_matcher_spark.sources.pydatasource import register as _reg_ds
 
-    rows = (
-        load_tables(spark, sf_dir)
-        .llm_documents()
-        .select("doc_id", "text")
-        .collect()
-    )
-    d = tempfile.mkdtemp(prefix="manifest_roundtrip_")
-    lines = ["doc_id,file_path"]
-    for r in rows:
-        p = os.path.join(d, f"doc_{r['doc_id']}.txt")
-        with open(p, "w", encoding="utf-8") as fh:
-            fh.write(r["text"])
-        lines.append(f"{r['doc_id']},{p}")
-    mpath = os.path.join(d, "manifest.csv")
-    with open(mpath, "w", encoding="utf-8") as fh:
-        fh.write("\n".join(lines) + "\n")
+    mpath = _manifest_fixture(spark, sf_dir)
     _reg_ds(spark)
     docs = (
         spark.read.format("manifest_text").option("manifest", mpath).load()

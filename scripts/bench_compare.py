@@ -46,8 +46,8 @@ def main() -> int:
             drifted.append(q)
         print(f"{q:26s} {r:8.3f} {now_min:8.3f} {med:8.3f} {mad:6.3f}  {verdict}")
     print(f"\n{len(drifted)} drifted beyond the noise envelope: {drifted}")
-    return 0
+    return 1 if drifted else 0
 
 
 if __name__ == "__main__":
-    main()
+    raise SystemExit(main())

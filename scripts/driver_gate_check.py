@@ -32,7 +32,7 @@ NET_NEW_BUDGET = 10
 WINDOW = 50
 
 
-def freshness_audit(verbose: bool = True) -> list[str]:
+def freshness_audit(verbose: bool = True, window_size: int = WINDOW) -> list[str]:
     """Project every exported query's driver-row age through this round's
     window; return violation strings (empty == policy holds).
 
@@ -57,12 +57,12 @@ def freshness_audit(verbose: bool = True) -> list[str]:
                 last[k] = max(last.get(k, 0), r)
     this_round = (max(rounds) + 1) if rounds else 1
     exported = list(_ordered().keys())
-    window = set(exported[:WINDOW])
+    window = set(exported[:window_size])
     problems: list[str] = []
-    if len(exported) > WINDOW * MAX_ROW_AGE:
+    if len(exported) > window_size * MAX_ROW_AGE:
         problems.append(
             f"registry infeasible: {len(exported)} exported > "
-            f"{WINDOW}*{MAX_ROW_AGE} window capacity — retire or merge queries"
+            f"{window_size}*{MAX_ROW_AGE} window capacity — retire or merge queries"
         )
     net_new = [n for n in exported if n not in last]
     if len(net_new) > NET_NEW_BUDGET:
@@ -107,7 +107,7 @@ def main() -> int:
         return 1 if freshness_audit() else 0
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     window = int(sys.argv[2]) if len(sys.argv) > 2 else 50
-    violations = freshness_audit()
+    violations = freshness_audit(window_size=window)
     spark = get_spark("driver-gate-check")
     con = duck_connection(sf_dir)
     ordered = list(_ordered().items())[:window]
