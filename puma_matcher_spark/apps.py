@@ -350,3 +350,60 @@ def run_incremental_ingest_app(
     if out_root is not None:
         publish(accepted, out_root)
     return IngestAppResult(accepted=accepted, stage_counts=counts)
+
+
+def run_streaming_ingest_app(
+    spark: SparkSession,
+    manifest: str,
+    corpus: DataFrame,
+    out_root: str,
+    checkpoint_dir: str,
+    jaccard_threshold: float = 0.8,
+    min_tokens: int = 5,
+):
+    """Continuous-ingest driver — the streaming composition of the two
+    connectors built this rebuild: the native ``manifest_text`` stream
+    reader tails manifest appends (exactly-once row-count offsets,
+    sources/pydatasource.py) and every micro-batch runs the SAME
+    admission pipeline as :func:`run_incremental_ingest_app` (exact
+    anti-join vs corpus, batch×corpus LSH near-dup verify, quality
+    gate) inside ``foreachBatch``.
+
+    Accepted documents land in ``out_root/batch_id=<id>`` partitions
+    with overwrite — the idempotent-sink recipe
+    (streaming/events.py:write_stream_idempotent): a replayed batch
+    after a crash rewrites its own partition instead of duplicating
+    rows.  ``availableNow`` trigger: each call drains everything
+    appended since the last committed offset, then stops — the
+    schedulable version of the reference's polling ingest
+    (FileDataSource.scala feeding the matcher pipeline on new data).
+
+    Returns the started StreamingQuery; callers ``awaitTermination``.
+    """
+    from puma_matcher_spark.sources.pydatasource import register
+
+    register(spark)
+    stream = (
+        spark.readStream.format("manifest_text")
+        .option("manifest", manifest)
+        .load()
+    )
+
+    def _admit(batch_df: DataFrame, batch_id: int) -> None:
+        docs = batch_df.select("doc_id", "text")
+        res = run_incremental_ingest_app(
+            docs,
+            corpus,
+            jaccard_threshold=jaccard_threshold,
+            min_tokens=min_tokens,
+        )
+        res.accepted.write.mode("overwrite").parquet(
+            f"{out_root}/batch_id={batch_id}"
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_admit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

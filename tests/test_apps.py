@@ -177,3 +177,56 @@ def test_curation_app_via_manifest_text_connector(spark, tmp_path):
         run_curation_app(
             spark, source="manifest_text", manifest=str(manifest)
         ).clean.count()
+
+
+def test_streaming_ingest_app_end_to_end(spark, tmp_path):
+    """Round 6: the manifest_text stream reader feeding the incremental
+    admission pipeline — micro-batch 1 admits fresh docs and drops the
+    corpus duplicate; an appended manifest row arrives as its OWN
+    micro-batch (offsets held in the checkpoint) and lands in a separate
+    idempotent batch_id partition."""
+    from puma_matcher_spark.apps import run_streaming_ingest_app
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    corpus = spark.createDataFrame(
+        [(100, "the reactor produces thermal neutrons continuously for the instruments")],
+        ["doc_id", "text"],
+    )
+    texts = {
+        1: "the reactor produces thermal neutrons continuously for the instruments",  # dup of corpus
+        2: "a fresh document about careful calibration of the new detectors arriving today",
+        3: "tiny",  # fails min_tokens
+    }
+    lines = ["doc_id,file_path"]
+    for did, t in texts.items():
+        p = src / f"doc_{did}.txt"
+        p.write_text(t, encoding="utf-8")
+        lines.append(f"{did},{p}")
+    manifest = tmp_path / "manifest.csv"
+    manifest.write_text("\n".join(lines) + "\n", encoding="utf-8")
+    out = str(tmp_path / "admitted")
+    ckpt = str(tmp_path / "ckpt")
+
+    q = run_streaming_ingest_app(spark, str(manifest), corpus, out, ckpt)
+    q.awaitTermination(180)
+    first = spark.read.parquet(out)
+    assert {r["doc_id"] for r in first.collect()} == {2}
+
+    # append one more document -> drained as its own micro-batch
+    extra = src / "doc_4.txt"
+    extra.write_text(
+        "another genuinely novel document describing the spectrometer upgrade plans",
+        encoding="utf-8",
+    )
+    with open(manifest, "a", encoding="utf-8") as fh:
+        fh.write(f"4,{extra}\n")
+    q2 = run_streaming_ingest_app(spark, str(manifest), corpus, out, ckpt)
+    q2.awaitTermination(180)
+    after = spark.read.parquet(out)
+    assert {r["doc_id"] for r in after.collect()} == {2, 4}
+    # batch_id partitioning: the second admission landed in its own dir
+    import os
+
+    parts = {d for d in os.listdir(out) if d.startswith("batch_id=")}
+    assert len(parts) >= 2
