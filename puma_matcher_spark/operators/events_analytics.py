@@ -11,6 +11,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from puma_matcher_spark.functions.rounding import pround
 
 
 def funnel_counts(
@@ -69,6 +72,85 @@ def retention_cohorts(events: DataFrame) -> DataFrame:
             F.datediff("day", "cohort_day").cast("long").alias("day_offset"),
         )
         .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    )
+
+
+def population_stability(
+    events: DataFrame,
+    n_buckets: int = 20,
+    bucket_width: float = 25.0,
+) -> DataFrame:
+    """Population Stability Index of the ``value`` distribution between
+    the first and second halves of the event window — the standard
+    production drift monitor (PSI > 0.2 ≈ action threshold), the
+    events-plane sibling of the corpus-side ``vocab_drift`` KL alarm.
+
+    Deterministic construction so the DuckDB twin is exact: the split
+    point is integer epoch-microsecond midpoint (min+max)//2; buckets
+    are fixed-width on value, capped into the last bucket; densities are
+    add-one smoothed over the dense 0..n_buckets-1 grid (missing buckets
+    participate with count 0, so log terms are always finite).
+
+    Output, long form (one row per bucket): (bucket, n_ref, n_cur,
+    p_ref, p_cur, psi_contrib); total PSI = SUM(psi_contrib).  Plan: one
+    scan + one scalar subquery (min/max fold) + one hash aggregate on
+    the bucket key, then a broadcast-joined dense grid — nothing scales
+    beyond the aggregate at 100 TB.
+    """
+    spark = events.sparkSession
+    # ts arrives TIMESTAMP_NTZ; the session runs UTC, so the cast is
+    # value-identity and matches DuckDB's naive-as-UTC epoch_us(ts)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    mid = (
+        events.agg(
+            F.floor(
+                (F.min(us).cast("double") + F.max(us).cast("double")) / 2
+            )
+            .cast("long")
+            .alias("m")
+        ).scalar()
+    )
+    bucket = F.least(
+        F.floor(F.col("value") / F.lit(bucket_width)),
+        F.lit(n_buckets - 1),
+    ).cast("int")
+    counted = (
+        events.select(
+            bucket.alias("bucket"),
+            (us <= mid).alias("_ref"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("_ref"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_ref"),
+            F.sum(F.when(F.col("_ref"), 0).otherwise(1))
+            .cast("long")
+            .alias("n_cur"),
+        )
+    )
+    grid = spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
+    dense = (
+        grid.join(counted, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+    )
+    tot_ref = F.sum("n_ref").over(Window.partitionBy())
+    tot_cur = F.sum("n_cur").over(Window.partitionBy())
+    p_ref = (F.col("n_ref") + 1.0) / (tot_ref + n_buckets)
+    p_cur = (F.col("n_cur") + 1.0) / (tot_cur + n_buckets)
+    return dense.select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        pround(p_ref, 4).alias("p_ref"),
+        pround(p_cur, 4).alias("p_cur"),
+        pround((p_cur - p_ref) * F.log(p_cur / p_ref), 4).alias(
+            "psi_contrib"
+        ),
     )
 
 

@@ -6591,6 +6591,45 @@ def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ts.vocab_drift(docs)
 
 
+@register(
+    "events_psi",
+    """WITH b AS (
+  SELECT CAST(floor((min(epoch_us(ts)) + max(epoch_us(ts))) / 2.0) AS BIGINT) AS m
+  FROM events),
+c AS (
+  SELECT LEAST(CAST(floor(value / 25.0) AS INT), 19) AS bucket,
+         CAST(SUM(CASE WHEN epoch_us(ts) <= (SELECT m FROM b) THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+         CAST(SUM(CASE WHEN epoch_us(ts) <= (SELECT m FROM b) THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+  FROM events GROUP BY 1),
+g AS (SELECT CAST(unnest(range(0, 20)) AS INT) AS bucket),
+d AS (
+  SELECT g.bucket,
+         COALESCE(c.n_ref, 0) AS n_ref,
+         COALESCE(c.n_cur, 0) AS n_cur
+  FROM g LEFT JOIN c USING (bucket)),
+t AS (SELECT SUM(n_ref) AS tr, SUM(n_cur) AS tc FROM d)
+SELECT d.bucket, d.n_ref, d.n_cur,
+       ROUND((d.n_ref + 1.0) / (t.tr + 20), 4) AS p_ref,
+       ROUND((d.n_cur + 1.0) / (t.tc + 20), 4) AS p_cur,
+       ROUND(((d.n_cur + 1.0) / (t.tc + 20) - (d.n_ref + 1.0) / (t.tr + 20))
+             * ln(((d.n_cur + 1.0) / (t.tc + 20)) /
+                  ((d.n_ref + 1.0) / (t.tr + 20))), 4) AS psi_contrib
+FROM d, t""",
+)
+def q_events_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the event value distribution
+    between the first and second halves of the window
+    (operators/events_analytics.py population_stability) — the standard
+    production drift monitor, the events-plane sibling of vocab_drift.
+    One scan + one scalar min/max fold + one bucket hash aggregate;
+    the dense 20-bucket grid joins broadcast-side."""
+    from puma_matcher_spark.operators.events_analytics import (
+        population_stability,
+    )
+
+    return population_stability(load_tables(spark, sf_dir).events())
+
+
 # --------------------------------------------------------------------------
 # Driver-window ordering — ROUND 5.
 #
@@ -6654,6 +6693,7 @@ _PRIORITY: list[str] = [
     "semantic_dedup_blocked",
     "ngram_containment",
     "manifest_roundtrip",
+    "events_psi",
     # -- 2. last hard driver row r2 (the full stale cohort, 31 names)
     "code_extraction",
     "context_windows",
@@ -6702,7 +6742,6 @@ _PRIORITY: list[str] = [
     "events_attribution",
     "events_cube",
     "events_dedup",
-    "events_rollup",
 ]
 
 
