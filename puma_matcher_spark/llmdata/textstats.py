@@ -640,3 +640,68 @@ def vocab_drift(docs: DataFrame, text_col: str = "text") -> DataFrame:
             "kl_odd_even",
         )
     )
+
+
+def pmi_bigrams(
+    docs: DataFrame,
+    min_count: int = 5,
+    k: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k adjacent-word collocations by pointwise mutual information
+    (Church & Hanks 1990): pmi(a,b) = ln(p(ab) / (p(a)·p(b))) with
+    p(ab) = c(ab)/N_bigrams and p(w) = c(w)/N_tokens — the corpus-
+    linguistics staple for phrase mining / tokenizer-merge candidates.
+
+    ``min_count`` filters the unstable low-frequency tail (PMI is
+    notoriously noisy there); the top-k orders by the ROUNDED pmi then
+    (w1, w2) so the cut is deterministic across engines.  Shape: the
+    bigram pairs are built inside the row (transform over a position
+    sequence, no shuffle before the explode), then one bigram aggregate,
+    one unigram aggregate, and two hash joins on the word key (AQE
+    broadcasts the unigram side at fixture scale).  Output:
+    (w1, w2, n_pair, pmi).
+    """
+    from puma_matcher_spark.functions.rounding import pround
+
+    toks = docs.select(tokens(F.col(text_col)).alias("_tk"))
+    uni = toks.select(F.explode("_tk").alias("w"))
+    uc = uni.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    n_uni = uni.agg(F.count(F.lit(1)).cast("long").alias("n")).scalar()
+
+    idx = F.when(
+        F.size("_tk") >= 2, F.sequence(F.lit(1), F.size("_tk") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    pairs = toks.select(
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at(F.col("_tk"), i).alias("w1"),
+                    F.element_at(F.col("_tk"), i + 1).alias("w2"),
+                ),
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    bc = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+        .where(F.col("n_pair") >= min_count)
+    )
+    n_bi = pairs.agg(F.count(F.lit(1)).cast("long").alias("n")).scalar()
+    p_ab = F.col("n_pair") / n_bi
+    p_a = F.col("_ca") / n_uni
+    p_b = F.col("_cb") / n_uni
+    scored = (
+        bc.join(uc.select(F.col("w").alias("w1"), F.col("c").alias("_ca")), "w1")
+        .join(uc.select(F.col("w").alias("w2"), F.col("c").alias("_cb")), "w2")
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            pround(F.log(p_ab / (p_a * p_b)), 4).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(k)

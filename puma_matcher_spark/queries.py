@@ -6630,6 +6630,40 @@ def q_events_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return population_stability(load_tables(spark, sf_dir).events())
 
 
+@register(
+    "pmi_bigrams",
+    """WITH tk AS (
+  SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents),
+uni AS (SELECT unnest(t) AS w FROM tk),
+uc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY 1),
+nu AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM uni),
+bi AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2
+  FROM tk, unnest(range(1, len(t))) AS u(i)
+  WHERE len(t) >= 2),
+bc AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_pair
+  FROM bi GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM bi)
+SELECT bc.w1, bc.w2, bc.n_pair,
+       ROUND(ln((bc.n_pair * 1.0 / nb.n) /
+                ((a.c * 1.0 / nu.n) * (b2.c * 1.0 / nu.n))), 4) AS pmi
+FROM bc
+JOIN uc a ON bc.w1 = a.w
+JOIN uc b2 ON bc.w2 = b2.w, nu, nb
+ORDER BY pmi DESC, bc.w1 ASC, bc.w2 ASC LIMIT 50""",
+)
+def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 adjacent-word collocations by pointwise mutual information
+    (llmdata/textstats.py pmi_bigrams, Church & Hanks 1990) — phrase
+    mining / tokenizer-merge candidates.  Bigram pairs build inside the
+    row (no shuffle before the explode); one bigram + one unigram hash
+    aggregate, two word-key joins, deterministic rounded-PMI top-k."""
+    docs = load_tables(spark, sf_dir).llm_documents()
+    return ts.pmi_bigrams(docs, min_count=5, k=50)
+
+
 # --------------------------------------------------------------------------
 # Driver-window ordering — ROUND 5.
 #
@@ -6694,6 +6728,7 @@ _PRIORITY: list[str] = [
     "ngram_containment",
     "manifest_roundtrip",
     "events_psi",
+    "pmi_bigrams",
     # -- 2. last hard driver row r2 (the full stale cohort, 31 names)
     "code_extraction",
     "context_windows",
@@ -6741,7 +6776,6 @@ _PRIORITY: list[str] = [
     "events_approx_users",
     "events_attribution",
     "events_cube",
-    "events_dedup",
 ]
 
 
