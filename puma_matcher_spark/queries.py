@@ -6665,7 +6665,7 @@ def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Driver-window ordering — ROUND 5.
+# Driver-window ordering — ROUND 6.
 #
 # The round driver's CORRECTNESS gate checks the first 50 entries of
 # ``queries()``.  We decouple *presentation* order from *registration*
@@ -6673,21 +6673,15 @@ def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registration order after them.  Rotate the list each round so every query
 # earns a hard driver-side CORRECTNESS row, not just the local parity sweep.
 #
-# Round-5 window, in order:
-#   1. the 18 round-4 spill names — after this round EVERY exported query
-#      has had a driver CORRECTNESS row (backlog 66 -> 18 -> 0);
-#   2. label_centroids — round 4's single err (array column broke the
-#      driver canonicaliser); re-checked on the new long-form export;
-#   3. re-verification of the four implementations changed since their
-#      last driver row: entity_pairs / match_candidates / word_spec (the
-#      round-4 eager-count -> `.scalar()` subquery conversion) and
-#      word_features (functions/nlp.py was reworked in round 4 for the
-#      perceptron backend; the export stays pinned to the heuristic
-#      backend whose generated-SQL oracle is exact);
-#   4. round-5 net-new registrations (appended below as they are built, so
-#      nothing new re-grows the backlog).
-# Slots left over fall through to registration order, i.e. the stable
-# round-1 spine — all green in r1/r2 and harmless to re-check.
+# Round-6 window, in order (the freshness policy these slots implement is
+# enforced by scripts/driver_gate_check.freshness_audit + the pytest
+# twin test_window_freshness_policy):
+#   1. round-6 net-new registrations (budget <= 10/round);
+#   2. the full 31-name cohort whose last hard driver row dates to
+#      rounds 1-2 (stale-rotation priority: oldest first);
+#   3. the oldest slice of the round-3 cohort — the remainder of that
+#      cohort reaches age 4 in round 7 and MUST fill round 7's rotation
+#      slots (see round6-state notes).
 #
 # RETIRED FROM EXPORT (``_PYTEST_ONLY`` below): the seven permanently
 # rows-only originals whose hard signal is carried by an oracle-backed
