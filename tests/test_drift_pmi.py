@@ -72,3 +72,39 @@ def test_pmi_ranks_exclusive_pairs_above_chance_pairs(spark):
     expect = math.log((10 / n_bi) / ((10 / n_uni) * (10 / n_uni)))
     assert abs(nf["pmi"] - round(expect, 4)) < 1e-9
     assert nf["pmi"] > out[("the", "of")]["pmi"]
+
+
+def test_psi_degenerate_single_instant_window(spark):
+    """All events at ONE timestamp: the midpoint equals it, everything
+    lands in the reference half, and add-one smoothing keeps every log
+    term finite — no NaN/Inf rows."""
+    from puma_matcher_spark.operators.events_analytics import (
+        population_stability,
+    )
+
+    events = spark.createDataFrame(
+        [(i, datetime(2024, 1, 1), float(i)) for i in range(50)],
+        "event_id LONG, ts TIMESTAMP_NTZ, value DOUBLE",
+    )
+    rows = population_stability(events).collect()
+    assert len(rows) == 20
+    assert all(
+        r["psi_contrib"] is not None and math.isfinite(r["psi_contrib"])
+        for r in rows
+    )
+    assert sum(r["n_cur"] for r in rows) == 0
+
+
+def test_pmi_empty_and_single_token_docs(spark):
+    """Docs below the bigram length threshold contribute nothing and
+    must not break the pair builder."""
+    from puma_matcher_spark.llmdata.textstats import pmi_bigrams
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "solo"), (3, "  "), (4, "neutron flux " * 6)],
+        ["doc_id", "text"],
+    )
+    out = pmi_bigrams(docs, min_count=2).collect()
+    assert [(r["w1"], r["w2"]) for r in out][0] in {
+        ("neutron", "flux"), ("flux", "neutron"),
+    }

@@ -109,3 +109,18 @@ def test_embeddings_are_map_side(spark, sf_small):
     emb = sim.shingle_hash_embeddings(docs, spread=False)
     plan = pi.formatted_plan(emb)
     assert "Exchange" not in plan, plan
+
+
+def test_blocked_dedup_handles_a_dup_free_corpus(spark):
+    """A corpus with no near-duplicates must yield an EMPTY group frame
+    (not crash in the CC loop on an empty edge list) — the common case
+    for a well-curated shard."""
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"u{i}w{j}" for j in range(10))) for i in range(30)],
+        ["doc_id", "text"],
+    )
+    out = sim.semantic_dedup_blocked(docs, threshold=0.8)
+    assert out.count() == 0
+    assert set(out.columns) == {
+        "doc_id", "group_id", "group_size", "is_representative",
+    }
