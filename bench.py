@@ -50,6 +50,19 @@ BENCH_QUERIES_PLANES = [
     "incremental_near_dups", # batch×corpus LSH ingest join
 ]
 
+# Round-6/7 additions — tracked since round 7 (VERDICT r6 #3: the blocked
+# SemDeDup already had one plan pathology only ad-hoc timing caught; this
+# group makes a regression visible across rounds).  Baselines in
+# BASELINE.md §"round-6 plane bench".
+BENCH_QUERIES_ROUND6 = [
+    "semantic_dedup_blocked",  # rare-shingle candidates + cosine verify + CC
+    "pmi_bigrams",             # in-row bigram build + two aggs
+    "events_psi",              # drift monitor: scalar + agg + dense grid
+    "ngram_containment",       # shingle equi-join containment
+    "manifest_roundtrip",      # Python DataSource per-file text scan
+    "simhash_near_dups",       # NEW r7: 128-bit block-combination near-dups
+]
+
 
 def _time_media(spark, n_per_format: int = 8) -> float | None:
     """One mixed-format frame (8 codecs x n images at 128x128) through the
@@ -93,6 +106,59 @@ def _time_media(spark, n_per_format: int = 8) -> float | None:
     finally:
         if media is not None:
             media.unpersist()
+
+
+def _time_streaming(spark, n_docs: int = 120) -> float | None:
+    """End-to-end wall time of the streaming ingest app (VERDICT r6 #6):
+    one availableNow drain of an ``n_docs``-file manifest through the
+    manifest_text stream reader + the full admission pipeline (exact
+    anti-join, LSH near-dup verify, quality gate, idempotent batch_id
+    sink).  Workload generation sits outside the timed region; docs are
+    token-unique so the expected admission count is exact.  One timed
+    run (streaming startup dominates; min-of-N would triple bench time
+    for no extra signal).  Returns None only on setup failure so the
+    bench contract never breaks."""
+    import shutil
+    import tempfile
+
+    from puma_matcher_spark.apps import run_streaming_ingest_app
+
+    root = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        src = os.path.join(root, "incoming")
+        os.makedirs(src)
+        lines = ["doc_id,file_path"]
+        for i in range(n_docs):
+            p = os.path.join(src, f"d{i}.txt")
+            with open(p, "w", encoding="utf-8") as fh:
+                fh.write(" ".join(f"t{i}x{j}" for j in range(30)))
+            lines.append(f"{i},{p}")
+        manifest = os.path.join(root, "manifest.csv")
+        with open(manifest, "w", encoding="utf-8") as fh:
+            fh.write("\n".join(lines) + "\n")
+        corpus = spark.createDataFrame(
+            [(10_000 + i, f"corpus document c{i}a c{i}b c{i}c c{i}d") for i in range(10)],
+            ["doc_id", "text"],
+        )
+        out = os.path.join(root, "admitted")
+        ckpt = os.path.join(root, "ckpt")
+        start = time.monotonic()
+        q = run_streaming_ingest_app(spark, manifest, corpus, out, ckpt)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming ingest did not drain in 300s")
+        elapsed = round(time.monotonic() - start, 3)
+        n = spark.read.parquet(out).count()
+        assert n == n_docs, f"streaming ingest admitted {n}/{n_docs}"
+        return elapsed
+    except Exception as e:
+        print(
+            f"bench: streaming group FAILED: {type(e).__name__}: {e}",
+            file=sys.stderr,
+        )
+        return None
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 #: timed runs per query (after one warm run).  Raised 3 → 5 in round 6 so
@@ -146,34 +212,51 @@ def main() -> None:
     keep = set(only.split(",")) if only else None
     spine = [q for q in BENCH_QUERIES if keep is None or q in keep]
     planes = [q for q in BENCH_QUERIES_PLANES if keep is None or q in keep]
+    round6 = [q for q in BENCH_QUERIES_ROUND6 if keep is None or q in keep]
 
     dispersion: dict[str, dict] = {}
     timings = _time_queries(spark, sf_dir, spine, dispersion)
     total = round(sum(timings.values()), 3)  # spine only: round-1-comparable
     plane_timings = _time_queries(spark, sf_dir, planes, dispersion)
     plane_total = round(sum(plane_timings.values()), 3)
+    r6_timings = _time_queries(spark, sf_dir, round6, dispersion)
     groups = {
         "spine_total": total,
         "operator_planes_total": plane_total,
+        "round6_total": round(sum(r6_timings.values()), 3),
     }
     media = _time_media(spark) if keep is None else None
     if media is not None:
         # tracked since round 5 (baseline in BASELINE.md §"media plane");
         # a separate group so spine/plane totals stay round-comparable
-        plane_timings["media_decode_mixed"] = media
+        r6_timings["media_decode_mixed"] = media
         groups["media_total"] = media
+    streaming = _time_streaming(spark) if keep is None else None
+    if streaming is not None:
+        # tracked since round 7 (baseline in BASELINE.md §"streaming")
+        r6_timings["streaming_ingest_120docs"] = streaming
+        groups["streaming_total"] = streaming
+    # the full sample arrays made the r6 stdout line exceed the driver's
+    # 2000-byte tail capture (BENCH_r06.json landed with parsed=null) —
+    # keep the ONE stdout line compact and put dispersion in a sidecar
+    here = os.path.dirname(os.path.abspath(__file__))
+    disp_path = os.path.join(here, "BENCH_DISPERSION.json")
+    with open(disp_path, "w", encoding="utf-8") as fh:
+        json.dump(
+            {"sf": float(sf), "runs_per_query": BENCH_RUNS, "dispersion": dispersion},
+            fh,
+        )
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
-                "queries": {**timings, **plane_timings},
+                "queries": {**timings, **plane_timings, **r6_timings},
                 "sf": float(sf),
                 "groups": groups,
-                "runs_per_query": BENCH_RUNS,
-                "dispersion": dispersion,
-            }
+            },
+            separators=(",", ":"),
         )
     )
 

@@ -390,16 +390,40 @@ def run_streaming_ingest_app(
     )
 
     def _admit(batch_df: DataFrame, batch_id: int) -> None:
-        docs = batch_df.select("doc_id", "text")
-        res = run_incremental_ingest_app(
-            docs,
-            corpus,
-            jaccard_threshold=jaccard_threshold,
-            min_tokens=min_tokens,
-        )
-        res.accepted.write.mode("overwrite").parquet(
-            f"{out_root}/batch_id={batch_id}"
-        )
+        # persist: the admission pipeline takes several actions over the
+        # batch (stage counts, anti-joins); without a barrier each one
+        # re-runs the Python DataSource reader — re-reading every file
+        # per action (the measured 36s->2s trap, see sources/pydatasource)
+        docs = batch_df.select("doc_id", "text").persist()
+        # cross-batch dedup invariant (ADVICE r6): documents accepted by
+        # EARLIER micro-batches are corpus by the time this one runs —
+        # read the sink back and union it in, else two near-identical
+        # docs appended in different batches are both admitted.  The
+        # batch_id partition filter keeps a crash-REPLAYED batch from
+        # seeing its own previous output and self-rejecting everything
+        # (the overwrite sink makes the replay idempotent instead).
+        corpus_now = corpus.select("doc_id", "text")
+        try:
+            prior = (
+                batch_df.sparkSession.read.parquet(out_root)
+                .where(F.col("batch_id") < batch_id)
+                .select("doc_id", "text")
+            )
+            corpus_now = corpus_now.unionByName(prior)
+        except Exception:  # first batch: the sink does not exist yet
+            pass
+        try:
+            res = run_incremental_ingest_app(
+                docs,
+                corpus_now,
+                jaccard_threshold=jaccard_threshold,
+                min_tokens=min_tokens,
+            )
+            res.accepted.write.mode("overwrite").parquet(
+                f"{out_root}/batch_id={batch_id}"
+            )
+        finally:
+            docs.unpersist()
 
     return (
         stream.writeStream.foreachBatch(_admit)

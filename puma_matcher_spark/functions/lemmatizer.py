@@ -102,8 +102,10 @@ def _load() -> Lemmatizer:
             line = line.strip()
             if not line or line.startswith("#"):
                 continue
-            inflected, base = line.split()
-            exceptions[inflected] = base
+            fields = line.split()
+            if len(fields) != 2:  # malformed line: skip, don't fail the UDF
+                continue
+            exceptions[fields[0]] = fields[1]
     lexicon: set[str] = set()
     with open(LEXICON_PATH) as fh:
         for line in fh:

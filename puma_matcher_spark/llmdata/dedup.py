@@ -479,6 +479,99 @@ def simhash64_mapside(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", _simhash(F.col(text_col)).alias("simhash"))
 
 
+def simhash128_mapside(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """128-bit SimHash as two signed longs ``(simhash_hi, simhash_lo)`` —
+    the wide-fingerprint kernel that kills the random band-collision
+    quadratic term measured on the 60-bit plane (PLANS.md §round-6:
+    net candidate exponent 1.88 at 5k→50k from n²·bands/2¹⁵ collisions).
+
+    Per token the FULL md5 digest supplies the bit hash: hex[0:16] votes
+    fingerprint bits 64..127 (``simhash_hi``), hex[16:32] votes bits
+    0..63 (``simhash_lo``); votes are ±tf, a set bit means a positive
+    vote — the same arithmetic as :func:`simhash64`, twice.  Python md5
+    ≡ DuckDB md5, and the two halves parse portably
+    (``('0x'||substr(md5(t),1,16))::UBIGINT``), so the oracle reproduces
+    both longs bit-for-bit (the sign bit falls out of two's complement
+    on both sides).  Zero shuffle: one Arrow-batched map stage.
+    """
+    import hashlib
+    from collections import Counter
+
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    shifts = np.arange(64, dtype=np.uint64)
+
+    def _one(text: str) -> tuple[int, int]:
+        toks = [t for t in (text or "").lower().split(" ") if t]
+        if not toks:
+            return 0, 0
+        tf = Counter(toks)
+        digests = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in tf]
+        h_hi = np.array([int(d[:16], 16) for d in digests], dtype=np.uint64)
+        h_lo = np.array([int(d[16:], 16) for d in digests], dtype=np.uint64)
+        cnt = np.fromiter(tf.values(), dtype=np.int64, count=len(tf))
+
+        def fold(h: np.ndarray) -> int:
+            bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(
+                np.int64
+            )
+            votes = ((2 * bits - 1) * cnt[:, None]).sum(axis=0)
+            word = ((votes > 0).astype(np.uint64) << shifts).sum()
+            return int(np.uint64(word).astype(np.int64))
+
+        return fold(h_hi), fold(h_lo)
+
+    out_t = StructType(
+        [
+            StructField("simhash_hi", LongType()),
+            StructField("simhash_lo", LongType()),
+        ]
+    )
+
+    @pandas_udf(out_t)
+    def _simhash(texts: pd.Series) -> pd.DataFrame:
+        pairs = texts.map(_one)
+        return pd.DataFrame(
+            {
+                "simhash_hi": pairs.map(lambda p: p[0]).astype("int64"),
+                "simhash_lo": pairs.map(lambda p: p[1]).astype("int64"),
+            }
+        )
+
+    fp = _simhash(F.col(text_col))
+    return docs.select(
+        "doc_id",
+        fp.getField("simhash_hi").alias("simhash_hi"),
+        fp.getField("simhash_lo").alias("simhash_lo"),
+    )
+
+
+def _fp128_block(start: int, width: int) -> Column:
+    """Bits ``[start, start+width)`` of the 128-bit fingerprint held in the
+    signed-long pair (``simhash_hi`` = bits 64..127, ``simhash_lo`` =
+    bits 0..63), as a non-negative long.  Handles blocks that straddle
+    the 64-bit word boundary; ``shiftrightunsigned`` keeps the sign bit
+    out of the extraction."""
+    hi, lo = F.col("simhash_hi"), F.col("simhash_lo")
+    if start >= 64:
+        return F.shiftrightunsigned(hi, start - 64).bitwiseAND(
+            F.lit((1 << width) - 1)
+        )
+    if start + width <= 64:
+        return F.shiftrightunsigned(lo, start).bitwiseAND(
+            F.lit((1 << width) - 1)
+        )
+    lo_bits = 64 - start
+    hi_bits = width - lo_bits
+    lo_part = F.shiftrightunsigned(lo, start).bitwiseAND(
+        F.lit((1 << lo_bits) - 1)
+    )
+    hi_part = hi.bitwiseAND(F.lit((1 << hi_bits) - 1))
+    return lo_part.bitwiseOR(F.shiftleft(hi_part, lo_bits))
+
+
 def contamination_check(
     corpus: DataFrame,
     benchmark: DataFrame,
@@ -804,36 +897,147 @@ def jaccard_prefix_join(
     )
 
 
+def simhash128_candidates(
+    sh: DataFrame,
+    max_hamming: int = 3,
+    n_blocks: int | None = None,
+    max_band_bucket: int | None = 2000,
+) -> DataFrame:
+    """Pre-verify candidate pairs of the 128-bit block-combination scheme
+    (see :func:`simhash_hamming_pairs`): ``sh`` is a
+    ``(doc_id, simhash_hi, simhash_lo)`` frame; output is the distinct
+    ``(doc1_id, doc2_id)`` set from the combination-key equi-join.
+    Exposed separately so scale stress runs (scripts/dedup_scale_stress.py)
+    can measure candidate volume without the verify join."""
+    from itertools import combinations
+
+    b = n_blocks if n_blocks is not None else max_hamming + 2
+    assert b > max_hamming, "need more blocks than allowed bit flips"
+    r = b - max_hamming  # blocks per combination key
+    width = 128 // b
+    block_vals = [_fp128_block(i * width, width) for i in range(b)]
+    combos = list(combinations(range(b), r))
+    # fold each combination's r block values into one long join key
+    # (r * width <= 64 bits by construction at the defaults)
+    assert r * width <= 62, "combination key must fit a signed long"
+    keys = sh.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(ci).alias("combo"),
+                        sum(
+                            (
+                                block_vals[j] * F.lit(1 << (pos * width))
+                                for pos, j in enumerate(combo[1:], start=1)
+                            ),
+                            start=block_vals[combo[0]],
+                        ).alias("val"),
+                    )
+                    for ci, combo in enumerate(combos)
+                ]
+            )
+        ).alias("k"),
+    ).select("doc_id", F.col("k.combo").alias("combo"), F.col("k.val").alias("val"))
+    if max_band_bucket is not None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("combo", "val")
+        keys = keys.withColumn("_n", F.count(F.lit(1)).over(w)).where(
+            F.col("_n") <= max_band_bucket
+        )
+    a = keys.select("combo", "val", F.col("doc_id").alias("doc1_id"))
+    bb = keys.select("combo", "val", F.col("doc_id").alias("doc2_id"))
+    return (
+        a.join(bb, ["combo", "val"])
+        .where(F.col("doc1_id") < F.col("doc2_id"))
+        .select("doc1_id", "doc2_id")
+        .distinct()
+    )
+
+
 def simhash_hamming_pairs(
     docs: DataFrame,
     max_hamming: int = 3,
     text_col: str = "text",
     max_band_bucket: int | None = 2000,
+    fingerprint_bits: int = 128,
+    n_blocks: int | None = None,
 ) -> DataFrame:
-    """SimHash near-duplicate self-join with pigeonhole band blocking —
-    the web-scale dedup pattern of Manku et al. (WWW'07): split the
-    60-bit fingerprint into ``max_hamming + 1`` bands; two fingerprints
-    within ``max_hamming`` bit flips MUST agree on at least one whole
-    band, so an equi-join on (band_id, band_value) generates a COMPLETE
-    candidate set and the exact popcount(xor) check keeps only true
-    near-dups.  Output: (doc1_id, doc2_id, hamming), id1 < id2.
+    """SimHash near-duplicate self-join with pigeonhole block blocking —
+    the web-scale dedup pattern of Manku et al. (WWW'07).  Output:
+    (doc1_id, doc2_id, hamming), id1 < id2; the candidate set is
+    COMPLETE (a theorem, not a recall knob) and the exact popcount(xor)
+    verify keeps only true near-dups.
 
-    Scale shape: fingerprints are map-side (zero-shuffle simhash64
-    kernel); candidates come from ONE equi-join on the band key — never
-    an all-pairs product; completeness is a theorem, not a recall knob
-    (unlike MinHash-LSH).  ``max_band_bucket`` guards degenerate bands
+    ``fingerprint_bits=128`` (default, the 100 TB path): split the
+    128-bit fingerprint (:func:`simhash128_mapside`) into ``n_blocks``
+    blocks (default ``max_hamming + 2``) and equi-join on EVERY
+    combination of ``n_blocks - max_hamming`` blocks — Manku's
+    multi-table construction.  ≤ ``max_hamming`` flips touch ≤
+    ``max_hamming`` blocks, so some combination of the clean blocks
+    matches exactly: completeness holds, while each join key is
+    ``(n_blocks - max_hamming) * (128 // n_blocks)`` bits wide (50 bits
+    at the defaults) — the random-collision term n²·keys/2^width that
+    made 15-bit single bands quadratic at ≥10⁶ docs (measured exponent
+    1.88, PLANS.md §round-6) is pushed past 10¹⁴ docs.  C(5,2)=10 key
+    rows/doc vs 4 before: a 2.5× map-side explode buys the n² term.
+
+    ``fingerprint_bits=60`` keeps the legacy single-band layout
+    (``max_hamming + 1`` bands of ``60 // (max_hamming+1)`` bits over
+    :func:`simhash64`) for fixtures and comparison runs.
+
+    Scale shape: fingerprints are map-side (zero-shuffle kernel);
+    candidates come from ONE equi-join on the combination key — never an
+    all-pairs product.  ``max_band_bucket`` caps degenerate buckets
     (boilerplate corpora hashing identically) exactly like the LSH
-    band-bucket cap.  One measured caveat (PLANS.md §round-6 dedup-plane
-    scaling): RANDOM band collisions add a quadratic candidate term
-    n²·bands/2^width (width = 15 bits here) — negligible below ~10⁶ docs,
-    and the fix at larger n is a wider fingerprint (128-bit simhash →
-    32-bit bands pushes the crossover past 10⁹), not a different join.
+    band-bucket cap.
     """
+    if fingerprint_bits == 60:
+        return _simhash_hamming_pairs_60(
+            docs, max_hamming, text_col, max_band_bucket
+        )
+    assert fingerprint_bits == 128, "fingerprint_bits must be 60 or 128"
+    # no persist: the fingerprint kernel is a zero-shuffle map-side pass,
+    # so the three consumers below (keys + both verify sides) cost two
+    # extra codegen scans, not a recomputed shuffle
+    sh = simhash128_mapside(docs, text_col=text_col)
+    cand = simhash128_candidates(sh, max_hamming, n_blocks, max_band_bucket)
+    s1 = sh.select(
+        F.col("doc_id").alias("doc1_id"),
+        F.col("simhash_hi").alias("_h1"),
+        F.col("simhash_lo").alias("_l1"),
+    )
+    s2 = sh.select(
+        F.col("doc_id").alias("doc2_id"),
+        F.col("simhash_hi").alias("_h2"),
+        F.col("simhash_lo").alias("_l2"),
+    )
+    hamming = (
+        F.bit_count(F.col("_h1").bitwiseXOR(F.col("_h2")))
+        + F.bit_count(F.col("_l1").bitwiseXOR(F.col("_l2")))
+    ).cast("long")
+    return (
+        cand.join(s1, "doc1_id")
+        .join(s2, "doc2_id")
+        .select("doc1_id", "doc2_id", hamming.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def _simhash_hamming_pairs_60(
+    docs: DataFrame,
+    max_hamming: int,
+    text_col: str,
+    max_band_bucket: int | None,
+) -> DataFrame:
+    """Legacy 60-bit single-band layout (see :func:`simhash_hamming_pairs`):
+    ``max_hamming + 1`` bands of ``60 // (max_hamming+1)`` bits.  Carries
+    the measured n²·bands/2^width random-collision term (exponent 1.88 at
+    5k→50k docs, PLANS.md §round-6) — fixture/comparison use only."""
     n_bands = max_hamming + 1
     width = 60 // n_bands  # 60-bit fingerprint (simhash64 votes bits 0..59)
-    # no persist: the fingerprint kernel is a zero-shuffle map-side pass,
-    # so the three consumers below (bands + both verify sides) cost two
-    # extra codegen scans, not a recomputed shuffle
     sh = simhash64_mapside(docs, text_col=text_col)
     bands = sh.select(
             "doc_id",

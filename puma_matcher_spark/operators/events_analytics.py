@@ -110,9 +110,15 @@ def population_stability(
             .alias("m")
         ).scalar()
     )
-    bucket = F.least(
-        F.floor(F.col("value") / F.lit(bucket_width)),
-        F.lit(n_buckets - 1),
+    # clamp BOTH ends: negative values floor into bucket 0 instead of
+    # falling off the dense grid (which would silently truncate the
+    # distribution and misreport PSI on corpora with negative values)
+    bucket = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(
+            F.floor(F.col("value") / F.lit(bucket_width)),
+            F.lit(n_buckets - 1),
+        ),
     ).cast("int")
     counted = (
         events.select(

@@ -2419,32 +2419,66 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash64(docs, method="mapside")  # ~6x faster than the explode path at sf0.1 (0.09 vs 0.59 s); identical md5 arithmetic, same oracle
 
 
-@register(
-    "simhash_near_dups",
-    f"""WITH toksl AS (SELECT doc_id, {_LLM_TOKS} AS tk FROM documents),
+_SIMHASH128_CTE = f"""WITH toksl AS (SELECT doc_id, {_LLM_TOKS} AS tk FROM documents),
 words AS (SELECT doc_id, unnest(tk) AS tok FROM toksl),
 tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM words GROUP BY 1, 2),
 hashed AS (
-  SELECT doc_id, tf, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM tf),
-bits AS (SELECT doc_id, tf, h, unnest(range(60)) AS bit FROM hashed),
+  SELECT doc_id, tf,
+         ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h_hi,
+         ('0x' || substr(md5(tok), 17, 16))::UBIGINT AS h_lo
+  FROM tf),
+bits AS (SELECT doc_id, tf, h_hi, h_lo, unnest(range(64)) AS bit FROM hashed),
 votes AS (
   SELECT doc_id, bit,
-         SUM(CASE WHEN (h >> bit) & 1 = 1 THEN tf ELSE -tf END) AS vote
+         SUM(CASE WHEN (h_hi >> bit) & 1 = 1 THEN tf ELSE -tf END) AS vhi,
+         SUM(CASE WHEN (h_lo >> bit) & 1 = 1 THEN tf ELSE -tf END) AS vlo
   FROM bits GROUP BY 1, 2),
 simh AS (
   SELECT doc_id,
-         CAST(SUM(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
-  FROM votes GROUP BY 1)
+         CAST(SUM(CASE WHEN vhi > 0 THEN (CASE WHEN bit = 63 THEN -9223372036854775808 ELSE (1::BIGINT << bit) END) ELSE 0 END) AS BIGINT) AS simhash_hi,
+         CAST(SUM(CASE WHEN vlo > 0 THEN (CASE WHEN bit = 63 THEN -9223372036854775808 ELSE (1::BIGINT << bit) END) ELSE 0 END) AS BIGINT) AS simhash_lo
+  FROM votes GROUP BY 1)"""
+
+
+@register(
+    "simhash128",
+    _SIMHASH128_CTE
+    + """
+SELECT doc_id, simhash_hi, simhash_lo FROM simh""",
+)
+def q_simhash128(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """128-bit SimHash fingerprints as two signed longs (llmdata/dedup.py
+    simhash128_mapside) — the wide fingerprint that feeds the
+    collision-free blocked near-dup join.  The full md5 digest supplies
+    the per-token bit hash (hex[0:16] -> bits 64..127, hex[16:32] ->
+    bits 0..63); zero-shuffle Arrow-batched kernel, and the oracle
+    reproduces both longs bit-for-bit via UBIGINT hex parsing with the
+    sign bit handled by two's complement on both sides."""
+    docs = load_tables(spark, sf_dir).llm_documents()
+    return dd.simhash128_mapside(docs)
+
+
+@register(
+    "simhash_near_dups",
+    _SIMHASH128_CTE
+    + """
 SELECT a.doc_id AS doc1_id, b.doc_id AS doc2_id,
-       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       CAST(bit_count(xor(a.simhash_hi, b.simhash_hi))
+          + bit_count(xor(a.simhash_lo, b.simhash_lo)) AS BIGINT) AS hamming
 FROM simh a JOIN simh b ON a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+WHERE bit_count(xor(a.simhash_hi, b.simhash_hi))
+    + bit_count(xor(a.simhash_lo, b.simhash_lo)) <= 3""",
 )
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup self-join with pigeonhole band blocking
-    (llmdata/dedup.py simhash_hamming_pairs; Manku et al. WWW'07): 4
-    bands of 15 bits — Hamming <= 3 implies at least one identical band,
-    so the band equi-join's candidate set is provably complete.  The
+    """SimHash near-dup self-join with pigeonhole block blocking over the
+    128-BIT fingerprint (llmdata/dedup.py simhash_hamming_pairs; Manku
+    et al. WWW'07 multi-table construction): 5 blocks of 25 bits,
+    equi-join on every C(5,2)=10 two-block combination (50-bit keys).
+    Hamming <= 3 flips touch <= 3 blocks, so some clean two-block
+    combination matches exactly — the candidate set is provably
+    complete, while the 50-bit keys kill the random band-collision
+    quadratic term the old 15-bit bands carried (measured candidate
+    exponent 1.88 at 5k->50k docs; now n²·10/2⁵⁰, past 10¹⁴ docs).  The
     oracle is the EXACT all-pairs definition, so a driver pass checks
     the completeness theorem itself, not just the arithmetic."""
     docs = load_tables(spark, sf_dir).llm_documents()
@@ -6597,7 +6631,7 @@ def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
   SELECT CAST(floor((min(epoch_us(ts)) + max(epoch_us(ts))) / 2.0) AS BIGINT) AS m
   FROM events),
 c AS (
-  SELECT LEAST(CAST(floor(value / 25.0) AS INT), 19) AS bucket,
+  SELECT GREATEST(0, LEAST(CAST(floor(value / 25.0) AS INT), 19)) AS bucket,
          CAST(SUM(CASE WHEN epoch_us(ts) <= (SELECT m FROM b) THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
          CAST(SUM(CASE WHEN epoch_us(ts) <= (SELECT m FROM b) THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
   FROM events GROUP BY 1),
@@ -6708,68 +6742,72 @@ _PYTEST_ONLY: frozenset[str] = frozenset(
     }
 )
 
-# Round-6 window policy (freshness rotation — see
-# scripts/driver_gate_check.py freshness_audit): with the backlog cleared
-# in r5, each round's 50 slots now go to (a) this round's net-new
-# registrations (budget: <= 10/round), (b) every exported query whose last
-# hard driver row is oldest, oldest cohort first.  Capacity arithmetic:
-# 50 slots/round * 4 rounds = 200 >= exported count, so the standing
-# invariant is max row age <= 4 rounds (audit hard-fails beyond that);
-# after this round the oldest cohort is r3 (age 3).
+# Round-7 window policy (freshness rotation — see
+# scripts/driver_gate_check.py freshness_audit): each round's 50 slots go
+# to (a) this round's net-new registrations (budget: <= 10/round), (b)
+# queries whose semantics changed this round (they need a fresh hard row),
+# (c) every exported query whose last hard driver row is oldest, oldest
+# cohort first.  Capacity arithmetic: 50 slots/round * 4 rounds = 200 >=
+# exported count, so the standing invariant is max row age <= 4 rounds
+# (audit hard-fails beyond that).  Round-7 breakdown: the FULL remaining
+# r3 cohort (33 names — they hit age 4 this round and MUST re-green) +
+# net-new + the changed simhash_near_dups + the oldest r4 slice.
 _PRIORITY: list[str] = [
-    # -- 1. round-6 net-new
-    "semantic_dedup_blocked",
-    "ngram_containment",
-    "manifest_roundtrip",
-    "events_psi",
-    "pmi_bigrams",
-    # -- 2. last hard driver row r2 (the full stale cohort, 31 names)
-    "code_extraction",
-    "context_windows",
-    "dedup_blocked_pairs",
-    "dedup_components_cc",
-    "dedup_components_exact",
-    "dedup_exact",
-    "doc_fingerprint",
-    "doc_token_stats",
-    "dual_type_pairs",
-    "embedding_lsh_topk",
-    "embedding_near_dups",
-    "embedding_topk",
-    "events_json",
-    "events_sessions",
-    "events_windowed",
-    "hamming_pairs",
-    "lang_id",
-    "local_supplier_volume",
-    "minhash_pairs",
-    "ngram_jaccard",
-    "person_clean",
-    "pricing_summary",
-    "rank_evaluation",
-    "rare_words",
-    "shipping_priority",
-    "text_match_merged",
-    "text_match_pairs",
-    "text_match_scores",
-    "top_context_words",
-    "total_score",
-    "weight_eval",
-    # -- 3. oldest r3 cohort, first slice (the rest rotate in r7)
-    "bpe_token_stats",
-    "char_entropy",
-    "contamination_check",
-    "corpus_shuffle",
-    "corpus_split",
-    "cosine_titles",
-    "date_doc_type_filter",
-    "dedup_person_chain",
-    "doc_chunks",
-    "doc_quality",
-    "embedding_dup_clusters",
-    "events_approx_users",
-    "events_attribution",
-    "events_cube",
+    # -- 1. round-7 net-new
+    "simhash128",
+    # -- 2. changed semantics this round (128-bit fingerprint plane)
+    "simhash_near_dups",
+    # -- 3. last hard driver row r3 — the full remaining cohort (age-4
+    #       boundary this round; freshness_audit hard-fails if missed)
+    "events_dedup",
+    "events_rollup",
+    "frequent_itemsets",
+    "hundred_editor",
+    "instrument_features",
+    "instrument_matching",
+    "ivf_recall",
+    "llm_curation",
+    "media_features_shape",
+    "near_dup_clusters",
+    "normalised_approx_bounds",
+    "person_technique_doc_stats",
+    "person_technique_hist",
+    "person_technique_prob",
+    "pic_cluster_quality",
+    "picture_lsh_pairs",
+    "picture_size",
+    "pii_audit",
+    "pii_scrub",
+    "repetition_metrics",
+    "rf_classifier_accuracy",
+    "score_histogram",
+    "score_pivot_labeled",
+    "sequence_packing",
+    "simhash",
+    "single_word_scores",
+    "source_mix",
+    "source_sampling",
+    "string_index",
+    "text_features_stemmed",
+    "unigram_logprob",
+    "w2v_shape",
+    "weight_refined_convergence",
+    # -- 4. oldest r4 cohort, first slice (the rest rotate in r8)
+    "av_features_shape",
+    "bigram_logprob",
+    "bm25_search",
+    "bpe_merges",
+    "cdc_latest_state",
+    "centroid_confusion",
+    "cluster_representatives",
+    "decontaminated_corpus",
+    "dedup_triangles",
+    "doc_keywords",
+    "dq_expectations",
+    "dq_profile",
+    "dup_substring_spans",
+    "embedding_int8_topk",
+    "embedding_prefix_rerank",
 ]
 
 

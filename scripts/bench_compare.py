@@ -21,16 +21,37 @@ import json
 import sys
 
 
-def _queries(blob: dict) -> dict[str, float]:
+def _unwrap(blob: dict) -> dict:
+    """Accept either a raw bench.py line or a driver BENCH_r{N}.json
+    wrapper (the payload sits under 'parsed') — for BOTH arguments, so a
+    swapped or driver-file CURRENT degrades gracefully instead of
+    raising KeyError('queries')."""
     if "parsed" in blob:  # driver wrapper
         blob = blob["parsed"]
-    return blob["queries"]
+    if "queries" not in blob:
+        raise SystemExit(
+            "not a bench blob: expected a bench.py JSON line or a driver "
+            f"BENCH_r{{N}}.json wrapper, got keys {sorted(blob)[:8]}"
+        )
+    return blob
 
 
 def main() -> int:
-    cur = json.load(open(sys.argv[1]))
-    ref = _queries(json.load(open(sys.argv[2])))
+    cur = _unwrap(json.load(open(sys.argv[1])))
+    ref = _unwrap(json.load(open(sys.argv[2])))["queries"]
     disp = cur.get("dispersion", {})
+    if not disp:
+        # since r7 bench.py keeps the stdout line compact and writes
+        # sample arrays to a sidecar next to bench.py / the CURRENT file
+        import os
+
+        for cand in (
+            os.path.join(os.path.dirname(os.path.abspath(sys.argv[1])), "BENCH_DISPERSION.json"),
+            os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_DISPERSION.json"),
+        ):
+            if os.path.exists(cand):
+                disp = json.load(open(cand)).get("dispersion", {})
+                break
     drifted = []
     print(f"{'query':26s} {'ref-min':>8s} {'now-min':>8s} {'now-med':>8s} {'MAD':>6s}  verdict")
     for q, now_min in cur["queries"].items():

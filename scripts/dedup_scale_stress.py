@@ -125,6 +125,9 @@ def measure(spark, n_docs: int) -> dict[str, int]:
     bands = dd.lsh_band_keys(dd.minhash_signatures(dd.shingles(docs)))
     out["minhash_candidates"] = dd.lsh_candidate_pairs(bands).count()
     out["simhash_candidates"] = simhash_band_candidates(docs).count()
+    out["simhash128_candidates"] = dd.simhash128_candidates(
+        dd.simhash128_mapside(docs)
+    ).count()
     batch = docs.where(F.col("doc_id") % 50 == 7)  # 2% fixed-rate batch
     out["incremental_candidates"] = dd.minhash_incremental_pairs(
         batch.select(F.col("doc_id"), "text"), docs
@@ -147,6 +150,7 @@ def main() -> None:
     boiler = {
         "minhash_candidates": 500 * 499 // 2,
         "simhash_candidates": 500 * 499 // 2,
+        "simhash128_candidates": 500 * 499 // 2,
         "incremental_candidates": 10 * 500,  # 10 batch docs x cluster
         "semantic_candidates": 0,  # df cap excises the mega-cluster
     }
@@ -154,6 +158,7 @@ def main() -> None:
     for k in (
         "minhash_candidates",
         "simhash_candidates",
+        "simhash128_candidates",
         "incremental_candidates",
         "semantic_candidates",
     ):

@@ -87,13 +87,21 @@ def freshness_audit(verbose: bool = True, window_size: int = WINDOW) -> list[str
             f"row-age > {MAX_ROW_AGE} rounds after this window: {stale}"
         )
     if verbose:
-        ages = {}
+        ages: dict = {}
         for n in exported:
-            a = 0 if n in window else this_round - last.get(n, this_round)
+            if n in window:
+                a = 0
+            elif n not in last:
+                # a never-rowed query outside the window has no age —
+                # count it under its own key instead of a misleading 0
+                a = "never"
+            else:
+                a = this_round - last[n]
             ages[a] = ages.get(a, 0) + 1
+        hist = dict(sorted(ages.items(), key=lambda kv: (isinstance(kv[0], str), kv[0])))
         print(
             f"[freshness] round {this_round}: projected age histogram "
-            f"{dict(sorted(ages.items()))}, net-new {len(net_new)}/{NET_NEW_BUDGET}"
+            f"{hist}, net-new {len(net_new)}/{NET_NEW_BUDGET}"
         )
         for p in problems:
             print(f"[freshness] VIOLATION: {p}")

@@ -230,3 +230,15 @@ def test_streaming_ingest_app_end_to_end(spark, tmp_path):
 
     parts = {d for d in os.listdir(out) if d.startswith("batch_id=")}
     assert len(parts) >= 2
+
+    # cross-batch dedup (ADVICE r6): an exact copy of the batch-1
+    # admission arriving in a LATER micro-batch must be rejected against
+    # the accepted sink, not just the static corpus snapshot
+    dup = src / "doc_5.txt"
+    dup.write_text(texts[2], encoding="utf-8")
+    with open(manifest, "a", encoding="utf-8") as fh:
+        fh.write(f"5,{dup}\n")
+    q3 = run_streaming_ingest_app(spark, str(manifest), corpus, out, ckpt)
+    q3.awaitTermination(180)
+    final = spark.read.parquet(out)
+    assert {r["doc_id"] for r in final.collect()} == {2, 4}

@@ -95,6 +95,25 @@ def test_psi_degenerate_single_instant_window(spark):
     assert sum(r["n_cur"] for r in rows) == 0
 
 
+def test_psi_negative_values_clamp_into_bucket_zero(spark):
+    """Negative values must clamp into bucket 0, not fall off the dense
+    grid: the bucket totals have to account for EVERY event, so PSI is
+    computed over the full distribution (ADVICE r6)."""
+    from puma_matcher_spark.operators.events_analytics import (
+        population_stability,
+    )
+
+    rows = [(i, datetime(2024, 1, 1, i % 24), -50.0 - i) for i in range(30)]
+    rows += [(100 + i, datetime(2024, 1, 5, i % 24), float(i)) for i in range(30)]
+    events = spark.createDataFrame(
+        rows, "event_id LONG, ts TIMESTAMP_NTZ, value DOUBLE"
+    )
+    out = population_stability(events).collect()
+    assert sum(r["n_ref"] + r["n_cur"] for r in out) == 60  # nothing dropped
+    b0 = next(r for r in out if r["bucket"] == 0)
+    assert b0["n_ref"] == 30  # all negatives landed in bucket 0
+
+
 def test_pmi_empty_and_single_token_docs(spark):
     """Docs below the bigram length threshold contribute nothing and
     must not break the pair builder."""

@@ -854,7 +854,8 @@ def test_semantic_dedup_group_invariants(spark):
 
 def test_simhash_band_blocking_is_complete(spark):
     """The pigeonhole guarantee, checked against brute force: band
-    blocking must find EVERY pair within the Hamming radius."""
+    blocking must find EVERY pair within the Hamming radius (legacy
+    60-bit single-band layout)."""
     import random
 
     rng = random.Random(5)
@@ -865,7 +866,9 @@ def test_simhash_band_blocking_is_complete(spark):
     )
     blocked = {
         (r["doc1_id"], r["doc2_id"]): r["hamming"]
-        for r in dd.simhash_hamming_pairs(docs, max_hamming=3).collect()
+        for r in dd.simhash_hamming_pairs(
+            docs, max_hamming=3, fingerprint_bits=60
+        ).collect()
     }
     sh = {r["doc_id"]: r["simhash"] for r in dd.simhash64(docs).collect()}
     brute = {
@@ -874,6 +877,112 @@ def test_simhash_band_blocking_is_complete(spark):
         if a < b and bin(sh[a] ^ sh[b]).count("1") <= 3
     }
     assert blocked == brute
+
+
+def _hamming128(a: tuple[int, int], b: tuple[int, int]) -> int:
+    m = (1 << 64) - 1
+    return bin((a[0] ^ b[0]) & m).count("1") + bin((a[1] ^ b[1]) & m).count("1")
+
+
+def test_simhash128_block_combinations_are_complete(spark):
+    """Pigeonhole completeness of the 128-bit multi-table construction
+    (5 blocks, C(5,2) two-block combination keys) vs brute force — the
+    default production path of simhash_hamming_pairs."""
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for c in range(15):  # planted near-dup pairs: base + one extra token
+        base = [f"t{rng.randrange(10000)}" for _ in range(100)]
+        rows.append((2 * c, " ".join(base)))
+        rows.append((2 * c + 1, " ".join(base + [f"x{c}"])))
+    for i in range(30, 60):  # unique background docs
+        rows.append((i + 30, " ".join(f"u{rng.randrange(10**6)}" for _ in range(40))))
+    docs = _docs(spark, rows)
+    blocked = {
+        (r["doc1_id"], r["doc2_id"]): r["hamming"]
+        for r in dd.simhash_hamming_pairs(docs, max_hamming=3).collect()
+    }
+    sh = {
+        r["doc_id"]: (r["simhash_hi"], r["simhash_lo"])
+        for r in dd.simhash128_mapside(docs).collect()
+    }
+    brute = {
+        (a, b): _hamming128(sh[a], sh[b])
+        for a in sh for b in sh
+        if a < b and _hamming128(sh[a], sh[b]) <= 3
+    }
+    assert len(brute) > 0  # fixture must actually exercise the radius
+    assert blocked == brute
+
+
+def test_simhash128_wider_radius_stays_complete(spark):
+    """max_hamming=6 reshapes the construction (8 blocks, C(8,2) keys) —
+    completeness must hold at the wider radius too."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for c in range(10):  # planted near-dup pairs within the wider radius
+        base = [f"t{rng.randrange(10000)}" for _ in range(60)]
+        rows.append((2 * c, " ".join(base)))
+        rows.append((2 * c + 1, " ".join(base + [f"x{c}"])))
+    for i in range(20, 40):
+        rows.append((i + 20, " ".join(f"u{rng.randrange(10**6)}" for _ in range(30))))
+    docs = _docs(spark, rows)
+    blocked = {
+        (r["doc1_id"], r["doc2_id"]): r["hamming"]
+        for r in dd.simhash_hamming_pairs(docs, max_hamming=6).collect()
+    }
+    sh = {
+        r["doc_id"]: (r["simhash_hi"], r["simhash_lo"])
+        for r in dd.simhash128_mapside(docs).collect()
+    }
+    brute = {
+        (a, b): _hamming128(sh[a], sh[b])
+        for a in sh for b in sh
+        if a < b and _hamming128(sh[a], sh[b]) <= 6
+    }
+    assert len(brute) > 0
+    assert blocked == brute
+
+
+def test_simhash128_matches_python_reference(spark):
+    """Bit-for-bit equality of the Arrow kernel with a from-scratch
+    Python implementation of the md5-half vote arithmetic, including the
+    empty-document and sign-bit (two's complement) cases."""
+    import hashlib
+    from collections import Counter
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog",
+        2: "",
+        3: "repeated repeated repeated token stream",
+        4: "unicode tökens ålso håsh portably",
+    }
+
+    def ref(text):
+        toks = [t for t in text.lower().split(" ") if t]
+        if not toks:
+            return (0, 0)
+        tf = Counter(toks)
+        out = []
+        for sl in (slice(0, 16), slice(16, 32)):
+            votes = [0] * 64
+            for t, c in tf.items():
+                h = int(hashlib.md5(t.encode("utf-8")).hexdigest()[sl], 16)
+                for b in range(64):
+                    votes[b] += c if (h >> b) & 1 else -c
+            word = sum(1 << b for b in range(64) if votes[b] > 0)
+            out.append(word - (1 << 64) if word >= (1 << 63) else word)
+        return tuple(out)
+
+    docs = _docs(spark, list(texts.items()))
+    got = {
+        r["doc_id"]: (r["simhash_hi"], r["simhash_lo"])
+        for r in dd.simhash128_mapside(docs).collect()
+    }
+    assert got == {k: ref(v) for k, v in texts.items()}
 
 
 def test_simhash_band_bucket_cap_drops_degenerate_bands(spark):

@@ -171,7 +171,9 @@ def test_word_features_whitelist_and_positions(spark):
 
 # held-out NER fixture: sentence patterns from the training distribution,
 # ENTITIES unseen in data/ner_train.txt (the generalization that matters:
-# new names, known contexts/shapes)
+# new names, known contexts/shapes).  Tripled in round 7 (VERDICT r6 #8)
+# so the M7-closure gates rest on 150+ labelled tokens with every class
+# represented several times; per-class P/R/F1 gated separately below.
 NER_FIXTURE = [
     (
         "the spectra from IN11 were processed by Karl Jensen in Grenoble",
@@ -192,6 +194,46 @@ NER_FIXTURE = [
     (
         "data from D22 were compared with results from LOKI in Lund",
         "O O INSTRUMENT O O O O O INSTRUMENT O LOCATION",
+    ),
+    (
+        "Lucia Bianchi measured the dispersion on IN20 before the shutdown",
+        "PERSON PERSON O O O O INSTRUMENT O O O",
+    ),
+    (
+        "the beamline SANS2D was upgraded by the detector group last cycle",
+        "O O INSTRUMENT O O O O O O O O",
+    ),
+    (
+        "Henrik Dahl and Marta Kovacs shared the allocated beam time",
+        "PERSON PERSON O PERSON PERSON O O O O O",
+    ),
+    (
+        "a delegation from the Paul Scherrer Institut visited in October",
+        "O O O O ORGANIZATION ORGANIZATION ORGANIZATION O O O",
+    ),
+    (
+        "the powder samples were stored in Oslo before shipment",
+        "O O O O O O LOCATION O O",
+    ),
+    (
+        "alignment scans on D33 and FIGARO finished overnight",
+        "O O O INSTRUMENT O INSTRUMENT O O",
+    ),
+    (
+        "the review panel of the European Spallation Source met in Lund",
+        "O O O O O ORGANIZATION ORGANIZATION ORGANIZATION O O LOCATION",
+    ),
+    (
+        "Tomas Berg reported a misalignment of the monochromator",
+        "PERSON PERSON O O O O O O",
+    ),
+    (
+        "the cold source in Villigen supplies neutrons to several instruments",
+        "O O O O LOCATION O O O O O",
+    ),
+    (
+        "results were cross-checked by Ingrid Svensson at the facility in Oxfordshire",
+        "O O O O PERSON PERSON O O O O LOCATION",
     ),
 ]
 
@@ -216,6 +258,38 @@ def test_perceptron_ner_accuracy_on_held_out():
                 ent_hits += g == o
     assert tok_hits / tok_total >= 0.9, f"NER token acc {tok_hits/tok_total:.2f}"
     assert ent_hits / ent_total >= 0.75, f"NER entity recall {ent_hits/ent_total:.2f}"
+
+
+def test_perceptron_ner_per_class_f1_on_held_out():
+    """Per-class precision/recall/F1 on the tripled held-out set — the
+    aggregate gate above can hide one collapsed class; each of the four
+    entity classes must clear F1 >= 0.8 on its own (measured at fixture
+    authoring: PERSON/INSTRUMENT/ORGANIZATION 1.00, LOCATION 0.93 — one
+    'October'->LOCATION false positive kept in, honest held-out)."""
+    from collections import defaultdict
+
+    from puma_matcher_spark.functions.perceptron import load_default_ner
+
+    ner = load_default_ner()
+    assert ner is not None, "vendored NER weights missing"
+    tp: dict = defaultdict(int)
+    fp: dict = defaultdict(int)
+    fn: dict = defaultdict(int)
+    for sent, tags in NER_FIXTURE:
+        for g, o in zip(tags.split(), ner.tag(sent.split())):
+            if g == o and g != "O":
+                tp[g] += 1
+            if g != o:
+                if o != "O":
+                    fp[o] += 1
+                if g != "O":
+                    fn[g] += 1
+    for c in ("PERSON", "INSTRUMENT", "LOCATION", "ORGANIZATION"):
+        assert tp[c] + fn[c] >= 5, f"{c}: fixture too thin ({tp[c] + fn[c]})"
+        p = tp[c] / (tp[c] + fp[c]) if tp[c] + fp[c] else 0.0
+        r = tp[c] / (tp[c] + fn[c]) if tp[c] + fn[c] else 0.0
+        f1 = 2 * p * r / (p + r) if p + r else 0.0
+        assert f1 >= 0.8, f"{c}: F1 {f1:.2f} (P={p:.2f} R={r:.2f}) below gate"
 
 
 def test_ner_batch_dispatches_to_statistical_model(monkeypatch):
@@ -258,6 +332,48 @@ LEMMA_FIXTURE = [
     ("instruments", "NNS", "instrument"),
     ("scattered", "VBD", "scatter"),
     ("counting", "VBG", "count"),
+    # round-7 extension (VERDICT r6 #8): tripled coverage — irregular
+    # plurals, suppletive verbs/adjectives, -es/-ves classes, y-insertion
+    ("geese", "NNS", "goose"),
+    ("children", "NNS", "child"),
+    ("criteria", "NNS", "criterion"),
+    ("phenomena", "NNS", "phenomenon"),
+    ("matrices", "NNS", "matrix"),
+    ("vertices", "NNS", "vertex"),
+    ("hypotheses", "NNS", "hypothesis"),
+    ("theses", "NNS", "thesis"),
+    ("nuclei", "NNS", "nucleus"),
+    ("radii", "NNS", "radius"),
+    ("foci", "NNS", "focus"),
+    ("series", "NNS", "series"),
+    ("took", "VBD", "take"),
+    ("given", "VBN", "give"),
+    ("written", "VBN", "write"),
+    ("held", "VBD", "hold"),
+    ("found", "VBD", "find"),
+    ("brought", "VBD", "bring"),
+    ("lying", "VBG", "lie"),
+    ("dying", "VBG", "die"),
+    ("tying", "VBG", "tie"),
+    ("bigger", "JJR", "big"),
+    ("hotter", "JJR", "hot"),
+    ("better", "JJR", "good"),
+    ("worst", "JJS", "bad"),
+    ("largest", "JJS", "large"),
+    ("crystallises", "VBZ", "crystallise"),
+    ("normalised", "VBD", "normalise"),
+    ("fluxes", "NNS", "flux"),
+    ("branches", "NNS", "branch"),
+    ("boxes", "NNS", "box"),
+    ("echoes", "NNS", "echo"),
+    ("ratios", "NNS", "ratio"),
+    ("halves", "NNS", "half"),
+    ("knives", "NNS", "knife"),
+    ("leaves", "NNS", "leaf"),
+    ("data", "NNS", "datum"),
+    ("media", "NNS", "medium"),
+    ("went", "VBD", "go"),
+    ("said", "VBD", "say"),
 ]
 
 
@@ -290,3 +406,25 @@ def test_lemma_batch_perceptron_backend_chains_pos():
     )
     assert out[1] == "detector"
     assert out[2] == "measure"
+
+
+def test_lemmatizer_skips_malformed_exception_lines(tmp_path, monkeypatch):
+    """A malformed lemma_exceptions.txt line (not exactly two fields)
+    must be skipped, not raise ValueError out of load_default's
+    documented None-degrade path (ADVICE r6)."""
+    from puma_matcher_spark.functions import lemmatizer as lz
+
+    exc = tmp_path / "lemma_exceptions.txt"
+    exc.write_text(
+        "# comment\nran run\nbadline\nthree fields here\nmice mouse\n",
+        encoding="utf-8",
+    )
+    lex = tmp_path / "lemma_lexicon.txt"
+    lex.write_text("run\nmouse\n", encoding="utf-8")
+    monkeypatch.setattr(lz, "EXCEPTIONS_PATH", str(exc))
+    monkeypatch.setattr(lz, "LEXICON_PATH", str(lex))
+    monkeypatch.setattr(lz, "_LEMMATIZER", None)
+    lem = lz.load_default()
+    assert lem is not None
+    assert lem.exceptions == {"ran": "run", "mice": "mouse"}
+    monkeypatch.setattr(lz, "_LEMMATIZER", None)  # don't leak the stub

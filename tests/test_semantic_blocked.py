@@ -124,3 +124,20 @@ def test_blocked_dedup_handles_a_dup_free_corpus(spark):
     assert set(out.columns) == {
         "doc_id", "group_id", "group_size", "is_representative",
     }
+
+
+def test_verify_join_reads_checkpointed_embeddings(spark, sf_small):
+    """The materialization barrier of commit 068b131 (VERDICT r6 #4):
+    the verify join's BOTH sides must be scans of the localCheckpoint'ed
+    embedding frame ("Scan ExistingRDD"), not inlined re-computations of
+    the O(n_buckets x shingles) embedding expression below the join —
+    Catalyst's projection collapse otherwise re-executes the build per
+    joined row (measured 75x at sf0.1).  Over the parquet fixtures the
+    checkpoint is the ONLY RDD source in the DAG, so exactly two
+    ExistingRDD scans prove the barrier; removing the .localCheckpoint()
+    at similarity.py drops the count to zero and fails this test."""
+    from puma_matcher_spark.queries import REGISTRY
+
+    df = REGISTRY["semantic_dedup_blocked"].spark_fn(spark, sf_small)
+    plan = pi.formatted_plan(df)
+    assert plan.count("ExistingRDD") >= 2, plan
