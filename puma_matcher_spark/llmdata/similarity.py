@@ -661,6 +661,141 @@ def shared_shingle_pairs(
     )
 
 
+def semantic_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.8,
+    n_buckets: int = 128,
+    n: int = 3,
+    df_cap: int = 64,
+    min_shared: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Embedding-level benchmark-contamination scan — the semantic
+    complement of :func:`puma_matcher_spark.llmdata.dedup.contamination_check`:
+    n-gram containment misses paraphrased/reworded eval leakage, so
+    modern pre-training hygiene ALSO thresholds embedding cosine between
+    corpus and held-out documents.  Output: (corpus_id, benchmark_id,
+    cosine_sim) for every cross pair with cosine >= ``threshold``.
+
+    Plan (the 100 TB shape, mirroring :func:`semantic_dedup_blocked`):
+    candidates from ONE cross-frame equi-join on shared *rare* shingles
+    (document frequency over BOTH frames <= ``df_cap`` — rarity must be
+    global: a corpus-boilerplate shingle is no blocking key even if the
+    benchmark uses it once), requiring >= ``min_shared`` shared rare
+    shingles; every candidate verified with the EXACT cosine over the
+    hashed-shingle embeddings, checkpointed before the verify join (the
+    068b131 materialization barrier).  The benchmark side is small in
+    production, so AQE broadcasts it; candidate volume is bounded by
+    df_cap x the benchmark shingle rows — linear, never |C| x |B|.
+    """
+    from puma_matcher_spark.llmdata.dedup import shingles
+
+    cs = shingles(corpus, n=n, text_col=text_col)
+    bs = shingles(benchmark, n=n, text_col=text_col)
+    rare = (
+        cs.select("shingle")
+        .unionAll(bs.select("shingle"))
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") <= df_cap)
+        .select("shingle")
+    )
+    cands = (
+        cs.join(rare, "shingle")
+        .select(F.col("doc_id").alias("corpus_id"), "shingle")
+        .join(
+            bs.select(F.col("doc_id").alias("benchmark_id"), "shingle"),
+            "shingle",
+        )
+        .groupBy("corpus_id", "benchmark_id")
+        .agg(F.count(F.lit(1)).alias("_n_shared"))
+        .where(F.col("_n_shared") >= min_shared)
+        .select("corpus_id", "benchmark_id")
+    )
+    cv = (
+        shingle_hash_embeddings(corpus, n_buckets=n_buckets, n=n, text_col=text_col)
+        .select(
+            F.col("doc_id").alias("corpus_id"),
+            F.col("embedding").alias("_ce"),
+            norm(F.col("embedding")).alias("_cn"),
+        )
+        .localCheckpoint()
+    )
+    bv = (
+        shingle_hash_embeddings(benchmark, n_buckets=n_buckets, n=n, text_col=text_col)
+        .select(
+            F.col("doc_id").alias("benchmark_id"),
+            F.col("embedding").alias("_be"),
+            norm(F.col("embedding")).alias("_bn"),
+        )
+        .localCheckpoint()
+    )
+    return (
+        cands.join(cv, "corpus_id")
+        .join(bv, "benchmark_id")
+        .select(
+            "corpus_id",
+            "benchmark_id",
+            pround(
+                dot(F.col("_ce"), F.col("_be")) / (F.col("_cn") * F.col("_bn")), 4
+            ).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= threshold)
+    )
+
+
+def centroid_drift(embeddings: DataFrame) -> DataFrame:
+    """Per-label embedding drift monitor — the vector-plane sibling of the
+    events PSI (numeric drift) and vocab KL (lexical drift) alarms: split
+    the corpus into a reference half (even ``vec_id``) and a current half
+    (odd), compute each label's centroid in both halves, and report the
+    cosine between the two centroids (1.0 = stable class geometry).
+
+    Output: (label, n_ref, n_cur, centroid_cosine).  Plan: one posexplode
+    + one (label, half, dim) hash aggregate + per-label vector
+    re-assembly (bounded by the embedding width) + one dim-key join —
+    everything downstream of the single aggregate is label-count-sized,
+    so at 100 TB this costs one scan.  In production the halves come
+    from two snapshot dates; the parity split keeps the driver fixture
+    deterministic.
+    """
+    from puma_matcher_spark.functions.rounding import pround
+
+    e = embeddings.select(
+        "label",
+        (F.col("vec_id") % 2 == 0).alias("_ref"),
+        F.posexplode("embedding").alias("dim", "v"),
+    )
+    m = e.groupBy("label", "_ref", "dim").agg(F.avg("v").alias("av"))
+    # per (label, half): dot/norm fold over the dim-keyed means
+    agg = m.groupBy("label", "dim").agg(
+        F.sum(F.when(F.col("_ref"), F.col("av"))).alias("r"),
+        F.sum(F.when(~F.col("_ref"), F.col("av"))).alias("c"),
+    )
+    sums = agg.groupBy("label").agg(
+        F.sum(F.col("r") * F.col("c")).alias("_dp"),
+        F.sqrt(F.sum(F.col("r") * F.col("r"))).alias("_nr"),
+        F.sqrt(F.sum(F.col("c") * F.col("c"))).alias("_nc"),
+    )
+    counts = embeddings.groupBy("label").agg(
+        F.sum(F.when(F.col("vec_id") % 2 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_ref"),
+        F.sum(F.when(F.col("vec_id") % 2 == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_cur"),
+    )
+    return counts.join(sums, "label").select(
+        "label",
+        "n_ref",
+        "n_cur",
+        pround(F.col("_dp") / (F.col("_nr") * F.col("_nc")), 4).alias(
+            "centroid_cosine"
+        ),
+    )
+
+
 def semantic_dedup_blocked(
     docs: DataFrame,
     threshold: float = 0.8,

@@ -6370,6 +6370,89 @@ def q_semantic_dedup_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.semantic_dedup_blocked(docs, threshold=0.8)
 
 
+@register(
+    "semantic_contamination",
+    """WITH toks AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+  FROM documents),
+shl AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) >= 3 THEN
+           list_distinct(list_transform(range(1, len(tk) - 1),
+             i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]))
+         ELSE [] END AS shs
+  FROM toks),
+sh AS (SELECT doc_id, unnest(shs) AS shingle FROM shl),
+bc AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 128 AS bucket,
+         CAST(COUNT(*) AS DOUBLE) AS c
+  FROM sh GROUP BY 1, 2),
+nrm AS (SELECT doc_id, sqrt(SUM(c * c)) AS nv FROM bc GROUP BY 1),
+dots AS (
+  SELECT a.doc_id AS corpus_id, b.doc_id AS benchmark_id, SUM(a.c * b.c) AS dp
+  FROM bc a JOIN bc b ON a.bucket = b.bucket
+  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+  GROUP BY 1, 2)
+SELECT corpus_id, benchmark_id,
+       ROUND(dp / (n1.nv * n2.nv), 4) AS cosine_sim
+FROM dots
+JOIN nrm n1 ON dots.corpus_id = n1.doc_id
+JOIN nrm n2 ON dots.benchmark_id = n2.doc_id
+WHERE ROUND(dp / (n1.nv * n2.nv), 4) >= 0.8""",
+)
+def q_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-level benchmark-contamination scan (llmdata/similarity.py
+    semantic_contamination): n-gram containment (`contamination_check`)
+    misses paraphrased eval leakage, so the modern hygiene pass ALSO
+    thresholds embedding cosine between corpus (even doc ids) and
+    held-out (odd ids) documents.  Candidates from one cross-frame
+    shared-rare-shingle equi-join (df over BOTH frames <= 64), exact
+    cosine verify over checkpointed hashed-shingle embeddings — the
+    oracle is the UNBLOCKED all-pairs cross cosine, so a driver pass
+    checks blocking completeness end-to-end, exactly like
+    `semantic_dedup_blocked`."""
+    docs = load_tables(spark, sf_dir).llm_documents()
+    return sim.semantic_contamination(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+        threshold=0.8,
+    )
+
+
+@register(
+    "centroid_drift",
+    """WITH e AS (
+  SELECT label, vec_id % 2 = 0 AS r,
+         unnest(embedding::DOUBLE[]) AS v,
+         unnest(range(len(embedding))) AS dim
+  FROM embeddings),
+m AS (SELECT label, r, dim, AVG(v) AS av FROM e GROUP BY 1, 2, 3),
+a AS (SELECT label, dim,
+        SUM(CASE WHEN r THEN av END) AS rr,
+        SUM(CASE WHEN NOT r THEN av END) AS cc
+      FROM m GROUP BY 1, 2),
+s AS (SELECT label, SUM(rr * cc) AS dp,
+        sqrt(SUM(rr * rr)) AS nr, sqrt(SUM(cc * cc)) AS nc
+      FROM a GROUP BY 1),
+cnt AS (SELECT label,
+        CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+        CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+      FROM embeddings GROUP BY 1)
+SELECT cnt.label, n_ref, n_cur,
+       ROUND(dp / (nr * nc), 4) AS centroid_cosine
+FROM cnt JOIN s ON cnt.label = s.label""",
+)
+def q_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding drift monitor (llmdata/similarity.py
+    centroid_drift) — the vector-plane sibling of `events_psi` (numeric)
+    and `vocab_drift` (lexical): cosine between each label's reference-
+    and current-half centroids.  One posexplode + one hash aggregate;
+    everything downstream is label-count-sized."""
+    emb = load_tables(spark, sf_dir).llm_embeddings()
+    return sim.centroid_drift(emb)
+
+
 _MANIFEST_RT_CACHE: dict[str, str] = {}
 _MANIFEST_RT_LOCK = threading.Lock()
 
@@ -6755,6 +6838,8 @@ _PYTEST_ONLY: frozenset[str] = frozenset(
 _PRIORITY: list[str] = [
     # -- 1. round-7 net-new
     "simhash128",
+    "semantic_contamination",
+    "centroid_drift",
     # -- 2. changed semantics this round (128-bit fingerprint plane)
     "simhash_near_dups",
     # -- 3. last hard driver row r3 — the full remaining cohort (age-4
@@ -6806,8 +6891,6 @@ _PRIORITY: list[str] = [
     "dq_expectations",
     "dq_profile",
     "dup_substring_spans",
-    "embedding_int8_topk",
-    "embedding_prefix_rerank",
 ]
 
 

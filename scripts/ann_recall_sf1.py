@@ -57,13 +57,21 @@ def main() -> None:
 
     r = _recall(_topk_sets(sim.int8_topk(emb, q, k=10)), exact)
     print(f"int8_topk               recall@10 = {r:.3f}  (pytest gate 0.9)")
-    r = _recall(
-        _topk_sets(
-            sim.prefix_rerank_topk(emb, q, k=10, prefix_dims=32, shortlist=100)
-        ),
-        exact,
-    )
-    print(f"prefix_rerank 32d/100   recall@10 = {r:.3f}  (pytest gate 0.8)")
+    # shortlist must scale with the corpus: sweep the absolute size so
+    # the recall/shortlist-fraction rule is documented, not assumed
+    for shortlist in (100, 300, 1000):
+        r = _recall(
+            _topk_sets(
+                sim.prefix_rerank_topk(
+                    emb, q, k=10, prefix_dims=32, shortlist=shortlist
+                )
+            ),
+            exact,
+        )
+        print(
+            f"prefix_rerank 32d/{shortlist:<5d} recall@10 = {r:.3f}"
+            f"  (shortlist frac {shortlist / n:.3f}; pytest gate 0.8 at frac 0.05)"
+        )
 
     for n_cells in (8, 32):
         for n_probe in (1, 2, 3, 4, 6, 8):

@@ -244,7 +244,12 @@ def main() -> None:
         ),
     )
 
+    # the driver fixture's embeddings are UNIT-NORMALIZED (measured:
+    # norm 1.0 ± 0.0 at sf0.01/sf0.1) — match that domain, else ANN
+    # studies on this twin misreport (int8 ranks by dot product, which
+    # only agrees with cosine ranking on unit vectors)
     emb = rng.standard_normal((N_EMB, 64)).astype("float32")
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True).astype("float32")
     write(
         "embeddings",
         pa.table(

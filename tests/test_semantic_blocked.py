@@ -141,3 +141,85 @@ def test_verify_join_reads_checkpointed_embeddings(spark, sf_small):
     df = REGISTRY["semantic_dedup_blocked"].spark_fn(spark, sf_small)
     plan = pi.formatted_plan(df)
     assert plan.count("ExistingRDD") >= 2, plan
+
+
+def test_semantic_contamination_finds_planted_leak(spark):
+    """A benchmark doc paraphrase-leaked into the corpus (same content,
+    one token changed) must be flagged; unrelated docs must not."""
+    corpus = spark.createDataFrame(
+        [
+            (2, " ".join(f"leak{j}" for j in range(20)) + " tailA"),
+            (4, " ".join(f"other{j}" for j in range(20))),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [
+            (1, " ".join(f"leak{j}" for j in range(20)) + " tailB"),
+            (3, " ".join(f"clean{j}" for j in range(20))),
+        ],
+        ["doc_id", "text"],
+    )
+    out = sim.semantic_contamination(corpus, bench, threshold=0.8).collect()
+    assert {(r["corpus_id"], r["benchmark_id"]) for r in out} == {(2, 1)}
+    assert out[0]["cosine_sim"] >= 0.9
+
+
+def test_semantic_contamination_rarity_is_global(spark):
+    """A shingle that floods the CORPUS is no blocking key even when the
+    benchmark uses it once: with every cross pair sharing only boiler
+    shingles above the cap and nothing else rare in common, the operator
+    must emit no candidates (and never an all-pairs product)."""
+    boiler = "common boiler plate text repeated everywhere in the corpus"
+    corpus = spark.createDataFrame(
+        [(2 * i, boiler) for i in range(40)], ["doc_id", "text"]
+    )
+    bench = spark.createDataFrame([(1, boiler)], ["doc_id", "text"])
+    out = sim.semantic_contamination(corpus, bench, threshold=0.8, df_cap=8)
+    assert out.count() == 0
+
+
+def test_semantic_contamination_plan_shape(spark, sf_small):
+    """No cartesian/broadcast-nested-loop; verify join reads the two
+    checkpointed embedding frames (the 068b131 barrier, cross-frame)."""
+    from puma_matcher_spark.queries import REGISTRY
+
+    df = REGISTRY["semantic_contamination"].spark_fn(spark, sf_small)
+    assert not pi.has_cartesian(df)
+    assert pi.formatted_plan(df).count("ExistingRDD") >= 2
+
+
+def test_centroid_drift_identical_halves_score_one(spark):
+    """Mirrored halves (odd vec = copy of the preceding even vec) give
+    identical per-label centroids -> cosine exactly 1.0 everywhere."""
+    rows = []
+    for i in range(40):
+        vec = [float((i * 7 + d * 3) % 11 - 5) for d in range(8)]
+        rows.append((2 * i, i % 3, vec))
+        rows.append((2 * i + 1, i % 3, vec))
+    emb = spark.createDataFrame(
+        rows, "vec_id LONG, label INT, embedding ARRAY<DOUBLE>"
+    )
+    out = sim.centroid_drift(emb).collect()
+    assert len(out) == 3
+    assert all(r["centroid_cosine"] == 1.0 for r in out)
+    assert all(r["n_ref"] == r["n_cur"] for r in out)
+    assert sum(r["n_ref"] + r["n_cur"] for r in out) == len(rows)
+
+
+def test_centroid_drift_detects_a_shifted_label(spark):
+    """Flipping the current half of ONE label must drop that label's
+    centroid cosine far below the stable labels'."""
+    rows = []
+    for i in range(60):
+        label = i % 2
+        base = [1.0 + 0.01 * ((i + d) % 5) for d in range(6)]
+        cur = [-x for x in base] if label == 1 else base
+        rows.append((2 * i, label, base))
+        rows.append((2 * i + 1, label, cur))
+    emb = spark.createDataFrame(
+        rows, "vec_id LONG, label INT, embedding ARRAY<DOUBLE>"
+    )
+    got = {r["label"]: r["centroid_cosine"] for r in sim.centroid_drift(emb).collect()}
+    assert got[0] >= 0.999
+    assert got[1] <= -0.999
