@@ -295,6 +295,7 @@ def run_incremental_ingest_app(
     jaccard_threshold: float = 0.8,
     min_tokens: int = 5,
     out_root: str | None = None,
+    collect_counts: bool = True,
 ) -> IngestAppResult:
     """Daily-ingest driver: admit a NEW document batch against the
     existing corpus — the incremental twin of ``run_curation_app``,
@@ -316,11 +317,17 @@ def run_incremental_ingest_app(
     from puma_matcher_spark.llmdata.textstats import with_token_stats
     from puma_matcher_spark.sources.publish import publish
 
-    counts = {"batch_in": batch.count()}
+    # stage counts are diagnostics: each is an EXTRA action re-running
+    # the joins above it — callers on a hot path (the streaming ingest
+    # driver) pass collect_counts=False and pay for one job per batch
+    counts: dict = {}
+    if collect_counts:
+        counts["batch_in"] = batch.count()
 
     fresh_ids = dd.incremental_ingest(batch, corpus).select("doc_id")
     docs1 = batch.join(fresh_ids, "doc_id", "left_semi")
-    counts["after_exact"] = docs1.count()
+    if collect_counts:
+        counts["after_exact"] = docs1.count()
 
     cand = dd.minhash_incremental_pairs(docs1, corpus)
     # exact verification on candidate pairs only: rename so the shared
@@ -337,7 +344,8 @@ def run_incremental_ingest_app(
     )
     near_dup_ids = verified.select(F.col("doc1_id").alias("doc_id")).distinct()
     docs2 = docs1.join(near_dup_ids, "doc_id", "left_anti")
-    counts["after_near_dup"] = docs2.count()
+    if collect_counts:
+        counts["after_near_dup"] = docs2.count()
 
     stats = with_token_stats(docs2)
     accepted = docs2.join(
@@ -345,7 +353,8 @@ def run_incremental_ingest_app(
         "doc_id",
         "left_semi",
     )
-    counts["accepted"] = accepted.count()
+    if collect_counts:
+        counts["accepted"] = accepted.count()
 
     if out_root is not None:
         publish(accepted, out_root)
@@ -418,6 +427,7 @@ def run_streaming_ingest_app(
                 corpus_now,
                 jaccard_threshold=jaccard_threshold,
                 min_tokens=min_tokens,
+                collect_counts=False,  # diagnostics off the hot path
             )
             res.accepted.write.mode("overwrite").parquet(
                 f"{out_root}/batch_id={batch_id}"

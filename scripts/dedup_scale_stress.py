@@ -133,6 +133,16 @@ def measure(spark, n_docs: int) -> dict[str, int]:
         batch.select(F.col("doc_id"), "text"), docs
     ).count()
     out["semantic_candidates"] = sim.shared_shingle_pairs(docs).count()
+    # cross-frame contamination candidates: fixed 2%-of-5k benchmark side
+    # (the production shape: benchmark size is constant as the corpus
+    # grows), rarity computed over BOTH frames
+    bench_docs = docs.where(
+        (F.col("doc_id") % 50 == 7) & (F.col("doc_id") < 5_000)
+    )  # exactly 100 docs at both scale points, deterministic
+    out["contamination_candidates"] = (
+        sim.semantic_contamination(docs, bench_docs, threshold=-1.0)
+        .count()
+    )
     out["_elapsed_s"] = round(time.time() - t0, 1)
     docs.unpersist()
     return out
@@ -153,6 +163,10 @@ def main() -> None:
         "simhash128_candidates": 500 * 499 // 2,
         "incremental_candidates": 10 * 500,  # 10 batch docs x cluster
         "semantic_candidates": 0,  # df cap excises the mega-cluster
+        # benchmark slice (ids 7,57,..,4957 mod 50 == 7) holds 2 boiler
+        # docs (7, 457... under 500: ids 7 and 457) x 500-doc cluster,
+        # but the df cap excises boiler shingles -> no constant term
+        "contamination_candidates": 0,
     }
     print(f"{'plane':26s} {'n=5k':>12s} {'n=50k':>12s} {'net-exponent':>13s}")
     for k in (
@@ -161,6 +175,7 @@ def main() -> None:
         "simhash128_candidates",
         "incremental_candidates",
         "semantic_candidates",
+        "contamination_candidates",
     ):
         n1_, n2_ = m1[k] - boiler[k], m2[k] - boiler[k]
         e = math.log10(max(n2_, 1) / max(n1_, 1))

@@ -1,0 +1,67 @@
+"""The driver records bench.py's LAST ~2000 bytes of stdout and parses
+the one JSON line out of it — in round 6 the dispersion sample arrays
+pushed the line past that capture and BENCH_r06.json landed with
+``parsed: null``.  These tests pin the contract so it cannot regress:
+one line, compact separators, bounded length, dispersion in the
+sidecar file only."""
+
+from __future__ import annotations
+
+import json
+
+
+def _stdout_payload() -> dict:
+    """The JSON payload main() prints, rebuilt with worst-case-width fake
+    timings for every query currently in the bench groups."""
+    import bench
+
+    queries = {
+        name: 123.456
+        for name in (
+            bench.BENCH_QUERIES
+            + bench.BENCH_QUERIES_PLANES
+            + bench.BENCH_QUERIES_ROUND6
+            + ["media_decode_mixed", "streaming_ingest_120docs"]
+        )
+    }
+    return {
+        "metric": "headline_queries_total",
+        "value": 1234.567,
+        "unit": "sec",
+        "queries": queries,
+        "sf": 0.1,
+        "groups": {
+            "spine_total": 1234.567,
+            "operator_planes_total": 1234.567,
+            "round6_total": 1234.567,
+            "media_total": 1234.567,
+            "streaming_total": 1234.567,
+        },
+    }
+
+
+def test_bench_stdout_line_fits_the_driver_tail_capture():
+    line = json.dumps(_stdout_payload(), separators=(",", ":"))
+    assert "\n" not in line
+    # 2000-byte driver tail minus headroom for a stray WARN line the
+    # tail may also swallow
+    assert len(line) <= 1800, (
+        f"bench stdout line is {len(line)} bytes — the driver tail "
+        "capture is ~2000; move payload to the BENCH_DISPERSION.json "
+        "sidecar instead of growing the line"
+    )
+
+
+def test_bench_queries_are_registered_and_distinct():
+    import bench
+
+    from puma_matcher_spark.queries import REGISTRY
+
+    names = (
+        bench.BENCH_QUERIES
+        + bench.BENCH_QUERIES_PLANES
+        + bench.BENCH_QUERIES_ROUND6
+    )
+    assert len(names) == len(set(names)), "duplicate bench query"
+    missing = [n for n in names if n not in REGISTRY]
+    assert not missing, f"bench names not registered: {missing}"
