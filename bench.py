@@ -60,7 +60,9 @@ BENCH_QUERIES_ROUND6 = [
     "events_psi",              # drift monitor: scalar + agg + dense grid
     "ngram_containment",       # shingle equi-join containment
     "manifest_roundtrip",      # Python DataSource per-file text scan
-    "simhash_near_dups",       # NEW r7: 128-bit block-combination near-dups
+    "simhash_near_dups",       # r7: 128-bit block-combination near-dups
+    "semantic_contamination",  # r7: cross-frame blocked cosine leak scan
+    "centroid_drift",          # r7: per-label embedding drift monitor
 ]
 
 

@@ -110,7 +110,51 @@ def freshness_audit(verbose: bool = True, window_size: int = WINDOW) -> list[str
     return problems
 
 
+def plan_next_window() -> None:
+    """Print next round's rotation plan: the cohort that MUST re-green
+    (hits MAX_ROW_AGE next round), then younger cohorts oldest-first to
+    fill the remaining slots — paste-ready for the _PRIORITY update."""
+    import glob
+    import json
+    import re
+
+    last: dict[str, int] = {}
+    rounds = []
+    for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        if not m:
+            continue
+        r = int(m.group(1))
+        rounds.append(r)
+        for k, v in json.load(open(p)).items():
+            if v.get("err") is None and v.get("rows_match"):
+                last[k] = max(last.get(k, 0), r)
+    nxt = (max(rounds) + 2) if rounds else 1  # the round AFTER this one
+    exported = list(_ordered().keys())
+    by_round: dict[int, list[str]] = {}
+    for n in exported:
+        by_round.setdefault(last.get(n, 0), []).append(n)
+    slots = WINDOW
+    print(f"# next-round (r{nxt - 1} window plan), {slots} slots:")
+    for r in sorted(by_round):
+        names = sorted(by_round[r])
+        age_next = nxt - 1 - r
+        tag = "MUST re-green (hits age boundary)" if age_next >= MAX_ROW_AGE else f"age {age_next}"
+        take = names[:slots]
+        slots -= len(take)
+        print(f"## last green r{r} — {tag} — {len(names)} names"
+              f"{' (fits ' + str(len(take)) + ')' if len(take) < len(names) else ''}:")
+        for n in take:
+            print(f'    "{n}",')
+        if slots <= 0:
+            break
+    print(f"# remaining slots after rotation: {max(slots, 0)} (net-new budget {NET_NEW_BUDGET})")
+
+
 def main() -> int:
+    if "--plan-next" in sys.argv:
+        plan_next_window()
+        return 0
     if "--audit-only" in sys.argv:
         return 1 if freshness_audit() else 0
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"

@@ -112,3 +112,43 @@ def test_jdbc_type_fidelity_roundtrip(spark):
             assert back[rid]["X"] == x
             assert back[rid]["S"] == s
             assert back[rid]["TS"] == ts
+
+
+def test_jdbc_pipeline_end_to_end_matches_parquet_path(spark, sf_small):
+    """The reference's deployment shape (every source AND sink is JDBC —
+    SqlDataSource.scala / DbManager.scala): documents load into the
+    database, a partitioned JDBC scan feeds a real operator (exact
+    dedup), and the result lands back via the JDBC sink — output must be
+    IDENTICAL to the same operator over the parquet fixture path."""
+    from puma_matcher_spark.llmdata.dedup import exact_duplicates
+    from puma_matcher_spark.sources.testdata import load_tables
+
+    docs = load_tables(spark, sf_small).llm_documents().select("doc_id", "text")
+    expected = {
+        (r["fingerprint"], r["doc_count"], r["keep_id"])
+        for r in exact_duplicates(docs).collect()
+    }
+    with tempfile.TemporaryDirectory() as root:
+        url = f"jdbc:derby:{root}/db;create=true"
+        write_jdbc(
+            docs.select(
+                F.col("doc_id").alias("DOC_ID"), F.col("text").alias("TEXT")
+            ),
+            url, "documents", mode="overwrite", properties=DERBY_PROPS,
+        )
+        jdocs = partitioned_jdbc_read(
+            spark, url, "select doc_id, text from documents",
+            partition_column="DOC_ID", num_partitions=4,
+            properties=DERBY_PROPS,
+        ).select(F.col("DOC_ID").alias("doc_id"), F.col("TEXT").alias("text"))
+        out = exact_duplicates(jdocs)
+        write_jdbc(out, url, "dedup_out", mode="overwrite", properties=DERBY_PROPS)
+        # Spark's JDBC writer CREATEs quoted (case-preserving) columns,
+        # so the sink table keeps the frame's lowercase names
+        got = {
+            (r["fingerprint"], r["doc_count"], r["keep_id"])
+            for r in spark.read.jdbc(
+                url, "dedup_out", properties=DERBY_PROPS
+            ).collect()
+        }
+    assert got == expected and len(got) > 0
