@@ -479,6 +479,37 @@ def simhash64_mapside(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", _simhash(F.col(text_col)).alias("simhash"))
 
 
+def simhash128_one(text: str) -> tuple[int, int]:
+    """The per-document 128-bit SimHash kernel (two signed-long halves) —
+    module-level so the pure arithmetic is directly unit/property-testable
+    without Spark (tests/test_properties.py fuzzes it against an
+    independent big-int implementation)."""
+    import hashlib
+    from collections import Counter
+
+    import numpy as np
+
+    toks = [t for t in (text or "").lower().split(" ") if t]
+    if not toks:
+        return 0, 0
+    shifts = np.arange(64, dtype=np.uint64)
+    tf = Counter(toks)
+    digests = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in tf]
+    h_hi = np.array([int(d[:16], 16) for d in digests], dtype=np.uint64)
+    h_lo = np.array([int(d[16:], 16) for d in digests], dtype=np.uint64)
+    cnt = np.fromiter(tf.values(), dtype=np.int64, count=len(tf))
+
+    def fold(h) -> int:
+        bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(
+            np.int64
+        )
+        votes = ((2 * bits - 1) * cnt[:, None]).sum(axis=0)
+        word = ((votes > 0).astype(np.uint64) << shifts).sum()
+        return int(np.uint64(word).astype(np.int64))
+
+    return fold(h_hi), fold(h_lo)
+
+
 def simhash128_mapside(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """128-bit SimHash as two signed longs ``(simhash_hi, simhash_lo)`` —
     the wide-fingerprint kernel that kills the random band-collision
@@ -494,34 +525,10 @@ def simhash128_mapside(docs: DataFrame, text_col: str = "text") -> DataFrame:
     both longs bit-for-bit (the sign bit falls out of two's complement
     on both sides).  Zero shuffle: one Arrow-batched map stage.
     """
-    import hashlib
-    from collections import Counter
-
-    import numpy as np
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import LongType, StructField, StructType
 
-    shifts = np.arange(64, dtype=np.uint64)
-
-    def _one(text: str) -> tuple[int, int]:
-        toks = [t for t in (text or "").lower().split(" ") if t]
-        if not toks:
-            return 0, 0
-        tf = Counter(toks)
-        digests = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in tf]
-        h_hi = np.array([int(d[:16], 16) for d in digests], dtype=np.uint64)
-        h_lo = np.array([int(d[16:], 16) for d in digests], dtype=np.uint64)
-        cnt = np.fromiter(tf.values(), dtype=np.int64, count=len(tf))
-
-        def fold(h: np.ndarray) -> int:
-            bits = ((h[:, None] >> shifts[None, :]) & np.uint64(1)).astype(
-                np.int64
-            )
-            votes = ((2 * bits - 1) * cnt[:, None]).sum(axis=0)
-            word = ((votes > 0).astype(np.uint64) << shifts).sum()
-            return int(np.uint64(word).astype(np.int64))
-
-        return fold(h_hi), fold(h_lo)
+    _one = simhash128_one
 
     out_t = StructType(
         [
@@ -994,6 +1001,13 @@ def simhash_hamming_pairs(
     (boilerplate corpora hashing identically) exactly like the LSH
     band-bucket cap.
     """
+    # token-less documents carry NO content signal: their fingerprint is
+    # the all-zero vector, which would clique every empty doc with every
+    # other ("no content" is not "same content", and a corpus with many
+    # blank docs would flood one bucket) — exclude them up front, which
+    # also matches the exact all-pairs oracle (docs with no tf rows
+    # never enter its fingerprint table)
+    docs = docs.where(F.size(tokens(F.lower(F.col(text_col)))) > 0)
     if fingerprint_bits == 60:
         return _simhash_hamming_pairs_60(
             docs, max_hamming, text_col, max_band_bucket

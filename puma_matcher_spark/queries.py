@@ -2414,8 +2414,12 @@ SELECT doc_id,
 FROM votes GROUP BY 1""",
 )
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash fingerprints (portable bit-vote arithmetic)."""
+    """64-bit SimHash fingerprints (portable bit-vote arithmetic).
+    Token-less docs are excluded to match the oracle, whose tf CTE never
+    produces a row for them (the fixture has none; this pins the
+    semantics for corpora that do)."""
     docs = load_tables(spark, sf_dir).llm_documents()
+    docs = docs.where(F.size(ts.tokens(F.lower(F.col("text")))) > 0)
     return dd.simhash64(docs, method="mapside")  # ~6x faster than the explode path at sf0.1 (0.09 vs 0.59 s); identical md5 arithmetic, same oracle
 
 
@@ -2453,8 +2457,10 @@ def q_simhash128(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-token bit hash (hex[0:16] -> bits 64..127, hex[16:32] ->
     bits 0..63); zero-shuffle Arrow-batched kernel, and the oracle
     reproduces both longs bit-for-bit via UBIGINT hex parsing with the
-    sign bit handled by two's complement on both sides."""
+    sign bit handled by two's complement on both sides.  Token-less docs
+    are excluded to match the oracle's tf CTE semantics."""
     docs = load_tables(spark, sf_dir).llm_documents()
+    docs = docs.where(F.size(ts.tokens(F.lower(F.col("text")))) > 0)
     return dd.simhash128_mapside(docs)
 
 

@@ -991,3 +991,35 @@ def test_simhash_band_bucket_cap_drops_degenerate_bands(spark):
     docs = _docs(spark, [(i, "same boilerplate text here") for i in range(8)])
     assert dd.simhash_hamming_pairs(docs, max_band_bucket=4).count() == 0
     assert dd.simhash_hamming_pairs(docs, max_band_bucket=None).count() == 28
+
+
+def test_simhash_pairs_exclude_tokenless_docs(spark):
+    """Token-less documents (empty/whitespace text) carry no content
+    signal: they must NOT pair with each other via the all-zero
+    fingerprint ("no content" is not "same content"), while real
+    near-dup pairs in the same frame are unaffected."""
+    base = " ".join(f"t{j}" for j in range(100))
+    docs = _docs(
+        spark,
+        [
+            (1, ""),
+            (2, "   "),
+            (3, ""),
+            (4, base),
+            (5, base + " extra"),
+        ],
+    )
+    got = {
+        (r["doc1_id"], r["doc2_id"])
+        for r in dd.simhash_hamming_pairs(docs, max_hamming=6).collect()
+    }
+    assert (1, 2) not in got and (1, 3) not in got and (2, 3) not in got
+    assert got == {(4, 5)}
+    # legacy band layout enforces the same contract
+    got60 = {
+        (r["doc1_id"], r["doc2_id"])
+        for r in dd.simhash_hamming_pairs(
+            docs, max_hamming=3, fingerprint_bits=60
+        ).collect()
+    }
+    assert all(a not in (1, 2, 3) and b not in (1, 2, 3) for a, b in got60)

@@ -246,3 +246,53 @@ def test_decode_vp8l_fuzz_roundtrip(h, w, npal, sg, cache, seed):
         palette=bool(npal and npal <= 14 and not sg),
     )
     assert np.array_equal(decode_webp(blob), px)
+
+
+# ---- 128-bit SimHash kernel (round 7) --------------------------------------
+
+def _simhash128_bigint(text: str) -> tuple[int, int]:
+    """Independent reference: same definition in pure big-int Python
+    (no numpy, no vectorization) — any uint64 overflow/sign bug in the
+    production kernel diverges from this."""
+    import hashlib
+    from collections import Counter
+
+    toks = [t for t in (text or "").lower().split(" ") if t]
+    if not toks:
+        return 0, 0
+    tf = Counter(toks)
+    out = []
+    for sl in (slice(0, 16), slice(16, 32)):
+        votes = [0] * 64
+        for t, c in tf.items():
+            h = int(hashlib.md5(t.encode("utf-8")).hexdigest()[sl], 16)
+            for b in range(64):
+                votes[b] += c if (h >> b) & 1 else -c
+        word = sum(1 << b for b in range(64) if votes[b] > 0)
+        out.append(word - (1 << 64) if word >= (1 << 63) else word)
+    return tuple(out)
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                blacklist_categories=("Cs",), blacklist_characters=" "
+            ),
+            min_size=0,
+            max_size=8,
+        ),
+        min_size=0,
+        max_size=30,
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_simhash128_kernel_matches_bigint_reference(tokens):
+    from puma_matcher_spark.llmdata.dedup import simhash128_one
+
+    text = " ".join(tokens)
+    got = simhash128_one(text)
+    want = _simhash128_bigint(text)
+    assert got == want
+    # halves are signed 64-bit
+    assert all(-(1 << 63) <= h <= (1 << 63) - 1 for h in got)

@@ -223,3 +223,17 @@ def test_centroid_drift_detects_a_shifted_label(spark):
     got = {r["label"]: r["centroid_cosine"] for r in sim.centroid_drift(emb).collect()}
     assert got[0] >= 0.999
     assert got[1] <= -0.999
+
+
+def test_semantic_contamination_empty_benchmark(spark):
+    """An empty benchmark frame (pre-release with no eval suite wired
+    yet) must yield an empty result, not a crash in the df-union or the
+    checkpointed verify joins."""
+    corpus = spark.createDataFrame(
+        [(i, " ".join(f"c{i}w{j}" for j in range(10))) for i in range(10)],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([], "doc_id LONG, text STRING")
+    out = sim.semantic_contamination(corpus, bench)
+    assert out.count() == 0
+    assert set(out.columns) == {"corpus_id", "benchmark_id", "cosine_sim"}
