@@ -745,6 +745,34 @@ def semantic_contamination(
     )
 
 
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.8,
+    n_buckets: int = 128,
+    n: int = 3,
+    df_cap: int = 64,
+    min_shared: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """The ACTION twin of :func:`semantic_contamination` (mirroring the
+    n-gram plane's contamination_check → decontaminate pair): return the
+    corpus with every semantically-leaked document dropped — one
+    left-anti join on the flagged corpus ids, so the scan's linear scale
+    shape carries over unchanged."""
+    flagged = semantic_contamination(
+        corpus,
+        benchmark,
+        threshold=threshold,
+        n_buckets=n_buckets,
+        n=n,
+        df_cap=df_cap,
+        min_shared=min_shared,
+        text_col=text_col,
+    ).select(F.col("corpus_id").alias("doc_id")).distinct()
+    return corpus.join(flagged, "doc_id", "left_anti")
+
+
 def centroid_drift(embeddings: DataFrame) -> DataFrame:
     """Per-label embedding drift monitor — the vector-plane sibling of the
     events PSI (numeric drift) and vocab KL (lexical drift) alarms: split

@@ -6459,6 +6459,56 @@ def q_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.centroid_drift(emb)
 
 
+@register(
+    "semantic_decontaminated",
+    """WITH toks AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+  FROM documents),
+shl AS (
+  SELECT doc_id,
+         CASE WHEN len(tk) >= 3 THEN
+           list_distinct(list_transform(range(1, len(tk) - 1),
+             i -> tk[i] || ' ' || tk[i + 1] || ' ' || tk[i + 2]))
+         ELSE [] END AS shs
+  FROM toks),
+sh AS (SELECT doc_id, unnest(shs) AS shingle FROM shl),
+bc AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(shingle), 1, 15))::BIGINT % 128 AS bucket,
+         CAST(COUNT(*) AS DOUBLE) AS c
+  FROM sh GROUP BY 1, 2),
+nrm AS (SELECT doc_id, sqrt(SUM(c * c)) AS nv FROM bc GROUP BY 1),
+dots AS (
+  SELECT a.doc_id AS corpus_id, b.doc_id AS benchmark_id, SUM(a.c * b.c) AS dp
+  FROM bc a JOIN bc b ON a.bucket = b.bucket
+  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+  GROUP BY 1, 2),
+hits AS (
+  SELECT DISTINCT corpus_id AS doc_id FROM dots
+  JOIN nrm n1 ON dots.corpus_id = n1.doc_id
+  JOIN nrm n2 ON dots.benchmark_id = n2.doc_id
+  WHERE ROUND(dp / (n1.nv * n2.nv), 4) >= 0.8)
+SELECT d.doc_id, d.lang, d.source, CAST(d.n_chars AS BIGINT) AS n_chars
+FROM documents d
+WHERE d.doc_id % 2 = 0 AND d.doc_id NOT IN (SELECT doc_id FROM hits)""",
+)
+def q_semantic_decontaminated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus after SEMANTIC decontamination (llmdata/similarity.py
+    semantic_decontaminate) — the action twin of `semantic_contamination`
+    exactly as `decontaminated_corpus` is to `contamination_check`: even
+    doc ids = corpus, odd = benchmark stand-in, embedding cosine >= 0.8
+    -> drop, via one left-anti join on the flagged ids."""
+    docs = load_tables(spark, sf_dir).llm_documents()
+    clean = sim.semantic_decontaminate(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+        threshold=0.8,
+    )
+    return clean.select(
+        "doc_id", "lang", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+
 _MANIFEST_RT_CACHE: dict[str, str] = {}
 _MANIFEST_RT_LOCK = threading.Lock()
 
@@ -6845,6 +6895,7 @@ _PRIORITY: list[str] = [
     # -- 1. round-7 net-new
     "simhash128",
     "semantic_contamination",
+    "semantic_decontaminated",
     "centroid_drift",
     # -- 2. changed semantics this round (128-bit fingerprint plane)
     "simhash_near_dups",
@@ -6896,7 +6947,6 @@ _PRIORITY: list[str] = [
     "doc_keywords",
     "dq_expectations",
     "dq_profile",
-    "dup_substring_spans",
 ]
 
 

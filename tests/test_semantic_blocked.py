@@ -237,3 +237,29 @@ def test_semantic_contamination_empty_benchmark(spark):
     out = sim.semantic_contamination(corpus, bench)
     assert out.count() == 0
     assert set(out.columns) == {"corpus_id", "benchmark_id", "cosine_sim"}
+
+
+def test_semantic_decontaminate_drops_exactly_the_flagged_ids(spark):
+    """The action twin must equal corpus MINUS the scan's corpus_ids —
+    and keep every unflagged row untouched (column-complete)."""
+    corpus = spark.createDataFrame(
+        [
+            (2, " ".join(f"leak{j}" for j in range(20)) + " tailA"),
+            (4, " ".join(f"other{j}" for j in range(20))),
+            (6, " ".join(f"more{j}" for j in range(20))),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(1, " ".join(f"leak{j}" for j in range(20)) + " tailB")],
+        ["doc_id", "text"],
+    )
+    flagged = {
+        r["corpus_id"]
+        for r in sim.semantic_contamination(corpus, bench).collect()
+    }
+    clean = sim.semantic_decontaminate(corpus, bench)
+    kept = {r["doc_id"] for r in clean.collect()}
+    assert flagged == {2}
+    assert kept == {4, 6}
+    assert set(clean.columns) == set(corpus.columns)
