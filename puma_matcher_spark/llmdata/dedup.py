@@ -1006,8 +1006,10 @@ def simhash_hamming_pairs(
     # other ("no content" is not "same content", and a corpus with many
     # blank docs would flood one bucket) — exclude them up front, which
     # also matches the exact all-pairs oracle (docs with no tf rows
-    # never enter its fingerprint table)
-    docs = docs.where(F.size(tokens(F.lower(F.col(text_col)))) > 0)
+    # never enter its fingerprint table).  trim() != '' is equivalent to
+    # size(tokens(text)) > 0 under space tokenization and skips the
+    # per-row token-array build the filter would otherwise add.
+    docs = docs.where(F.trim(F.col(text_col)) != "")
     if fingerprint_bits == 60:
         return _simhash_hamming_pairs_60(
             docs, max_hamming, text_col, max_band_bucket
