@@ -1006,10 +1006,13 @@ def simhash_hamming_pairs(
     # other ("no content" is not "same content", and a corpus with many
     # blank docs would flood one bucket) — exclude them up front, which
     # also matches the exact all-pairs oracle (docs with no tf rows
-    # never enter its fingerprint table).  trim() != '' is equivalent to
-    # size(tokens(text)) > 0 under space tokenization and skips the
-    # per-row token-array build the filter would otherwise add.
-    docs = docs.where(F.trim(F.col(text_col)) != "")
+    # never enter its fingerprint table).  The predicate IS the
+    # tokenizer's own emptiness test: trim() was NOT equivalent (it
+    # strips tabs/newlines while tokens() splits on the space character
+    # only, so a "\t" document was dropped here yet HAS a token — and a
+    # tf row — in the oracle).  One definition of "token-less",
+    # everywhere: size(tokens(text)) > 0.
+    docs = docs.where(F.size(tokens(F.col(text_col))) > 0)
     if fingerprint_bits == 60:
         return _simhash_hamming_pairs_60(
             docs, max_hamming, text_col, max_band_bucket
