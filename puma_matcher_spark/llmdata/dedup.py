@@ -562,6 +562,11 @@ def _fp128_block(start: int, width: int) -> Column:
     the 64-bit word boundary; ``shiftrightunsigned`` keeps the sign bit
     out of the extraction."""
     hi, lo = F.col("simhash_hi"), F.col("simhash_lo")
+    if width == 64:
+        # whole-word block (n_blocks=2): the mask literal (2^64-1) would
+        # overflow a signed long — the word IS the block
+        assert start in (0, 64)
+        return lo if start == 0 else hi
     if start >= 64:
         return F.shiftrightunsigned(hi, start - 64).bitwiseAND(
             F.lit((1 << width) - 1)
@@ -904,6 +909,66 @@ def jaccard_prefix_join(
     )
 
 
+def simhash128_keys(
+    sh: DataFrame,
+    max_hamming: int = 3,
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """Combination-key frame of the 128-bit block scheme: one row per
+    (document × block combination) — exactly ``C(n_blocks, n_blocks -
+    max_hamming)`` rows per doc (C(5,2)=10 at the defaults).
+
+    Keys are packed into a TWO-LONG ``(val_lo, val_hi)`` pair (key bits
+    0..63 / 64..127): r*width <= b*(128//b) <= 128 always fits, so every
+    ``(max_hamming, n_blocks)`` the pigeonhole construction admits is
+    joinable — small radii (max_hamming=1 -> 2x42=84-bit keys, =2 ->
+    2x32=64) used to trip a single-long <=62-bit assert at runtime.
+    Bit-pattern equality is all the equi-join needs, so signedness is
+    irrelevant.  Factored out of :func:`simhash128_candidates` so the
+    plan-shape CI guard can count the fan-out directly."""
+    from itertools import combinations
+
+    b = n_blocks if n_blocks is not None else max_hamming + 2
+    assert b > max_hamming, "need more blocks than allowed bit flips"
+    r = b - max_hamming  # blocks per combination key
+    width = 128 // b
+    block_vals = [_fp128_block(i * width, width) for i in range(b)]
+    combos = list(combinations(range(b), r))
+
+    def _packed(combo) -> tuple[Column, Column]:
+        lo, hi = F.lit(0).cast("long"), F.lit(0).cast("long")
+        for pos, j in enumerate(combo):
+            v, off = block_vals[j], pos * width
+            if off >= 64:
+                hi = hi.bitwiseOR(F.shiftleft(v, off - 64))
+            elif off + width <= 64:
+                lo = lo.bitwiseOR(F.shiftleft(v, off))
+            else:  # straddles the word boundary
+                lo = lo.bitwiseOR(F.shiftleft(v, off))  # high bits drop off
+                hi = hi.bitwiseOR(F.shiftrightunsigned(v, 64 - off))
+        return lo, hi
+
+    def _key_struct(ci: int, combo) -> Column:
+        lo, hi = _packed(combo)
+        return F.struct(
+            F.lit(ci).alias("combo"),
+            lo.alias("val_lo"),
+            hi.alias("val_hi"),
+        )
+
+    return sh.select(
+        "doc_id",
+        F.explode(
+            F.array(*[_key_struct(ci, combo) for ci, combo in enumerate(combos)])
+        ).alias("k"),
+    ).select(
+        "doc_id",
+        F.col("k.combo").alias("combo"),
+        F.col("k.val_lo").alias("val_lo"),
+        F.col("k.val_hi").alias("val_hi"),
+    )
+
+
 def simhash128_candidates(
     sh: DataFrame,
     max_hamming: int = 3,
@@ -913,51 +978,23 @@ def simhash128_candidates(
     """Pre-verify candidate pairs of the 128-bit block-combination scheme
     (see :func:`simhash_hamming_pairs`): ``sh`` is a
     ``(doc_id, simhash_hi, simhash_lo)`` frame; output is the distinct
-    ``(doc1_id, doc2_id)`` set from the combination-key equi-join.
-    Exposed separately so scale stress runs (scripts/dedup_scale_stress.py)
-    can measure candidate volume without the verify join."""
-    from itertools import combinations
-
-    b = n_blocks if n_blocks is not None else max_hamming + 2
-    assert b > max_hamming, "need more blocks than allowed bit flips"
-    r = b - max_hamming  # blocks per combination key
-    width = 128 // b
-    block_vals = [_fp128_block(i * width, width) for i in range(b)]
-    combos = list(combinations(range(b), r))
-    # fold each combination's r block values into one long join key
-    # (r * width <= 64 bits by construction at the defaults)
-    assert r * width <= 62, "combination key must fit a signed long"
-    keys = sh.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(ci).alias("combo"),
-                        sum(
-                            (
-                                block_vals[j] * F.lit(1 << (pos * width))
-                                for pos, j in enumerate(combo[1:], start=1)
-                            ),
-                            start=block_vals[combo[0]],
-                        ).alias("val"),
-                    )
-                    for ci, combo in enumerate(combos)
-                ]
-            )
-        ).alias("k"),
-    ).select("doc_id", F.col("k.combo").alias("combo"), F.col("k.val").alias("val"))
+    ``(doc1_id, doc2_id)`` set from the combination-key equi-join over
+    :func:`simhash128_keys`.  Exposed separately so scale stress runs
+    (scripts/dedup_scale_stress.py) can measure candidate volume without
+    the verify join."""
+    keys = simhash128_keys(sh, max_hamming, n_blocks)
     if max_band_bucket is not None:
         from pyspark.sql.window import Window
 
-        w = Window.partitionBy("combo", "val")
+        w = Window.partitionBy("combo", "val_lo", "val_hi")
         keys = keys.withColumn("_n", F.count(F.lit(1)).over(w)).where(
             F.col("_n") <= max_band_bucket
         )
-    a = keys.select("combo", "val", F.col("doc_id").alias("doc1_id"))
-    bb = keys.select("combo", "val", F.col("doc_id").alias("doc2_id"))
+    key_cols = ["combo", "val_lo", "val_hi"]
+    a = keys.select(*key_cols, F.col("doc_id").alias("doc1_id"))
+    bb = keys.select(*key_cols, F.col("doc_id").alias("doc2_id"))
     return (
-        a.join(bb, ["combo", "val"])
+        a.join(bb, key_cols)
         .where(F.col("doc1_id") < F.col("doc2_id"))
         .select("doc1_id", "doc2_id")
         .distinct()

@@ -1080,3 +1080,69 @@ def test_tokenless_predicate_whitespace_zoo(spark, tmp_path):
         for r in REGISTRY["simhash128"].spark_fn(spark, str(tmp_path)).collect()
     }
     assert got_ids == {1, 2, 3, 7, 8}
+
+
+def test_simhash128_small_radii_complete(spark):
+    """ADVICE r7: max_hamming=1 (84-bit keys) and =2 (64-bit keys) used to
+    trip the single-long <=62-bit assert at runtime; the two-long packed
+    key must make every small radius work AND stay pigeonhole-complete
+    vs brute force."""
+    import random
+
+    rng = random.Random(23)
+    rows = []
+    for c in range(12):  # planted near-dups: one extra token ~= low radius
+        base = [f"t{rng.randrange(5000)}" for _ in range(150)]
+        rows.append((2 * c, " ".join(base)))
+        rows.append((2 * c + 1, " ".join(base + [f"x{c}"])))
+    for i in range(24, 48):
+        rows.append((i + 24, " ".join(f"u{rng.randrange(10**6)}" for _ in range(40))))
+    docs = _docs(spark, rows)
+    sh = {
+        r["doc_id"]: (r["simhash_hi"], r["simhash_lo"])
+        for r in dd.simhash128_mapside(docs).collect()
+    }
+    for radius in (1, 2):
+        blocked = {
+            (r["doc1_id"], r["doc2_id"]): r["hamming"]
+            for r in dd.simhash_hamming_pairs(docs, max_hamming=radius).collect()
+        }
+        brute = {
+            (a, b): _hamming128(sh[a], sh[b])
+            for a in sh for b in sh
+            if a < b and _hamming128(sh[a], sh[b]) <= radius
+        }
+        assert blocked == brute, f"radius {radius} diverges"
+    assert any(
+        _hamming128(sh[a], sh[b]) <= 2 for a in sh for b in sh if a < b
+    )  # fixture exercises at least one small radius
+
+
+def test_simhash128_whole_word_blocks(spark):
+    """n_blocks=2 (width-64 blocks, the whole-word edge of _fp128_block)
+    must run and equal brute force at max_hamming=1."""
+    import random
+
+    rng = random.Random(5)
+    rows = []
+    for c in range(8):
+        base = [f"t{rng.randrange(5000)}" for _ in range(200)]
+        rows.append((2 * c, " ".join(base)))
+        rows.append((2 * c + 1, " ".join(base + [f"y{c}"])))
+    docs = _docs(spark, rows)
+    sh = {
+        r["doc_id"]: (r["simhash_hi"], r["simhash_lo"])
+        for r in dd.simhash128_mapside(docs).collect()
+    }
+    blocked = {
+        (r["doc1_id"], r["doc2_id"]): r["hamming"]
+        for r in dd.simhash_hamming_pairs(
+            docs, max_hamming=1, n_blocks=2
+        ).collect()
+    }
+    brute = {
+        (a, b): _hamming128(sh[a], sh[b])
+        for a in sh for b in sh
+        if a < b and _hamming128(sh[a], sh[b]) <= 1
+    }
+    assert blocked == brute
