@@ -540,11 +540,13 @@ def vocab_coverage(
     how large a wordpiece/BPE vocab needs to be before <unk> rates are
     acceptable.
 
-    Shape: one token-count aggregate, ONE global window over the
-    vocab-sized count frame (bounded by distinct tokens, not corpus —
-    acceptable single-partition window, same class as the score-decile
-    ranking), then a tiny broadcast of the k list and one conditional
-    aggregate.  Output: (k, vocab_size, covered_share).
+    Shape: one token-count aggregate; only ranks <= max(ks) can ever
+    contribute to covered_share, so a distributed ``orderBy().limit``
+    (TakeOrdered — per-partition top-k, then a k-row merge) bounds the
+    single-partition ranking window to max(ks) rows at ANY corpus size
+    (the same shape vocab_topk/bpe_merges use); then a tiny exploded k
+    list and one conditional aggregate.  The totals still aggregate the
+    FULL count frame.  Output: (k, vocab_size, covered_share).
     """
     from pyspark.sql.window import Window
 
@@ -555,8 +557,10 @@ def vocab_coverage(
         .groupBy("tok")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
-    w = Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())
-    ranked = counts.withColumn("rank", F.row_number().over(w))
+    order = [F.col("cnt").desc(), F.col("tok").asc()]  # total order: tok unique
+    top = counts.orderBy(*order).limit(int(max(ks)))
+    w = Window.orderBy(*order)
+    ranked = top.withColumn("rank", F.row_number().over(w))
     # ONE scalar subquery (a struct of both totals — a single aggregate
     # pass over the count frame), not one per field: separate .scalar()
     # calls each replan the token explode + aggregate

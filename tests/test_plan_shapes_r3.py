@@ -315,3 +315,16 @@ def test_simhash_near_dups_plan_is_blocked_128bit(spark, sf_small):
         F.countDistinct("combo").alias("n")
     )
     assert per_doc.where(F.col("n") != 10).count() == 0
+
+
+def test_vocab_coverage_window_is_pre_limited(spark, sf_small):
+    """Round-8 (VERDICT r7 #4): only ranks <= max(ks) contribute to
+    covered_share, so the single-partition ranking window must be fed by
+    a distributed TakeOrdered over max(ks) rows — never the full distinct
+    -token frame."""
+    from puma_matcher_spark.queries import REGISTRY
+
+    df = REGISTRY["vocab_coverage"].spark_fn(spark, sf_small)
+    plan = pi.formatted_plan(df)
+    assert "TakeOrdered" in plan, "pre-limit gone — window ranks full vocab"
+    assert "Window" in plan
