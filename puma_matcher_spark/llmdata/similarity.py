@@ -688,16 +688,28 @@ def semantic_contamination(
     068b131 materialization barrier).  The benchmark side is small in
     production, so AQE broadcasts it; candidate volume is bounded by
     df_cap x the benchmark shingle rows — linear, never |C| x |B|.
+
+    Document frequency is ``count(DISTINCT doc_id)`` per shingle, so a
+    document present in BOTH frames (benchmark sampled from the corpus,
+    as in scripts/dedup_scale_stress.py) counts ONCE toward ``df_cap``
+    — ``doc_id`` is therefore assumed to be a global document identity
+    across the two frames (unrelated id spaces that collide would
+    under-count).  Note the completeness caveat: unlike the simhash
+    pigeonhole construction, the df_cap/min_shared blocking is heuristic
+    recall — a leaked pair sharing < ``min_shared`` rare shingles
+    escapes both this scan and :func:`semantic_decontaminate`.
+    Completeness is FIXTURE-verified (the registered driver oracle is
+    the unblocked all-pairs cross cosine), not a theorem.
     """
     from puma_matcher_spark.llmdata.dedup import shingles
 
     cs = shingles(corpus, n=n, text_col=text_col)
     bs = shingles(benchmark, n=n, text_col=text_col)
     rare = (
-        cs.select("shingle")
-        .unionAll(bs.select("shingle"))
+        cs.select("doc_id", "shingle")
+        .unionAll(bs.select("doc_id", "shingle"))
         .groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("_df"))
+        .agg(F.countDistinct("doc_id").alias("_df"))
         .where(F.col("_df") <= df_cap)
         .select("shingle")
     )

@@ -1146,3 +1146,18 @@ def test_simhash128_whole_word_blocks(spark):
         if a < b and _hamming128(sh[a], sh[b]) <= 1
     }
     assert blocked == brute
+
+
+def test_semantic_contamination_df_counts_shared_doc_once(spark):
+    """ADVICE r7: a document present in BOTH frames (benchmark sampled
+    from the corpus) must count ONCE toward df_cap — df is
+    count(DISTINCT doc_id).  With double-counting, a shingle unique to
+    one shared doc reads df=2 and a df_cap=1 run finds no blocking keys
+    at all; with distinct counting the self-pair blocks fine."""
+    base = " ".join(f"w{j}" for j in range(30))
+    corpus = _docs(spark, [(1, base), (2, "totally different text here now")])
+    benchmark = _docs(spark, [(1, base)])  # sampled FROM the corpus
+    hits = sim.semantic_contamination(
+        corpus, benchmark, threshold=0.9, df_cap=1, min_shared=2
+    ).collect()
+    assert {(r["corpus_id"], r["benchmark_id"]) for r in hits} == {(1, 1)}
