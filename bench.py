@@ -245,7 +245,15 @@ def main() -> None:
     disp_path = os.path.join(here, "BENCH_DISPERSION.json")
     with open(disp_path, "w", encoding="utf-8") as fh:
         json.dump(
-            {"sf": float(sf), "runs_per_query": BENCH_RUNS, "dispersion": dispersion},
+            {
+                "sf": float(sf),
+                "runs_per_query": BENCH_RUNS,
+                # run stamp: bench_compare cross-checks these against the
+                # CURRENT blob so a stale sidecar from a different run
+                # can't pair mismatched median/MAD with the mins
+                "spine_total": total,
+                "dispersion": dispersion,
+            },
             fh,
         )
     print(

@@ -42,16 +42,33 @@ def main() -> int:
     disp = cur.get("dispersion", {})
     if not disp:
         # since r7 bench.py keeps the stdout line compact and writes
-        # sample arrays to a sidecar next to bench.py / the CURRENT file
+        # sample arrays to a sidecar next to bench.py / the CURRENT file.
+        # The sidecar is stamped with the run's (sf, spine_total): accept
+        # it only when both match CURRENT, else the median/MAD would come
+        # from a DIFFERENT run than the mins (ADVICE r7).
         import os
 
         for cand in (
             os.path.join(os.path.dirname(os.path.abspath(sys.argv[1])), "BENCH_DISPERSION.json"),
             os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_DISPERSION.json"),
         ):
-            if os.path.exists(cand):
-                disp = json.load(open(cand)).get("dispersion", {})
+            if not os.path.exists(cand):
+                continue
+            side = json.load(open(cand))
+            sf_ok = side.get("sf") == cur.get("sf")
+            tot_ok = ("spine_total" not in side) or (
+                side["spine_total"] == cur.get("value")
+            )
+            if sf_ok and tot_ok:
+                disp = side.get("dispersion", {})
                 break
+            print(
+                f"WARNING: ignoring sidecar {cand} — run stamp mismatch "
+                f"(sidecar sf={side.get('sf')} total={side.get('spine_total')}, "
+                f"current sf={cur.get('sf')} total={cur.get('value')}); "
+                "medians/MADs would come from a different run",
+                file=sys.stderr,
+            )
     drifted = []
     print(f"{'query':26s} {'ref-min':>8s} {'now-min':>8s} {'now-med':>8s} {'MAD':>6s}  verdict")
     for q, now_min in cur["queries"].items():

@@ -65,3 +65,52 @@ def test_bench_queries_are_registered_and_distinct():
     assert len(names) == len(set(names)), "duplicate bench query"
     missing = [n for n in names if n not in REGISTRY]
     assert not missing, f"bench names not registered: {missing}"
+
+
+def test_bench_compare_rejects_mismatched_sidecar(tmp_path):
+    """ADVICE r7: the dispersion sidecar is stamped with (sf, spine_total);
+    bench_compare must ignore a sidecar whose stamp disagrees with
+    CURRENT (medians/MADs from a different run than the mins) and use a
+    matching one."""
+    import subprocess
+    import sys as _sys
+
+    cur = {
+        "metric": "headline_queries_total",
+        "value": 10.0,
+        "unit": "sec",
+        "queries": {"q1": 1.0},
+        "sf": 0.1,
+    }
+    ref = {"queries": {"q1": 1.0}}
+    (tmp_path / "cur.json").write_text(json.dumps(cur))
+    (tmp_path / "ref.json").write_text(json.dumps(ref))
+    stale = {
+        "sf": 0.001,  # different run
+        "spine_total": 99.9,
+        "dispersion": {"q1": {"median": 50.0, "mad": 0.001}},
+    }
+    (tmp_path / "BENCH_DISPERSION.json").write_text(json.dumps(stale))
+    out = subprocess.run(
+        [_sys.executable, "scripts/bench_compare.py",
+         str(tmp_path / "cur.json"), str(tmp_path / "ref.json")],
+        capture_output=True, text=True,
+    )
+    assert "run stamp mismatch" in out.stderr
+    # stale median (50.0) must NOT appear — fallback median == min
+    assert " 50.000" not in out.stdout
+    assert out.returncode == 0  # min==ref: noise, not drift
+
+    good = {
+        "sf": 0.1,
+        "spine_total": 10.0,
+        "dispersion": {"q1": {"median": 1.01, "mad": 0.02}},
+    }
+    (tmp_path / "BENCH_DISPERSION.json").write_text(json.dumps(good))
+    out2 = subprocess.run(
+        [_sys.executable, "scripts/bench_compare.py",
+         str(tmp_path / "cur.json"), str(tmp_path / "ref.json")],
+        capture_output=True, text=True,
+    )
+    assert "mismatch" not in out2.stderr
+    assert " 1.010" in out2.stdout  # the matching sidecar's median is used
