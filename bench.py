@@ -118,8 +118,12 @@ def _time_streaming(spark, n_docs: int = 120) -> float | None:
     sink).  Workload generation sits outside the timed region; docs are
     token-unique so the expected admission count is exact.  One timed
     run (streaming startup dominates; min-of-N would triple bench time
-    for no extra signal).  Returns None only on setup failure so the
-    bench contract never breaks."""
+    for no extra signal) — but since round 8 the run carries a
+    startup/drain SPLIT (drain = sum of the query's reported
+    batchDuration; startup = total - drain) in the dispersion sidecar,
+    so a regression is attributable instead of hiding inside startup
+    noise (VERDICT r7 #7).  Returns (elapsed, split) or None only on
+    setup failure so the bench contract never breaks."""
     import shutil
     import tempfile
 
@@ -150,9 +154,19 @@ def _time_streaming(spark, n_docs: int = 120) -> float | None:
             q.stop()
             raise TimeoutError("streaming ingest did not drain in 300s")
         elapsed = round(time.monotonic() - start, 3)
+        drain = round(
+            sum(p["batchDuration"] for p in (q.recentProgress or [])) / 1000.0,
+            3,
+        )
         n = spark.read.parquet(out).count()
         assert n == n_docs, f"streaming ingest admitted {n}/{n_docs}"
-        return elapsed
+        split = {
+            "total": elapsed,
+            "drain": drain,
+            "startup": round(elapsed - drain, 3),
+            "n_batches": len(q.recentProgress or []),
+        }
+        return elapsed, split
     except Exception as e:
         print(
             f"bench: streaming group FAILED: {type(e).__name__}: {e}",
@@ -235,9 +249,17 @@ def main() -> None:
         groups["media_total"] = media
     streaming = _time_streaming(spark) if keep is None else None
     if streaming is not None:
-        # tracked since round 7 (baseline in BASELINE.md §"streaming")
-        r6_timings["streaming_ingest_120docs"] = streaming
-        groups["streaming_total"] = streaming
+        # tracked since round 7 (baseline in BASELINE.md §"streaming");
+        # the startup/drain split rides in the dispersion sidecar
+        elapsed, split = streaming
+        r6_timings["streaming_ingest_120docs"] = elapsed
+        groups["streaming_total"] = elapsed
+        dispersion["streaming_ingest_120docs"] = {
+            "samples": [elapsed],
+            "median": elapsed,
+            "mad": 0.0,
+            "split": split,
+        }
     # the full sample arrays made the r6 stdout line exceed the driver's
     # 2000-byte tail capture (BENCH_r06.json landed with parsed=null) —
     # keep the ONE stdout line compact and put dispersion in a sidecar

@@ -291,11 +291,12 @@ class IngestAppResult:
 
 def run_incremental_ingest_app(
     batch: DataFrame,
-    corpus: DataFrame,
+    corpus: DataFrame | None = None,
     jaccard_threshold: float = 0.8,
     min_tokens: int = 5,
     out_root: str | None = None,
     collect_counts: bool = True,
+    corpus_index=None,
 ) -> IngestAppResult:
     """Daily-ingest driver: admit a NEW document batch against the
     existing corpus — the incremental twin of ``run_curation_app``,
@@ -309,13 +310,21 @@ def run_incremental_ingest_app(
     3. quality gate (token count) on what remains;
     4. optional blue/green publish of the accepted batch.
 
-    The corpus is touched twice (fingerprints, band keys) — both are
-    precomputable indexes in production; the batch-side cost is
-    O(|batch|).
+    The corpus side can be either raw text (``corpus``) or a
+    precomputed :class:`puma_matcher_spark.llmdata.dedup.DedupIndex`
+    (``corpus_index`` — fingerprints, band keys, shingles).  The two
+    paths are result-identical (same kernels, test-pinned); the index
+    path never touches corpus text, which is what makes repeated calls
+    (the streaming ingest driver) corpus-recompute-free.
     """
     from puma_matcher_spark.llmdata import dedup as dd
     from puma_matcher_spark.llmdata.textstats import with_token_stats
     from puma_matcher_spark.sources.publish import publish
+
+    if corpus_index is None:
+        if corpus is None:
+            raise ValueError("need corpus text or corpus_index")
+        corpus_index = dd.build_dedup_index(corpus.select("doc_id", "text"))
 
     # stage counts are diagnostics: each is an EXTRA action re-running
     # the joins above it — callers on a hot path (the streaming ingest
@@ -324,22 +333,24 @@ def run_incremental_ingest_app(
     if collect_counts:
         counts["batch_in"] = batch.count()
 
-    fresh_ids = dd.incremental_ingest(batch, corpus).select("doc_id")
+    fresh_ids = dd.incremental_ingest_indexed(
+        batch, corpus_index.fingerprints
+    ).select("doc_id")
     docs1 = batch.join(fresh_ids, "doc_id", "left_semi")
     if collect_counts:
         counts["after_exact"] = docs1.count()
 
-    cand = dd.minhash_incremental_pairs(docs1, corpus)
+    cand = dd.minhash_incremental_pairs_indexed(docs1, corpus_index.band_keys)
     # exact verification on candidate pairs only: rename so the shared
-    # jaccard kernel sees (doc1, doc2) over the union frame
+    # jaccard kernel sees (doc1, doc2) over the union shingle frame
     pairs = cand.select(
         F.col("new_doc_id").alias("doc1_id"),
         F.col("corpus_doc_id").alias("doc2_id"),
     )
-    both = docs1.select("doc_id", "text").unionByName(
-        corpus.select("doc_id", "text")
+    both_sh = dd.shingles(docs1.select("doc_id", "text")).unionByName(
+        corpus_index.shingles
     )
-    verified = dd.jaccard_for_pairs(both, pairs).where(
+    verified = dd.jaccard_for_pairs_from_shingles(both_sh, pairs).where(
         F.col("jaccard") >= jaccard_threshold
     )
     near_dup_ids = verified.select(F.col("doc1_id").alias("doc_id")).distinct()
@@ -387,8 +398,26 @@ def run_streaming_ingest_app(
     schedulable version of the reference's polling ingest
     (FileDataSource.scala feeding the matcher pipeline on new data).
 
+    Cross-batch dedup (ADVICE r6) runs on the PRECOMPUTED-INDEX pattern
+    (round 8): each batch writes its accepted documents' DedupIndex rows
+    (fingerprints / LSH band keys / shingles — hash- and shingle-width,
+    never text) to ``out_root/_index/<component>/batch_id=<id>``; later
+    batches union those index rows into the corpus side instead of
+    re-reading and re-fingerprinting the full admitted TEXT per
+    micro-batch (which was corpus-growth-linear in compute per batch and
+    cumulatively quadratic over a long manifest tail).  The static
+    corpus's index is built once per app start.  The ``_index``
+    underscore prefix keeps Spark's partition discovery on ``out_root``
+    from seeing it.  The ``batch_id < current`` filter keeps a
+    crash-REPLAYED batch from seeing its own previous output and
+    self-rejecting everything (the overwrite sink makes the replay
+    idempotent instead); sink existence is probed explicitly through the
+    Hadoop FS API, so a corrupt or unreadable sink PROPAGATES instead of
+    silently degrading dedup to static-corpus-only (ADVICE r7).
+
     Returns the started StreamingQuery; callers ``awaitTermination``.
     """
+    from puma_matcher_spark.llmdata import dedup as dd
     from puma_matcher_spark.sources.pydatasource import register
 
     register(spark)
@@ -397,34 +426,60 @@ def run_streaming_ingest_app(
         .option("manifest", manifest)
         .load()
     )
+    # the static corpus never changes across micro-batches: index it once
+    static_index = dd.build_dedup_index(corpus.select("doc_id", "text"))
+    index_root = f"{out_root}/_index"
+    components = ("fingerprints", "band_keys", "shingles")
+
+    def _path_exists(path: str) -> bool:
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        return fs.exists(p)
 
     def _admit(batch_df: DataFrame, batch_id: int) -> None:
         # persist: the admission pipeline takes several actions over the
-        # batch (stage counts, anti-joins); without a barrier each one
+        # batch (anti-joins, shingle build); without a barrier each one
         # re-runs the Python DataSource reader — re-reading every file
         # per action (the measured 36s->2s trap, see sources/pydatasource)
         docs = batch_df.select("doc_id", "text").persist()
-        # cross-batch dedup invariant (ADVICE r6): documents accepted by
-        # EARLIER micro-batches are corpus by the time this one runs —
-        # read the sink back and union it in, else two near-identical
-        # docs appended in different batches are both admitted.  The
-        # batch_id partition filter keeps a crash-REPLAYED batch from
-        # seeing its own previous output and self-rejecting everything
-        # (the overwrite sink makes the replay idempotent instead).
-        corpus_now = corpus.select("doc_id", "text")
-        try:
+        sess = batch_df.sparkSession
+
+        def _with_prior(static_df: DataFrame, c: str, cols: tuple) -> DataFrame:
+            # probe each component explicitly: a missing dir means no
+            # COMMITTED batch wrote it (committed batches write all
+            # three before the checkpoint commit; a mid-write crash's
+            # partial rows are excluded by batch_id < current on
+            # replay) — any other read failure propagates
+            path = f"{index_root}/{c}"
+            if not _path_exists(path):
+                return static_df
             prior = (
-                batch_df.sparkSession.read.parquet(out_root)
+                sess.read.parquet(path)
                 .where(F.col("batch_id") < batch_id)
-                .select("doc_id", "text")
+                .select(*cols)
             )
-            corpus_now = corpus_now.unionByName(prior)
-        except Exception:  # first batch: the sink does not exist yet
-            pass
+            return static_df.unionByName(prior)
+
+        idx = dd.DedupIndex(
+            fingerprints=_with_prior(
+                static_index.fingerprints,
+                "fingerprints",
+                ("doc_id", "fingerprint"),
+            ),
+            band_keys=_with_prior(
+                static_index.band_keys,
+                "band_keys",
+                ("doc_id", "band", "band_key"),
+            ),
+            shingles=_with_prior(
+                static_index.shingles, "shingles", ("doc_id", "shingle")
+            ),
+        )
         try:
             res = run_incremental_ingest_app(
                 docs,
-                corpus_now,
+                corpus_index=idx,
                 jaccard_threshold=jaccard_threshold,
                 min_tokens=min_tokens,
                 collect_counts=False,  # diagnostics off the hot path
@@ -432,6 +487,21 @@ def run_streaming_ingest_app(
             res.accepted.write.mode("overwrite").parquet(
                 f"{out_root}/batch_id={batch_id}"
             )
+            # index the batch's ACCEPTED docs for future batches — read
+            # the just-written partition back (one cheap parquet scan)
+            # instead of re-running the whole admission DAG three times
+            accepted = sess.read.parquet(
+                f"{out_root}/batch_id={batch_id}"
+            ).select("doc_id", "text")
+            aidx = dd.build_dedup_index(accepted)
+            for c, df in (
+                ("fingerprints", aidx.fingerprints),
+                ("band_keys", aidx.band_keys),
+                ("shingles", aidx.shingles),
+            ):
+                df.write.mode("overwrite").parquet(
+                    f"{index_root}/{c}/batch_id={batch_id}"
+                )
         finally:
             docs.unpersist()
 

@@ -18,6 +18,8 @@ oracle can reproduce it bit-for-bit.  ``conv(substr(md5(x),1,15),16,10)``
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 import pandas as pd  # noqa: F401 — resolves pandas_udf type hints at module scope
 
 from pyspark.sql import Column, DataFrame
@@ -256,6 +258,79 @@ def minhash_incremental_pairs(
 
     Output: (new_doc_id, corpus_doc_id) distinct candidate pairs.
     """
+    cb = lsh_band_keys(
+        minhash_signatures(shingles(corpus, shingle_n), num_hashes),
+        band_size,
+        num_hashes,
+    )
+    return minhash_incremental_pairs_indexed(
+        new_docs, cb, num_hashes, band_size, shingle_n, max_bucket_size
+    )
+
+
+@dataclass
+class DedupIndex:
+    """Precomputed per-document dedup index — the persistable state the
+    incremental-ingest plane joins against instead of re-deriving the
+    corpus fingerprints/band keys/shingles from text every batch (the
+    production shape minhash_incremental_pairs documents: the corpus
+    side is a precomputable index).
+
+    Components (all keyed by doc_id):
+      * ``fingerprints`` — (doc_id, fingerprint): exact-dedup content md5;
+      * ``band_keys`` — (doc_id, band, band_key): MinHash-LSH bucket keys;
+      * ``shingles`` — (doc_id, shingle): distinct word n-grams, the
+        exact-Jaccard verify input (only candidate docs' rows are ever
+        joined; at 100 TB this component lives in a bucketed/sorted table
+        so candidate-id lookups prune files instead of scanning).
+
+    All three are hash/shingle-width rows — a consumer never needs the
+    corpus TEXT again.
+    """
+
+    fingerprints: DataFrame
+    band_keys: DataFrame
+    shingles: DataFrame
+
+
+def build_dedup_index(
+    docs: DataFrame,
+    shingle_n: int = DEFAULT_SHINGLE,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_size: int = DEFAULT_BAND_SIZE,
+    text_col: str = "text",
+) -> DedupIndex:
+    """One map-side pass family over ``docs`` producing the three
+    :class:`DedupIndex` components with the exact kernels the text path
+    uses (with_fingerprint / minhash_signatures / shingles), so the
+    indexed ingest path is result-identical to the text path."""
+    from puma_matcher_spark.llmdata.textstats import with_fingerprint
+
+    sh = shingles(docs, shingle_n, text_col)
+    return DedupIndex(
+        fingerprints=with_fingerprint(docs, text_col).select(
+            "doc_id", "fingerprint"
+        ),
+        band_keys=lsh_band_keys(
+            minhash_signatures(sh, num_hashes), band_size, num_hashes
+        ),
+        shingles=sh,
+    )
+
+
+def minhash_incremental_pairs_indexed(
+    new_docs: DataFrame,
+    corpus_band_keys: DataFrame,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    band_size: int = DEFAULT_BAND_SIZE,
+    shingle_n: int = DEFAULT_SHINGLE,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+) -> DataFrame:
+    """:func:`minhash_incremental_pairs` with the corpus side already an
+    index (``(doc_id, band, band_key)`` rows, e.g. a
+    :class:`DedupIndex`.band_keys) — the per-batch cost drops to the
+    batch's own map-side fingerprinting plus ONE equi-join against
+    hash-width rows; the corpus text is never touched."""
     from pyspark.sql.window import Window
 
     nb = lsh_band_keys(
@@ -263,11 +338,7 @@ def minhash_incremental_pairs(
         band_size,
         num_hashes,
     )
-    cb = lsh_band_keys(
-        minhash_signatures(shingles(corpus, shingle_n), num_hashes),
-        band_size,
-        num_hashes,
-    )
+    cb = corpus_band_keys
     if max_bucket_size is not None:
         bucket_w = Window.partitionBy("band", "band_key")
         cb = (
@@ -285,6 +356,67 @@ def minhash_incremental_pairs(
         )
         .select("new_doc_id", "corpus_doc_id")
         .distinct()
+    )
+
+
+def incremental_ingest_indexed(
+    new_docs: DataFrame,
+    corpus_fingerprints: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """:func:`incremental_ingest` with the corpus side already an index
+    (``(doc_id, fingerprint)`` rows): left-anti the new batch's
+    fingerprints against the distinct corpus fingerprints, then one
+    representative per fingerprint within the batch."""
+    from puma_matcher_spark.llmdata.textstats import with_fingerprint
+
+    newf = with_fingerprint(new_docs, text_col)
+    oldf = corpus_fingerprints.select("fingerprint").distinct()
+    fresh = newf.join(oldf, "fingerprint", "left_anti")
+    return (
+        fresh.groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", "fingerprint")
+    )
+
+
+def jaccard_for_pairs_from_shingles(
+    sh: DataFrame, pairs: DataFrame
+) -> DataFrame:
+    """:func:`jaccard_for_pairs` starting from a prebuilt ``(doc_id,
+    shingle)`` frame (e.g. a :class:`DedupIndex`.shingles union with the
+    batch's own shingles) — identical arithmetic, no text re-shingle."""
+    ids = (
+        pairs.select(F.col("doc1_id").alias("doc_id"))
+        .union(pairs.select(F.col("doc2_id").alias("doc_id")))
+        .distinct()
+    )
+    sh = sh.join(ids, "doc_id", "left_semi")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    s1 = sh.select(F.col("doc_id").alias("doc1_id"), "shingle")
+    s2 = sh.select(F.col("doc_id").alias("doc2_id"), "shingle")
+    common = (
+        pairs.join(s1, "doc1_id")
+        .join(s2, ["doc2_id", "shingle"])
+        .groupBy("doc1_id", "doc2_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+    )
+    n1 = sizes.select(
+        F.col("doc_id").alias("doc1_id"), F.col("n_shingles").alias("n1")
+    )
+    n2 = sizes.select(
+        F.col("doc_id").alias("doc2_id"), F.col("n_shingles").alias("n2")
+    )
+    return (
+        common.join(n1, "doc1_id")
+        .join(n2, "doc2_id")
+        .withColumn(
+            "jaccard",
+            pround(
+                F.col("common") / (F.col("n1") + F.col("n2") - F.col("common")), 4
+            ),
+        )
+        .select("doc1_id", "doc2_id", "common", "jaccard")
     )
 
 
@@ -359,35 +491,7 @@ def jaccard_for_pairs(
     Pairs sharing zero shingles are absent from the output (their Jaccard
     is 0 — callers threshold above that anyway).
     """
-    sh = shingles(docs, shingle_n)
-    ids = (
-        pairs.select(F.col("doc1_id").alias("doc_id"))
-        .union(pairs.select(F.col("doc2_id").alias("doc_id")))
-        .distinct()
-    )
-    sh = sh.join(ids, "doc_id", "left_semi")
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    s1 = sh.select(F.col("doc_id").alias("doc1_id"), "shingle")
-    s2 = sh.select(F.col("doc_id").alias("doc2_id"), "shingle")
-    common = (
-        pairs.join(s1, "doc1_id")
-        .join(s2, ["doc2_id", "shingle"])
-        .groupBy("doc1_id", "doc2_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("common"))
-    )
-    n1 = sizes.select(F.col("doc_id").alias("doc1_id"), F.col("n_shingles").alias("n1"))
-    n2 = sizes.select(F.col("doc_id").alias("doc2_id"), F.col("n_shingles").alias("n2"))
-    return (
-        common.join(n1, "doc1_id")
-        .join(n2, "doc2_id")
-        .withColumn(
-            "jaccard",
-            pround(
-                F.col("common") / (F.col("n1") + F.col("n2") - F.col("common")), 4
-            ),
-        )
-        .select("doc1_id", "doc2_id", "common", "jaccard")
-    )
+    return jaccard_for_pairs_from_shingles(shingles(docs, shingle_n), pairs)
 
 
 def simhash64(
@@ -688,13 +792,8 @@ def incremental_ingest(
     """
     from puma_matcher_spark.llmdata.textstats import with_fingerprint
 
-    newf = with_fingerprint(new_docs, text_col)
-    oldf = with_fingerprint(corpus, text_col).select("fingerprint").distinct()
-    fresh = newf.join(oldf, "fingerprint", "left_anti")
-    return (
-        fresh.groupBy("fingerprint")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id", "fingerprint")
+    return incremental_ingest_indexed(
+        new_docs, with_fingerprint(corpus, text_col), text_col
     )
 
 

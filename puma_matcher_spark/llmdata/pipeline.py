@@ -77,3 +77,57 @@ def curate_documents(
     counts["after_quality"] = stage_count(docs3)
 
     return CurationResult(clean=docs3, stage_counts=counts)
+
+
+def curation_report(
+    docs: DataFrame,
+    min_tokens: int = 5,
+    min_distinct_ratio: float = 0.05,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Per-source curation audit report — the table a data-quality owner
+    actually reads after a :func:`curate_documents` run: how many
+    documents each source lost at each stage, and why.
+
+    Output: (source, outcome, n_docs) where outcome is one of
+    ``exact_dup`` (dropped by the content-fingerprint stage),
+    ``near_dup`` (dropped by the LSH+Jaccard stage), ``low_quality``
+    (failed the token/diversity gate) or ``accepted``.  Every input
+    document lands in exactly one outcome, so the report partitions the
+    corpus: sum(n_docs) == count(docs).
+
+    Scale shape: the same three stage kernels as the pipeline (hash agg,
+    banded LSH join + pair-verify, map-side stats) plus three
+    marker left joins on doc_id and ONE (source, outcome) aggregate —
+    nothing new materializes beyond what the pipeline itself costs.
+    """
+    keep_exact = dd.exact_duplicates(docs).select(
+        F.col("keep_id").alias("doc_id")
+    )
+    docs1 = docs.join(keep_exact, "doc_id", "left_semi")
+    cand = dd.minhash_dedup_pairs(docs1)
+    verified = dd.jaccard_for_pairs(docs1, cand).where(
+        F.col("jaccard") >= jaccard_threshold
+    )
+    drops = verified.select(F.col("doc2_id").alias("doc_id")).distinct()
+    docs2 = docs1.join(drops, "doc_id", "left_anti")
+    stats = ts.with_token_stats(docs2)
+    good = stats.where(
+        (F.col("token_count") >= min_tokens)
+        & (F.col("distinct_ratio") >= min_distinct_ratio)
+    ).select("doc_id")
+
+    outcome = (
+        F.when(F.col("_s1").isNull(), F.lit("exact_dup"))
+        .when(F.col("_dr").isNotNull(), F.lit("near_dup"))
+        .when(F.col("_q").isNull(), F.lit("low_quality"))
+        .otherwise(F.lit("accepted"))
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(docs1.select("doc_id").withColumn("_s1", F.lit(1)), "doc_id", "left")
+        .join(drops.withColumn("_dr", F.lit(1)), "doc_id", "left")
+        .join(good.withColumn("_q", F.lit(1)), "doc_id", "left")
+        .groupBy("source", outcome.alias("outcome"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )

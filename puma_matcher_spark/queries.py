@@ -3822,9 +3822,9 @@ def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_split(docs).select("doc_id", "split")
 
 
-@register(
-    "llm_curation",
-    """WITH fp AS (
+# shared by llm_curation and curation_report (round 8): the full DuckDB
+# twin of the curation pipeline's three stages
+_CURATION_CTE = """WITH fp AS (
   SELECT doc_id,
          md5(array_to_string(list_filter(string_split(lower(text), ' '), x -> x <> ''), ' ')) AS f
   FROM documents),
@@ -3877,7 +3877,13 @@ tok2 AS (
 d3 AS (
   SELECT doc_id FROM tok2
   WHERE len(tk) >= 5
-    AND ROUND(len(list_distinct(tk)) / CAST(len(tk) AS DOUBLE), 4) >= 0.05)
+    AND ROUND(len(list_distinct(tk)) / CAST(len(tk) AS DOUBLE), 4) >= 0.05)"""
+
+
+@register(
+    "llm_curation",
+    _CURATION_CTE
+    + """
 SELECT doc_id,
        (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_input,
        (SELECT CAST(COUNT(*) AS BIGINT) FROM d1) AS n_after_exact_dedup,
@@ -3900,6 +3906,38 @@ def q_llm_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     for stage, cdf in result.stage_counts.items():
         out = out.withColumn(f"n_{stage}", cdf.scalar())
     return out
+
+
+@register(
+    "curation_report",
+    _CURATION_CTE
+    + """
+SELECT d.source,
+       CASE WHEN d1x.doc_id IS NULL THEN 'exact_dup'
+            WHEN dx.doc_id IS NOT NULL THEN 'near_dup'
+            WHEN d3x.doc_id IS NULL THEN 'low_quality'
+            ELSE 'accepted' END AS outcome,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents d
+LEFT JOIN d1 d1x ON d.doc_id = d1x.doc_id
+LEFT JOIN drops dx ON d.doc_id = dx.doc_id
+LEFT JOIN d3 d3x ON d.doc_id = d3x.doc_id
+GROUP BY 1, 2""",
+)
+def q_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation audit report (llmdata/pipeline.py
+    curation_report) — the user-visible composition the curation app's
+    audit trail implies: for every input document, which stage rejected
+    it (exact_dup / near_dup / low_quality) or 'accepted', aggregated to
+    (source, outcome, n_docs).  The outcomes partition the corpus, so
+    the report's n_docs sums to the input count — a data-quality owner
+    reads this table after every curation run.  Same stage kernels as
+    `llm_curation` plus three doc_id marker joins and one aggregate;
+    the oracle re-derives all three stages independently in DuckDB."""
+    from puma_matcher_spark.llmdata.pipeline import curation_report
+
+    docs = load_tables(spark, sf_dir).llm_documents()
+    return curation_report(docs)
 
 
 @register("normalised_scores_approx", None)  # percentile_approx → rows-only

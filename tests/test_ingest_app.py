@@ -51,3 +51,25 @@ def test_ingest_app_on_fixture_is_monotone(spark, sf_small):
     c = res.stage_counts
     assert c["batch_in"] >= c["after_exact"] >= c["after_near_dup"] >= c["accepted"]
     assert c["accepted"] > 0
+
+
+def test_ingest_app_index_path_equals_text_path(spark, sf_small):
+    """Round 8: the precomputed-DedupIndex corpus side must be
+    result-identical to passing corpus text (same kernels) — the
+    invariant the streaming ingest driver's per-batch index pattern
+    rests on."""
+    from pyspark.sql import functions as F
+
+    from puma_matcher_spark.llmdata import dedup as dd
+    from puma_matcher_spark.sources.testdata import load_tables
+
+    docs = load_tables(spark, sf_small).llm_documents()
+    batch = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    via_text = run_incremental_ingest_app(batch, corpus)
+    idx = dd.build_dedup_index(corpus.select("doc_id", "text"))
+    via_index = run_incremental_ingest_app(batch, corpus_index=idx)
+    a = {r["doc_id"] for r in via_text.accepted.collect()}
+    b = {r["doc_id"] for r in via_index.accepted.collect()}
+    assert a == b and len(a) > 0
+    assert via_text.stage_counts == via_index.stage_counts
