@@ -6921,72 +6921,76 @@ _PYTEST_ONLY: frozenset[str] = frozenset(
     }
 )
 
-# Round-7 window policy (freshness rotation — see
+# Round-8 window policy (freshness rotation — see
 # scripts/driver_gate_check.py freshness_audit): each round's 50 slots go
 # to (a) this round's net-new registrations (budget: <= 10/round), (b)
 # queries whose semantics changed this round (they need a fresh hard row),
 # (c) every exported query whose last hard driver row is oldest, oldest
 # cohort first.  Capacity arithmetic: 50 slots/round * 4 rounds = 200 >=
 # exported count, so the standing invariant is max row age <= 4 rounds
-# (audit hard-fails beyond that).  Round-7 breakdown: the FULL remaining
-# r3 cohort (33 names — they hit age 4 this round and MUST re-green) +
-# net-new + the changed simhash_near_dups + the oldest r4 slice.
+# (audit hard-fails beyond that).  Round-8 breakdown: 1 net-new
+# (curation_report) + 2 changed-plan re-greens (simhash_near_dups: two-
+# long combination keys + tokenizer-emptiness filter; semantic_
+# contamination: countDistinct df) + the FULL 32-name r4 cohort (age-4
+# boundary this round — driver_gate_check --plan-next emitted the list)
+# + the oldest 15-name slice of the r5 cohort (the remaining 34 rotate
+# in r9).
 _PRIORITY: list[str] = [
-    # -- 1. round-7 net-new
-    "simhash128",
-    "semantic_contamination",
-    "semantic_decontaminated",
-    "centroid_drift",
-    # -- 2. changed semantics this round (128-bit fingerprint plane)
+    # -- 1. round-8 net-new
+    "curation_report",
+    # -- 2. changed plans this round (re-green under the new shape)
     "simhash_near_dups",
-    # -- 3. last hard driver row r3 — the full remaining cohort (age-4
-    #       boundary this round; freshness_audit hard-fails if missed)
-    "events_dedup",
-    "events_rollup",
-    "frequent_itemsets",
-    "hundred_editor",
-    "instrument_features",
-    "instrument_matching",
-    "ivf_recall",
-    "llm_curation",
-    "media_features_shape",
-    "near_dup_clusters",
-    "normalised_approx_bounds",
-    "person_technique_doc_stats",
-    "person_technique_hist",
-    "person_technique_prob",
-    "pic_cluster_quality",
-    "picture_lsh_pairs",
-    "picture_size",
-    "pii_audit",
-    "pii_scrub",
-    "repetition_metrics",
-    "rf_classifier_accuracy",
-    "score_histogram",
-    "score_pivot_labeled",
-    "sequence_packing",
-    "simhash",
-    "single_word_scores",
-    "source_mix",
-    "source_sampling",
-    "string_index",
-    "text_features_stemmed",
-    "unigram_logprob",
-    "w2v_shape",
-    "weight_refined_convergence",
-    # -- 4. oldest r4 cohort, first slice (the rest rotate in r8)
-    "av_features_shape",
-    "bigram_logprob",
-    "bm25_search",
-    "bpe_merges",
-    "cdc_latest_state",
-    "centroid_confusion",
-    "cluster_representatives",
-    "decontaminated_corpus",
-    "dedup_triangles",
-    "doc_keywords",
-    "dq_expectations",
-    "dq_profile",
+    "semantic_contamination",
+    # -- 3. last hard driver row r4 — the full cohort (age-4 boundary
+    #       this round; freshness_audit hard-fails if missed)
+    "dup_substring_spans",
+    "embedding_int8_topk",
+    "embedding_prefix_rerank",
+    "events_asof",
+    "events_attribution_models",
+    "events_cohorts",
+    "events_debounce",
+    "events_funnel",
+    "events_robust_outliers",
+    "events_trend",
+    "fs_agreement_patterns",
+    "fs_linkage_weights",
+    "incremental_ingest",
+    "incremental_near_dups",
+    "jaccard_prefix_join",
+    "k_anonymity",
+    "late_lone_suppliers",
+    "pagerank_mass",
+    "part_edit_pairs",
+    "phrase_search",
+    "purchase_communities",
+    "purchase_kcore",
+    "quality_sample",
+    "returned_item_customers",
+    "scd2_history",
+    "scd2_point_in_time",
+    "snapshot_diff",
+    "span_cut_corpus",
+    "vocab_topk",
+    "winsorized_prices",
+    "zorder3_values",
+    "zorder_values",
+    # -- 4. oldest r5 cohort, first slice (the rest rotate in r9)
+    "brand_supplier_counts",
+    "customer_order_distribution",
+    "disjunctive_promo_revenue",
+    "embedding_outliers",
+    "entity_pairs",
+    "entity_scores",
+    "entity_tf",
+    "events_anomaly",
+    "events_deadletter",
+    "events_forward_fill",
+    "events_hll_rollup",
+    "events_kll_quantiles",
+    "events_markov",
+    "events_paths",
+    "events_resampled",
 ]
 
 

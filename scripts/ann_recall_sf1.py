@@ -43,12 +43,32 @@ def _recall(approx: dict, exact: dict) -> float:
     return hits / total if total else 1.0
 
 
+SF1_CLUSTERED = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "data-sf1",
+    "embeddings_clustered.parquet",
+)
+
+
 def main() -> None:
     if not os.path.exists(SF1):
         raise SystemExit("run scripts/gen_sf1.py first")
     spark = get_spark("ann-recall-sf1")
     spark.sparkContext.setLogLevel("ERROR")
-    emb = spark.read.parquet(SF1).persist()
+    # both geometries (VERDICT r7 #5): isotropic = the recall floor
+    # (IVF recall ~ probe fraction by construction); clustered = the
+    # production claim, where cells align with real density and every
+    # path should do better
+    for path, tag in ((SF1, "isotropic"), (SF1_CLUSTERED, "clustered")):
+        if not os.path.exists(path):
+            print(f"== {tag}: {path} missing (re-run gen_sf1.py) ==")
+            continue
+        print(f"== geometry: {tag} ==")
+        run_suite(spark, path)
+
+
+def run_suite(spark, path: str) -> None:
+    emb = spark.read.parquet(path).persist()
     n = emb.count()
     q = emb.where(F.col("vec_id") % 500 == 0)
     nq = q.count()
