@@ -63,6 +63,7 @@ BENCH_QUERIES_ROUND6 = [
     "simhash_near_dups",       # r7: 128-bit block-combination near-dups
     "semantic_contamination",  # r7: cross-frame blocked cosine leak scan
     "centroid_drift",          # r7: per-label embedding drift monitor
+    "curation_report",         # r8: 3-stage reject accounting + barriers
 ]
 
 
