@@ -242,3 +242,53 @@ def test_streaming_ingest_app_end_to_end(spark, tmp_path):
     q3.awaitTermination(180)
     final = spark.read.parquet(out)
     assert {r["doc_id"] for r in final.collect()} == {2, 4}
+
+
+def test_streaming_ingest_replay_is_idempotent_with_index(spark, tmp_path):
+    """Round 8: a crash-REPLAYED micro-batch must (a) not self-reject
+    against its own previous output — the batch_id < current filter on
+    BOTH the doc sink and the _index components — and (b) rewrite its
+    partitions instead of duplicating rows.  Simulate a replay by
+    deleting the checkpoint after a drain (offsets forgotten => the same
+    manifest rows re-deliver as batch 0 again) while the sink and index
+    keep batch 0's output."""
+    import shutil
+
+    from puma_matcher_spark.apps import run_streaming_ingest_app
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    corpus = spark.createDataFrame(
+        [(900, "static corpus doc about spectrometer baseline drift here")],
+        ["doc_id", "text"],
+    )
+    texts = {
+        1: "a fresh document about careful calibration of the new detectors arriving today",
+        2: "another genuinely novel document describing the spectrometer upgrade plans",
+    }
+    lines = ["doc_id,file_path"]
+    for did, t in texts.items():
+        p = src / f"doc_{did}.txt"
+        p.write_text(t, encoding="utf-8")
+        lines.append(f"{did},{p}")
+    manifest = tmp_path / "manifest.csv"
+    manifest.write_text("\n".join(lines) + "\n", encoding="utf-8")
+    out = str(tmp_path / "admitted")
+    ckpt = str(tmp_path / "ckpt")
+
+    q = run_streaming_ingest_app(spark, str(manifest), corpus, out, ckpt)
+    q.awaitTermination(180)
+    first = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert first == {1, 2}
+
+    # forget offsets: the replayed run re-delivers the same rows as the
+    # same batch id, with the previous sink + index still on disk
+    shutil.rmtree(ckpt)
+    q2 = run_streaming_ingest_app(spark, str(manifest), corpus, out, ckpt)
+    q2.awaitTermination(180)
+    rows = spark.read.parquet(out).collect()
+    assert {r["doc_id"] for r in rows} == {1, 2}
+    assert len(rows) == 2  # overwrite, not append: no duplicated rows
+    # the index partitions were rewritten, not duplicated
+    fp = spark.read.parquet(f"{out}/_index/fingerprints")
+    assert fp.count() == 2
