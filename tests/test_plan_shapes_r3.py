@@ -328,3 +328,18 @@ def test_vocab_coverage_window_is_pre_limited(spark, sf_small):
     plan = pi.formatted_plan(df)
     assert "TakeOrdered" in plan, "pre-limit gone — window ranks full vocab"
     assert "Window" in plan
+
+
+def test_curation_report_stage_frames_are_checkpointed(spark, sf_small):
+    """Round-8 barrier guard (the semantic_dedup_blocked precedent): the
+    three marker joins must read the localCheckpoint'ed stage ID frames
+    ("Scan ExistingRDD"), not re-derive the LSH + verify chain once per
+    branch (measured 7.9 s -> 4.6 s at sf0.1).  Over the parquet fixture
+    the checkpoints are the only RDD sources in the DAG, so >= 3
+    ExistingRDD scans prove all three barriers; removing any
+    .localCheckpoint() in pipeline.curation_report drops the count."""
+    from puma_matcher_spark.queries import REGISTRY
+
+    df = REGISTRY["curation_report"].spark_fn(spark, sf_small)
+    plan = pi.formatted_plan(df)
+    assert plan.count("ExistingRDD") >= 3, "stage-frame barrier removed"
