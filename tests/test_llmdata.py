@@ -1161,3 +1161,56 @@ def test_semantic_contamination_df_counts_shared_doc_once(spark):
         corpus, benchmark, threshold=0.9, df_cap=1, min_shared=2
     ).collect()
     assert {(r["corpus_id"], r["benchmark_id"]) for r in hits} == {(1, 1)}
+
+
+def test_simhash128_key_packing_matches_bigint_reference(spark):
+    """Round 8: the two-long (val_lo, val_hi) combination-key packing is
+    pure bit arithmetic on signed longs — pin it against an independent
+    big-int reference over adversarial fingerprints (sign bits set,
+    straddle patterns, all-ones) at several radii, so a refactor of the
+    shift/mask expressions cannot silently corrupt join keys."""
+    from itertools import combinations
+
+    M64 = (1 << 64) - 1
+
+    def signed(u):
+        return u - (1 << 64) if u >= (1 << 63) else u
+
+    def ref_keys(hi, lo, max_hamming, n_blocks=None):
+        b = n_blocks if n_blocks is not None else max_hamming + 2
+        r = b - max_hamming
+        width = 128 // b
+        u = ((hi & M64) << 64) | (lo & M64)
+        blocks = [(u >> (i * width)) & ((1 << width) - 1) for i in range(b)]
+        out = {}
+        for ci, combo in enumerate(combinations(range(b), r)):
+            k = 0
+            for pos, j in enumerate(combo):
+                k |= blocks[j] << (pos * width)
+            out[ci] = (signed(k & M64), signed((k >> 64) & M64))
+        return out
+
+    fps = [
+        (1, 0x8000000000000000 - 2**64, 0x8000000000000000 - 2**64),  # sign bits
+        (2, -1, -1),                                 # all ones
+        (3, 0, 1),
+        (4, 0x7FFFFFFFFFFFFFFF, 0x0123456789ABCDEF),
+        (5, -0x0123456789ABCDF0, 0x00000000FFFFFFFF),
+        (6, 0x5555555555555555, -0x5555555555555556),
+    ]
+    sh = spark.createDataFrame(
+        fps, "doc_id LONG, simhash_hi LONG, simhash_lo LONG"
+    )
+    for radius, nb in ((1, None), (2, None), (3, None), (6, None), (1, 2)):
+        keys = dd.simhash128_keys(sh, max_hamming=radius, n_blocks=nb)
+        got = {
+            (r["doc_id"], r["combo"]): (r["val_lo"], r["val_hi"])
+            for r in keys.collect()
+        }
+        for did, hi, lo in fps:
+            want = ref_keys(hi, lo, radius, nb)
+            for ci, pair in want.items():
+                assert got[(did, ci)] == pair, (
+                    f"radius={radius} nb={nb} doc={did} combo={ci}: "
+                    f"{got[(did, ci)]} != {pair}"
+                )
