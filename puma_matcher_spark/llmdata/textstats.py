@@ -24,6 +24,29 @@ def tokens(text: Column) -> Column:
     return F.filter(F.split(text, " "), lambda x: x != F.lit(""))
 
 
+def has_tokens(text: Column) -> Column:
+    """THE token-less-document predicate — one definition, used at every
+    site that must agree with :func:`tokens` (the simhash plane, the
+    ingest quality gates' emptiness checks).
+
+    Equivalent by construction to ``size(tokens(text)) > 0``: tokens()
+    splits on the space character ONLY, and Spark SQL's ``trim`` strips
+    exactly that character (verified: trim("\\t") == "\\t" — Spark trim
+    is not Python str.strip), so ``trim(text) != ''`` holds iff the text
+    contains a non-space character iff it has >= 1 token.  Implemented
+    with trim because the ``size(filter(split(...)))`` spelling builds
+    the full token array per row just to test emptiness — measured 2.4x
+    the map-side cost of the fingerprint stage it guards at sf0.1
+    (PLANS.md §round-8).  NULL text: trim(NULL) != '' is NULL → filtered,
+    same as size(tokens(NULL)) = -1 → filtered — both match the oracle's
+    tf CTE, which never emits rows for token-less documents.  The
+    whitespace-zoo parity test (tests/test_llmdata.py) pins Spark ≡
+    DuckDB on tab/newline/NULL/empty documents through this predicate,
+    and a property test pins the equivalence to the tokenizer itself.
+    """
+    return F.trim(text) != F.lit("")
+
+
 def with_token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Token counting + quality scoring (length / distinct-ratio / stopword
     ratio).  The distinct-token ratio is a cheap lexical-diversity proxy;

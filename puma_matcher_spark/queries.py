@@ -2419,8 +2419,9 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     produces a row for them (the fixture has none; this pins the
     semantics for corpora that do)."""
     docs = load_tables(spark, sf_dir).llm_documents()
-    # the tokenizer's OWN emptiness test (trim() disagrees on "\t"/"\n")
-    docs = docs.where(F.size(ts.tokens(F.col("text"))) > 0)
+    # the ONE token-less predicate (equiv. to size(tokens)>0; see
+    # textstats.has_tokens for the proof and the cost rationale)
+    docs = docs.where(ts.has_tokens(F.col("text")))
     return dd.simhash64(docs, method="mapside")  # ~6x faster than the explode path at sf0.1 (0.09 vs 0.59 s); identical md5 arithmetic, same oracle
 
 
@@ -2461,8 +2462,9 @@ def q_simhash128(spark: SparkSession, sf_dir: str) -> DataFrame:
     sign bit handled by two's complement on both sides.  Token-less docs
     are excluded to match the oracle's tf CTE semantics."""
     docs = load_tables(spark, sf_dir).llm_documents()
-    # the tokenizer's OWN emptiness test (trim() disagrees on "\t"/"\n")
-    docs = docs.where(F.size(ts.tokens(F.col("text"))) > 0)
+    # the ONE token-less predicate (equiv. to size(tokens)>0; see
+    # textstats.has_tokens for the proof and the cost rationale)
+    docs = docs.where(ts.has_tokens(F.col("text")))
     return dd.simhash128_mapside(docs)
 
 

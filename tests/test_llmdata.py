@@ -1214,3 +1214,23 @@ def test_simhash128_key_packing_matches_bigint_reference(spark):
                     f"radius={radius} nb={nb} doc={did} combo={ci}: "
                     f"{got[(did, ci)]} != {pair}"
                 )
+
+
+def test_has_tokens_equals_tokenizer_emptiness(spark):
+    """has_tokens must agree with size(tokens(text)) > 0 on every row of
+    a whitespace zoo (incl. NBSP, CR, vertical tab, NULL) — the proof
+    that the cheap trim-based predicate IS the tokenizer's emptiness
+    test under space-only splitting."""
+    zoo = [
+        "", " ", "  ", "\t", "\n", "\r", "\x0b", " \t ", " ",
+        "a", " a", "a ", " a ", "\ta", "a\tb", "\n \n", None,
+        "word another", "   ",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(zoo)], ["i", "t"])
+    rows = df.select(
+        "i",
+        F.coalesce(ts.has_tokens(F.col("t")), F.lit(False)).alias("cheap"),
+        F.coalesce(F.size(ts.tokens(F.col("t"))) > 0, F.lit(False)).alias("full"),
+    ).collect()
+    bad = [(r["i"], zoo[r["i"]]) for r in rows if r["cheap"] != r["full"]]
+    assert not bad, f"predicates disagree on: {bad!r}"
