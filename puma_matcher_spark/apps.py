@@ -427,7 +427,19 @@ def run_streaming_ingest_app(
         .load()
     )
     # the static corpus never changes across micro-batches: index it once
+    # and PERSIST each component (MEMORY_AND_DISK) — without the persist,
+    # every micro-batch would re-derive the static corpus's fingerprints
+    # / 128 minhashes / shingles from text, making per-batch cost scale
+    # with the static corpus instead of the batch.  Materialization is
+    # lazy (the first batch pays it); the cache lives for the session,
+    # the natural lifetime of the availableNow drain.
     static_index = dd.build_dedup_index(corpus.select("doc_id", "text"))
+    for _df in (
+        static_index.fingerprints,
+        static_index.band_keys,
+        static_index.shingles,
+    ):
+        _df.persist()
     index_root = f"{out_root}/_index"
     components = ("fingerprints", "band_keys", "shingles")
 
