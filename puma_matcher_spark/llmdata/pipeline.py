@@ -29,8 +29,8 @@ class CurationResult:
     clean: DataFrame
     # audit trail: docs after each stage — ints when eager (default), or
     # 1-row count DataFrames when lazy (fold with .scalar() into the
-    # output plan: the whole pipeline incl. audit runs as ONE job, no
-    # driver round-trips — the 100 TB path)
+    # output plan — the count expressions read the checkpointed stage ID
+    # frames, so audit costs id-frame scans, not stage re-runs)
     stage_counts: dict
 
 
@@ -41,6 +41,18 @@ def curate_documents(
     jaccard_threshold: float = 0.8,
     eager_counts: bool = True,
 ) -> CurationResult:
+    """Raw corpus → exact dedup → near-dup removal → quality gate, with
+    per-stage audit counts.
+
+    The stage-result ID frames are localCheckpoint'ed (round 8 — the
+    same barrier :func:`curation_report` carries): every downstream
+    consumer of a stage (the next stage, the clean output, each audit
+    count) otherwise re-derives that stage's whole DAG — with lazy
+    counts the LSH + verify chain ran once per scalar subquery
+    (measured: the llm_curation query 6.5 s → 2.9 s at sf0.1 with the
+    barriers).  The checkpointed frames are doc_id-only.
+    """
+
     def stage_count(df: DataFrame):
         if eager_counts:
             return df.count()
@@ -49,11 +61,15 @@ def curate_documents(
     counts = {"input": stage_count(docs)}
 
     # 1. exact dedup — keep the min doc_id per content fingerprint
-    keep_exact = dd.exact_duplicates(docs).select(
-        F.col("keep_id").alias("doc_id")
+    keep_exact = (
+        dd.exact_duplicates(docs)
+        .select(F.col("keep_id").alias("doc_id"))
+        .localCheckpoint()
     )
     docs1 = docs.join(keep_exact, "doc_id", "left_semi")
-    counts["after_exact_dedup"] = stage_count(docs1)
+    # |docs1| == |keep_exact| (keep ids ⊆ docs ids): count the tiny
+    # checkpointed id frame, not a re-join
+    counts["after_exact_dedup"] = stage_count(keep_exact)
 
     # 2. near-dup removal — MinHash-LSH candidates verified by exact
     #    Jaccard computed per candidate pair (never over the full
@@ -63,18 +79,27 @@ def curate_documents(
     verified = dd.jaccard_for_pairs(docs1, cand).where(
         F.col("jaccard") >= jaccard_threshold
     )
-    drops = verified.select(F.col("doc2_id").alias("doc_id")).distinct()
+    drops = (
+        verified.select(F.col("doc2_id").alias("doc_id"))
+        .distinct()
+        .localCheckpoint()
+    )
     docs2 = docs1.join(drops, "doc_id", "left_anti")
     counts["after_near_dedup"] = stage_count(docs2)
 
     # 3. quality filter — token count + lexical diversity
     stats = ts.with_token_stats(docs2)
-    good = stats.where(
-        (F.col("token_count") >= min_tokens)
-        & (F.col("distinct_ratio") >= min_distinct_ratio)
-    ).select("doc_id")
+    good = (
+        stats.where(
+            (F.col("token_count") >= min_tokens)
+            & (F.col("distinct_ratio") >= min_distinct_ratio)
+        )
+        .select("doc_id")
+        .localCheckpoint()
+    )
     docs3 = docs2.join(good, "doc_id", "left_semi")
-    counts["after_quality"] = stage_count(docs3)
+    # |docs3| == |good| (good ids ⊆ docs2 ids)
+    counts["after_quality"] = stage_count(good)
 
     return CurationResult(clean=docs3, stage_counts=counts)
 
