@@ -32,6 +32,10 @@ class CurationResult:
     # output plan — the count expressions read the checkpointed stage ID
     # frames, so audit costs id-frame scans, not stage re-runs)
     stage_counts: dict
+    # the checkpointed doc_id-only stage frames themselves
+    # (keep_exact / drops / good) — consumers like curation_report build
+    # on these instead of re-deriving the stages
+    stage_ids: dict | None = None
 
 
 def curate_documents(
@@ -101,7 +105,11 @@ def curate_documents(
     # |docs3| == |good| (good ids ⊆ docs2 ids)
     counts["after_quality"] = stage_count(good)
 
-    return CurationResult(clean=docs3, stage_counts=counts)
+    return CurationResult(
+        clean=docs3,
+        stage_counts=counts,
+        stage_ids={"keep_exact": keep_exact, "drops": drops, "good": good},
+    )
 
 
 def curation_report(
@@ -121,42 +129,22 @@ def curation_report(
     document lands in exactly one outcome, so the report partitions the
     corpus: sum(n_docs) == count(docs).
 
-    Scale shape: the same three stage kernels as the pipeline (hash agg,
-    banded LSH join + pair-verify, map-side stats) plus three
-    marker left joins on doc_id and ONE (source, outcome) aggregate.
-    The three stage-result ID frames are localCheckpoint'ed (the
-    semantic_dedup_blocked materialization-barrier pattern): each marker
-    join references a stage that transitively hangs off the previous
-    ones, so without the barrier Catalyst re-derives the whole LSH +
-    verify chain once per marker branch (measured at sf0.1: 7.9 s →
-    4.6 s with the barriers).  The checkpointed frames are doc_id-only —
-    corpus-linear, never wider than the stage outputs themselves.
+    Scale shape: ONE :func:`curate_documents` run (the report builds on
+    its checkpointed stage ID frames — the pipeline and the report can
+    never disagree) plus three marker left joins on doc_id and ONE
+    (source, outcome) aggregate.  Without the stage barriers each marker
+    branch re-derived the whole LSH + verify chain (measured at sf0.1:
+    7.9 s → 4.6 s).  The ``keep_exact`` frame carries exactly the
+    stage-1 survivor ids, so the first marker join uses it directly.
     """
-    keep_exact = (
-        dd.exact_duplicates(docs)
-        .select(F.col("keep_id").alias("doc_id"))
-        .localCheckpoint()
+    res = curate_documents(
+        docs,
+        min_tokens=min_tokens,
+        min_distinct_ratio=min_distinct_ratio,
+        jaccard_threshold=jaccard_threshold,
+        eager_counts=False,  # count frames unused here; stay lazy
     )
-    docs1 = docs.join(keep_exact, "doc_id", "left_semi")
-    cand = dd.minhash_dedup_pairs(docs1)
-    verified = dd.jaccard_for_pairs(docs1, cand).where(
-        F.col("jaccard") >= jaccard_threshold
-    )
-    drops = (
-        verified.select(F.col("doc2_id").alias("doc_id"))
-        .distinct()
-        .localCheckpoint()
-    )
-    docs2 = docs1.join(drops, "doc_id", "left_anti")
-    stats = ts.with_token_stats(docs2)
-    good = (
-        stats.where(
-            (F.col("token_count") >= min_tokens)
-            & (F.col("distinct_ratio") >= min_distinct_ratio)
-        )
-        .select("doc_id")
-        .localCheckpoint()
-    )
+    ids = res.stage_ids
 
     outcome = (
         F.when(F.col("_s1").isNull(), F.lit("exact_dup"))
@@ -166,9 +154,9 @@ def curation_report(
     )
     return (
         docs.select("doc_id", "source")
-        .join(docs1.select("doc_id").withColumn("_s1", F.lit(1)), "doc_id", "left")
-        .join(drops.withColumn("_dr", F.lit(1)), "doc_id", "left")
-        .join(good.withColumn("_q", F.lit(1)), "doc_id", "left")
+        .join(ids["keep_exact"].withColumn("_s1", F.lit(1)), "doc_id", "left")
+        .join(ids["drops"].withColumn("_dr", F.lit(1)), "doc_id", "left")
+        .join(ids["good"].withColumn("_q", F.lit(1)), "doc_id", "left")
         .groupBy("source", outcome.alias("outcome"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
