@@ -431,11 +431,22 @@ def text_features(
     are the token indexes after filtering.
     """
     toks = tokenize(F.col(text_col))
-    out = docs.select(F.col(id_col), toks.alias("words"))
+    out = docs.select(
+        F.col(id_col),
+        F.coalesce(toks, F.array().cast("array<string>")).alias("words"),
+    )
     feature = stem_tokens(F.col("words")) if stem else F.col("words")
+    # guard the position sequence: sequence(0, -1) on a token-less doc
+    # would produce the DESCENDING [0, -1] (Spark infers step -1), not
+    # an empty array
     return out.select(
         id_col,
         "words",
         feature.alias("feature"),
-        F.sequence(F.lit(0), F.size("words") - 1).alias("position"),
+        F.when(
+            F.size("words") > 0,
+            F.sequence(F.lit(0), F.size("words") - 1),
+        )
+        .otherwise(F.array().cast("array<int>"))
+        .alias("position"),
     )

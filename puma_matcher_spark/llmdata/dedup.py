@@ -39,10 +39,16 @@ def portable_hash60(c: Column) -> Column:
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Exact dedup: group by content hash, keep the min doc_id as canonical."""
-    normalised = F.concat_ws(" ", tokens(F.lower(F.col(text_col))))
+    """Exact dedup: group by content hash, keep the min doc_id as canonical.
+
+    The hash is :func:`puma_matcher_spark.llmdata.textstats.with_fingerprint`
+    — ONE fingerprint definition everywhere, including its NULL for
+    token-less documents (groupBy folds the NULLs into one group, same
+    as the DuckDB twin's GROUP BY over md5(NULL))."""
+    from puma_matcher_spark.llmdata.textstats import with_fingerprint
+
     return (
-        docs.select("doc_id", F.md5(normalised).alias("fingerprint"))
+        with_fingerprint(docs, text_col)
         .groupBy("fingerprint")
         .agg(
             F.count(F.lit(1)).cast("long").alias("doc_count"),

@@ -90,8 +90,15 @@ def chunk_documents(
     if not 0 <= overlap < chunk_len:
         raise ValueError("need 0 <= overlap < chunk_len")
     stride = chunk_len - overlap
+    # NULL text → empty token array: greatest() SKIPS nulls in Spark, so
+    # a NULL _tk otherwise slips past the zero-token CASE and emits one
+    # phantom chunk row (NULL n_tokens, '' text) that the oracle never
+    # has (zoo-parity-pinned)
     base = docs.select(
-        "doc_id", tokens(F.lower(F.col(text_col))).alias("_tk")
+        "doc_id",
+        F.coalesce(
+            tokens(F.lower(F.col(text_col))), F.array().cast("array<string>")
+        ).alias("_tk"),
     )
     chunks = F.expr(
         # zero-token documents yield NO chunks (not one empty chunk)

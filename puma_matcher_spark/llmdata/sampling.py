@@ -111,7 +111,11 @@ def weighted_sample_topk(
     )
     # (hash + 1) / 2^60 ∈ (0, 1] — never 0, so ln() is defined
     u = (portable_hash60(F.col(key).cast("string")) + 1) / F.lit(float(1 << 60))
-    sort_key = F.log(u) / w  # negative; larger (closer to 0) = selected
+    # zero/negative weights: probability 0 — NULL sort key (ANSI Spark
+    # would throw DIVIDE_BY_ZERO; DuckDB x/0.0 is NULL), and desc() is
+    # nulls-last on both engines, so weightless rows are only drawn
+    # after every weighted row — identical selection sets
+    sort_key = F.when(w > 0, F.log(u) / w)  # negative; larger = selected
     return (
         docs.withColumn("_sk", sort_key)
         .orderBy(F.col("_sk").desc(), F.col(key))
@@ -204,13 +208,21 @@ def quality_stratified_sample(
     from puma_matcher_spark.llmdata.textstats import tokens
 
     toks = tokens(F.lower(F.col(text_col)))
+    # token-less docs: NULL ratio (Spark 0.0/0.0 is NaN, which sorts
+    # ABOVE every value in a desc sort, while DuckDB 0.0/0.0 is NULL and
+    # sorts last — NULL on both sides keeps the rank identical; Spark's
+    # desc() default is nulls-last like DuckDB's)
+    n_tok = F.size(toks)
     m = docs.select(
         "doc_id",
         "source",
-        pround(
-            F.size(F.array_distinct(toks)).cast("double")
-            / F.size(toks).cast("double"),
-            4,
+        F.when(
+            n_tok > 0,
+            pround(
+                F.size(F.array_distinct(toks)).cast("double")
+                / n_tok.cast("double"),
+                4,
+            ),
         ).alias("distinct_ratio"),
     )
     w = Window.partitionBy("source").orderBy(

@@ -50,7 +50,13 @@ def has_tokens(text: Column) -> Column:
 def with_token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Token counting + quality scoring (length / distinct-ratio / stopword
     ratio).  The distinct-token ratio is a cheap lexical-diversity proxy;
-    the stopword ratio feeds language ID and boilerplate detection."""
+    the stopword ratio feeds language ID and boilerplate detection.
+
+    Token-less documents (round 8): the ratios are NULL — Spark's ANSI
+    mode otherwise throws DIVIDE_BY_ZERO on the first empty document,
+    and DuckDB's x/0.0 is NULL, so NULL is both the crash fix and the
+    cross-engine definition (pinned by the whitespace-zoo parity test).
+    """
     toks = tokens(F.col(text_col))
     sw = F.array(*[F.lit(s) for s in EN_STOPWORDS])
     n_tokens = F.size(toks)
@@ -60,8 +66,12 @@ def with_token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         n_tokens.cast("long").alias("token_count"),
         F.length(text_col).cast("long").alias("char_count"),
-        pround(n_distinct / n_tokens, 4).alias("distinct_ratio"),
-        pround(n_stop / n_tokens, 4).alias("stopword_ratio"),
+        F.when(n_tokens > 0, pround(n_distinct / n_tokens, 4)).alias(
+            "distinct_ratio"
+        ),
+        F.when(n_tokens > 0, pround(n_stop / n_tokens, 4)).alias(
+            "stopword_ratio"
+        ),
     )
 
 
@@ -72,10 +82,15 @@ LANG_ID_THRESHOLD = 0.03
 
 def english_stopword_ratio(text_col: Column) -> Column:
     """English function-word hit ratio — the lang-ID kernel, factored so
-    every ingest path labels the same text identically."""
+    every ingest path labels the same text identically.  NULL for
+    token-less documents (ANSI Spark would throw DIVIDE_BY_ZERO; DuckDB
+    x/0.0 is NULL; lang_id_label resolves NULL to 'unk' on both sides)."""
     toks = tokens(text_col)
     sw = F.array(*[F.lit(s) for s in EN_STOPWORDS])
-    return F.size(F.filter(toks, lambda x: F.array_contains(sw, x))) / F.size(toks)
+    n = F.size(toks)
+    return F.when(
+        n > 0, F.size(F.filter(toks, lambda x: F.array_contains(sw, x))) / n
+    )
 
 
 def lang_id_label(text_col: Column, threshold: float = LANG_ID_THRESHOLD) -> Column:
@@ -101,10 +116,23 @@ def with_lang_id(
 def with_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 of the lower-cased, whitespace-normalised
     text (the exact-dedup key).  At 100 TB this is the map-side-cheapest
-    possible content key — one pass, no shuffle until the dedup groupBy."""
+    possible content key — one pass, no shuffle until the dedup groupBy.
+
+    Token-less documents get a NULL fingerprint (round 8): the DuckDB
+    twin is md5(array_to_string(tokens, ' ')) and array_to_string([]) is
+    NULL there, while Spark's concat_ws yields '' — md5('') silently
+    diverged from the oracle on any corpus with an empty document.  NULL
+    is also the better semantics: "no content" is not "same content"
+    (the simhash plane's rule), so a token-less batch doc never
+    exact-matches a corpus doc through the NULL key in the incremental
+    anti-join, while GROUP BY still folds NULLs into one audit group on
+    both engines."""
     normalised = F.concat_ws(" ", tokens(F.lower(F.col(text_col))))
     return docs.select(
-        "doc_id", F.md5(normalised).alias("fingerprint")
+        "doc_id",
+        F.when(has_tokens(F.col(text_col)), F.md5(normalised)).alias(
+            "fingerprint"
+        ),
     )
 
 
@@ -142,10 +170,21 @@ def with_quality_flags(docs: DataFrame, text_col: str = "text") -> DataFrame:
         ),
     )
     n_tok = F.size("_tk")
-    mean_wl = pround(
-        F.expr("aggregate(_tk, 0, (acc, x) -> acc + length(x))").cast("double")
-        / n_tok,
-        4,
+    # token-less / empty-text guards (round 8): mean_word_len and
+    # symbol_ratio are NULL when their denominator is 0 — DuckDB's
+    # x/0.0 is NULL (the oracle's semantics) and Spark would otherwise
+    # produce Infinity (or DIVIDE_BY_ZERO under integral ANSI); NULL
+    # metrics make the keep predicate NULL -> verdict 'drop' on both
+    # engines (pinned by the whitespace-zoo parity test)
+    mean_wl = F.when(
+        n_tok > 0,
+        pround(
+            F.expr("aggregate(_tk, 0, (acc, x) -> acc + length(x))").cast(
+                "double"
+            )
+            / n_tok,
+            4,
+        ),
     )
     dup_bg = pround(
         F.when(
@@ -154,13 +193,16 @@ def with_quality_flags(docs: DataFrame, text_col: str = "text") -> DataFrame:
         ).otherwise(F.lit(0.0)),
         4,
     )
-    sym = pround(
-        (
-            F.length("_text")
-            - F.length(F.regexp_replace("_text", "[^a-zA-Z0-9 ]", ""))
-        ).cast("double")
-        / F.length("_text"),
-        4,
+    sym = F.when(
+        F.length("_text") > 0,
+        pround(
+            (
+                F.length("_text")
+                - F.length(F.regexp_replace("_text", "[^a-zA-Z0-9 ]", ""))
+            ).cast("double")
+            / F.length("_text"),
+            4,
+        ),
     )
     d = d.select(
         "doc_id",

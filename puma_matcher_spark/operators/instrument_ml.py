@@ -26,9 +26,17 @@ RF_SEED = 97987676
 def word2vec_embeddings(
     sentences: DataFrame, text_col: str = "words", size: int = 10
 ) -> DataFrame:
-    """M3 — Word2Vec over tokenized sentences (array<string> column)."""
+    """M3 — Word2Vec over tokenized sentences (array<string> column).
+
+    NULL sentence arrays (a NULL-text document tokenizes to NULL) are
+    coalesced to empty: Spark ML's Word2Vec NPEs on a NULL input row,
+    while an empty array cleanly yields the all-zero vector."""
     from pyspark.ml.feature import Word2Vec
 
+    sentences = sentences.withColumn(
+        text_col,
+        F.coalesce(F.col(text_col), F.array().cast("array<string>")),
+    )
     w2v = Word2Vec(
         vectorSize=size,
         minCount=1,

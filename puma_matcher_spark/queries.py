@@ -2742,7 +2742,10 @@ def q_text_features_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir).llm_documents()
     feats = text_features(docs, text_col="text", id_col="doc_id")
-    return feats.select(
+    # docs whose every token is filtered (len<3 / stopword / empty text)
+    # have no feature row — the oracle's GROUP BY over joined tokens
+    # defines exactly that (zoo-parity-pinned)
+    return feats.where(F.size("words") > 0).select(
         "doc_id",
         F.concat_ws(" ", "words").alias("words"),
         F.concat_ws(" ", "feature").alias("feature"),
@@ -2833,18 +2836,22 @@ def q_av_features_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         # payload.encode(), so multibyte text must not skew the formulas
         F.octet_length("text").alias("_len"),
     )
+    # NULL payloads decode to zero bytes — coalesce the independent
+    # formula's length to 0 too (Spark's least()/greatest() SKIP nulls,
+    # so least(4, NULL) reads 4 and the formula, not the kernel, was
+    # wrong on a NULL-payload row; zoo-pinned)
+    _len0 = F.coalesce(F.col("_len"), F.lit(0))
     au = extract_audio_features(media).join(
         media.select("media_id", "_len"), "media_id"
     )
     bad_samples = au.where(
-        F.col("n_samples") != F.floor(F.col("_len") / 2)
+        F.col("n_samples") != F.floor(_len0 / 2)
     ).count()
     vi = extract_video_features(media).join(
         media.select("media_id", "_len"), "media_id"
     )
     bad_frames = vi.where(
-        F.col("n_frames_sampled")
-        != F.least(F.lit(4), F.floor(F.col("_len") / 768))
+        F.col("n_frames_sampled") != F.least(F.lit(4), F.floor(_len0 / 768))
     ).count()
     a = extract_audio_features(media).select("media_id", "rms", "zcr")
     b = extract_audio_features(media.repartition(7)).select(
@@ -3731,7 +3738,10 @@ def q_decontaminated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "doc_chunks",
     """WITH tk AS (
-  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS tk
+  -- coalesce: DuckDB's greatest() also skips NULLs, so a NULL-text doc
+  -- would otherwise emit one phantom chunk row (same trap as Spark's)
+  SELECT doc_id,
+         list_filter(string_split(lower(coalesce(text, '')), ' '), x -> x <> '') AS tk
   FROM documents),
 ch AS (
   SELECT doc_id,
@@ -3791,7 +3801,8 @@ def q_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 oldf AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 2 = 0),
 freshf AS (
   SELECT * FROM fp
-  WHERE doc_id % 2 = 1 AND fingerprint NOT IN (SELECT fingerprint FROM oldf))
+  WHERE doc_id % 2 = 1
+    AND NOT EXISTS (SELECT 1 FROM oldf o WHERE o.fingerprint = fp.fingerprint))
 SELECT MIN(doc_id) AS doc_id, fingerprint FROM freshf GROUP BY fingerprint""",
 )
 def q_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5074,10 +5085,11 @@ def q_fs_linkage_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "snapshot_diff",
     """WITH o AS (
-  SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 11 <> 0),
+  SELECT doc_id, md5(coalesce(text, '')) AS fp
+  FROM documents WHERE doc_id % 11 <> 0),
 n AS (
   SELECT doc_id,
-         md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END) AS fp
+         md5(coalesce(CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END, '')) AS fp
   FROM documents WHERE doc_id % 13 <> 0),
 j AS (
   SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, o.fp AS ofp, n.fp AS nfp
@@ -6580,7 +6592,9 @@ def _manifest_fixture(spark: SparkSession, sf_dir: str) -> str:
         for r in rows:
             p = os.path.join(d, f"doc_{r['doc_id']}.txt")
             with open(p, "w", encoding="utf-8") as fh:
-                fh.write(r["text"])
+                # a file cannot hold NULL: the roundtrip semantics of a
+                # NULL-text doc are the empty file (oracle COALESCEs)
+                fh.write(r["text"] or "")
             lines.append(f"{r['doc_id']},{p}")
         mpath = os.path.join(d, "manifest.csv")
         with open(mpath, "w", encoding="utf-8") as fh:
@@ -6592,8 +6606,8 @@ def _manifest_fixture(spark: SparkSession, sf_dir: str) -> str:
 @register(
     "manifest_roundtrip",
     """SELECT doc_id,
-       CAST(length(text) AS BIGINT) AS n_chars,
-       CAST(len(list_filter(string_split(text, ' '), x -> x <> ''))
+       CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars,
+       CAST(len(list_filter(string_split(coalesce(text, ''), ' '), x -> x <> ''))
             AS BIGINT) AS n_tokens
 FROM documents""",
 )
