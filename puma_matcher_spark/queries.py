@@ -1435,7 +1435,7 @@ def q_events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
          CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
                    >= INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS new_sess
-  FROM events),
+  FROM events WHERE ts IS NOT NULL),
 sess AS (
   SELECT user_id, ts, value,
          SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
@@ -1475,7 +1475,7 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_json",
-    """SELECT json_extract_string(props, '$.k') AS k,
+    """SELECT CASE WHEN props IS NOT NULL AND json_valid(props) THEN json_extract_string(props, '$.k') END AS k,
        event_type,
        CAST(COUNT(*) AS BIGINT) AS n,
        ROUND(AVG(value), 4) AS avg_value
@@ -3464,10 +3464,10 @@ def q_instrument_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_cube",
     """SELECT event_type,
-       json_extract_string(props, '$.k') AS k,
+       CASE WHEN props IS NOT NULL AND json_valid(props) THEN json_extract_string(props, '$.k') END AS k,
        CAST(COUNT(*) AS BIGINT) AS n
 FROM events
-GROUP BY CUBE (event_type, json_extract_string(props, '$.k'))""",
+GROUP BY CUBE (event_type, CASE WHEN props IS NOT NULL AND json_valid(props) THEN json_extract_string(props, '$.k') END)""",
 )
 def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE grouping-sets aggregation (additive; pairs with events_rollup)."""
@@ -4290,11 +4290,17 @@ def q_events_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = load_tables(spark, sf_dir).events()
-    est = hll_range_estimate(hll_user_sketches(ev))
+    est = hll_range_estimate(hll_user_sketches(ev)).withColumnRenamed(
+        "event_type", "_et"
+    )
     exact = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").cast("long").alias("exact_users")
     )
-    return exact.join(est, "event_type").select(
+    # null-safe join: a NULL event_type is a legitimate rollup group
+    # (the oracle's GROUP BY keeps it; a plain equi-join would drop it)
+    return exact.join(
+        est, exact["event_type"].eqNullSafe(F.col("_et"))
+    ).select(
         "event_type",
         "exact_users",
         (
@@ -4373,17 +4379,33 @@ def q_events_kll_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from puma_matcher_spark.streaming.events import kll_value_quantiles
 
     ev = load_tables(spark, sf_dir).events()
-    est = kll_value_quantiles(ev)
+    est = kll_value_quantiles(ev).withColumnRenamed("event_type", "_et")
     bands = ev.groupBy("event_type").agg(
         F.expr("percentile(value, 0.45)").alias("p45"),
         F.expr("percentile(value, 0.55)").alias("p55"),
         F.expr("percentile(value, 0.92)").alias("p92"),
         F.expr("percentile(value, 0.98)").alias("p98"),
+        F.count("value").alias("_nv"),
     )
-    return bands.join(est, "event_type").select(
+    # the rank-error band is only meaningful once a group has enough
+    # points that the interpolated p45–p55 interval can contain a data
+    # point the sketch could actually return (a 2-point group's band
+    # excludes BOTH points by construction) — tiny groups pass
+    # vacuously, the fixtures' groups are all far above the floor
+    meaningful = F.col("_nv") >= 10
+    # null-safe join — see events_hll_rollup
+    return bands.join(
+        est, bands["event_type"].eqNullSafe(F.col("_et"))
+    ).select(
         "event_type",
-        F.col("p50_est").between(F.col("p45"), F.col("p55")).alias("p50_in_band"),
-        F.col("p95_est").between(F.col("p92"), F.col("p98")).alias("p95_in_band"),
+        (
+            ~meaningful
+            | F.col("p50_est").between(F.col("p45"), F.col("p55"))
+        ).alias("p50_in_band"),
+        (
+            ~meaningful
+            | F.col("p95_est").between(F.col("p92"), F.col("p98"))
+        ).alias("p95_in_band"),
     )
 
 
@@ -4567,7 +4589,7 @@ def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_deadletter",
     """WITH e AS (
   SELECT event_id,
-         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+         TRY_CAST((CASE WHEN props IS NOT NULL AND json_valid(props) THEN json_extract_string(props, '$.k') END) AS BIGINT) AS k,
          value
   FROM events),
 r AS (
@@ -4617,7 +4639,7 @@ def q_events_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
   FROM events)
 SELECT user_id, event_id AS last_event_id, event_type AS last_type,
        ROUND(value, 4) AS value
-FROM ranked WHERE rn = 1 AND event_type <> 'error'""",
+FROM ranked WHERE rn = 1 AND (event_type IS NULL OR event_type <> 'error')""",
 )
 def q_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC newest-change-wins apply (operators/cdc.py): collapse the
@@ -4640,7 +4662,7 @@ def q_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITH ordered AS (
   SELECT user_id, event_type, ts, event_id,
          LAG(event_type) OVER (PARTITION BY user_id
-                               ORDER BY ts ASC, event_id ASC) AS prev
+                               ORDER BY ts ASC NULLS FIRST, event_id ASC) AS prev
   FROM events),
 opens AS (
   SELECT user_id, event_type, ts,
@@ -4649,7 +4671,7 @@ opens AS (
 v AS (
   SELECT user_id, event_type, valid_from_epoch,
          LEAD(valid_from_epoch) OVER (PARTITION BY user_id
-                                      ORDER BY ts ASC, event_id ASC) AS valid_to_epoch
+                                      ORDER BY ts ASC NULLS FIRST, event_id ASC) AS valid_to_epoch
   FROM opens)
 SELECT user_id, event_type, valid_from_epoch, valid_to_epoch,
        valid_to_epoch IS NULL AS is_current
@@ -4669,7 +4691,7 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITH ordered AS (
   SELECT user_id, event_type, ts, event_id,
          LAG(event_type) OVER (PARTITION BY user_id
-                               ORDER BY ts ASC, event_id ASC) AS prev
+                               ORDER BY ts ASC NULLS FIRST, event_id ASC) AS prev
   FROM events),
 opens AS (
   SELECT user_id, event_type, ts,
@@ -4678,7 +4700,7 @@ opens AS (
 hist AS (
   SELECT user_id, event_type AS active_type, valid_from_epoch,
          LEAD(valid_from_epoch) OVER (PARTITION BY user_id
-                                      ORDER BY ts ASC, event_id ASC) AS valid_to_epoch
+                                      ORDER BY ts ASC NULLS FIRST, event_id ASC) AS valid_to_epoch
   FROM opens),
 facts AS (
   SELECT user_id, event_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS t,

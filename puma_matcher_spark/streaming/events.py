@@ -252,26 +252,34 @@ def trend_stats(events: DataFrame, origin: str = "2024-01-01") -> DataFrame:
     reproducible across engines (raw epochs ~1.7e9 would eat 10 of the 16
     double digits before the variance even starts).
     """
-    day = (
+    day_raw = (
         (F.unix_timestamp("ts") - F.unix_timestamp(F.lit(origin).cast("timestamp")))
         / F.lit(86400.0)
-    ).alias("day")
+    )
     # explicit co-moment algebra with try_divide instead of
     # regr_slope/corr: under ANSI mode (Spark 4 default) the built-in
     # corr raises DIVIDE_BY_ZERO on a constant group; this form returns
     # NULL for degenerate groups (single event / constant value), which
-    # is also what the DuckDB twins produce
-    sxy = F.covar_pop("value", "day")
+    # is also what the DuckDB twins produce.
+    # PAIRWISE-complete moments (SQL2016 regr_* semantics): a row where
+    # EITHER value or ts is NULL contributes to neither moment — Spark's
+    # column-wise var_pop/avg would otherwise keep the day of a
+    # NULL-value row in the x-variance and diverge from regr_slope
+    # (events-zoo-pinned).  n_events still counts every row.
+    both = F.col("value").isNotNull() & day_raw.isNotNull()
+    day = F.when(both, day_raw).alias("day")
+    val = F.when(both, F.col("value")).alias("val")
+    sxy = F.covar_pop("val", "day")
     sx = F.var_pop("day")
-    sy = F.var_pop("value")
+    sy = F.var_pop("val")
     slope = F.try_divide(sxy, sx)
     return (
-        events.select("event_type", F.col("value"), day)
+        events.select("event_type", F.col("value"), val, day)
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_events"),
             pround(slope, 4).alias("value_slope_per_day"),
-            pround(F.avg("value") - slope * F.avg("day"), 4).alias(
+            pround(F.avg("val") - slope * F.avg("day"), 4).alias(
                 "value_intercept"
             ),
             pround(F.try_divide(sxy, F.sqrt(sx * sy)), 4).alias(

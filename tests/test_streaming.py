@@ -417,3 +417,76 @@ def test_session_paths_caps_steps_and_orders_by_time(spark):
 
     got = {r["path"]: r["n_users"] for r in session_paths(ev, max_steps=3).collect()}
     assert got == {"a>b>c": 2}
+
+
+def test_events_zoo_broad_parity(spark, tmp_path):
+    """Round 8: every events-only oracled query must match DuckDB on an
+    edge-case corpus (NULL ts / NULL user / NULL type / NULL value /
+    NULL + malformed props / empty type / same-ts ties / single-event
+    users).  The probe behind this caught: DuckDB json_extract erroring
+    on malformed JSON where Spark's get_json_object returns NULL (three
+    oracles), equi-joins dropping the NULL event_type group, the cdc
+    delete filter treating NULL type as 'error', Spark-vs-DuckDB NULL
+    ordering divergence in the SCD2 sort, trend moments mixing
+    column-wise and pairwise NULL handling vs regr_*, sessionization of
+    NULL-ts rows, and the KLL rank band being ill-posed for tiny
+    groups."""
+    import datetime as dt
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from puma_matcher_spark.oracle import compare_query
+    from puma_matcher_spark.queries import REGISTRY
+
+    T = lambda m: dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)
+    rows = [
+        (0, T(0), 1, "signup", 10.0, '{"k": 1}'),
+        (1, T(1), 1, "view", 5.0, '{"k": 2}'),
+        (2, T(1), 1, "view", 5.0, '{"k": 2}'),
+        (3, T(2), 1, "purchase", 100.0, None),
+        (4, T(3), 2, "view", None, '{"k": 3}'),
+        (5, None, 2, "view", 1.0, '{"k": 4}'),
+        (6, T(5), None, "purchase", 7.0, '{"k": 5}'),
+        (7, T(6), 3, "", 0.0, '{"k": 6}'),
+        (8, T(7), 3, None, -3.0, "not json"),
+        (9, T(8), 4, "signup", 2.0, '{"k": 7}'),
+        (10, T(9), 5, "error", 1e9, '{"k": 8}'),
+        (11, T(9), 5, "error", 1e9, '{"k": 8}'),
+    ]
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array([r[5] for r in rows], pa.string()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/events.parquet')"
+    )
+    failures, n_checked = [], 0
+    for name, spec in REGISTRY.items():
+        if spec.oracle is None:
+            continue
+        try:
+            res = compare_query(
+                spark, con, name, spec.spark_fn, spec.oracle, str(tmp_path)
+            )
+        except Exception as e:
+            msg = str(e)
+            if "PATH_NOT_FOUND" in msg or "Table with name" in msg:
+                continue  # needs tables beyond events — out of scope
+            failures.append(f"{name}: EXC {type(e).__name__}: {msg[:150]}")
+            continue
+        n_checked += 1
+        if not res.ok:
+            failures.append(f"{name}: {res}")
+    assert n_checked >= 28, f"events-zoo scope shrank: only {n_checked}"
+    assert not failures, "events-zoo divergence:\n" + "\n".join(failures)
