@@ -64,6 +64,7 @@ BENCH_QUERIES_ROUND6 = [
     "semantic_contamination",  # r7: cross-frame blocked cosine leak scan
     "centroid_drift",          # r7: per-label embedding drift monitor
     "curation_report",         # r8: 3-stage reject accounting + barriers
+    "media_decode_audit",      # r8: quarantining real-codec decode audit
 ]
 
 

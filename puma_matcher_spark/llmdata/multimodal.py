@@ -62,6 +62,16 @@ FEATURE_SCHEMA = StructType(
     ]
 )
 
+#: quarantine-mode output: FEATURE_SCHEMA + why the decode failed
+FEATURE_AUDIT_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("perceptual_hash", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("decode_error", StringType()),
+    ]
+)
+
 
 BLOCKHASH_BITS = 16  # 16×16 blocks → 256-bit hash
 
@@ -570,28 +580,56 @@ def decode_image(payload: bytes) -> np.ndarray:
     raise ValueError(f"unrecognised image magic: {payload[:2]!r}")
 
 
-def extract_media_features_decoded(media: DataFrame) -> DataFrame:
+def extract_media_features_decoded(
+    media: DataFrame, on_error: str = "raise"
+) -> DataFrame:
     """The REAL-codec twin of :func:`extract_media_features` for frames
     whose ``payload`` column is BINARY and holds actual image bytes
     (PPM/PGM/BMP): decode → blockhash, same Arrow-batched mapInPandas
-    shape, same output schema."""
+    shape, same output schema.
+
+    ``on_error``:
+
+    * ``"raise"`` (default) — a corrupt payload fails the job, the right
+      behaviour for curated fixtures and tests.
+    * ``"quarantine"`` — the dead-letter mode for production corpora,
+      where some fraction of 100 TB of blobs is ALWAYS corrupt: decode
+      failures yield (media_id, perceptual_hash=NULL, n_bytes,
+      decode_error=<exception message>) instead of aborting the scan,
+      and clean rows carry decode_error=NULL.  One corrupt blob must
+      cost one row, never the job (the same contract as the events
+      plane's route_dead_letters).
+    """
+    if on_error not in ("raise", "quarantine"):
+        raise ValueError(f"on_error must be 'raise'|'quarantine', got {on_error!r}")
+    quarantine = on_error == "quarantine"
 
     def process(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            hashes, sizes = [], []
+            hashes, sizes, errs = [], [], []
             for p in pdf["payload"]:
                 raw = bytes(p) if p is not None else b""
-                hashes.append(blockhash_256(decode_image(raw)))
                 sizes.append(len(raw))
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "perceptual_hash": hashes,
-                    "n_bytes": pd.Series(sizes, dtype="int64"),
-                }
-            )
+                if not quarantine:
+                    hashes.append(blockhash_256(decode_image(raw)))
+                    continue
+                try:
+                    hashes.append(blockhash_256(decode_image(raw)))
+                    errs.append(None)
+                except Exception as e:  # noqa: BLE001 — quarantine = any decode failure
+                    hashes.append(None)
+                    errs.append(f"{type(e).__name__}: {e}"[:200])
+            out = {
+                "media_id": pdf["media_id"],
+                "perceptual_hash": hashes,
+                "n_bytes": pd.Series(sizes, dtype="int64"),
+            }
+            if quarantine:
+                out["decode_error"] = errs
+            yield pd.DataFrame(out)
 
-    return media.mapInPandas(process, FEATURE_SCHEMA)
+    schema = FEATURE_AUDIT_SCHEMA if quarantine else FEATURE_SCHEMA
+    return media.mapInPandas(process, schema)
 
 
 def resize_rgb(pixels: np.ndarray, out_h: int, out_w: int) -> np.ndarray:

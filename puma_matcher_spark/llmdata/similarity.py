@@ -40,6 +40,38 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def cosine_or_zero(a: Column, b: Column) -> Column:
+    """Cosine that degrades to 0.0 (instead of a DIVIDE_BY_ZERO) when
+    either side has zero norm — for COARSE stages that score vector
+    *slices* (a valid full vector can still have an all-zero prefix).
+    0.0 is the natural "no signal" coarse score and both engines agree
+    on it, unlike NULL whose sort position differs (Spark orders NULL
+    first ASC / last DESC; DuckDB defaults to NULLS LAST for both)."""
+    d = norm(a) * norm(b)
+    return F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0))
+
+
+def valid_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Restrict to rows on which cosine similarity is DEFINED: a non-NULL,
+    non-empty embedding with at least one non-zero component (zero-norm
+    vectors have no direction).  One `exists` predicate covers all three:
+    NULL array → NULL (dropped by where), empty → false, all-zero → false.
+
+    Every similarity/ANN entry point applies this filter to its inputs —
+    the embeddings-zoo parity test (tests/test_embeddings_zoo.py) pins
+    the behaviour against DuckDB oracles carrying the same predicate
+    (`coalesce(list_sum(list_transform(e, x -> x*x)), 0) > 0`)."""
+    return df.where(F.exists(F.col(vec_col), lambda x: x != 0))
+
+
+def nonempty_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Rows with a usable (non-NULL, non-empty) embedding — the weaker
+    validity bar for L2/centroid math, where an all-zero vector is a
+    legitimate point (and exactly what a norm audit must flag)."""
+    v = F.col(vec_col)
+    return df.where(v.isNotNull() & (F.size(v) > 0))
+
+
 def brute_force_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -50,8 +82,11 @@ def brute_force_topk(
     """Exact cosine top-k of each query against the corpus.
 
     ``queries`` is broadcast (must be small); rank ties broken by candidate
-    id for determinism.
+    id for determinism.  Both sides pass :func:`valid_vectors` — cosine is
+    undefined on NULL/empty/zero-norm rows, so they are not candidates.
     """
+    queries = valid_vectors(queries, vec_col)
+    embeddings = valid_vectors(embeddings, vec_col)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
@@ -127,8 +162,11 @@ def int8_topk(
     scale_q * scale_c * <q_int, c_int> (dequantized dot product).  The
     arithmetic is fully deterministic, so the whole approximate path is
     oracle-checkable — the quality question (recall vs the float path)
-    is a separate property test.
+    is a separate property test.  Inputs pass :func:`valid_vectors` —
+    same candidacy contract as the float ANN paths.
     """
+    queries = valid_vectors(queries, vec_col)
+    embeddings = valid_vectors(embeddings, vec_col)
     qq = quantize_int8(queries, vec_col, id_col).select(
         F.col(id_col).alias("query_id"),
         F.col("qvec").alias("q_q"),
@@ -186,8 +224,12 @@ def prefix_rerank_topk(
     scanned for stage one; the full vectors are fetched only for the
     shortlist — the classic funnel that makes exact scoring affordable.
     Both stages are deterministic (ties by id), so the composition has
-    an exact oracle.
+    an exact oracle.  Inputs pass :func:`valid_vectors`; the COARSE score
+    uses :func:`cosine_or_zero` because a valid full vector can still
+    have an all-zero prefix slice.
     """
+    queries = valid_vectors(queries, vec_col)
+    embeddings = valid_vectors(embeddings, vec_col)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("q_vec"),
@@ -207,7 +249,7 @@ def prefix_rerank_topk(
             "query_id",
             "neighbor_id",
             pround(
-                cosine(
+                cosine_or_zero(
                     F.slice(F.col("q_vec"), 1, prefix_dims),
                     F.slice(F.col("c_vec"), 1, prefix_dims),
                 ),
@@ -294,6 +336,8 @@ def ivf_topk(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    queries = valid_vectors(queries, vec_col)
+    embeddings = valid_vectors(embeddings, vec_col)
     feats = embeddings.select(
         F.col(id_col),
         F.col(vec_col).alias("_arr"),
@@ -371,6 +415,7 @@ def lsh_bucketed_topk(
     keeps the within-bucket product tractable.  Recall < 1 by construction
     (approximate); raise recall with multiple seeds unioned.
     """
+    embeddings = valid_vectors(embeddings, vec_col)
     keyed = embeddings.join(
         sign_lsh_keys(embeddings, dim, n_planes, seed, vec_col, id_col), id_col
     )
@@ -416,9 +461,16 @@ def label_centroids(embeddings: DataFrame) -> DataFrame:
     aggregations are shuffle-partitioned; the collect_list group is
     exactly ``dim`` entries, bounded by the embedding width, never by
     corpus size.  Output: (label, centroid, n_vectors).
+
+    Scope: NULL labels are excluded (a prototype for "unlabeled" is not a
+    class — and a NULL join key would silently drop the group in Spark's
+    null-unsafe equi-join while DuckDB's GROUP BY keeps it, an engine
+    divergence the embeddings zoo pins); rows without a usable embedding
+    (NULL/empty) are excluded from both the mean and ``n_vectors``.
     """
     from puma_matcher_spark.functions.rounding import pround
 
+    embeddings = nonempty_vectors(embeddings).where(F.col("label").isNotNull())
     e = embeddings.select(
         "label", F.posexplode("embedding").alias("dim", "v")
     )
@@ -452,6 +504,11 @@ def nearest_centroid_confusion(embeddings: DataFrame) -> DataFrame:
     cents = label_centroids(embeddings).select(
         F.col("label").alias("c_label"), "centroid"
     )
+    # scoring side: a vector with no usable embedding cannot be assigned
+    # (its distance to EVERY centroid is NULL, and Spark/DuckDB disagree
+    # on where NULL sorts); NULL *labels* stay — they are assigned to a
+    # real class and appear as true_label=NULL confusion rows
+    embeddings = nonempty_vectors(embeddings)
     d2 = F.aggregate(
         F.zip_with(
             F.col("embedding").cast("array<double>"),
@@ -500,6 +557,7 @@ def cosine_threshold_pairs(
     # stage — same doubles as computing them per pair (sqrt of the same
     # fold), so the 4-dec-rounded cosine is unchanged, but each pair
     # folds only the dot product instead of dot + two norms
+    embeddings = valid_vectors(embeddings, vec_col)
     v = embeddings.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_e"),
@@ -802,6 +860,11 @@ def centroid_drift(embeddings: DataFrame) -> DataFrame:
     """
     from puma_matcher_spark.functions.rounding import pround
 
+    # same scope as label_centroids: NULL labels form no class, rows
+    # without a usable embedding contribute to neither mean nor count;
+    # a half whose centroid is zero-norm (possible from antipodal valid
+    # vectors) yields centroid_cosine NULL instead of a division error
+    embeddings = nonempty_vectors(embeddings).where(F.col("label").isNotNull())
     e = embeddings.select(
         "label",
         (F.col("vec_id") % 2 == 0).alias("_ref"),
@@ -830,9 +893,13 @@ def centroid_drift(embeddings: DataFrame) -> DataFrame:
         "label",
         "n_ref",
         "n_cur",
-        pround(F.col("_dp") / (F.col("_nr") * F.col("_nc")), 4).alias(
-            "centroid_cosine"
-        ),
+        pround(
+            F.when(
+                (F.col("_nr") > 0) & (F.col("_nc") > 0),
+                F.col("_dp") / (F.col("_nr") * F.col("_nc")),
+            ),
+            4,
+        ).alias("centroid_cosine"),
     )
 
 

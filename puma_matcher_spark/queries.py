@@ -64,6 +64,16 @@ V_ENTITIES2 = """entities2 AS (
 
 _LLM_TOKS = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
 
+#: DuckDB twin of llmdata.similarity.valid_vectors — rows on which cosine
+#: is defined (non-NULL, non-empty, non-zero-norm embedding).  NULL list →
+#: list_sum NULL → coalesce 0 → excluded; squaring runs on DOUBLE so no
+#: float32 value underflows to an exact 0.
+_EMB_VALID = (
+    "coalesce(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)), 0) > 0"
+)
+#: twin of similarity.nonempty_vectors — the weaker bar for L2/centroid math
+_EMB_NONEMPTY = "embedding IS NOT NULL AND len(embedding) > 0"
+
 
 def _tf_chain(p: str, src: str) -> str:
     """CTE chain: tf → df → frequency guard → pair self-join → TF-IDF score.
@@ -1688,11 +1698,13 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_dup_clusters",
-    """WITH RECURSIVE emb AS (
+    f"""WITH RECURSIVE emb AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ve AS (SELECT vec_id, embedding::DOUBLE[] AS v
+       FROM embeddings WHERE {_EMB_VALID}),
 pairs AS (
   SELECT a.vec_id AS id1, b.vec_id AS id2
-  FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+  FROM ve a JOIN ve b ON a.vec_id < b.vec_id
   WHERE ROUND(list_dot_product(a.v, b.v) /
         (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4)
         >= 0.35),
@@ -1717,8 +1729,11 @@ def q_embedding_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from puma_matcher_spark.operators.dedup import connected_components
 
     emb = load_tables(spark, sf_dir).llm_embeddings()
-    a = emb.select(F.col("vec_id").alias("vec1_id"), F.col("embedding").alias("e1"))
-    b = emb.select(F.col("vec_id").alias("vec2_id"), F.col("embedding").alias("e2"))
+    # pair stage on cosine-valid vectors only; the enumeration below keeps
+    # EVERY vector (invalid ones cannot pair, so they are singletons)
+    ve = sim.valid_vectors(emb)
+    a = ve.select(F.col("vec_id").alias("vec1_id"), F.col("embedding").alias("e1"))
+    b = ve.select(F.col("vec_id").alias("vec2_id"), F.col("embedding").alias("e2"))
     pairs = (
         a.join(b, F.col("vec1_id") < F.col("vec2_id"))
         .select(
@@ -2497,13 +2512,14 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "label_centroids",
-    """WITH e AS (
+    f"""WITH e AS (
   SELECT label, unnest(embedding::DOUBLE[]) AS v,
          generate_subscripts(embedding, 1) AS dim
-  FROM embeddings),
+  FROM embeddings WHERE label IS NOT NULL AND {_EMB_NONEMPTY}),
 m AS (SELECT label, dim, ROUND(AVG(v), 4) AS centroid_v FROM e GROUP BY 1, 2),
 n AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors
-      FROM embeddings GROUP BY label)
+      FROM embeddings WHERE label IS NOT NULL AND {_EMB_NONEMPTY}
+      GROUP BY label)
 SELECT m.label, CAST(m.dim AS INTEGER) AS dim, m.centroid_v, n.n_vectors
 FROM m JOIN n USING (label)""",
 )
@@ -2524,10 +2540,10 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "centroid_confusion",
-    """WITH e AS (
+    f"""WITH e AS (
   SELECT label, unnest(embedding::DOUBLE[]) AS v,
          generate_subscripts(embedding, 1) AS dim
-  FROM embeddings),
+  FROM embeddings WHERE label IS NOT NULL AND {_EMB_NONEMPTY}),
 m AS (SELECT label, dim, AVG(v) AS av FROM e GROUP BY 1, 2),
 c AS (SELECT label AS c_label, list(ROUND(av, 4) ORDER BY dim) AS centroid
       FROM m GROUP BY label),
@@ -2536,7 +2552,7 @@ sc AS (
          ROUND(list_sum(list_transform(range(1, len(c.centroid) + 1),
                i -> (emb.embedding[i]::DOUBLE - c.centroid[i]) *
                     (emb.embedding[i]::DOUBLE - c.centroid[i]))), 6) AS d2
-  FROM embeddings emb, c),
+  FROM (SELECT * FROM embeddings WHERE {_EMB_NONEMPTY}) emb, c),
 best AS (
   SELECT vec_id, label, c_label,
          ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, c_label ASC) AS rn
@@ -2556,9 +2572,10 @@ def q_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_topk",
-    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-           FROM embeddings WHERE vec_id % 50 = 0),
-c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    f"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id % 50 = 0 AND {_EMB_VALID}),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE {_EMB_VALID}),
 sims AS (
   SELECT q.query_id, c.neighbor_id,
          ROUND(list_dot_product(q.qv, c.cv) /
@@ -2583,7 +2600,8 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_near_dups",
-    """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    f"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e
+                  FROM embeddings WHERE {_EMB_VALID}),
 pairs AS (
   SELECT a.vec_id AS vec1_id, b.vec_id AS vec2_id,
          ROUND(list_dot_product(a.e, b.e) /
@@ -2596,7 +2614,7 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (exact all-pairs baseline at
     fixture scale; the sign-LSH / IVF variants are the 100 TB candidate-
     generation path — embedding_lsh_topk / embedding_ivf_topk)."""
-    emb = load_tables(spark, sf_dir).llm_embeddings()
+    emb = sim.valid_vectors(load_tables(spark, sf_dir).llm_embeddings())
     a = emb.select(F.col("vec_id").alias("vec1_id"), F.col("embedding").alias("e1"))
     b = emb.select(F.col("vec_id").alias("vec2_id"), F.col("embedding").alias("e2"))
     pairs = a.join(b, F.col("vec1_id") < F.col("vec2_id"))
@@ -2624,10 +2642,10 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ivf_recall",
-    """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+    f"""SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
        true AS all_served,
        true AS recall_ok
-FROM embeddings WHERE vec_id % 50 = 0""",
+FROM embeddings WHERE vec_id % 50 = 0 AND {_EMB_VALID}""",
 )
 def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Property check for the seeded/iterative IVF path (the hard-signal
@@ -2644,7 +2662,7 @@ def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id"
     )
     brute = sim.brute_force_topk(emb, q, k=10).select("query_id", "neighbor_id")
-    n_queries = q.count()
+    n_queries = sim.valid_vectors(q).count()
     served = ivf.select("query_id").distinct().count()
     n_true = brute.count()
     hits = brute.join(ivf, ["query_id", "neighbor_id"], "left_semi").count()
@@ -2675,7 +2693,8 @@ def _lsh_bucket_sql(col: str, dim: int = 64, n_planes: int = 6) -> str:
 
 @register(
     "embedding_lsh_topk",
-    f"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    f"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                    FROM embeddings WHERE {_EMB_VALID}),
 keyed AS (SELECT vec_id, v, {_lsh_bucket_sql('v')} AS bucket FROM emb),
 sims AS (
   SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
@@ -2864,6 +2883,61 @@ def q_av_features_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(bool(bad_samples == 0)).alias("samples_match"),
         F.lit(bool(bad_frames == 0)).alias("frames_match"),
         F.lit(bool(diff == 0)).alias("deterministic"),
+    )
+
+
+@register(
+    "media_decode_audit",
+    """SELECT 'ok' AS status, CAST(COUNT(*) AS BIGINT) AS n_media,
+       true AS consistent
+FROM documents WHERE doc_id % 7 <> 0 AND text IS NOT NULL
+UNION ALL
+SELECT 'quarantined' AS status, CAST(COUNT(*) AS BIGINT) AS n_media,
+       true AS consistent
+FROM documents WHERE doc_id % 7 = 0 OR text IS NULL""",
+)
+def q_media_decode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter audit for the REAL-codec media path
+    (multimodal.extract_media_features_decoded(on_error="quarantine")):
+    at 100 TB some fraction of blobs is ALWAYS corrupt, and the contract
+    is one corrupt blob costs one quarantined row, never the job.
+
+    The fixture synthesises a binary corpus from ``documents`` inside
+    the plan (no driver loop): each doc becomes a REAL 16x16 PGM whose
+    pixels are md5-derived from its text, except every 7th doc_id gets
+    a truncated header and NULL-text docs get a NULL payload — both
+    must land in the quarantine with perceptual_hash NULL and a decode
+    error, while every clean row must carry a well-formed 64-hex
+    blockhash.  The oracle recomputes the ok/quarantined partition
+    independently from the corruption rule; ``consistent`` folds the
+    per-row invariants into the hash comparison."""
+    from puma_matcher_spark.llmdata.multimodal import (
+        extract_media_features_decoded,
+    )
+
+    docs = load_tables(spark, sf_dir).llm_documents()
+    body = F.concat(
+        *[
+            F.unhex(F.md5(F.concat(F.col("text"), F.lit(str(i)))))
+            for i in range(16)
+        ]
+    )
+    payload = F.when(
+        F.col("doc_id") % 7 == 0, F.lit(b"P5 truncated-header")
+    ).otherwise(F.concat(F.lit(b"P5\n16 16\n255\n"), body))
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), payload.alias("payload")
+    )
+    feats = extract_media_features_decoded(media, on_error="quarantine")
+    ok = F.col("decode_error").isNull()
+    row_ok = F.when(
+        ok, F.col("perceptual_hash").rlike("^[0-9a-f]{64}$")
+    ).otherwise(F.col("perceptual_hash").isNull())
+    return feats.groupBy(
+        F.when(ok, F.lit("ok")).otherwise(F.lit("quarantined")).alias("status")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_media"),
+        F.min(row_ok).alias("consistent"),
     )
 
 
@@ -4969,10 +5043,10 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_int8_topk",
-    """WITH base AS (
+    f"""WITH base AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
          list_aggregate(list_transform(embedding::DOUBLE[], x -> abs(x)), 'max') / 127.0 AS scale
-  FROM embeddings),
+  FROM embeddings WHERE {_EMB_VALID}),
 qz AS (
   SELECT vec_id,
          CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
@@ -5008,14 +5082,15 @@ def q_embedding_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_prefix_rerank",
-    """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-           FROM embeddings WHERE vec_id % 50 = 0),
-c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    f"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id % 50 = 0 AND {_EMB_VALID}),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+      FROM embeddings WHERE {_EMB_VALID}),
 coarse AS (
   SELECT q.query_id, c.neighbor_id, q.qv AS qv, c.cv AS cv,
-         ROUND(list_dot_product(q.qv[1:32], c.cv[1:32]) /
-               (sqrt(list_dot_product(q.qv[1:32], q.qv[1:32]))
-                * sqrt(list_dot_product(c.cv[1:32], c.cv[1:32]))), 4) AS coarse_sim
+         ROUND(COALESCE(list_dot_product(q.qv[1:32], c.cv[1:32]) /
+               NULLIF(sqrt(list_dot_product(q.qv[1:32], q.qv[1:32]))
+                * sqrt(list_dot_product(c.cv[1:32], c.cv[1:32])), 0), 0), 4) AS coarse_sim
   FROM q CROSS JOIN c WHERE q.query_id <> c.neighbor_id),
 shortl AS (
   SELECT * FROM (
@@ -6353,8 +6428,9 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "semantic_dedup",
-    """WITH RECURSIVE v AS (
-  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    f"""WITH RECURSIVE v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e
+  FROM embeddings WHERE {_EMB_VALID}),
 pairs AS (
   SELECT a.vec_id AS id1, b.vec_id AS id2
   FROM v a JOIN v b ON a.vec_id < b.vec_id
@@ -6505,11 +6581,11 @@ def q_semantic_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "centroid_drift",
-    """WITH e AS (
+    f"""WITH e AS (
   SELECT label, vec_id % 2 = 0 AS r,
          unnest(embedding::DOUBLE[]) AS v,
          unnest(range(len(embedding))) AS dim
-  FROM embeddings),
+  FROM embeddings WHERE label IS NOT NULL AND {_EMB_NONEMPTY}),
 m AS (SELECT label, r, dim, AVG(v) AS av FROM e GROUP BY 1, 2, 3),
 a AS (SELECT label, dim,
         SUM(CASE WHEN r THEN av END) AS rr,
@@ -6521,9 +6597,9 @@ s AS (SELECT label, SUM(rr * cc) AS dp,
 cnt AS (SELECT label,
         CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
         CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
-      FROM embeddings GROUP BY 1)
+      FROM embeddings WHERE label IS NOT NULL AND {_EMB_NONEMPTY} GROUP BY 1)
 SELECT cnt.label, n_ref, n_cur,
-       ROUND(dp / (nr * nc), 4) AS centroid_cosine
+       ROUND(dp / NULLIF(nr * nc, 0), 4) AS centroid_cosine
 FROM cnt JOIN s ON cnt.label = s.label""",
 )
 def q_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6743,10 +6819,10 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_outliers",
-    """WITH v AS (
+    f"""WITH v AS (
   SELECT vec_id, label,
          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
-  FROM embeddings),
+  FROM embeddings WHERE {_EMB_NONEMPTY}),
 st AS (
   SELECT label, AVG(nrm) AS mu, STDDEV_SAMP(nrm) AS sigma
   FROM v GROUP BY label)
@@ -6762,8 +6838,10 @@ def q_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose magnitude is anomalous for their class (dead encoders emit
     near-zero vectors; saturated ones blow up).  One narrow aggregate on
     the label key joined back — the norm itself is a map-side sequential
-    fold, deterministic across engines."""
-    emb = load_tables(spark, sf_dir).llm_embeddings()
+    fold, deterministic across engines.  NULL/empty embeddings carry no
+    norm to audit and are excluded (zero vectors stay — a dead encoder's
+    output is exactly what this flags)."""
+    emb = sim.nonempty_vectors(load_tables(spark, sf_dir).llm_embeddings())
     v = emb.select(
         "vec_id",
         "label",
@@ -6975,8 +7053,10 @@ _PYTEST_ONLY: frozenset[str] = frozenset(
 # + the oldest 15-name slice of the r5 cohort (the remaining 34 rotate
 # in r9).
 _PRIORITY: list[str] = [
-    # -- 1. round-8 net-new
+    # -- 1. round-8 net-new (media_decode_audit displaces events_resampled
+    #       to the r9 rotation — r9 then owes all 35 remaining r5 names)
     "curation_report",
+    "media_decode_audit",
     # -- 2. changed plans this round (re-green under the new shape)
     "simhash_near_dups",
     "semantic_contamination",
@@ -7029,7 +7109,6 @@ _PRIORITY: list[str] = [
     "events_kll_quantiles",
     "events_markov",
     "events_paths",
-    "events_resampled",
 ]
 
 

@@ -324,6 +324,47 @@ def test_extract_media_features_decoded_end_to_end(spark):
     assert len(got[8]["perceptual_hash"]) == 64
 
 
+def test_extract_media_features_decoded_quarantine_mode(spark):
+    """Round 8: on_error='quarantine' turns per-row decode failures into
+    dead-letter rows (hash NULL + decode_error) instead of failing the
+    job — the 100 TB contract where corrupt blobs are inevitable.  Valid
+    rows in the SAME batch still produce their exact hashes."""
+    from puma_matcher_spark.llmdata.multimodal import (
+        blockhash_256,
+        extract_media_features_decoded,
+    )
+
+    px = _test_pixels(32, 32)
+    rows = [
+        (1, bytearray(_ppm_bytes(px))),            # valid
+        (2, bytearray(b"P5 truncated-header")),    # corrupt header
+        (3, bytearray(b"\x00\x01garbage")),        # unknown magic
+        (4, None),                                  # NULL payload
+        (5, bytearray(_ppm_bytes(px)[:20])),       # truncated body
+    ]
+    media = spark.createDataFrame(rows, "media_id LONG, payload BINARY")
+    got = {
+        r["media_id"]: r
+        for r in extract_media_features_decoded(
+            media, on_error="quarantine"
+        ).collect()
+    }
+    assert set(got) == {1, 2, 3, 4, 5}
+    assert got[1]["perceptual_hash"] == blockhash_256(px)
+    assert got[1]["decode_error"] is None
+    for bad in (2, 3, 4, 5):
+        assert got[bad]["perceptual_hash"] is None, bad
+        assert got[bad]["decode_error"], bad
+    assert "ValueError" in got[2]["decode_error"]
+    # default mode is unchanged: the same corpus fails the job
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        extract_media_features_decoded(media).collect()
+    with _pytest.raises(ValueError, match="on_error"):
+        extract_media_features_decoded(media, on_error="skip")
+
+
 # ---- PNG (pure stdlib-zlib decode) ----------------------------------------
 
 
