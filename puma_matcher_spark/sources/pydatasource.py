@@ -155,9 +155,16 @@ class ManifestTextReader(DataSourceReader):
     # -- executor hook ---------------------------------------------------
     def read(self, partition):
         assert isinstance(partition, _FileSlice)
+        # lenient mode decodes with errors="replace": a file that went
+        # missing since planning is SKIPPED, but one with invalid UTF-8
+        # bytes still ingests (best-effort text) — at production manifest
+        # scale a stray binary/mis-encoded file must cost at most its own
+        # row, never the scan (UnicodeDecodeError is not an OSError, so
+        # it previously escaped the lenient path and failed the job)
+        errors = "strict" if self.strict else "replace"
         for doc_id, path in partition.entries:
             try:
-                with open(path, encoding="utf-8") as fh:
+                with open(path, encoding="utf-8", errors=errors) as fh:
                     text = fh.read()
             except OSError:
                 if self.strict:
@@ -189,9 +196,10 @@ class ManifestTextStreamReader(SimpleDataSourceStreamReader):
         entries = _read_manifest(self.manifest)
         stop = len(entries) if end is None else min(end, len(entries))
         out = []
+        errors = "strict" if self.strict else "replace"  # as in the batch reader
         for doc_id, path in entries[start:stop]:
             try:
-                with open(path, encoding="utf-8") as fh:
+                with open(path, encoding="utf-8", errors=errors) as fh:
                     out.append((doc_id, path, fh.read()))
             except OSError:
                 if self.strict:

@@ -69,6 +69,35 @@ def test_missing_file_strict_raises_lenient_skips(spark, corpus, tmp_path):
     assert {r["doc_id"] for r in lenient.collect()} == {1, 2, 3}
 
 
+def test_invalid_utf8_strict_raises_lenient_replaces(spark, corpus, tmp_path):
+    """Round 8: UnicodeDecodeError is not an OSError — a mis-encoded file
+    used to fail the scan even with strict=false.  Lenient mode now
+    decodes with errors='replace' (the doc still ingests, best-effort
+    text); strict mode still fails the job."""
+    manifest, files = corpus
+    _register(spark)
+    binf = tmp_path / "bin.txt"
+    binf.write_bytes(b"latin1 caf\xe9 and raw \xff\xfe bytes")
+    bad = tmp_path / "manifest_utf8.csv"
+    bad.write_text(
+        manifest.read_text() + f"99,{binf}\n", encoding="utf-8"
+    )
+    strict = (
+        spark.read.format("manifest_text").option("manifest", str(bad)).load()
+    )
+    with pytest.raises(Exception, match="UnicodeDecodeError|invalid"):
+        strict.count()
+    lenient = (
+        spark.read.format("manifest_text")
+        .option("manifest", str(bad))
+        .option("strict", "false")
+        .load()
+    )
+    rows = {r["doc_id"]: r["text"] for r in lenient.collect()}
+    assert set(rows) == {1, 2, 3, 99}
+    assert rows[99].startswith("latin1 caf�")
+
+
 def test_equalto_pushdown_prunes_before_stat(spark, corpus, tmp_path):
     manifest, files = corpus
     _register(spark)
