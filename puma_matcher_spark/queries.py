@@ -49,6 +49,10 @@ from puma_matcher_spark.sources.testdata import (
 # sources.testdata.Tables — keep both in sync.
 # --------------------------------------------------------------------------
 
+# DATA CONTRACT: one row per document_version_id (mirrors
+# Tables.documents_dim; violations are detected by dq_expectations'
+# unique:o_orderkey rule, not masked here — see the Spark twin's
+# docstring for the measured cost of in-plan dedup)
 V_DOCS = """documents_dim AS (
   SELECT o_orderkey AS document_version_id,
          CASE WHEN o_custkey % 2 = 0 THEN 'PROPOSAL' ELSE 'PUBLICATION' END AS document_type,
@@ -6159,8 +6163,12 @@ def _purchase_edges(t: Tables) -> DataFrame:
         if key in _EDGE_CACHE:
             return _EDGE_CACHE[key]
         o, li = t.raw("orders"), t.raw("lineitem")
+        # a NULL endpoint is not an edge: concat('c', NULL) yields a NULL
+        # node id that silently DROPS out of the iteration's equi-joins,
+        # leaking rank mass (relational-zoo finding: total_mass 0.94)
         cs = (
             o.join(li, o.o_orderkey == li.l_orderkey)
+            .where(o.o_custkey.isNotNull() & li.l_suppkey.isNotNull())
             .select(
                 F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
                 F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
@@ -6178,7 +6186,8 @@ def _purchase_edges(t: Tables) -> DataFrame:
     "pagerank_mass",
     """WITH e AS (
   SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
-  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_custkey IS NOT NULL AND l.l_suppkey IS NOT NULL),
 n AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM (
     SELECT 'c' || CAST(c AS VARCHAR) AS node FROM e
@@ -6204,7 +6213,8 @@ def q_pagerank_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PURCHASE_EDGES_CTE = """cs AS (
   SELECT DISTINCT 'c' || CAST(o.o_custkey AS VARCHAR) AS src,
                   's' || CAST(l.l_suppkey AS VARCHAR) AS dst
-  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_custkey IS NOT NULL AND l.l_suppkey IS NOT NULL),
 edges AS (SELECT src, dst FROM cs UNION ALL SELECT dst AS src, src AS dst FROM cs)"""
 
 

@@ -75,8 +75,22 @@ class Tables:
     def documents_dim(self) -> DataFrame:
         """Documents dimension ← orders (FIXTURES.md §9).
 
-        SQL twin: see queries.DOCUMENTS_DIM_SQL.
-        """
+        SQL twin: see queries.V_DOCS — keep both in sync.
+
+        DATA CONTRACT: one row per ``document_version_id`` (the
+        reference reads this dim from a JDBC primary key,
+        SqlDataSource.scala).  A parquet-sourced dim CAN carry
+        duplicates (idempotency bug re-appending a snapshot), and a
+        duplicated dim row amplifies every candidate that joins it —
+        the relational zoo measured ×4 fan-out through the type→date
+        filter chain.  The contract is DETECTED, not masked: the
+        ``unique:o_orderkey`` rule in ``dq_expectations``
+        (operators/quality.py expectation_report) flags violations, and
+        the production recipe is to gate ingestion on that report.  An
+        in-plan groupBy dedup here was built and rejected — it cost
+        +60-90% on match_candidates at sf0.1 (the dim aggregate is
+        re-executed per join instance), a tax on every clean run to
+        mask garbage the DQ gate already catches."""
         o = self.raw("orders")
         return o.select(
             o.o_orderkey.alias("document_version_id"),
