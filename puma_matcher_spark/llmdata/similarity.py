@@ -406,27 +406,43 @@ def lsh_bucketed_topk(
     dim: int = 64,
     n_planes: int = 8,
     seed: int = 42,
+    n_tables: int = 1,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
     """ANN: exact rerank within sign-LSH buckets.
 
-    One shuffle on ``bucket``; expected bucket size |corpus| / 2^n_planes
-    keeps the within-bucket product tractable.  Recall < 1 by construction
-    (approximate); raise recall with multiple seeds unioned.
+    One shuffle on ``(table, bucket)``; expected bucket size
+    |corpus| / 2^n_planes keeps the within-bucket product tractable.
+    Recall < 1 by construction (approximate); ``n_tables`` is the recall
+    knob — each table hashes with an independent seed and a pair is a
+    candidate if it collides in ANY table, so the miss probability
+    decays exponentially, (1 - p^n_planes)^n_tables for same-signature
+    probability p.  Candidate volume grows ~linearly with n_tables (the
+    100 TB trade: t× the bucket-join work buys exponentially fewer
+    misses).  Multi-table candidates are deduped BEFORE the rank window
+    so a pair colliding in several tables scores once.
     """
+    if n_tables < 1:
+        raise ValueError(f"n_tables must be >= 1, got {n_tables}")
     embeddings = valid_vectors(embeddings, vec_col)
-    keyed = embeddings.join(
-        sign_lsh_keys(embeddings, dim, n_planes, seed, vec_col, id_col), id_col
-    )
+    keys = None
+    for ti in range(n_tables):
+        kt = sign_lsh_keys(
+            embeddings, dim, n_planes, seed + ti, vec_col, id_col
+        ).withColumn("_table", F.lit(ti))
+        keys = kt if keys is None else keys.unionByName(kt)
+    keyed = embeddings.join(keys, id_col)
     a = keyed.select(
-        "bucket", F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        "_table", "bucket", F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
     )
     b = keyed.select(
-        "bucket", F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        "_table", "bucket", F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
     )
     sims = (
-        a.join(b, "bucket")
+        a.join(b, ["_table", "bucket"])
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
@@ -440,6 +456,10 @@ def lsh_bucketed_topk(
             ).alias("cosine_sim"),
         )
     )
+    if n_tables > 1:
+        # the rounded cosine is deterministic per pair, so distinct
+        # collapses cross-table duplicates exactly
+        sims = sims.distinct()
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
     )

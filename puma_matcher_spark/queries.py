@@ -2678,7 +2678,7 @@ def q_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_bucket_sql(col: str, dim: int = 64, n_planes: int = 6) -> str:
+def _lsh_bucket_sql(col: str, dim: int = 64, n_planes: int = 6, seed: int = 42) -> str:
     """DuckDB twin of similarity.sign_lsh_keys: the seeded hyperplanes
     are deterministic driver constants, so they fold into the oracle as
     literal arrays (repr round-trips doubles exactly — both engines see
@@ -2686,7 +2686,7 @@ def _lsh_bucket_sql(col: str, dim: int = 64, n_planes: int = 6) -> str:
     from puma_matcher_spark.llmdata.similarity import _hyperplanes
 
     terms = []
-    for i, p in enumerate(_hyperplanes(dim, n_planes, seed=42)):
+    for i, p in enumerate(_hyperplanes(dim, n_planes, seed=seed)):
         arr = "[" + ", ".join(repr(float(x)) for x in p) + "]"
         terms.append(
             f"(CASE WHEN list_dot_product({col}, {arr}) > 0"
@@ -2718,6 +2718,46 @@ def q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the hyperplanes folded in as literals."""
     emb = load_tables(spark, sf_dir).llm_embeddings()
     out = sim.lsh_bucketed_topk(emb, k=10, dim=64, n_planes=6)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        "cosine_sim",
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+@register(
+    "embedding_lsh_tables",
+    f"""WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                    FROM embeddings WHERE {_EMB_VALID}),
+keyed AS (
+  SELECT vec_id, v, 0 AS tbl, {_lsh_bucket_sql('v', n_planes=6, seed=42)} AS bucket FROM emb
+  UNION ALL
+  SELECT vec_id, v, 1 AS tbl, {_lsh_bucket_sql('v', n_planes=6, seed=43)} AS bucket FROM emb),
+sims AS (
+  SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         ROUND(list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4)
+           AS cosine_sim
+  FROM keyed a JOIN keyed b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cosine_sim DESC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM sims)
+SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked WHERE rank <= 10""",
+)
+def q_embedding_lsh_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table sign-LSH ANN (llmdata/similarity.py lsh_bucketed_topk
+    n_tables=2): two independently-seeded hash tables, candidate if the
+    pair collides in EITHER, cross-table duplicates collapsed before the
+    rank window — the standard LSH recall knob (miss probability decays
+    exponentially in tables for ~linear candidate cost).  Recall
+    monotonicity vs the single-table path is pinned in
+    tests/test_llmdata.py; exact values against the two-table DuckDB
+    twin with both plane sets folded in as literals."""
+    emb = load_tables(spark, sf_dir).llm_embeddings()
+    out = sim.lsh_bucketed_topk(emb, k=10, dim=64, n_planes=6, n_tables=2)
     return out.select(
         "query_id",
         "neighbor_id",
@@ -7063,10 +7103,12 @@ _PYTEST_ONLY: frozenset[str] = frozenset(
 # + the oldest 15-name slice of the r5 cohort (the remaining 34 rotate
 # in r9).
 _PRIORITY: list[str] = [
-    # -- 1. round-8 net-new (media_decode_audit displaces events_resampled
-    #       to the r9 rotation — r9 then owes all 35 remaining r5 names)
+    # -- 1. round-8 net-new (media_decode_audit / embedding_lsh_tables
+    #       displace events_resampled / events_paths to the r9 rotation —
+    #       r9 then owes all 36 remaining r5 names)
     "curation_report",
     "media_decode_audit",
+    "embedding_lsh_tables",
     # -- 2. changed plans this round (re-green under the new shape)
     "simhash_near_dups",
     "semantic_contamination",
@@ -7118,7 +7160,6 @@ _PRIORITY: list[str] = [
     "events_hll_rollup",
     "events_kll_quantiles",
     "events_markov",
-    "events_paths",
 ]
 
 

@@ -124,6 +124,36 @@ def test_lsh_bucketed_topk_recalls_identical_vector(spark):
     assert top.get(100) == 5  # identical vectors always share every bucket
 
 
+def test_lsh_multi_table_recall_is_monotone(spark):
+    """n_tables is the recall knob: a pair is a candidate if it collides
+    in ANY table, so the 2-table candidate set contains the 1-table set
+    and recall@k vs brute force can only improve.  Also pins the
+    cross-table dedup: no (query, neighbor) pair may appear twice."""
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(16)]) for i in range(120)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.brute_force_topk(emb, emb, k=5).collect()
+    }
+
+    def recall(n_tables):
+        out = sim.lsh_bucketed_topk(
+            emb, k=5, dim=16, n_planes=4, n_tables=n_tables
+        )
+        rows_ = [(r["query_id"], r["neighbor_id"]) for r in out.collect()]
+        assert len(rows_) == len(set(rows_)), "duplicate pair after dedup"
+        return len(brute & set(rows_)) / len(brute)
+
+    r1, r2 = recall(1), recall(2)
+    assert r2 >= r1, (r1, r2)
+    assert r2 > 0.35  # two 4-plane tables must find a real fraction
+
+
 def test_ivf_topk_recall_vs_brute_force(spark):
     import random
 
