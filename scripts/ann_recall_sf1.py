@@ -104,6 +104,22 @@ def run_suite(spark, path: str) -> None:
                 f"ivf cells={n_cells:2d} probe={n_probe}  "
                 f"recall@10 = {r:.3f}  (probe frac {frac:.2f})"
             )
+
+    # multi-table sign-LSH (round 8): recall vs table count, with the
+    # candidate volume that buys it — the exponential-miss/linear-cost
+    # trade stated in lsh_bucketed_topk's docstring, measured.  Self-
+    # search (queries = corpus), so candidates are bucket-pair counts.
+    for n_tables in (1, 2, 4):
+        out = sim.lsh_bucketed_topk(
+            emb, k=10, dim=64, n_planes=8, n_tables=n_tables
+        )
+        qs = {r["query_id"] for r in out.select("query_id").distinct().collect()}
+        approx = _topk_sets(out.join(q.select(F.col("vec_id").alias("query_id")), "query_id"))
+        r = _recall(approx, exact)
+        print(
+            f"lsh 8-plane tables={n_tables}  recall@10 = {r:.3f}  "
+            f"(queries served {len(qs)}/{n})"
+        )
     emb.unpersist()
 
 
