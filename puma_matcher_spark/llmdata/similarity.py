@@ -308,35 +308,26 @@ def sign_lsh_keys(
     return embeddings.select(F.col(id_col), key.alias("bucket"))
 
 
-def ivf_topk(
+def ivf_build(
     embeddings: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
     n_cells: int = 8,
-    n_probe: int = 2,
     seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-) -> DataFrame:
-    """IVF (inverted-file) ANN: KMeans-partition the corpus into cells,
-    search each query only in its ``n_probe`` nearest cells, exact cosine
-    rerank inside.
+) -> tuple[list[list[float]], DataFrame]:
+    """Build the IVF index ONCE: fit KMeans on the (validity-filtered)
+    corpus and return ``(centers, assigned)`` where ``centers`` is the
+    tiny n_cells×dim matrix (plain Python — it travels as plan literals)
+    and ``assigned`` is the corpus frame ``(id, vec, cell)``.
 
-    The scale path alternative to sign-LSH: cell assignment is one ML
-    transform (no shuffle), the probe join shuffles on ``cell`` only, and
-    expected work per query is ``n_probe/n_cells`` of the corpus.  Recall
-    < 1 by construction; raise with n_probe.
-
-    Probe-cell assignment is fully distributed: the (tiny, n_cells×dim)
-    center matrix is folded into the plan as literal arrays and each
-    query row computes its ``n_probe`` nearest cells in Catalyst — no
-    driver collect, so ``queries`` may be the whole corpus (self-search)
-    without bottlenecking on the driver.
+    At 100 TB the assigned frame is the PERSISTED index table
+    (partitioned/bucketed by ``cell``); new batches join it via
+    :func:`ivf_assign` — never by refitting, which would reshuffle every
+    stored vector's cell and invalidate the layout.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    queries = valid_vectors(queries, vec_col)
     embeddings = valid_vectors(embeddings, vec_col)
     feats = embeddings.select(
         F.col(id_col),
@@ -345,37 +336,81 @@ def ivf_topk(
     )
     model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(feats)
     assigned = model.transform(feats).select(
-        F.col(id_col), F.col("_arr"), F.col("prediction").alias("cell")
+        F.col(id_col),
+        F.col("_arr").alias(vec_col),
+        F.col("prediction").alias("cell"),
     )
+    centers = [[float(x) for x in c] for c in model.clusterCenters()]
+    return centers, assigned
 
-    # distributed probe assignment: per-row distance to each literal
-    # center, sort_array over (dist, cell) structs — ties break on the
-    # lower cell index, matching a stable argsort
-    qv = F.col(vec_col).cast("array<double>")
+
+def _nearest_cells(
+    centers: list[list[float]], vec_col: str, n_probe: int
+) -> Column:
+    """Distributed nearest-center computation: per-row squared-L2 to each
+    literal center, sort_array over (dist, cell) structs — ties break on
+    the lower cell index, matching a stable argsort.  No fit, no driver
+    collect, so the input may be the whole corpus."""
+    v = F.col(vec_col).cast("array<double>")
     dist_structs = []
-    for j, cvec in enumerate(model.clusterCenters()):
+    for j, cvec in enumerate(centers):
         lit_c = F.array(*[F.lit(float(x)) for x in cvec])
         d = F.aggregate(
-            F.zip_with(qv, lit_c, lambda x, y: (x - y) * (x - y)),
+            F.zip_with(v, lit_c, lambda x, y: (x - y) * (x - y)),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
         dist_structs.append(
             F.struct(d.alias("d"), F.lit(j).cast("int").alias("cell"))
         )
-    probe_cells = F.transform(
+    return F.transform(
         F.slice(F.sort_array(F.array(*dist_structs)), 1, n_probe),
         lambda s: s["cell"],
     )
+
+
+def ivf_assign(
+    batch: DataFrame,
+    centers: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Incremental IVF ingest: assign a NEW batch to the EXISTING cells
+    (same ``(id, vec, cell)`` schema as :func:`ivf_build`'s index frame,
+    union-ready).  Map-side only — the centers fold in as literals —
+    so indexing a batch costs one scan regardless of corpus size.
+    Inherits the validity contract: NULL/empty/zero-norm rows are not
+    indexable."""
+    batch = valid_vectors(batch, vec_col)
+    cell = F.element_at(_nearest_cells(centers, vec_col, 1), 1)
+    return batch.select(F.col(id_col), F.col(vec_col), cell.alias("cell"))
+
+
+def ivf_topk_indexed(
+    assigned: DataFrame,
+    centers: list[list[float]],
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Search a PREBUILT IVF index (``assigned`` from :func:`ivf_build`
+    / :func:`ivf_assign`): each query probes its ``n_probe`` nearest
+    cells, exact cosine rerank inside.  The probe join shuffles on
+    ``cell`` only; expected work per query is ``n_probe/n_cells`` of the
+    corpus."""
+    queries = valid_vectors(queries, vec_col)
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        F.explode(probe_cells).alias("cell"),
+        F.explode(_nearest_cells(centers, vec_col, n_probe)).alias("cell"),
     )
-
     cands = q.join(
         assigned.select(
-            "cell", F.col(id_col).alias("neighbor_id"), F.col("_arr").alias("c_vec")
+            "cell",
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
         ),
         "cell",
     ).where(F.col("query_id") != F.col("neighbor_id"))
@@ -397,6 +432,37 @@ def ivf_topk(
         sims.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: KMeans-partition the corpus into cells,
+    search each query only in its ``n_probe`` nearest cells, exact cosine
+    rerank inside.
+
+    The scale path alternative to sign-LSH: cell assignment is one ML
+    transform (no shuffle), the probe join shuffles on ``cell`` only, and
+    expected work per query is ``n_probe/n_cells`` of the corpus.  Recall
+    < 1 by construction; raise with n_probe.
+
+    One-shot convenience over the maintained-index decomposition
+    (:func:`ivf_build` → :func:`ivf_topk_indexed`; incremental batches
+    via :func:`ivf_assign`) — equal to it by construction, which
+    tests/test_ivf_index.py pins.
+    """
+    centers, assigned = ivf_build(embeddings, n_cells, seed, vec_col, id_col)
+    return ivf_topk_indexed(
+        assigned, centers, queries, k=k, n_probe=n_probe,
+        vec_col=vec_col, id_col=id_col,
     )
 
 

@@ -1,0 +1,98 @@
+"""IVF index maintenance (round 8): a production inverted-file index is
+BUILT once and then MAINTAINED — new batches are assigned to the existing
+cells without refitting KMeans (refit would reshuffle every stored
+vector's cell and invalidate the layout).  These tests pin the
+build/assign/search decomposition in llmdata/similarity.py:
+
+* ``ivf_build`` — fit once, return (centers, assigned corpus frame);
+* ``ivf_assign`` — distributed nearest-center assignment of a NEW batch
+  against literal centers (no fit, no driver loop), the incremental
+  ingest path;
+* ``ivf_topk_indexed`` — search a prebuilt assigned frame, equal by
+  construction to ``ivf_topk`` when given the same index.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from puma_matcher_spark.llmdata import similarity as sim
+
+
+def _emb(spark, n, seed, start=0, dim=8):
+    rng = random.Random(seed)
+    rows = [
+        (start + i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(n)
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_ivf_topk_indexed_equals_monolithic(spark):
+    """Search over a prebuilt index must reproduce ivf_topk exactly
+    (same seed → same KMeans centers → same cells → same rerank)."""
+    emb = _emb(spark, 200, seed=7)
+    q = emb.where(F.col("vec_id") % 25 == 0)
+    mono = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in sim.ivf_topk(emb, q, k=5, n_cells=4, n_probe=2).collect()
+    }
+    centers, assigned = sim.ivf_build(emb, n_cells=4, seed=42)
+    indexed = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in sim.ivf_topk_indexed(
+            assigned, centers, q, k=5, n_probe=2
+        ).collect()
+    }
+    assert indexed == mono
+
+
+def test_ivf_assign_matches_build_assignment(spark):
+    """Assigning the SAME corpus against the built centers reproduces the
+    build's own cell assignment — the distributed argmin is the model's
+    transform."""
+    emb = _emb(spark, 150, seed=9)
+    centers, assigned = sim.ivf_build(emb, n_cells=4, seed=42)
+    re = sim.ivf_assign(emb, centers)
+    a = {(r["vec_id"], r["cell"]) for r in assigned.select("vec_id", "cell").collect()}
+    b = {(r["vec_id"], r["cell"]) for r in re.select("vec_id", "cell").collect()}
+    assert a == b
+
+
+def test_ivf_incremental_ingest_searchable_without_refit(spark):
+    """The maintenance contract: union(build(corpus), assign(batch)) is
+    searchable and finds a planted near-duplicate from the NEW batch at
+    rank 1 — no refit, centers unchanged."""
+    emb = _emb(spark, 200, seed=7)
+    centers, assigned = sim.ivf_build(emb, n_cells=4, seed=42)
+    # new batch: a near-copy of vector 0 plus unrelated vectors
+    base = emb.where(F.col("vec_id") == 0).collect()[0]["embedding"]
+    near = [x + (0.01 if i == 0 else 0.0) for i, x in enumerate(base)]
+    batch = _emb(spark, 20, seed=31, start=1000).unionByName(
+        spark.createDataFrame([(999, near)], ["vec_id", "embedding"])
+    )
+    combined = assigned.unionByName(sim.ivf_assign(batch, centers))
+    q = emb.where(F.col("vec_id") == 0)
+    out = sim.ivf_topk_indexed(combined, centers, q, k=3, n_probe=2).collect()
+    top = [r["neighbor_id"] for r in out if r["query_id"] == 0]
+    assert top and top[0] == 999, top
+
+
+def test_ivf_assign_filters_invalid_vectors(spark):
+    """The incremental path inherits the validity contract: NULL/empty/
+    zero-norm batch rows are not indexable."""
+    emb = _emb(spark, 60, seed=3)
+    centers, _ = sim.ivf_build(emb, n_cells=2, seed=42)
+    batch = spark.createDataFrame(
+        [
+            (500, [1.0] * 8),
+            (501, None),
+            (502, []),
+            (503, [0.0] * 8),
+        ],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    got = {r["vec_id"] for r in sim.ivf_assign(batch, centers).collect()}
+    assert got == {500}
