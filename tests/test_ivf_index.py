@@ -96,3 +96,18 @@ def test_ivf_assign_filters_invalid_vectors(spark):
     )
     got = {r["vec_id"] for r in sim.ivf_assign(batch, centers).collect()}
     assert got == {500}
+
+
+def test_ivf_assign_is_map_side_only(spark):
+    """The incremental-ingest promise is structural: assigning a batch
+    against literal centers must plan as scan→project/filter with NO
+    exchange — indexing cost stays one scan at any corpus size."""
+    emb = _emb(spark, 60, seed=3)
+    centers, _ = sim.ivf_build(emb, n_cells=2, seed=42)
+    plan = (
+        sim.ivf_assign(_emb(spark, 40, seed=5, start=200), centers)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
