@@ -248,6 +248,29 @@ def _cc_loop(sym: DataFrame, labels: DataFrame, max_iterations: int) -> DataFram
     return labels
 
 
+def component_argmax(
+    comp: DataFrame, scores: DataFrame, id_col: str = "id"
+) -> DataFrame:
+    """Pick the best-scoring member of each component: (component,
+    rep_id), deterministic via (score DESC NULLS LAST, id ASC) — the
+    representative-selection step for quality-aware dedup, where the
+    kept duplicate should be the best document, not the smallest id.
+
+    ``comp``: (id, component) from :func:`connected_components`;
+    ``scores``: (id, score).  One window over the component key — the
+    partition is cluster-sized, never corpus-sized.
+    """
+    w = Window.partitionBy("component").orderBy(
+        F.col("score").desc_nulls_last(), F.col(id_col).asc()
+    )
+    return (
+        comp.join(scores, id_col)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("component", F.col(id_col).alias("rep_id"))
+    )
+
+
 def dedup_lookup(persons: DataFrame, edges: DataFrame, id_col: str = "id") -> DataFrame:
     """(lookup_id, person_id) canonical lookup — every person maps to its
     component min-id; singletons map to themselves

@@ -1701,6 +1701,70 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "near_dup_best_rep",
+    _NEARDUP_COMP_CTES
+    + """,
+tc AS (
+  SELECT doc_id,
+         COALESCE(len(list_filter(string_split(lower(text), ' '), x -> x <> '')), 0) AS n
+  FROM documents),
+ranked AS (
+  SELECT c.id, c.canonical,
+         ROW_NUMBER() OVER (PARTITION BY c.canonical
+                            ORDER BY tc.n DESC, c.id ASC) AS rn
+  FROM comp c JOIN tc ON tc.doc_id = c.id),
+rep AS (SELECT canonical, id AS rep_id FROM ranked WHERE rn = 1)
+SELECT d.doc_id,
+       CAST(COALESCE(r.rep_id, d.doc_id) AS BIGINT) AS canonical_id,
+       COALESCE(r.rep_id, d.doc_id) = d.doc_id AS is_canonical
+FROM documents d
+LEFT JOIN comp c ON d.doc_id = c.id
+LEFT JOIN rep r ON c.canonical = r.canonical""",
+)
+def q_near_dup_best_rep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup canonicalisation: same candidate → verify →
+    connected-components pipeline as `near_dup_clusters`, but each
+    cluster keeps its BEST document (highest token count, ties to the
+    smaller doc_id) instead of the smallest id — the representative a
+    curation pipeline actually wants to retain (operators/dedup.py
+    component_argmax; the reference's PersonDeduplication keeps min-id,
+    PersonDeduplicationStage.scala:162-164, which `near_dup_clusters`
+    preserves for parity)."""
+    from puma_matcher_spark.llmdata import textstats as _ts
+    from puma_matcher_spark.operators.dedup import (
+        component_argmax,
+        connected_components,
+    )
+
+    docs = load_tables(spark, sf_dir).llm_documents()
+    cand = dd.minhash_dedup_pairs(docs)
+    verified = dd.jaccard_for_pairs(docs, cand).where(F.col("jaccard") >= 0.5)
+    edges = verified.select(
+        F.col("doc1_id").alias("id1"), F.col("doc2_id").alias("id2")
+    )
+    comp = connected_components(edges)
+    scores = docs.select(
+        F.col("doc_id").alias("id"),
+        F.coalesce(F.size(_ts.tokens(F.col("text"))), F.lit(0))
+        .cast("long")
+        .alias("score"),
+    )
+    rep = component_argmax(comp, scores)
+    out = (
+        docs.select("doc_id")
+        .join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .join(rep, "component", "left")
+    )
+    return out.select(
+        "doc_id",
+        F.coalesce("rep_id", F.col("doc_id")).cast("long").alias("canonical_id"),
+        (F.coalesce("rep_id", F.col("doc_id")) == F.col("doc_id")).alias(
+            "is_canonical"
+        ),
+    )
+
+
+@register(
     "embedding_dup_clusters",
     f"""WITH RECURSIVE emb AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -7109,6 +7173,7 @@ _PRIORITY: list[str] = [
     "curation_report",
     "media_decode_audit",
     "embedding_lsh_tables",
+    "near_dup_best_rep",
     # -- 2. changed plans this round (re-green under the new shape)
     "simhash_near_dups",
     "semantic_contamination",
@@ -7159,7 +7224,6 @@ _PRIORITY: list[str] = [
     "events_forward_fill",
     "events_hll_rollup",
     "events_kll_quantiles",
-    "events_markov",
 ]
 
 

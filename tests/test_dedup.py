@@ -180,3 +180,24 @@ def test_prefix_join_prunes_but_loses_nothing(spark, sf_small):
         for r in dd.jaccard_prefix_join(docs, threshold=t).collect()
     }
     assert got == naive
+
+
+def test_component_argmax_keeps_best_scoring_member(spark):
+    """Round 8: quality-aware representative selection — the kept
+    duplicate is the best-scoring cluster member (score DESC NULLS LAST,
+    id ASC), not the smallest id; NULL scores lose to any real score."""
+    from puma_matcher_spark.operators.dedup import component_argmax
+
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "id LONG, component LONG",
+    )
+    scores = spark.createDataFrame(
+        [(1, 5.0), (2, 9.0), (3, 9.0), (10, None), (11, 2.0)],
+        "id LONG, score DOUBLE",
+    )
+    got = {
+        r["component"]: r["rep_id"]
+        for r in component_argmax(comp, scores).collect()
+    }
+    assert got == {1: 2, 10: 11}  # tie 2/3 -> smaller id; NULL loses
