@@ -1008,3 +1008,43 @@ def test_extract_video_features_decoded_end_to_end(spark):
         ).collect()
     }
     assert again[1] == got[1]["frame_hashes"]
+
+
+def test_quarantine_mode_survives_adversarial_payloads(spark):
+    """The quarantine contract under fire: 120 adversarial payloads —
+    pure random bytes, every codec magic followed by garbage or
+    truncation, and pathological header values — must produce exactly
+    one output row each (hash or dead-letter), never a crash and never
+    a hang.  This is the fuzz net for the 100 TB reality that blob
+    corruption is arbitrary, not curated."""
+    import random
+
+    from puma_matcher_spark.llmdata.multimodal import (
+        extract_media_features_decoded,
+    )
+
+    rng = random.Random(1234)
+    magics = [
+        b"P5", b"P6", b"P2", b"BM", b"GIF87a", b"GIF89a",
+        b"\x89PNG\r\n\x1a\n", b"\xff\xd8", b"RIFF", b"II*\x00",
+        b"MM\x00*", b"YUV4MPEG2",
+    ]
+    payloads = []
+    for i in range(40):
+        payloads.append(bytes(rng.randrange(256) for _ in range(rng.randrange(1, 400))))
+    for m in magics:
+        payloads.append(m)                                   # magic alone
+        payloads.append(m + bytes(rng.randrange(256) for _ in range(64)))
+        payloads.append(m + b"\x00" * 200)                   # zero-fill body
+        payloads.append(m + b"\xff" * 200)                   # ones-fill body
+    payloads.append(b"P5\n999999 999999\n255\n" + b"x" * 10)  # huge dims, tiny body
+    payloads.append(b"BM" + b"\x00" * 12)                     # truncated header
+    media = spark.createDataFrame(
+        [(i, bytearray(p)) for i, p in enumerate(payloads)],
+        "media_id LONG, payload BINARY",
+    )
+    rows = extract_media_features_decoded(media, on_error="quarantine").collect()
+    assert len(rows) == len(payloads)
+    for r in rows:
+        ok = r["decode_error"] is None
+        assert ok == (r["perceptual_hash"] is not None), r
