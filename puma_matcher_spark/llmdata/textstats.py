@@ -481,6 +481,68 @@ def bigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def xcorpus_bigram_logprob(
+    train_docs: DataFrame, score_docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Cross-corpus perplexity proxy — the CCNet/data-selection setup:
+    fit the add-one-smoothed bigram model on a TRUSTED corpus
+    (``train_docs``), score a CANDIDATE corpus (``score_docs``) under
+    it.  Unlike :func:`bigram_logprob` (self-scored, every event seen),
+    the scored corpus can contain out-of-vocabulary tokens and unseen
+    bigrams, so the model tables join LEFT and smoothing handles the
+    zero counts: p(next|tok) = (c12 + 1) / (c1 + V) with c12 = 0 for an
+    unseen bigram and c1 = 0 for an OOV history (V = train vocab size).
+
+    Scale shape: model = two aggregations over the train corpus (bigram
+    and unigram counts, V as a scalar subquery); scoring = one lead()
+    window per doc + two LEFT equi-joins on the token keys + a per-doc
+    roll-up — everything shuffle-partitioned, the model tables are the
+    ones a production run persists once and reuses per candidate shard.
+    Output: (doc_id, n_bigrams, avg_logprob) over ``score_docs`` with
+    >= 2 tokens.
+    """
+    from pyspark.sql.window import Window
+
+    def _bigrams(docs: DataFrame) -> DataFrame:
+        toks = docs.select(
+            "doc_id", F.posexplode(tokens(F.lower(F.col(text_col))))
+        ).select("doc_id", F.col("pos"), F.col("col").alias("tok"))
+        w = Window.partitionBy("doc_id").orderBy("pos")
+        return (
+            toks.withColumn("nxt", F.lead("tok").over(w))
+            .where(F.col("nxt").isNotNull())
+            .select("doc_id", "tok", "nxt")
+        )
+
+    train_toks = train_docs.select(
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("tok")
+    )
+    uf = train_toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    bf = _bigrams(train_docs).groupBy("tok", "nxt").agg(
+        F.count(F.lit(1)).cast("long").alias("c12")
+    )
+    vocab = uf.agg(F.count(F.lit(1)).cast("double").alias("v"))
+
+    dbc = _bigrams(score_docs).groupBy("doc_id", "tok", "nxt").agg(
+        F.count(F.lit(1)).cast("long").alias("m")
+    )
+    lp = F.log10(
+        (F.coalesce(F.col("c12"), F.lit(0)) + 1.0)
+        / (F.coalesce(F.col("c1"), F.lit(0)) + vocab.scalar())
+    )
+    return (
+        dbc.join(bf, ["tok", "nxt"], "left")
+        .join(uf, "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("m").cast("long").alias("n_bigrams"),
+            pround(F.sum(F.col("m") * lp) / F.sum("m"), 4).alias(
+                "avg_logprob"
+            ),
+        )
+    )
+
+
 def with_bpe_token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Token counting for training-data budgeting: whitespace words plus
     a BPE-ish pre-tokenizer count (the unit LLM data pipelines budget

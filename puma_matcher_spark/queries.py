@@ -4616,6 +4616,42 @@ def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "xcorpus_logprob",
+    f"""WITH toksl AS (SELECT doc_id, {_LLM_TOKS} AS tk FROM documents),
+toks AS (SELECT doc_id, unnest(tk) AS tok, unnest(range(len(tk))) AS pos FROM toksl),
+big AS (
+  SELECT a.doc_id, a.tok, b.tok AS nxt
+  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+bf AS (SELECT tok, nxt, CAST(COUNT(*) AS BIGINT) AS c12
+       FROM big WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+uf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c1
+       FROM toks WHERE doc_id % 2 = 0 GROUP BY 1),
+v AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM uf),
+dbc AS (SELECT doc_id, tok, nxt, CAST(COUNT(*) AS BIGINT) AS m
+        FROM big WHERE doc_id % 2 = 1 GROUP BY 1, 2, 3)
+SELECT dbc.doc_id, CAST(SUM(m) AS BIGINT) AS n_bigrams,
+       ROUND(SUM(m * log10((COALESCE(c12, 0) + 1.0)
+                           / (COALESCE(c1, 0) + (SELECT v FROM v)))) / SUM(m), 4)
+         AS avg_logprob
+FROM dbc LEFT JOIN bf USING (tok, nxt) LEFT JOIN uf USING (tok)
+GROUP BY 1""",
+)
+def q_xcorpus_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus perplexity proxy (llmdata/textstats.py
+    xcorpus_bigram_logprob) — the CCNet data-selection setup: fit the
+    smoothed bigram model on the even-doc_id half (the 'trusted' corpus;
+    in production, the snapshots come from two sources) and score the
+    odd half under it.  Exercises the OOV path self-scoring never can:
+    unseen bigrams and out-of-vocabulary histories smooth to
+    (0+1)/(0+V) via LEFT joins."""
+    docs = load_tables(spark, sf_dir).llm_documents()
+    return ts.xcorpus_bigram_logprob(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+    )
+
+
+@register(
     "sequence_packing",
     f"""WITH pd AS (
   SELECT doc_id, source, CAST(len({_LLM_TOKS}) AS BIGINT) AS n_tokens
@@ -7174,6 +7210,7 @@ _PRIORITY: list[str] = [
     "media_decode_audit",
     "embedding_lsh_tables",
     "near_dup_best_rep",
+    "xcorpus_logprob",
     # -- 2. changed plans this round (re-green under the new shape)
     "simhash_near_dups",
     "semantic_contamination",
@@ -7223,7 +7260,6 @@ _PRIORITY: list[str] = [
     "events_deadletter",
     "events_forward_fill",
     "events_hll_rollup",
-    "events_kll_quantiles",
 ]
 
 

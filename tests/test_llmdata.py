@@ -1341,3 +1341,23 @@ def test_whitespace_zoo_broad_parity(spark, tmp_path):
             failures.append(f"{name}: {res}")
     assert n_checked >= 60, f"zoo scope shrank: only {n_checked} checked"
     assert not failures, "zoo divergence:\n" + "\n".join(failures)
+
+
+def test_xcorpus_logprob_smooths_oov_events(spark):
+    """Cross-corpus scoring must handle what self-scoring never sees:
+    a fully OOV bigram smooths to (0+1)/(0+V), a seen-history/unseen-
+    next bigram to (0+1)/(c1+V) — hand-computed on a two-doc corpus."""
+    import math
+
+    train = _docs(spark, [(0, "a b a b")])         # V={a,b}, c1(a)=2,c1(b)=2
+    score = _docs(spark, [(1, "a b"), (3, "x y")])  # seen bigram; fully OOV
+    rows = {
+        r["doc_id"]: r
+        for r in ts.xcorpus_bigram_logprob(train, score).collect()
+    }
+    v = 2.0
+    # doc 1: bigram (a,b) seen twice in train -> (2+1)/(2+2)
+    assert rows[1]["n_bigrams"] == 1
+    assert rows[1]["avg_logprob"] == round(math.log10(3.0 / 4.0), 4)
+    # doc 3: (x,y) unseen, history x OOV -> (0+1)/(0+2)
+    assert rows[3]["avg_logprob"] == round(math.log10(1.0 / 2.0), 4)
