@@ -531,7 +531,10 @@ def xcorpus_bigram_logprob(
         / (F.coalesce(F.col("c1"), F.lit(0)) + vocab.scalar())
     )
     return (
-        dbc.join(bf, ["tok", "nxt"], "left")
+        # a token-less training corpus has no model (V = 0 would zero the
+        # smoothing denominator): no model -> no scores, not a crash
+        dbc.where(vocab.scalar() > 0)
+        .join(bf, ["tok", "nxt"], "left")
         .join(uf, "tok", "left")
         .groupBy("doc_id")
         .agg(

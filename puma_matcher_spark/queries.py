@@ -4634,6 +4634,7 @@ SELECT dbc.doc_id, CAST(SUM(m) AS BIGINT) AS n_bigrams,
                            / (COALESCE(c1, 0) + (SELECT v FROM v)))) / SUM(m), 4)
          AS avg_logprob
 FROM dbc LEFT JOIN bf USING (tok, nxt) LEFT JOIN uf USING (tok)
+WHERE (SELECT v FROM v) > 0
 GROUP BY 1""",
 )
 def q_xcorpus_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1361,3 +1361,12 @@ def test_xcorpus_logprob_smooths_oov_events(spark):
     assert rows[1]["avg_logprob"] == round(math.log10(3.0 / 4.0), 4)
     # doc 3: (x,y) unseen, history x OOV -> (0+1)/(0+2)
     assert rows[3]["avg_logprob"] == round(math.log10(1.0 / 2.0), 4)
+
+
+def test_xcorpus_logprob_empty_model_yields_no_rows(spark):
+    """A token-less training corpus has no model (V = 0 would zero the
+    smoothing denominator): scoring emits no rows instead of an ANSI
+    division error."""
+    train = _docs(spark, [(0, "   "), (2, None), (4, "")])  # space-only/NULL
+    score = _docs(spark, [(1, "a b c")])
+    assert ts.xcorpus_bigram_logprob(train, score).count() == 0
