@@ -51,25 +51,39 @@ def cosine_or_zero(a: Column, b: Column) -> Column:
     return F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0))
 
 
+def _all_finite(v: Column) -> Column:
+    """No NaN/±Inf component — a non-finite embedding is an encoder
+    failure that poisons every aggregate differently per engine (Spark
+    and DuckDB disagree on NaN in rounding/ranking; KMeans and DuckDB's
+    int8 cast / STDDEV reject it outright — embeddings-zoo finding)."""
+    return ~F.exists(
+        v.cast("array<double>"),
+        lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf"))),
+    )
+
+
 def valid_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Restrict to rows on which cosine similarity is DEFINED: a non-NULL,
-    non-empty embedding with at least one non-zero component (zero-norm
-    vectors have no direction).  One `exists` predicate covers all three:
-    NULL array → NULL (dropped by where), empty → false, all-zero → false.
+    non-empty, all-FINITE embedding with at least one non-zero component
+    (zero-norm vectors have no direction).  The `exists` predicate covers
+    NULL (→ NULL, dropped by where), empty (→ false) and all-zero
+    (→ false); the finiteness pass excludes NaN/±Inf components.
 
     Every similarity/ANN entry point applies this filter to its inputs —
     the embeddings-zoo parity test (tests/test_embeddings_zoo.py) pins
     the behaviour against DuckDB oracles carrying the same predicate
-    (`coalesce(list_sum(list_transform(e, x -> x*x)), 0) > 0`)."""
-    return df.where(F.exists(F.col(vec_col), lambda x: x != 0))
+    (queries._EMB_VALID)."""
+    v = F.col(vec_col)
+    return df.where(F.exists(v, lambda x: x != 0) & _all_finite(v))
 
 
 def nonempty_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    """Rows with a usable (non-NULL, non-empty) embedding — the weaker
-    validity bar for L2/centroid math, where an all-zero vector is a
-    legitimate point (and exactly what a norm audit must flag)."""
+    """Rows with a usable (non-NULL, non-empty, all-finite) embedding —
+    the weaker validity bar for L2/centroid math, where an all-zero
+    vector is a legitimate point (and exactly what a norm audit must
+    flag) but a NaN/Inf component still poisons the aggregates."""
     v = F.col(vec_col)
-    return df.where(v.isNotNull() & (F.size(v) > 0))
+    return df.where(v.isNotNull() & (F.size(v) > 0) & _all_finite(v))
 
 
 def brute_force_topk(

@@ -68,15 +68,22 @@ V_ENTITIES2 = """entities2 AS (
 
 _LLM_TOKS = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
 
+#: non-finite components (NaN/±Inf) invalidate a vector in BOTH validity
+#: tiers — engines disagree on NaN arithmetic and several kernels reject it
+_EMB_FINITE = (
+    "coalesce(list_sum(list_transform(embedding::DOUBLE[], "
+    "x -> CASE WHEN isnan(x) OR isinf(x) THEN 1 ELSE 0 END)), 0) = 0"
+)
 #: DuckDB twin of llmdata.similarity.valid_vectors — rows on which cosine
-#: is defined (non-NULL, non-empty, non-zero-norm embedding).  NULL list →
-#: list_sum NULL → coalesce 0 → excluded; squaring runs on DOUBLE so no
-#: float32 value underflows to an exact 0.
+#: is defined (non-NULL, non-empty, non-zero-norm, all-finite embedding).
+#: NULL list → list_sum NULL → coalesce 0 → excluded; squaring runs on
+#: DOUBLE so no float32 value underflows to an exact 0.
 _EMB_VALID = (
     "coalesce(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)), 0) > 0"
+    f" AND {_EMB_FINITE}"
 )
 #: twin of similarity.nonempty_vectors — the weaker bar for L2/centroid math
-_EMB_NONEMPTY = "embedding IS NOT NULL AND len(embedding) > 0"
+_EMB_NONEMPTY = f"embedding IS NOT NULL AND len(embedding) > 0 AND {_EMB_FINITE}"
 
 
 def _tf_chain(p: str, src: str) -> str:

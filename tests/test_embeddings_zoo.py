@@ -65,6 +65,9 @@ ZOO = [
     (13, _vec((6, 1.0), (7, 1.0)), 4),
     (14, _vec((40, 1.0), (50, 0.5)), 4),           # zero PREFIX (dims 0-31)
     (15, _vec((35, -0.7), (62, 0.2)), 0),          # zero prefix, negative tail
+    (16, _vec((0, float("nan"))), 5),              # NaN component
+    (17, _vec((0, 1.0), (8, float("nan"))), 5),    # NaN amid real values
+    (18, _vec((1, float("inf")), (2, 1.0)), 5),    # Inf component
 ]
 
 
@@ -127,17 +130,17 @@ def test_embeddings_zoo_broad_parity(spark, tmp_path):
 
 def test_valid_vectors_predicate_semantics(spark):
     """The shared validity predicate drops exactly NULL / empty /
-    all-zero embeddings and keeps everything else (incl. tiny and
-    negative components)."""
+    all-zero / non-finite embeddings and keeps everything else (incl.
+    tiny, huge-but-finite and negative components)."""
     from puma_matcher_spark.llmdata import similarity as sim
 
     df = spark.createDataFrame(
         [(r[0], r[1]) for r in ZOO], "vec_id LONG, embedding ARRAY<FLOAT>"
     )
     kept = {r["vec_id"] for r in sim.valid_vectors(df).collect()}
-    assert kept == set(range(16)) - {4, 5, 6}
+    assert kept == set(range(19)) - {4, 5, 6, 16, 17, 18}
     nonempty = {r["vec_id"] for r in sim.nonempty_vectors(df).collect()}
-    assert nonempty == set(range(16)) - {5, 6}
+    assert nonempty == set(range(19)) - {5, 6, 16, 17, 18}
 
 
 def test_invalid_vectors_are_singletons_in_dup_clusters(spark, tmp_path):
@@ -147,8 +150,8 @@ def test_invalid_vectors_are_singletons_in_dup_clusters(spark, tmp_path):
     sf = write_zoo(tmp_path)
     out = REGISTRY["embedding_dup_clusters"].spark_fn(spark, sf)
     rows = {r["vec_id"]: r for r in out.collect()}
-    assert set(rows) == set(range(16))
-    for bad in (4, 5, 6):
+    assert set(rows) == set(range(19))
+    for bad in (4, 5, 6, 16, 17, 18):
         assert rows[bad]["canonical_id"] == bad and rows[bad]["is_canonical"]
 
 
@@ -162,4 +165,4 @@ def test_zero_prefix_vectors_survive_prefix_rerank(spark, tmp_path):
     assert rows, "prefix rerank returned nothing on the zoo"
     # query vec_id 0 exists (0 % 50 == 0); invalid ids never appear
     ids = {r["neighbor_id"] for r in rows}
-    assert not ids & {4, 5, 6}
+    assert not ids & {4, 5, 6, 16, 17, 18}
