@@ -52,13 +52,18 @@ def cosine_or_zero(a: Column, b: Column) -> Column:
 
 
 def _all_finite(v: Column) -> Column:
-    """No NaN/±Inf component — a non-finite embedding is an encoder
+    """No NULL/NaN/±Inf component — a non-finite embedding is an encoder
     failure that poisons every aggregate differently per engine (Spark
     and DuckDB disagree on NaN in rounding/ranking; KMeans and DuckDB's
-    int8 cast / STDDEV reject it outright — embeddings-zoo finding)."""
+    int8 cast / STDDEV reject it outright — embeddings-zoo finding).
+    A NULL *component* is explicitly invalid too: before round 9 it was
+    dropped only by three-valued-logic accident on the Spark side while
+    the DuckDB twins kept the row (r8 ADVICE #1) — now both engines
+    exclude it by contract (queries._EMB_FINITE carries the same
+    clause)."""
     return ~F.exists(
         v.cast("array<double>"),
-        lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf"))),
+        lambda x: x.isNull() | F.isnan(x) | (F.abs(x) == F.lit(float("inf"))),
     )
 
 

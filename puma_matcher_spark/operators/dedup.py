@@ -259,12 +259,19 @@ def component_argmax(
     ``comp``: (id, component) from :func:`connected_components`;
     ``scores``: (id, score).  One window over the component key — the
     partition is cluster-sized, never corpus-sized.
+
+    ``scores`` need NOT cover every member: the join is LEFT so a
+    component whose members are all unscored still yields a rep row
+    (NULL scores lose via desc_nulls_last, then id ASC picks the min-id
+    fallback).  An inner join here silently disbanded such clusters —
+    callers left-joining the output treated every member as its own
+    canonical (r8 ADVICE #3).
     """
     w = Window.partitionBy("component").orderBy(
         F.col("score").desc_nulls_last(), F.col(id_col).asc()
     )
     return (
-        comp.join(scores, id_col)
+        comp.join(scores, id_col, "left")
         .withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .select("component", F.col(id_col).alias("rep_id"))

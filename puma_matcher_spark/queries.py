@@ -68,11 +68,15 @@ V_ENTITIES2 = """entities2 AS (
 
 _LLM_TOKS = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
 
-#: non-finite components (NaN/±Inf) invalidate a vector in BOTH validity
-#: tiers — engines disagree on NaN arithmetic and several kernels reject it
+#: non-finite components (NULL/NaN/±Inf) invalidate a vector in BOTH
+#: validity tiers — engines disagree on NaN arithmetic and several kernels
+#: reject it.  The NULL-component clause is explicit (r8 ADVICE #1): Spark's
+#: exists/forall predicates drop [1.0, NULL] via three-valued logic, so the
+#: DuckDB twin must drop it too instead of counting NULL as finite.
 _EMB_FINITE = (
     "coalesce(list_sum(list_transform(embedding::DOUBLE[], "
-    "x -> CASE WHEN isnan(x) OR isinf(x) THEN 1 ELSE 0 END)), 0) = 0"
+    "x -> CASE WHEN x IS NULL OR isnan(x) OR isinf(x) THEN 1 ELSE 0 END)), 0)"
+    " = 0"
 )
 #: DuckDB twin of llmdata.similarity.valid_vectors — rows on which cosine
 #: is defined (non-NULL, non-empty, non-zero-norm, all-finite embedding).
@@ -3048,11 +3052,23 @@ def q_media_decode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_ok = F.when(
         ok, F.col("perceptual_hash").rlike("^[0-9a-f]{64}$")
     ).otherwise(F.col("perceptual_hash").isNull())
-    return feats.groupBy(
+    agg = feats.groupBy(
         F.when(ok, F.lit("ok")).otherwise(F.lit("quarantined")).alias("status")
     ).agg(
         F.count(F.lit(1)).cast("long").alias("n_media"),
         F.min(row_ok).alias("consistent"),
+    )
+    # The oracle UNION ALL always emits BOTH status rows (count 0 when the
+    # class is empty) while groupBy emits none for an empty group — on an
+    # all-clean or all-corrupt corpus that is a spurious row-count mismatch
+    # (r8 ADVICE #2).  Anchor on a literal two-row status frame.
+    statuses = spark.createDataFrame(
+        [("ok",), ("quarantined",)], "status STRING"
+    )
+    return statuses.join(F.broadcast(agg), "status", "left").select(
+        "status",
+        F.coalesce("n_media", F.lit(0)).cast("long").alias("n_media"),
+        F.coalesce("consistent", F.lit(True)).alias("consistent"),
     )
 
 

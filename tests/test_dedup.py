@@ -201,3 +201,23 @@ def test_component_argmax_keeps_best_scoring_member(spark):
         for r in component_argmax(comp, scores).collect()
     }
     assert got == {1: 2, 10: 11}  # tie 2/3 -> smaller id; NULL loses
+
+
+def test_component_argmax_unscored_component_falls_back_to_min_id(spark):
+    """r8 ADVICE #3: a component whose members are ALL absent from the
+    scores frame must still emit a rep row (min-id fallback via the LEFT
+    join + desc_nulls_last), never silently disband."""
+    from puma_matcher_spark.operators.dedup import component_argmax
+
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (20, 20), (21, 20), (22, 20)],
+        "id LONG, component LONG",
+    )
+    scores = spark.createDataFrame(
+        [(1, 1.0), (2, 3.0)], "id LONG, score DOUBLE"
+    )  # component 20 entirely unscored
+    got = {
+        r["component"]: r["rep_id"]
+        for r in component_argmax(comp, scores).collect()
+    }
+    assert got == {1: 2, 20: 20}

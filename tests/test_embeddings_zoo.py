@@ -68,6 +68,7 @@ ZOO = [
     (16, _vec((0, float("nan"))), 5),              # NaN component
     (17, _vec((0, 1.0), (8, float("nan"))), 5),    # NaN amid real values
     (18, _vec((1, float("inf")), (2, 1.0)), 5),    # Inf component
+    (19, [1.0, None] + [0.0] * (DIM - 2), 5),      # NULL component (r8 ADVICE #1)
 ]
 
 
@@ -138,9 +139,9 @@ def test_valid_vectors_predicate_semantics(spark):
         [(r[0], r[1]) for r in ZOO], "vec_id LONG, embedding ARRAY<FLOAT>"
     )
     kept = {r["vec_id"] for r in sim.valid_vectors(df).collect()}
-    assert kept == set(range(19)) - {4, 5, 6, 16, 17, 18}
+    assert kept == set(range(20)) - {4, 5, 6, 16, 17, 18, 19}
     nonempty = {r["vec_id"] for r in sim.nonempty_vectors(df).collect()}
-    assert nonempty == set(range(19)) - {5, 6, 16, 17, 18}
+    assert nonempty == set(range(20)) - {5, 6, 16, 17, 18, 19}
 
 
 def test_invalid_vectors_are_singletons_in_dup_clusters(spark, tmp_path):
@@ -150,8 +151,8 @@ def test_invalid_vectors_are_singletons_in_dup_clusters(spark, tmp_path):
     sf = write_zoo(tmp_path)
     out = REGISTRY["embedding_dup_clusters"].spark_fn(spark, sf)
     rows = {r["vec_id"]: r for r in out.collect()}
-    assert set(rows) == set(range(19))
-    for bad in (4, 5, 6, 16, 17, 18):
+    assert set(rows) == set(range(20))
+    for bad in (4, 5, 6, 16, 17, 18, 19):
         assert rows[bad]["canonical_id"] == bad and rows[bad]["is_canonical"]
 
 
@@ -165,4 +166,4 @@ def test_zero_prefix_vectors_survive_prefix_rerank(spark, tmp_path):
     assert rows, "prefix rerank returned nothing on the zoo"
     # query vec_id 0 exists (0 % 50 == 0); invalid ids never appear
     ids = {r["neighbor_id"] for r in rows}
-    assert not ids & {4, 5, 6, 16, 17, 18}
+    assert not ids & {4, 5, 6, 16, 17, 18, 19}

@@ -1048,3 +1048,48 @@ def test_quarantine_mode_survives_adversarial_payloads(spark):
     for r in rows:
         ok = r["decode_error"] is None
         assert ok == (r["perceptual_hash"] is not None), r
+
+
+def test_media_decode_audit_emits_both_statuses_on_all_clean_corpus(
+    spark, tmp_path
+):
+    """r8 ADVICE #2: the audit's oracle UNION ALL always emits an 'ok'
+    AND a 'quarantined' row (n_media 0 for an empty class) — the Spark
+    side must too, via the literal status anchor, or an all-clean corpus
+    is a spurious row-count mismatch."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from puma_matcher_spark.oracle import compare_query
+    from puma_matcher_spark.queries import REGISTRY
+
+    # doc_ids chosen so doc_id % 7 != 0 and no NULL text → zero quarantined
+    ids = [1, 2, 3, 4, 5, 6, 8, 9]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array([f"clean doc {i}" for i in ids]),
+            "lang": pa.array(["en"] * len(ids)),
+            "source": pa.array(["cleanA"] * len(ids)),
+            "n_chars": pa.array([12] * len(ids), pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    spec = REGISTRY["media_decode_audit"]
+    res = compare_query(
+        spark, con, "media_decode_audit", spec.spark_fn, spec.oracle,
+        str(tmp_path),
+    )
+    assert res.ok, res
+    rows = {
+        r["status"]: r for r in spec.spark_fn(spark, str(tmp_path)).collect()
+    }
+    assert rows["quarantined"]["n_media"] == 0
+    assert rows["quarantined"]["consistent"] is True
+    assert rows["ok"]["n_media"] == len(ids)
