@@ -342,7 +342,10 @@ def ivf_build(
     At 100 TB the assigned frame is the PERSISTED index table
     (partitioned/bucketed by ``cell``); new batches join it via
     :func:`ivf_assign` — never by refitting, which would reshuffle every
-    stored vector's cell and invalidate the layout.
+    stored vector's cell and invalidate the layout.  The refit TRIGGER is
+    :func:`ivf_refit_report` run over each incoming batch: a cell flagged
+    for occupancy skew or centroid drift schedules a maintenance-window
+    rebuild here; without that gate, drift degrades recall silently.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -403,6 +406,103 @@ def ivf_assign(
     batch = valid_vectors(batch, vec_col)
     cell = F.element_at(_nearest_cells(centers, vec_col, 1), 1)
     return batch.select(F.col(id_col), F.col(vec_col), cell.alias("cell"))
+
+
+def ivf_refit_report(
+    batch: DataFrame,
+    centers: list[list[float]],
+    occupancy_skew_threshold: float = 4.0,
+    drift_threshold: float = 0.5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """The REFIT GATE for the maintained IVF index: :func:`ivf_assign`
+    deliberately never refits (a refit reshuffles every stored vector),
+    so under real distribution drift cells skew and recall decays
+    silently.  Run this report over each incoming batch; a flagged cell
+    is the documented trigger to schedule ``ivf_build`` on the full
+    corpus during a maintenance window.
+
+    Per cell it measures, over the batch only (linear in batch size,
+    independent of corpus size — map-side assign + one posexplode agg):
+
+    * ``occupancy_share`` — fraction of the batch landing in the cell;
+      ``needs_refit`` when share > occupancy_skew_threshold / n_cells
+      (i.e. ``occupancy_skew_threshold``× the uniform expectation).
+    * ``drift`` — L2 between the batch's in-cell mean vector and the
+      index's literal center (the centroid_drift statistic with cell as
+      the label), reported also normalised by the mean inter-center
+      distance (a scale-free measure); ``needs_refit`` when
+      ``drift_norm`` > drift_threshold.
+
+    Cells the batch never touches still emit a row (n_vectors 0, drift
+    NULL, not flagged) so the report always has n_cells rows.
+    Thresholds: 4× uniform occupancy / 0.5 inter-center drift flag a
+    strongly shifted batch while staying quiet on in-distribution
+    resamples (property-pinned in tests/test_ivf_index.py)."""
+    import itertools as _it
+
+    from puma_matcher_spark.functions.rounding import pround
+
+    spark = batch.sparkSession
+    n_cells = len(centers)
+    c = np.asarray(centers, dtype=float)
+    pair_d = [
+        float(np.linalg.norm(c[i] - c[j]))
+        for i, j in _it.combinations(range(n_cells), 2)
+    ]
+    scale = float(np.mean(pair_d)) if pair_d else 1.0
+    assigned = ivf_assign(batch, centers, vec_col, id_col)
+    e = assigned.select("cell", F.posexplode(vec_col).alias("dim", "v"))
+    m = e.groupBy("cell", "dim").agg(F.avg("v").alias("av"))
+    mean_vec = m.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "av"))),
+            lambda s: s["av"],
+        ).alias("batch_mean")
+    )
+    counts = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors")
+    )
+    cents = spark.createDataFrame(
+        [(j, [float(x) for x in centers[j]]) for j in range(n_cells)],
+        ["cell", "center"],
+    )
+    stats = (
+        cents.join(counts, "cell", "left")
+        .join(mean_vec, "cell", "left")
+        .withColumn("n_vectors", F.coalesce("n_vectors", F.lit(0)))
+    )
+    total = F.sum("n_vectors").over(Window.partitionBy())
+    drift = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("batch_mean"),
+                F.col("center"),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    share = F.when(total > 0, F.col("n_vectors") / total).otherwise(F.lit(0.0))
+    out = stats.select(
+        "cell",
+        "n_vectors",
+        pround(share, 6).alias("occupancy_share"),
+        pround(drift, 6).alias("drift"),
+        pround(drift / F.lit(scale), 6).alias("drift_norm"),
+    )
+    return out.withColumn(
+        "needs_refit",
+        (
+            F.col("occupancy_share")
+            > F.lit(occupancy_skew_threshold / n_cells)
+        )
+        | F.coalesce(
+            F.col("drift_norm") > F.lit(drift_threshold), F.lit(False)
+        ),
+    )
 
 
 def ivf_topk_indexed(

@@ -91,6 +91,79 @@ def evaluate_weights(
     return hits.groupBy("weight_id").agg(*aggs)
 
 
+def walker_area_selection(errs: DataFrame, n_areas: int = 2) -> DataFrame:
+    """WeightTrainerStage.scala:93-147 area loop over a pre-evaluated
+    error lattice: pick the ``n_areas`` best coarse centers (even lattice
+    ids = the 2×-coarser grid), descend each one halving step to the
+    argmin of its ±1 lattice neighborhood, and interrupt any later area
+    whose descent winner lands on an earlier area's path winner
+    (:131-141 — the interrupted area is dropped from the result list, so
+    its refined columns are NULLed and it can never be ``is_best``).
+
+    ``errs``: (weight_id, error) for EVERY point of the halved lattice —
+    the caller evaluates the full lattice in one distributed pass, so
+    this selection runs on a ≤|lattice|-row frame; the global windows
+    here are documented-bounded, never corpus-sized.
+
+    Output: (area_rank, center, coarse_error, refined, refined_error,
+    interrupted, is_best), deterministic via (error ASC, weight_id ASC)
+    tie-breaks throughout.
+    """
+    wo = Window.orderBy(F.col("error").asc(), F.col("weight_id").asc())
+    areas = (
+        errs.where(F.col("weight_id") % 2 == 0)
+        .withColumn("area_rank", F.row_number().over(wo).cast("long"))
+        .where(F.col("area_rank") <= n_areas)
+        .select(
+            "area_rank",
+            F.col("weight_id").alias("center"),
+            F.col("error").alias("coarse_error"),
+        )
+    )
+    lattice = errs.select(
+        F.col("weight_id").alias("refined"),
+        F.col("error").alias("refined_error"),
+    )
+    nb = areas.join(
+        F.broadcast(lattice),
+        F.abs(F.col("refined") - F.col("center")) <= 1,
+    )
+    wn = Window.partitionBy("area_rank").orderBy(
+        F.col("refined_error").asc(), F.col("refined").asc()
+    )
+    winners = (
+        nb.withColumn("rn", F.row_number().over(wn))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    wi = (
+        Window.partitionBy("refined")
+        .orderBy("area_rank")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = winners.withColumn(
+        "interrupted", F.count(F.lit(1)).over(wi) > 0
+    )
+    wb = Window.orderBy(
+        F.col("interrupted").asc(),
+        F.col("refined_error").asc(),
+        F.col("area_rank").asc(),
+    )
+    return flagged.select(
+        "area_rank",
+        "center",
+        "coarse_error",
+        F.when(~F.col("interrupted"), F.col("refined")).alias("refined"),
+        F.when(~F.col("interrupted"), F.col("refined_error")).alias(
+            "refined_error"
+        ),
+        "interrupted",
+        ((F.row_number().over(wb) == 1) & ~F.col("interrupted")).alias(
+            "is_best"
+        ),
+    )
+
+
 def best_weights(
     spark: SparkSession,
     candidates: DataFrame,

@@ -2430,6 +2430,137 @@ def q_weight_refined_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "weight_walker",
+    _all_cand_ctes()
+    + """,
+ctx AS (
+  SELECT document_version1_id, document_version2_id, score_type,
+         ROUND(score / MAX(score) OVER (PARTITION BY document_version2_id, score_type)
+               * 100.0, 6) AS contextual
+  FROM all_cand),
+grid AS (
+  SELECT wid AS weight_id, 'person' AS score_type, wid * 0.125 AS weight
+  FROM (SELECT unnest(range(9)) AS wid)
+  UNION ALL
+  SELECT wid, 'laboratory', 1.0 - wid * 0.125
+  FROM (SELECT unnest(range(9)) AS wid)),
+weighted AS (
+  SELECT g.weight_id, c.document_version1_id, c.document_version2_id,
+         SUM(g.weight * c.contextual) AS total
+  FROM ctx c JOIN grid g USING (score_type)
+  GROUP BY 1, 2, 3),
+ranked AS (
+  SELECT *, CAST(RANK() OVER (PARTITION BY weight_id, document_version2_id
+                              ORDER BY ROUND(total, 6) DESC,
+                                       document_version1_id ASC) AS BIGINT) AS rank
+  FROM weighted),
+train AS (
+  SELECT DISTINCT document_version1_id, document_version2_id
+  FROM all_cand
+  WHERE (document_version1_id + document_version2_id) % 7 = 0),
+errs AS (
+  SELECT weight_id, CAST(SUM(rank - 1) AS BIGINT) AS error
+  FROM ranked JOIN train USING (document_version1_id, document_version2_id)
+  GROUP BY 1),
+areas AS (
+  SELECT center, coarse_error, area_rank FROM (
+    SELECT weight_id AS center, error AS coarse_error,
+           ROW_NUMBER() OVER (ORDER BY error ASC, weight_id ASC) AS area_rank
+    FROM errs WHERE weight_id % 2 = 0)
+  WHERE area_rank <= 2),
+winners AS (
+  SELECT area_rank, center, coarse_error, refined, refined_error FROM (
+    SELECT a.area_rank, a.center, a.coarse_error,
+           e.weight_id AS refined, e.error AS refined_error,
+           ROW_NUMBER() OVER (PARTITION BY a.area_rank
+                              ORDER BY e.error ASC, e.weight_id ASC) AS rn
+    FROM areas a JOIN errs e ON abs(e.weight_id - a.center) <= 1)
+  WHERE rn = 1),
+flagged AS (
+  SELECT *,
+         COUNT(*) OVER (PARTITION BY refined ORDER BY area_rank
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) > 0
+           AS interrupted
+  FROM winners)
+SELECT CAST(area_rank AS BIGINT) AS area_rank,
+       CASE WHEN interrupted THEN NULL
+            ELSE ROUND(refined * 0.125, 6) END AS w_person,
+       CASE WHEN interrupted THEN NULL
+            ELSE ROUND(1.0 - refined * 0.125, 6) END AS w_laboratory,
+       coarse_error,
+       CASE WHEN interrupted THEN NULL ELSE refined_error END AS refined_error,
+       interrupted,
+       (NOT interrupted) AND
+       ROW_NUMBER() OVER (ORDER BY interrupted ASC, refined_error ASC,
+                          area_rank ASC) = 1 AS is_best
+FROM flagged""",
+)
+def q_weight_walker(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WeightTrainerStage area loop — the Walker hill-descent with
+    area-overlap interruption (WeightTrainerStage.scala:93-147): the
+    Cartographer coarse pass picks the top areas by rank error, each
+    area descends one halving step (0.25 → 0.125), and a later area
+    whose descent lands on an earlier area's path winner is interrupted
+    and dropped from the result list (:131-141).
+
+    Spark-first shape: with two score types the weight simplex is a
+    one-dimensional lattice, and every point any descent can visit lies
+    on the HALVED lattice — so the whole search evaluates the full
+    9-point 0.125 lattice in ONE distributed pass (one shuffle keyed
+    (weight_id, publication), same plan as `weight_eval`), and the
+    per-area descent + overlap logic is relational selection over the
+    9-row error frame.  The three selection windows are global but
+    bounded (≤9, ≤2 and ≤2 rows — documented-bounded set), never
+    corpus-sized.  No driver loop: the reference's while-loop collapses
+    because one halving of a 2-type grid cannot descend further than
+    the lattice already covers."""
+    from pyspark.sql.window import Window
+
+    cand = _all_candidates(load_tables(spark, sf_dir))
+    wmax = Window.partitionBy("document_version2_id", "score_type")
+    ctx = cand.withColumn(
+        "contextual",
+        pround(F.col("score") / F.max("score").over(wmax) * 100.0, 6),
+    )
+    rows = []
+    for wid in range(9):
+        rows.append((wid, "person", wid / 8.0))
+        rows.append((wid, "laboratory", 1.0 - wid / 8.0))
+    grid = spark.createDataFrame(rows, ["weight_id", "score_type", "weight"])
+    weighted = ctx.join(F.broadcast(grid), "score_type").groupBy(
+        "weight_id", "document_version1_id", "document_version2_id"
+    ).agg(F.sum(F.col("weight") * F.col("contextual")).alias("total"))
+    wr = Window.partitionBy("weight_id", "document_version2_id").orderBy(
+        pround(F.col("total"), 6).desc(), F.col("document_version1_id").asc()
+    )
+    ranked = weighted.withColumn("rank", F.rank().over(wr).cast("long"))
+    train = (
+        cand.where(
+            (F.col("document_version1_id") + F.col("document_version2_id")) % 7 == 0
+        )
+        .select("document_version1_id", "document_version2_id")
+        .distinct()
+    )
+    errs = (
+        ranked.join(train, ["document_version1_id", "document_version2_id"])
+        .groupBy("weight_id")
+        .agg(F.sum(F.col("rank") - 1).cast("long").alias("error"))
+    )
+    from puma_matcher_spark.operators.weights import walker_area_selection
+
+    sel = walker_area_selection(errs, n_areas=2)
+    return sel.select(
+        "area_rank",
+        pround(F.col("refined") * 0.125, 6).alias("w_person"),
+        pround(1.0 - F.col("refined") * 0.125, 6).alias("w_laboratory"),
+        "coarse_error",
+        "refined_error",
+        "interrupted",
+        "is_best",
+    )
+
+
 # ---------------- near-dup / similarity plane ----------------
 
 _LLM_SHINGLES = f"""toksl AS (SELECT doc_id, {_LLM_TOKS} AS tk FROM documents),
@@ -7212,78 +7343,77 @@ _PYTEST_ONLY: frozenset[str] = frozenset(
     }
 )
 
-# Round-8 window policy (freshness rotation — see
+# Round-9 window policy (freshness rotation — see
 # scripts/driver_gate_check.py freshness_audit): each round's 50 slots go
 # to (a) this round's net-new registrations (budget: <= 10/round), (b)
 # queries whose semantics changed this round (they need a fresh hard row),
 # (c) every exported query whose last hard driver row is oldest, oldest
 # cohort first.  Capacity arithmetic: 50 slots/round * 4 rounds = 200 >=
 # exported count, so the standing invariant is max row age <= 4 rounds
-# (audit hard-fails beyond that).  Round-8 breakdown: 1 net-new
-# (curation_report) + 2 changed-plan re-greens (simhash_near_dups: two-
-# long combination keys + tokenizer-emptiness filter; semantic_
-# contamination: countDistinct df) + the FULL 32-name r4 cohort (age-4
-# boundary this round — driver_gate_check --plan-next emitted the list)
-# + the oldest 15-name slice of the r5 cohort (the remaining 34 rotate
-# in r9).
+# (audit hard-fails beyond that).  Round-9 breakdown: 1 net-new
+# (weight_walker — the Walker area-descent + overlap-interrupt path) +
+# 2 changed-plan re-greens (media_decode_audit: literal status anchor so
+# empty classes emit 0-rows like the oracle; near_dup_best_rep: the
+# component_argmax LEFT join — both fixture-identical, re-greened out of
+# caution) + the FULL 38-name r5 cohort (age-4 boundary this round —
+# driver_gate_check --plan-next emitted the list) + the oldest 9-name
+# slice of the r6 cohort (the remaining 41 rotate in r10).
 _PRIORITY: list[str] = [
-    # -- 1. round-8 net-new (media_decode_audit / embedding_lsh_tables
-    #       displace events_resampled / events_paths to the r9 rotation —
-    #       r9 then owes all 36 remaining r5 names)
-    "curation_report",
-    "media_decode_audit",
-    "embedding_lsh_tables",
-    "near_dup_best_rep",
-    "xcorpus_logprob",
+    # -- 1. round-9 net-new
+    "weight_walker",
     # -- 2. changed plans this round (re-green under the new shape)
-    "simhash_near_dups",
-    "semantic_contamination",
-    # -- 3. last hard driver row r4 — the full cohort (age-4 boundary
+    "media_decode_audit",
+    "near_dup_best_rep",
+    # -- 3. last hard driver row r5 — the full cohort (age-4 boundary
     #       this round; freshness_audit hard-fails if missed)
-    "dup_substring_spans",
-    "embedding_int8_topk",
-    "embedding_prefix_rerank",
-    "events_asof",
-    "events_attribution_models",
-    "events_cohorts",
-    "events_debounce",
-    "events_funnel",
-    "events_robust_outliers",
-    "events_trend",
-    "fs_agreement_patterns",
-    "fs_linkage_weights",
-    "incremental_ingest",
-    "incremental_near_dups",
-    "jaccard_prefix_join",
-    "k_anonymity",
-    "late_lone_suppliers",
-    "pagerank_mass",
-    "part_edit_pairs",
-    "phrase_search",
-    "purchase_communities",
-    "purchase_kcore",
-    "quality_sample",
-    "returned_item_customers",
-    "scd2_history",
-    "scd2_point_in_time",
-    "snapshot_diff",
-    "span_cut_corpus",
-    "vocab_topk",
-    "winsorized_prices",
-    "zorder3_values",
-    "zorder_values",
-    # -- 4. oldest r5 cohort, first slice (the rest rotate in r9)
-    "brand_supplier_counts",
-    "customer_order_distribution",
-    "disjunctive_promo_revenue",
-    "embedding_outliers",
-    "entity_pairs",
-    "entity_scores",
-    "entity_tf",
-    "events_anomaly",
-    "events_deadletter",
-    "events_forward_fill",
-    "events_hll_rollup",
+    "events_kll_quantiles",
+    "events_markov",
+    "events_paths",
+    "events_resampled",
+    "events_rolling",
+    "events_theta_setops",
+    "events_top_users",
+    "excess_stock_suppliers",
+    "forecast_revenue",
+    "idle_rich_customers",
+    "important_stock",
+    "label_centroids",
+    "large_orders",
+    "match_candidates",
+    "match_ranks",
+    "match_stats",
+    "matcher_number",
+    "multi_type_filter",
+    "nation_market_share",
+    "nation_trade_volume",
+    "ngram_novelty",
+    "normalised_scores",
+    "order_priority_late",
+    "product_profit",
+    "promo_revenue_share",
+    "returnflag_priority_mix",
+    "score_deciles",
+    "score_pivot",
+    "score_unpivot",
+    "semantic_dedup",
+    "small_quantity_revenue",
+    "supplier_min_cost",
+    "top_revenue_supplier",
+    "vocab_coverage",
+    "vocab_drift",
+    "weighted_sample",
+    "word_features",
+    "word_spec",
+    # -- 4. oldest r6 cohort, first slice (the rest rotate in r10)
+    "bpe_token_stats",
+    "char_entropy",
+    "code_extraction",
+    "contamination_check",
+    "context_windows",
+    "corpus_shuffle",
+    "corpus_split",
+    "cosine_titles",
+    "date_doc_type_filter",
 ]
 
 

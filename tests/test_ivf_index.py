@@ -111,3 +111,46 @@ def test_ivf_assign_is_map_side_only(spark):
         .toString()
     )
     assert "Exchange" not in plan, plan
+
+
+def test_ivf_refit_report_quiet_on_in_distribution_batch(spark):
+    """The refit gate must stay quiet when a new batch is drawn from the
+    SAME distribution the index was built on — otherwise every batch
+    triggers a rebuild and the gate is useless."""
+    emb = _emb(spark, 400, seed=7)
+    centers, _ = sim.ivf_build(emb, n_cells=4, seed=42)
+    batch = _emb(spark, 400, seed=99, start=1000)  # fresh same-dist draw
+    report = sim.ivf_refit_report(batch, centers).collect()
+    assert len(report) == 4  # one row per cell, always
+    assert not any(r["needs_refit"] for r in report), report
+    assert sum(r["n_vectors"] for r in report) == 400
+    assert abs(sum(r["occupancy_share"] for r in report) - 1.0) < 1e-6
+
+
+def test_ivf_refit_report_fires_on_shifted_batch(spark):
+    """A strongly shifted batch (constant offset far outside the build
+    distribution) must flag at least one cell — the documented trigger
+    to schedule an ivf_build rebuild."""
+    emb = _emb(spark, 400, seed=7)
+    centers, _ = sim.ivf_build(emb, n_cells=4, seed=42)
+    rng = random.Random(5)
+    shifted = spark.createDataFrame(
+        [
+            (2000 + i, [rng.gauss(0, 1) + 25.0 for _ in range(8)])
+            for i in range(200)
+        ],
+        ["vec_id", "embedding"],
+    )
+    report = sim.ivf_refit_report(shifted, centers).collect()
+    flagged = [r for r in report if r["needs_refit"]]
+    assert flagged, report
+    # the shift piles the whole batch into few cells AND drags the
+    # in-cell mean far from the stored center — both signals fire
+    assert any(
+        r["occupancy_share"] > 0.5 or (r["drift_norm"] or 0) > 0.5
+        for r in flagged
+    )
+    # untouched cells still report, unflagged, with zero share
+    empty = [r for r in report if r["n_vectors"] == 0]
+    for r in empty:
+        assert not r["needs_refit"] and r["drift"] is None

@@ -121,3 +121,50 @@ def test_refinement_rounds_converge_toward_true_weights(spark):
     # refinement reaches the (0.7, 0.8) optimum band the coarse grid misses
     assert 0.667 < refined["A"] < 0.833
     assert error_of(refined) == 0
+
+
+def test_walker_area_selection_interrupts_overlapping_area(spark):
+    """WeightTrainerStage.scala:131-141: when a later area's descent
+    winner lands on an earlier area's path winner, the later area is
+    interrupted — its refined columns NULL, never is_best."""
+    from puma_matcher_spark.operators import weights as wt
+
+    errs = spark.createDataFrame(
+        [(0, 100), (1, 50), (2, 10), (3, 5), (4, 11),
+         (5, 60), (6, 100), (7, 100), (8, 100)],
+        "weight_id LONG, error LONG",
+    )
+    rows = {
+        r["area_rank"]: r
+        for r in wt.walker_area_selection(errs, n_areas=2).collect()
+    }
+    a1, a2 = rows[1], rows[2]
+    # area 1: coarse center 2 (error 10), descends to neighbor 3 (error 5)
+    assert (a1["center"], a1["refined"], a1["refined_error"]) == (2, 3, 5)
+    assert not a1["interrupted"] and a1["is_best"]
+    # area 2: coarse center 4 descends onto area 1's winner → interrupted
+    assert a2["center"] == 4 and a2["interrupted"]
+    assert a2["refined"] is None and a2["refined_error"] is None
+    assert not a2["is_best"]
+
+
+def test_walker_area_selection_distinct_winners_both_survive(spark):
+    """Non-overlapping descents: both areas keep their refined result and
+    the lower refined error wins is_best (tie → lower area_rank)."""
+    from puma_matcher_spark.operators import weights as wt
+
+    errs = spark.createDataFrame(
+        [(0, 30), (1, 8), (2, 20), (3, 40), (4, 25),
+         (5, 60), (6, 21), (7, 4), (8, 50)],
+        "weight_id LONG, error LONG",
+    )
+    rows = {
+        r["area_rank"]: r
+        for r in wt.walker_area_selection(errs, n_areas=2).collect()
+    }
+    # coarse: center 2 (20) rank 1, center 6 (21) rank 2
+    assert (rows[1]["center"], rows[1]["refined"]) == (2, 1)
+    assert (rows[2]["center"], rows[2]["refined"]) == (6, 7)
+    assert not rows[1]["interrupted"] and not rows[2]["interrupted"]
+    # refined errors 8 vs 4 → area 2 is best
+    assert not rows[1]["is_best"] and rows[2]["is_best"]
