@@ -380,6 +380,7 @@ def run_streaming_ingest_app(
     checkpoint_dir: str,
     jaccard_threshold: float = 0.8,
     min_tokens: int = 5,
+    index_compact_every: int | None = 16,
 ):
     """Continuous-ingest driver — the streaming composition of the two
     connectors built this rebuild: the native ``manifest_text`` stream
@@ -447,6 +448,14 @@ def run_streaming_ingest_app(
         jvm = spark._jvm
         p = jvm.org.apache.hadoop.fs.Path(path)
         fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(p):
+            # a compaction that crashed between its two renames leaves
+            # the component parked at .compact-old and nothing at path —
+            # restore it before reading (maintenance.compact_batch_index
+            # applies the same recovery on its next run)
+            parked = jvm.org.apache.hadoop.fs.Path(path + ".compact-old")
+            if fs.exists(parked):
+                fs.rename(parked, p)
         return fs.exists(p)
 
     def _admit(batch_df: DataFrame, batch_id: int) -> None:
@@ -514,6 +523,25 @@ def run_streaming_ingest_app(
                 df.write.mode("overwrite").parquet(
                     f"{index_root}/{c}/batch_id={batch_id}"
                 )
+            # bound the index's directory/file count over a long manifest
+            # tail: every k batches fold all COMMITTED per-batch
+            # partitions (batch_id < current — the in-flight batch stays
+            # separate so a crash replay can still exclude its own rows)
+            # into one merged batch_id=<current-1> partition via the
+            # atomic staging swap.  Without this, _with_prior's union
+            # lists/opens one directory per historical batch even though
+            # the ROW volume is hash-width-flat (r8 verdict finding #1).
+            if index_compact_every and (
+                (batch_id + 1) % index_compact_every == 0
+            ):
+                from puma_matcher_spark.sources.maintenance import (
+                    compact_batch_index,
+                )
+
+                for c in components:
+                    p = f"{index_root}/{c}"
+                    if _path_exists(p):
+                        compact_batch_index(sess, p, fold_below=batch_id)
         finally:
             docs.unpersist()
 

@@ -115,6 +115,90 @@ def compact_parquet(
     }
 
 
+def compact_batch_index(
+    spark: SparkSession,
+    path: str,
+    fold_below: int,
+    target_file_mb: int = 64,
+) -> dict:
+    """Fold a stream's per-batch index partitions
+    (``path/batch_id=<n>`` directories, one per micro-batch) into a
+    single merged partition so the directory/file count stays BOUNDED
+    over a long manifest tail instead of growing one-per-batch.
+
+    Every partition with ``batch_id < fold_below`` is rewritten under
+    ``batch_id = fold_below - 1``; partitions ``>= fold_below`` are
+    preserved as-is.  Correctness of the relabel: consumers filter the
+    index with ``batch_id < current`` only — for every future batch
+    ``current > fold_below - 1`` the merged rows stay visible, and a
+    crash-REPLAYED batch ``fold_below`` still excludes its own rows
+    (they sit at ``batch_id = fold_below``, untouched).  Folding the
+    in-flight batch itself would break that replay exclusion, which is
+    why callers pass the CURRENT batch id as ``fold_below``.
+
+    Promotion is the same two-rename staging swap as
+    :func:`compact_parquet` (previous data parked at
+    ``path + ".compact-old"`` until the swap completes; a crash between
+    the renames is recovered by the next call — or by the reader-side
+    probe in apps.run_streaming_ingest_app).  No-ops when fewer than
+    two partitions would fold.
+
+    Returns {"files_before", "files_after", "dirs_before",
+    "dirs_after", "bytes"} for audit logs.
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    old = path + ".compact-old"
+    if not os.path.isdir(path) and os.path.isdir(old):
+        os.rename(old, path)
+    if not os.path.isdir(path):
+        raise FileNotFoundError(f"no dataset directory at {path}")
+    bids = sorted(
+        int(e.split("=", 1)[1])
+        for e in os.listdir(path)
+        if e.startswith("batch_id=") and os.path.isdir(os.path.join(path, e))
+    )
+    n_before, total_bytes = dataset_file_stats(path)
+    fold = [b for b in bids if b < fold_below]
+    if len(fold) < 2:
+        return {
+            "files_before": n_before,
+            "files_after": n_before,
+            "dirs_before": len(bids),
+            "dirs_after": len(bids),
+            "bytes": total_bytes,
+        }
+    chunk = target_file_mb * 1024 * 1024
+    target = max(1, (total_bytes + chunk - 1) // chunk)
+    df = spark.read.parquet(path)
+    merged = F.when(
+        F.col("batch_id") < fold_below, F.lit(fold_below - 1)
+    ).otherwise(F.col("batch_id"))
+    out = df.withColumn("batch_id", merged).repartition(
+        int(target), "batch_id"
+    )
+    staging = path + ".compact-staging"
+    if os.path.isdir(staging):
+        shutil.rmtree(staging)
+    out.write.mode("overwrite").partitionBy("batch_id").parquet(staging)
+    if os.path.isdir(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
+    os.rename(staging, path)
+    shutil.rmtree(old)
+    n_after, _ = dataset_file_stats(path)
+    dirs_after = sum(1 for e in os.listdir(path) if e.startswith("batch_id="))
+    return {
+        "files_before": n_before,
+        "files_after": n_after,
+        "dirs_before": len(bids),
+        "dirs_after": dirs_after,
+        "bytes": total_bytes,
+    }
+
+
 def _looks_hive_partitioned(path: str) -> bool:
     """True when the dataset's first level contains key=value dirs."""
     try:

@@ -292,3 +292,71 @@ def test_streaming_ingest_replay_is_idempotent_with_index(spark, tmp_path):
     # the index partitions were rewritten, not duplicated
     fp = spark.read.parquet(f"{out}/_index/fingerprints")
     assert fp.count() == 2
+
+
+def test_streaming_ingest_index_compaction_bounds_dirs(spark, tmp_path):
+    """Round 9: with index_compact_every=2 the per-batch _index
+    partitions fold into one merged partition every other batch, the
+    directory count stays bounded, and cross-batch dedup still rejects
+    a duplicate of a doc whose index rows were FOLDED (the merged
+    batch_id relabel keeps them visible to later batches)."""
+    import os
+
+    from puma_matcher_spark.apps import run_streaming_ingest_app
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    corpus = spark.createDataFrame(
+        [(900, "static corpus doc about spectrometer baseline drift here")],
+        ["doc_id", "text"],
+    )
+    manifest = tmp_path / "manifest.csv"
+    manifest.write_text("doc_id,file_path\n", encoding="utf-8")
+    out = str(tmp_path / "admitted")
+    ckpt = str(tmp_path / "ckpt")
+    texts = [
+        "a fresh document about careful calibration of the new detectors arriving today",
+        "another genuinely novel document describing the spectrometer upgrade plans",
+        "a third completely unrelated note on cryostat maintenance schedules this winter",
+    ]
+
+    def drain(did, text):
+        p = src / f"doc_{did}.txt"
+        p.write_text(text, encoding="utf-8")
+        with open(manifest, "a", encoding="utf-8") as fh:
+            fh.write(f"{did},{p}\n")
+        q = run_streaming_ingest_app(
+            spark, str(manifest), corpus, out, ckpt, index_compact_every=2
+        )
+        assert q.awaitTermination(180)
+
+    for i, t in enumerate(texts):
+        drain(i + 1, t)  # batches 0,1,2 (the batch-1 fold is a no-op:
+        #                  only batch 0 is committed-and-foldable there)
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {1, 2, 3}
+    # duplicate of the batch-0 doc arrives as batch 3; batch 3 also
+    # triggers the fold of committed batches 0-2 into batch_id=2
+    drain(4, texts[0])
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {1, 2, 3}
+    for c in ("fingerprints", "band_keys", "shingles"):
+        dirs = sorted(
+            e
+            for e in os.listdir(f"{out}/_index/{c}")
+            if e.startswith("batch_id=")
+        )
+        # batch 3 admitted nothing, so its empty partition carries no
+        # rows and the fold rewrite drops it — only the merged dir stays
+        assert dirs == ["batch_id=2"], (c, dirs)
+    # duplicate of a doc whose index rows were FOLDED (relabelled to
+    # batch_id=2) must still be rejected by the later batch 4
+    drain(5, texts[2])
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {1, 2, 3}
+    # and the dir count stays bounded: merged + at most one per batch
+    # since the last fold
+    for c in ("fingerprints", "band_keys", "shingles"):
+        n_dirs = sum(
+            1
+            for e in os.listdir(f"{out}/_index/{c}")
+            if e.startswith("batch_id=")
+        )
+        assert n_dirs <= 3, c

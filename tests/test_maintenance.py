@@ -58,3 +58,58 @@ def test_compaction_noop_on_single_file_and_refuses_partitioned(spark, tmp_path)
     import os
 
     assert any("k=" in e for e in os.listdir(part))
+
+
+def test_compact_batch_index_folds_committed_partitions(spark, tmp_path):
+    """Round 9: per-batch index partitions below fold_below merge into a
+    single batch_id=<fold_below-1> partition; the in-flight batch's
+    partition survives untouched (replay exclusion), rows and the
+    batch_id<current visibility contract are preserved."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from puma_matcher_spark.sources.maintenance import compact_batch_index
+
+    root = str(tmp_path / "idx")
+    for b in range(5):
+        spark.createDataFrame(
+            [(b * 10 + i, f"fp{b}_{i}") for i in range(10)],
+            "doc_id LONG, fingerprint STRING",
+        ).repartition(4).write.parquet(f"{root}/batch_id={b}")
+    stats = compact_batch_index(spark, root, fold_below=4)
+    dirs = sorted(e for e in os.listdir(root) if e.startswith("batch_id="))
+    assert dirs == ["batch_id=3", "batch_id=4"]
+    assert stats["dirs_after"] == 2 < stats["dirs_before"]
+    assert stats["files_after"] < stats["files_before"]
+    df = spark.read.parquet(root)
+    assert df.count() == 50
+    # visibility contract: a future batch (current=5) sees everything,
+    # a replay of batch 4 still excludes exactly its own rows
+    assert df.where(F.col("batch_id") < 5).count() == 50
+    assert df.where(F.col("batch_id") < 4).count() == 40
+    assert {
+        r["doc_id"] for r in df.where(F.col("batch_id") == 4).collect()
+    } == set(range(40, 50))
+
+
+def test_compact_batch_index_noop_and_crash_recovery(spark, tmp_path):
+    """Fewer than two foldable partitions → no-op; a crash between the
+    two renames (data parked at .compact-old) is restored by the next
+    call before it does anything else."""
+    import os
+
+    from puma_matcher_spark.sources.maintenance import compact_batch_index
+
+    root = str(tmp_path / "idx")
+    for b in range(3):
+        spark.createDataFrame(
+            [(b, f"fp{b}")], "doc_id LONG, fingerprint STRING"
+        ).write.parquet(f"{root}/batch_id={b}")
+    before = compact_batch_index(spark, root, fold_below=1)  # 1 foldable
+    assert before["dirs_after"] == before["dirs_before"] == 3
+    # simulate the crash window: path gone, previous data parked
+    os.rename(root, root + ".compact-old")
+    stats = compact_batch_index(spark, root, fold_below=3)
+    assert stats["dirs_after"] == 1
+    assert spark.read.parquet(root).count() == 3
