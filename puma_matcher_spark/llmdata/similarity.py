@@ -957,12 +957,27 @@ def semantic_contamination(
     as in scripts/dedup_scale_stress.py) counts ONCE toward ``df_cap``
     — ``doc_id`` is therefore assumed to be a global document identity
     across the two frames (unrelated id spaces that collide would
-    under-count).  Note the completeness caveat: unlike the simhash
-    pigeonhole construction, the df_cap/min_shared blocking is heuristic
-    recall — a leaked pair sharing < ``min_shared`` rare shingles
-    escapes both this scan and :func:`semantic_decontaminate`.
-    Completeness is FIXTURE-verified (the registered driver oracle is
-    the unblocked all-pairs cross cosine), not a theorem.
+    under-count).
+
+    Recall, MEASURED (round 9, scripts/semantic_recall_study.py —
+    planted exact/block-paraphrase/scattered-paraphrase/boilerplate
+    leaks vs the unblocked all-pairs truth at thresholds 0.5-0.8, grid
+    over min_shared {1,2} x df_cap {64,128}): for every pair whose
+    similarity rests on rare-shingle evidence, recall was 1.000 in ALL
+    configs — structurally, the verified cosine runs over shingle-hash
+    embeddings, so any pair clearing even 0.5 cosine shares dozens of
+    shingles and content shingles sit far under the df cap; the
+    defaults (min_shared=2, df_cap=64) are the operating point, and
+    loosening either knob bought nothing.  The one blindspot is
+    similarity carried ENTIRELY by corpus-common shingles (boilerplate:
+    0/5 caught at every setting) — by design: the df cap exists to
+    excise boilerplate blocking keys (a shared licence header is not
+    leakage, and unblocking it is the |C|x|B| blowup).  If common-
+    content leakage ever matters, raise ``df_cap`` above the
+    boilerplate document frequency (quadratic candidate cost in those
+    shingles); lowering ``min_shared`` is the wrong knob.  The planted-
+    leak gate is pinned in tests/test_semantic_blocked.py; the
+    registered driver oracle stays the unblocked all-pairs cross cosine.
     """
     from puma_matcher_spark.llmdata.dedup import shingles
 

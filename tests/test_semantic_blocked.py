@@ -160,7 +160,7 @@ def test_semantic_contamination_finds_planted_leak(spark):
         ],
         ["doc_id", "text"],
     )
-    out = sim.semantic_contamination(corpus, bench, threshold=0.8).collect()
+    out = sim.semantic_contamination(corpus, bench, threshold=0.65).collect()
     assert {(r["corpus_id"], r["benchmark_id"]) for r in out} == {(2, 1)}
     assert out[0]["cosine_sim"] >= 0.9
 
@@ -263,3 +263,89 @@ def test_semantic_decontaminate_drops_exactly_the_flagged_ids(spark):
     assert flagged == {2}
     assert kept == {4, 6}
     assert set(clean.columns) == set(corpus.columns)
+
+
+def test_planted_leak_recall_at_operating_point(spark):
+    """Round-9 recall gate (scripts/semantic_recall_study.py): at the
+    default operating point (min_shared=2, df_cap=64) the blocked scan
+    catches EVERY planted rare-content leak the unblocked truth flags —
+    exact copies, a 90% block paraphrase and a 90% scattered paraphrase
+    — while the boilerplate-carried pair (every shared shingle over the
+    df cap) is the designed blindspot: flagged by the unblocked truth,
+    intentionally not by the scan."""
+    L, POOL = 40, 12
+
+    def toks(p, i):
+        return [f"{p}{i}_{j}" for j in range(L)]
+
+    def boiler(off):
+        return [f"bp{(off + j) % POOL}" for j in range(L)]
+
+    corpus_rows = [(i, " ".join(toks("u", i))) for i in range(300)]
+    corpus_rows += [(1000 + i, " ".join(boiler(i))) for i in range(80)]
+    bench_rows, planted = [], {}
+    b0, b1, b2, b3 = toks("q", 0), toks("q", 1), toks("q", 2), boiler(5)
+    # exact copy
+    bench_rows.append((9000, " ".join(b0)))
+    corpus_rows.append((5000, " ".join(b0)))
+    planted[(5000, 9000)] = "exact"
+    # 90% block paraphrase
+    bench_rows.append((9001, " ".join(b1)))
+    corpus_rows.append((5001, " ".join(b1[:36] + [f"x1_{j}" for j in range(4)])))
+    planted[(5001, 9001)] = "block90"
+    # 90% scattered paraphrase (4 evenly spaced replacements)
+    repl = {0, 10, 20, 30}
+    bench_rows.append((9002, " ".join(b2)))
+    corpus_rows.append(
+        (5002, " ".join(f"x2_{j}" if j in repl else b2[j] for j in range(L)))
+    )
+    planted[(5002, 9002)] = "scat90"
+    # boilerplate pair: cosine 1.0, every shingle df ~ 81 > 64
+    bench_rows.append((9003, " ".join(b3)))
+    corpus_rows.append((5003, " ".join(b3)))
+    planted[(5003, 9003)] = "boiler"
+
+    corpus = spark.createDataFrame(corpus_rows, ["doc_id", "text"])
+    bench = spark.createDataFrame(bench_rows, ["doc_id", "text"])
+
+    # unblocked truth at 0.65 (the oracle definition; the scattered-90%
+    # pair's cosine is hash-borderline around 0.8 — the study measured
+    # it reliably above 0.65, and both sides use the SAME threshold)
+    cv = sim.shingle_hash_embeddings(corpus).select(
+        F.col("doc_id").alias("corpus_id"),
+        F.col("embedding").alias("_ce"),
+        sim.norm("embedding").alias("_cn"),
+    )
+    bv = sim.shingle_hash_embeddings(bench).select(
+        F.col("doc_id").alias("benchmark_id"),
+        F.col("embedding").alias("_be"),
+        sim.norm("embedding").alias("_bn"),
+    )
+    truth = {
+        (r["corpus_id"], r["benchmark_id"])
+        for r in cv.where(F.col("_cn") > 0)
+        .crossJoin(F.broadcast(bv.where(F.col("_bn") > 0)))
+        .where(
+            sim.dot(F.col("_ce"), F.col("_be")) / (F.col("_cn") * F.col("_bn"))
+            >= 0.65
+        )
+        .select("corpus_id", "benchmark_id")
+        .collect()
+    }
+    rare_content = {p for p, f in planted.items() if f != "boiler"}
+    assert rare_content <= truth  # the planted paraphrases ARE leaks
+    assert (5003, 9003) in truth  # and so is the boilerplate pair
+
+    got = {
+        (r["corpus_id"], r["benchmark_id"])
+        for r in sim.semantic_contamination(corpus, bench, threshold=0.65)
+        .collect()
+    }
+    # recall 1.0 on every rare-content truth pair
+    assert rare_content <= got
+    assert (truth - got) <= {(5003, 9003)} | {
+        p for p in truth if p[0] >= 1000 and p[0] < 2000
+    }
+    # the designed blindspot, pinned: boilerplate-carried similarity is
+    # excluded (every shared shingle's df exceeds the cap)
+    assert (5003, 9003) not in got
