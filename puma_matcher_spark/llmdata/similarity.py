@@ -607,6 +607,22 @@ def lsh_bucketed_topk(
     100 TB trade: t× the bucket-join work buys exponentially fewer
     misses).  Multi-table candidates are deduped BEFORE the rank window
     so a pair colliding in several tables scores once.
+
+    Choosing (n_planes, n_tables) — measured rule (round-9 grid,
+    PLANS.md, 4/6/8 planes x 1/2/4 tables on both geometries): the
+    bucket-join cost is ~ |corpus| / 2^n_planes candidate pairs per
+    vector per table, and at a MATCHED candidate budget more planes +
+    more tables strictly beats fewer planes (recall per candidate pair
+    was uniformly highest at 8 planes — wide buckets spend the budget on
+    random collisions, extra tables on diversified projections).  So:
+    pick n_planes from the per-vector candidate budget, then raise
+    n_tables toward the recall target; lower n_planes only when the
+    required table count is impractical.  For production top-k recall
+    (>= 0.9) on dense embeddings use the IVF or prefix-rerank paths
+    instead (clustered-geometry recall 0.993 / 0.998 in the r8 studies);
+    sign-LSH is the right tool for bucketed NEAR-DUP candidate
+    generation, where per-table collision probability is high by
+    construction.
     """
     if n_tables < 1:
         raise ValueError(f"n_tables must be >= 1, got {n_tables}")
