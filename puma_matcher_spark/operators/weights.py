@@ -109,6 +109,13 @@ def walker_area_selection(errs: DataFrame, n_areas: int = 2) -> DataFrame:
     interrupted, is_best), deterministic via (error ASC, weight_id ASC)
     tie-breaks throughout.
     """
+    from puma_matcher_spark.functions.caching import persist_rotating
+
+    # the selection references errs on BOTH sides of the neighborhood
+    # join (areas + lattice) and in three windows — without a barrier
+    # each reference re-runs the whole upstream error-evaluation DAG
+    # (measured 239 exchanges → 10 on the weight_walker plan)
+    errs = persist_rotating(errs)
     wo = Window.orderBy(F.col("error").asc(), F.col("weight_id").asc())
     areas = (
         errs.where(F.col("weight_id") % 2 == 0)
