@@ -2781,6 +2781,91 @@ def q_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ivf_cell_report",
+    f"""WITH cent_e AS (
+  SELECT label % 4 AS cell, unnest(embedding::DOUBLE[]) AS v,
+         generate_subscripts(embedding, 1) AS dim
+  FROM embeddings WHERE label IS NOT NULL AND {_EMB_NONEMPTY}),
+cm AS (SELECT cell, dim, ROUND(AVG(v), 4) AS c FROM cent_e GROUP BY 1, 2),
+cent AS (SELECT cell, list(c ORDER BY dim) AS cv FROM cm GROUP BY cell),
+scale AS (
+  SELECT AVG(sqrt(list_sum(list_transform(range(1, len(a.cv) + 1),
+         i -> (a.cv[i] - b.cv[i]) * (a.cv[i] - b.cv[i]))))) AS s
+  FROM cent a JOIN cent b ON a.cell < b.cell),
+batch AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+  WHERE vec_id % 3 = 0 AND {_EMB_VALID}),
+assigned AS (
+  SELECT vec_id, cell, e FROM (
+    SELECT b.vec_id, c.cell, b.e,
+           ROW_NUMBER() OVER (PARTITION BY b.vec_id ORDER BY
+             list_sum(list_transform(range(1, len(c.cv) + 1),
+               i -> (b.e[i] - c.cv[i]) * (b.e[i] - c.cv[i]))) ASC,
+             c.cell ASC) AS rn
+    FROM batch b CROSS JOIN cent c) WHERE rn = 1),
+counts AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n FROM assigned GROUP BY 1),
+total AS (SELECT SUM(n) AS t FROM counts),
+bm_e AS (SELECT cell, unnest(e) AS v, generate_subscripts(e, 1) AS dim
+         FROM assigned),
+bm AS (SELECT cell, dim, AVG(v) AS mv FROM bm_e GROUP BY 1, 2),
+bmv AS (SELECT cell, list(mv ORDER BY dim) AS mvv FROM bm GROUP BY cell),
+stats AS (
+  SELECT c.cell, COALESCE(ct.n, 0) AS n_vectors,
+         CASE WHEN (SELECT t FROM total) > 0
+              THEN COALESCE(ct.n, 0)::DOUBLE / (SELECT t FROM total)
+              ELSE 0.0 END AS share_raw,
+         CASE WHEN m.mvv IS NULL THEN NULL
+              ELSE sqrt(list_sum(list_transform(range(1, len(c.cv) + 1),
+                   i -> (m.mvv[i] - c.cv[i]) * (m.mvv[i] - c.cv[i]))))
+              END AS drift_raw
+  FROM cent c LEFT JOIN counts ct USING (cell) LEFT JOIN bmv m USING (cell))
+SELECT CAST(cell AS BIGINT) AS cell,
+       n_vectors,
+       ROUND(share_raw, 6) AS occupancy_share,
+       ROUND(drift_raw, 6) AS drift,
+       ROUND(drift_raw / (SELECT s FROM scale), 6) AS drift_norm,
+       (ROUND(share_raw, 6) > 0.5) OR
+       COALESCE(ROUND(drift_raw / (SELECT s FROM scale), 6) > 0.5, false)
+         AS needs_refit
+FROM stats""",
+)
+def q_ivf_cell_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF refit gate (similarity.ivf_refit_report) as a hash-green
+    driver row: per-cell occupancy share and centroid drift of a batch
+    (every 3rd vector) against a deterministic 4-cell quantizer — the
+    per-label%4 centroids, rounded to 4 decimals so both engines fold
+    bit-identical center literals.  ``needs_refit`` flags occupancy
+    above 2x the uniform expectation (skew threshold 2.0 over 4 cells →
+    share > 0.5) or normalised drift above 0.5 of the mean inter-center
+    distance.  The KMeans-fitted production path shares this exact
+    report code; the fixed-centroid quantizer here exists to make the
+    gate's arithmetic (assign → occupancy → drift → thresholds)
+    oracle-checkable end to end.  The batch-side collect is 4 bounded
+    centroid rows (the documented driver-scalar pattern)."""
+    emb = load_tables(spark, sf_dir).llm_embeddings()
+    cents_df = sim.label_centroids(
+        emb.withColumn("label", (F.col("label") % 4).cast("int"))
+    )
+    rows = {r["label"]: r["centroid"] for r in cents_df.collect()}
+    assert sorted(rows) == list(range(len(rows))), (
+        f"cell labels must be dense 0..n-1, got {sorted(rows)}"
+    )
+    centers = [[float(x) for x in rows[j]] for j in sorted(rows)]
+    batch = emb.where(F.col("vec_id") % 3 == 0)
+    rep = sim.ivf_refit_report(
+        batch, centers, occupancy_skew_threshold=2.0, drift_threshold=0.5
+    )
+    return rep.select(
+        F.col("cell").cast("long").alias("cell"),
+        "n_vectors",
+        "occupancy_share",
+        "drift",
+        "drift_norm",
+        "needs_refit",
+    )
+
+
+@register(
     "embedding_topk",
     f"""WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
            FROM embeddings WHERE vec_id % 50 = 0 AND {_EMB_VALID}),
@@ -7350,17 +7435,19 @@ _PYTEST_ONLY: frozenset[str] = frozenset(
 # (c) every exported query whose last hard driver row is oldest, oldest
 # cohort first.  Capacity arithmetic: 50 slots/round * 4 rounds = 200 >=
 # exported count, so the standing invariant is max row age <= 4 rounds
-# (audit hard-fails beyond that).  Round-9 breakdown: 1 net-new
-# (weight_walker — the Walker area-descent + overlap-interrupt path) +
+# (audit hard-fails beyond that).  Round-9 breakdown: 2 net-new
+# (weight_walker — the Walker area-descent + overlap-interrupt path;
+# ivf_cell_report — the IVF refit gate's occupancy/drift arithmetic) +
 # 2 changed-plan re-greens (media_decode_audit: literal status anchor so
 # empty classes emit 0-rows like the oracle; near_dup_best_rep: the
 # component_argmax LEFT join — both fixture-identical, re-greened out of
 # caution) + the FULL 38-name r5 cohort (age-4 boundary this round —
-# driver_gate_check --plan-next emitted the list) + the oldest 9-name
-# slice of the r6 cohort (the remaining 41 rotate in r10).
+# driver_gate_check --plan-next emitted the list) + the oldest 8-name
+# slice of the r6 cohort (the remaining 42 rotate in r10).
 _PRIORITY: list[str] = [
     # -- 1. round-9 net-new
     "weight_walker",
+    "ivf_cell_report",
     # -- 2. changed plans this round (re-green under the new shape)
     "media_decode_audit",
     "near_dup_best_rep",
@@ -7413,7 +7500,6 @@ _PRIORITY: list[str] = [
     "corpus_shuffle",
     "corpus_split",
     "cosine_titles",
-    "date_doc_type_filter",
 ]
 
 
