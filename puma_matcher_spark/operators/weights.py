@@ -131,10 +131,20 @@ def walker_area_selection(errs: DataFrame, n_areas: int = 2) -> DataFrame:
         F.col("weight_id").alias("refined"),
         F.col("error").alias("refined_error"),
     )
-    nb = areas.join(
-        F.broadcast(lattice),
-        F.abs(F.col("refined") - F.col("center")) <= 1,
-    )
+    # neighborhood as explode + EQUI-join (|cand - center| <= 1 as a
+    # range predicate would plan a nested-loop join and trip the
+    # no-cartesian guard); out-of-lattice neighbors simply don't match,
+    # which IS the clamp semantics
+    nb = areas.select(
+        "area_rank",
+        "center",
+        "coarse_error",
+        F.explode(
+            F.array(
+                F.col("center") - 1, F.col("center"), F.col("center") + 1
+            )
+        ).alias("refined"),
+    ).join(F.broadcast(lattice), "refined")
     wn = Window.partitionBy("area_rank").orderBy(
         F.col("refined_error").asc(), F.col("refined").asc()
     )
