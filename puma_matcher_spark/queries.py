@@ -2514,7 +2514,16 @@ def q_weight_walker(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded (≤9, ≤2 and ≤2 rows — documented-bounded set), never
     corpus-sized.  No driver loop: the reference's while-loop collapses
     because one halving of a 2-type grid cannot descend further than
-    the lattice already covers."""
+    the lattice already covers.
+
+    Scale contract (measured, PLANS.md round-9): the lattice evaluation
+    shuffles |lattice| x |candidate pairs| rows through the rank window
+    — at sf1 the FULL-corpus fixture input exceeded local spill, which
+    is out of envelope BY DESIGN: the trainer's input is a TRAINING
+    slice (the reference's WeightTrainerStage consumes training-set
+    match candidates, small by construction), not the production
+    corpus.  The dense %7 fixture rule exists for oracle parity at the
+    driver's sf, not as a production input model."""
     from pyspark.sql.window import Window
 
     cand = _all_candidates(load_tables(spark, sf_dir))
