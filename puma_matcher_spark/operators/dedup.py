@@ -172,12 +172,19 @@ def person_pair_predicate(pairs: DataFrame) -> DataFrame:
 def connected_components(
     edges: DataFrame, max_iterations: int = 20
 ) -> DataFrame:
-    """Connected components by iterative min-label propagation.
+    """Connected components by iterative min-label propagation with
+    path-halving.
 
     Input: (id1, id2) undirected edges.  Output: (id, component) where
     component = min id reachable.  Replaces GraphX connectedComponents
-    (M8).  Each round joins the current labels across edges and keeps the
-    min; stops when no label changes.
+    (M8).  Each round takes the min over neighbours' labels (one hop)
+    and then a pointer-jump (label ← label of the label), so the
+    reached distance roughly doubles per round and convergence is
+    O(log diameter) — 20 rounds cover ~10^6-hop chains, where the plain
+    hop-only loop needed one round PER HOP and silently returned wrong
+    components on any graph whose diameter exceeded the cap (round-9
+    graph-zoo finding).  Stops when no label changes; RAISES if the cap
+    is hit before convergence instead of returning a truncated answer.
     """
     # persist the symmetrized edge list: it feeds EVERY iteration's join
     # plus the label init — without the persist the entire upstream plan
@@ -215,6 +222,7 @@ def _cc_loop(sym: DataFrame, labels: DataFrame, max_iterations: int) -> DataFram
         if labels.count() <= BROADCAST_NODES_MAX
         else (lambda df: df)
     )
+    changed = 0
     for i in range(max_iterations):
         # candidate label for each node: min of its neighbours' labels
         nbr = (
@@ -223,15 +231,33 @@ def _cc_loop(sym: DataFrame, labels: DataFrame, max_iterations: int) -> DataFram
             .agg(F.min("component").alias("nbr_component"))
             .withColumnRenamed("src", "id")
         )
+        # checkpoint the hop result: the pointer jump below reads it
+        # TWICE (as rows and as the parent lookup) and each reference
+        # would otherwise recompute the neighbour aggregation
+        hopped = (
+            labels.join(bc(nbr), "id", "left").select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", "component")
+                ).alias("component"),
+            )
+        ).localCheckpoint()
+        # path-halving pointer jump: component ← component's own label
+        # (always ≤, since labels only decrease from the identity init).
+        # This is what turns per-round progress from +1 hop into ~2x the
+        # covered distance, making the iteration cap a log bound.
+        parents = hopped.select(
+            F.col("id").alias("component"), F.col("component").alias("_parent")
+        )
         # checkpoint BEFORE the convergence probe: the probe and the next
         # round then both read the materialized frame instead of
         # re-executing a plan that nests one join deeper per iteration
         new_labels = (
-            labels.join(bc(nbr), "id", "left")
+            hopped.join(bc(parents), "component", "left")
             .select(
                 "id",
                 F.least(
-                    F.col("component"), F.coalesce("nbr_component", "component")
+                    F.col("component"), F.coalesce("_parent", "component")
                 ).alias("component"),
             )
         ).localCheckpoint()
@@ -245,6 +271,13 @@ def _cc_loop(sym: DataFrame, labels: DataFrame, max_iterations: int) -> DataFram
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iterations} "
+            "iterations — graph diameter exceeds the doubling bound; raise "
+            "max_iterations (silently returning truncated components would "
+            "merge/split clusters wrongly)"
+        )
     return labels
 
 

@@ -221,3 +221,33 @@ def test_component_argmax_unscored_component_falls_back_to_min_id(spark):
         for r in component_argmax(comp, scores).collect()
     }
     assert got == {1: 2, 20: 20}
+
+
+def test_connected_components_long_chain_converges_in_log_rounds(spark):
+    """Round 9: path-halving makes the iteration cap a LOG bound — a
+    150-hop chain (old hop-only loop: silently wrong past 20 rounds)
+    must resolve every node to component 0 within the default cap."""
+    from puma_matcher_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(150)], "id1 LONG, id2 LONG"
+    )
+    comp = {
+        r["id"]: r["component"] for r in connected_components(edges).collect()
+    }
+    assert set(comp.values()) == {0}
+    assert len(comp) == 151
+
+
+def test_connected_components_raises_instead_of_truncating(spark):
+    """An under-provisioned iteration cap must FAIL LOUDLY, never return
+    truncated (wrongly split) components."""
+    import pytest
+
+    from puma_matcher_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(100)], "id1 LONG, id2 LONG"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iterations=3).collect()
