@@ -300,10 +300,21 @@ def k_core(edges: DataFrame, k: int = 2, n_rounds: int = 4) -> DataFrame:
             F.col("dst") == F.col("kcore_keep.src"),
             "left_semi",
         ).localCheckpoint()
-    return (
-        cur.groupBy(F.col("src").alias("node"))
-        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    out = cur.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
     )
+    # convergence probe (round-9, same contract as connected_components):
+    # a survivor below k means the peel cascade was still removing when
+    # the rounds ran out — the result would NOT be the k-core, and both
+    # engines agreeing on a truncated peel is exactly the failure parity
+    # cannot catch.  Fail loudly instead.
+    if out.where(F.col("degree") < k).limit(1).count():
+        raise RuntimeError(
+            f"k_core: peeling had not converged after {n_rounds} rounds "
+            "(a survivor still has degree < k) — raise n_rounds; the "
+            "fixed-round result is not the k-core"
+        )
+    return out
 
 
 def k_core_sql(edges_cte: str, k: int = 2, n_rounds: int = 4) -> str:

@@ -308,3 +308,32 @@ def test_zvalue_n_matches_reference_interleave(spark):
 
     with _pytest.raises(ValueError):
         zvalue_n(["a"] * 8, bits=10)  # 80 bits > long
+
+
+def test_k_core_raises_when_peel_cascade_outruns_rounds(spark):
+    """Round 9 (same contract as connected_components): a fixed-round
+    peel that has NOT converged must fail loudly — both engines agreeing
+    on a truncated peel is exactly the failure parity cannot catch.  A
+    10-chain's 2-core is empty but peels only 2 endpoints per round."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from puma_matcher_spark.operators.graph import k_core
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "src LONG, dst LONG"
+    )
+    sym = chain.unionByName(
+        chain.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    with pytest.raises(RuntimeError, match="not converged"):
+        k_core(sym, k=2, n_rounds=4).collect()
+    # enough rounds: converges to the (empty) exact 2-core
+    assert k_core(sym, k=2, n_rounds=5).count() == 0
+    tri = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src LONG, dst LONG"
+    )
+    tri_sym = tri.unionByName(
+        tri.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    assert k_core(tri_sym, k=2, n_rounds=2).count() == 3
