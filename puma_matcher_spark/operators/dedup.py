@@ -170,7 +170,7 @@ def person_pair_predicate(pairs: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, max_iterations: int = 20
+    edges: DataFrame, max_iterations: int = 40
 ) -> DataFrame:
     """Connected components by iterative min-label propagation with
     path-halving.
@@ -178,13 +178,18 @@ def connected_components(
     Input: (id1, id2) undirected edges.  Output: (id, component) where
     component = min id reachable.  Replaces GraphX connectedComponents
     (M8).  Each round takes the min over neighbours' labels (one hop)
-    and then a pointer-jump (label ← label of the label), so the
-    reached distance roughly doubles per round and convergence is
-    O(log diameter) — 20 rounds cover ~10^6-hop chains, where the plain
-    hop-only loop needed one round PER HOP and silently returned wrong
-    components on any graph whose diameter exceeded the cap (round-9
-    graph-zoo finding).  Stops when no label changes; RAISES if the cap
-    is hit before convergence instead of returning a truncated answer.
+    and then a pointer-jump (label ← label of the label): on chain-like
+    graphs the covered distance roughly doubles per round (a 150-hop
+    chain converges in ~9 rounds where the plain hop-only loop needed
+    one round PER HOP — and silently returned wrong components past the
+    cap: 333/15,000 wrong labels on the sf0.1 blocked-pairs graph,
+    round-9 finding); on interval-overlap graphs the jump is worth ~2x,
+    so the cap is sized for the hop bound, not the log bound.  Stops
+    when no label changes; RAISES if the cap is hit before convergence
+    instead of returning a truncated answer.  Per round the new label
+    frame is persisted and fully materialized — not for reuse but to
+    RESET Catalyst's size estimate to the real cached size (see the
+    stats-reset barrier note in ``_cc_loop``).
     """
     # persist the symmetrized edge list: it feeds EVERY iteration's join
     # plus the label init — without the persist the entire upstream plan
@@ -223,6 +228,7 @@ def _cc_loop(sym: DataFrame, labels: DataFrame, max_iterations: int) -> DataFram
         else (lambda df: df)
     )
     changed = 0
+    prev = None
     for i in range(max_iterations):
         # candidate label for each node: min of its neighbours' labels
         nbr = (
@@ -231,36 +237,44 @@ def _cc_loop(sym: DataFrame, labels: DataFrame, max_iterations: int) -> DataFram
             .agg(F.min("component").alias("nbr_component"))
             .withColumnRenamed("src", "id")
         )
-        # checkpoint the hop result: the pointer jump below reads it
-        # TWICE (as rows and as the parent lookup) and each reference
-        # would otherwise recompute the neighbour aggregation
-        hopped = (
-            labels.join(bc(nbr), "id", "left").select(
-                "id",
-                F.least(
-                    F.col("component"), F.coalesce("nbr_component", "component")
-                ).alias("component"),
-            )
-        ).localCheckpoint()
-        # path-halving pointer jump: component ← component's own label
-        # (always ≤, since labels only decrease from the identity init).
-        # This is what turns per-round progress from +1 hop into ~2x the
-        # covered distance, making the iteration cap a log bound.
-        parents = hopped.select(
+        # pointer-jump lookup built from the PREVIOUS round's labels
+        # (checkpoint-backed): component ← label of the label.  Folded
+        # into the SAME select as the hop, the round is
+        # L' = min(L, hop(L), L∘L) — one checkpoint per round like the
+        # plain loop, but covered distance ~doubles per round, so the
+        # iteration cap is a log bound instead of a hop count.
+        parents = labels.select(
             F.col("id").alias("component"), F.col("component").alias("_parent")
         )
         # checkpoint BEFORE the convergence probe: the probe and the next
         # round then both read the materialized frame instead of
         # re-executing a plan that nests one join deeper per iteration
         new_labels = (
-            hopped.join(bc(parents), "component", "left")
+            labels.join(bc(nbr), "id", "left")
+            .join(bc(parents), "component", "left")
             .select(
                 "id",
                 F.least(
-                    F.col("component"), F.coalesce("_parent", "component")
+                    F.col("component"),
+                    F.coalesce("nbr_component", "component"),
+                    F.coalesce("_parent", "component"),
                 ).alias("component"),
             )
         ).localCheckpoint()
+        # STATS-RESET barrier (round-9 finding, diagnosed via jstack):
+        # a checkpointed frame carries its ORIGIN plan's size estimate,
+        # and each round's joins MULTIPLY the inputs' sizeInBytes — the
+        # BigInteger digit count compounds ~3x per round, and from
+        # ~round 17 the driver spends its time in
+        # BigInteger.multiplyToomCook3 (measured 0.6 s → 240 s/round by
+        # round 23; plans, lineage and caching all provably flat).
+        # Persisting and materializing each round makes downstream stats
+        # read the REAL cached size, so estimates stay small forever.
+        new_labels.persist()
+        new_labels.count()  # FULL materialization — the limit(1) probe
+        #                     below may short-circuit before every cache
+        #                     partition (and thus the real-size stats)
+        #                     exists
         changed = (
             new_labels.alias("n")
             .join(bc(labels.alias("o")), "id")
@@ -268,6 +282,9 @@ def _cc_loop(sym: DataFrame, labels: DataFrame, max_iterations: int) -> DataFram
             .limit(1)
             .count()
         )
+        if prev is not None:
+            prev.unpersist(False)
+        prev = new_labels
         labels = new_labels
         if changed == 0:
             break
