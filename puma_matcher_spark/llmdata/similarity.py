@@ -428,7 +428,11 @@ def ivf_refit_report(
 
     * ``occupancy_share`` — fraction of the batch landing in the cell;
       ``needs_refit`` when share > occupancy_skew_threshold / n_cells
-      (i.e. ``occupancy_skew_threshold``× the uniform expectation).
+      (i.e. ``occupancy_skew_threshold``× the uniform expectation),
+      with the cutoff capped strictly below 1.0 so the signal cannot go
+      dead when n_cells <= occupancy_skew_threshold (a cutoff >= 1.0 is
+      unreachable by any share; with the cap, a cell swallowing the
+      whole batch always flags).
     * ``drift`` — L2 between the batch's in-cell mean vector and the
       index's literal center (the centroid_drift statistic with cell as
       the label), reported also normalised by the mean inter-center
@@ -493,12 +497,16 @@ def ivf_refit_report(
         pround(drift, 6).alias("drift"),
         pround(drift / F.lit(scale), 6).alias("drift_norm"),
     )
+    # cap the occupancy cutoff strictly below 1.0: with few cells the
+    # raw ratio threshold/n_cells can reach >= 1.0 (e.g. default 4.0
+    # over 4 cells), which no share can exceed — the skew signal would
+    # silently degrade to drift-only (r9 ADVICE #2).  The cap means "a
+    # single cell swallowing (essentially) the whole batch always
+    # flags", the strongest skew there is.
+    occ_cutoff = min(occupancy_skew_threshold / n_cells, 1.0 - 1e-6)
     return out.withColumn(
         "needs_refit",
-        (
-            F.col("occupancy_share")
-            > F.lit(occupancy_skew_threshold / n_cells)
-        )
+        (F.col("occupancy_share") > F.lit(occ_cutoff))
         | F.coalesce(
             F.col("drift_norm") > F.lit(drift_threshold), F.lit(False)
         ),

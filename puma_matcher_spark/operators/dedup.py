@@ -191,6 +191,15 @@ def connected_components(
     RESET Catalyst's size estimate to the real cached size (see the
     stats-reset barrier note in ``_cc_loop``).
     """
+    if max_iterations < 1:
+        # with zero rounds the loop never runs, `changed` stays at its
+        # initial value and the convergence raise is skipped — the call
+        # would silently return identity labels (every node its own
+        # component), exactly the truncated-answer class the guard below
+        # exists to prevent (r9 ADVICE #5)
+        raise ValueError(
+            f"max_iterations must be >= 1, got {max_iterations}"
+        )
     # persist the symmetrized edge list: it feeds EVERY iteration's join
     # plus the label init — without the persist the entire upstream plan
     # (for near-dup graphs, the whole MinHash-LSH candidate pipeline)
@@ -295,6 +304,11 @@ def _cc_loop(sym: DataFrame, labels: DataFrame, max_iterations: int) -> DataFram
             "max_iterations (silently returning truncated components would "
             "merge/split clusters wrongly)"
         )
+    # drop the final round's CacheManager entry (it otherwise leaks one
+    # O(nodes) cache entry per call, r9 ADVICE #5) — the frame stays
+    # localCheckpoint-backed, so callers re-read the materialized RDD
+    # blocks, not the loop's lineage
+    labels.unpersist(False)
     return labels
 
 

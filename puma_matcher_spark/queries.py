@@ -2792,7 +2792,7 @@ def q_centroid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ivf_cell_report",
     f"""WITH cent_e AS (
-  SELECT label % 4 AS cell, unnest(embedding::DOUBLE[]) AS v,
+  SELECT ((label % 4) + 4) % 4 AS cell, unnest(embedding::DOUBLE[]) AS v,
          generate_subscripts(embedding, 1) AS dim
   FROM embeddings WHERE label IS NOT NULL AND {_EMB_NONEMPTY}),
 cm AS (SELECT cell, dim, ROUND(AVG(v), 4) AS c FROM cent_e GROUP BY 1, 2),
@@ -2850,10 +2850,18 @@ def q_ivf_cell_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     report code; the fixed-centroid quantizer here exists to make the
     gate's arithmetic (assign → occupancy → drift → thresholds)
     oracle-checkable end to end.  The batch-side collect is 4 bounded
-    centroid rows (the documented driver-scalar pattern)."""
+    centroid rows (the documented driver-scalar pattern).
+
+    Cell derivation is ``pmod(label, 4)`` — Spark's ``%`` keeps the
+    dividend's sign, so a negative label would land in cell −1 and break
+    the dense-0..n−1 contract (the embeddings zoo's label −1 caught
+    exactly that); the DuckDB twin mirrors it as ``((label%4)+4)%4``
+    because DuckDB's ``%`` is sign-preserving too.  NULL labels map to a
+    NULL cell and are excluded from the quantizer by ``label_centroids``'s
+    documented NULL-label scope (zoo row 9)."""
     emb = load_tables(spark, sf_dir).llm_embeddings()
     cents_df = sim.label_centroids(
-        emb.withColumn("label", (F.col("label") % 4).cast("int"))
+        emb.withColumn("label", F.pmod(F.col("label"), F.lit(4)).cast("int"))
     )
     rows = {r["label"]: r["centroid"] for r in cents_df.collect()}
     assert sorted(rows) == list(range(len(rows))), (

@@ -176,9 +176,12 @@ def compact_batch_index(
     merged = F.when(
         F.col("batch_id") < fold_below, F.lit(fold_below - 1)
     ).otherwise(F.col("batch_id"))
-    out = df.withColumn("batch_id", merged).repartition(
-        int(target), "batch_id"
-    )
+    # round-robin repartition by COUNT only: hashing on batch_id would
+    # put every folded row (one batch_id value) in a single task, so the
+    # merged partition would always be written as ONE file and the
+    # target_file_mb knob would be dead (r9 ADVICE #4) — the write's
+    # partitionBy below already routes rows to their batch_id directory
+    out = df.withColumn("batch_id", merged).repartition(int(target))
     staging = path + ".compact-staging"
     if os.path.isdir(staging):
         shutil.rmtree(staging)

@@ -251,3 +251,16 @@ def test_connected_components_raises_instead_of_truncating(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_iterations=3).collect()
+
+
+def test_connected_components_rejects_zero_iterations(spark):
+    """max_iterations=0 would skip the loop entirely and return identity
+    labels (every node its own component) without tripping the
+    convergence raise — reject it up front (r9 ADVICE #5)."""
+    import pytest
+
+    from puma_matcher_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame([(0, 1)], "id1 LONG, id2 LONG")
+    with pytest.raises(ValueError, match="max_iterations"):
+        connected_components(edges, max_iterations=0)

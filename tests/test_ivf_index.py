@@ -154,3 +154,24 @@ def test_ivf_refit_report_fires_on_shifted_batch(spark):
     empty = [r for r in report if r["n_vectors"] == 0]
     for r in empty:
         assert not r["needs_refit"] and r["drift"] is None
+
+
+def test_ivf_refit_occupancy_signal_alive_with_few_cells(spark):
+    """With n_cells <= occupancy_skew_threshold the raw cutoff
+    threshold/n_cells reaches >= 1.0, which no share can exceed — the
+    skew signal would silently die (r9 ADVICE #2).  The cutoff is capped
+    strictly below 1.0, so a batch piling ENTIRELY into one cell (zero
+    drift: batch mean == stored center) must still flag it."""
+    centers = [[1.0, 1.0], [10.0, 10.0]]
+    batch = spark.createDataFrame(
+        [(i, [1.0, 1.0]) for i in range(50)], ["vec_id", "embedding"]
+    )
+    # default occupancy_skew_threshold=4.0 over 2 cells -> raw cutoff 2.0
+    report = {
+        r["cell"]: r
+        for r in sim.ivf_refit_report(batch, centers).collect()
+    }
+    assert report[0]["occupancy_share"] == 1.0
+    assert report[0]["drift"] == 0.0  # drift contributes nothing here
+    assert report[0]["needs_refit"], report
+    assert not report[1]["needs_refit"]
