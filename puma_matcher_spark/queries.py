@@ -2523,10 +2523,18 @@ def q_weight_walker(spark: SparkSession, sf_dir: str) -> DataFrame:
     slice (the reference's WeightTrainerStage consumes training-set
     match candidates, small by construction), not the production
     corpus.  The dense %7 fixture rule exists for oracle parity at the
-    driver's sf, not as a production input model."""
+    driver's sf, not as a production input model.  The contract is
+    ENFORCED by ``assert_training_envelope`` (r10): an out-of-envelope
+    candidate volume raises immediately instead of spilling; the count
+    doubles as the persist barrier for ``cand``, which this query
+    references twice (contextual max + the %7 training slice)."""
     from pyspark.sql.window import Window
 
-    cand = _all_candidates(load_tables(spark, sf_dir))
+    from puma_matcher_spark.functions.caching import persist_rotating
+    from puma_matcher_spark.operators.weights import assert_training_envelope
+
+    cand = persist_rotating(_all_candidates(load_tables(spark, sf_dir)))
+    assert_training_envelope(cand)
     wmax = Window.partitionBy("document_version2_id", "score_type")
     ctx = cand.withColumn(
         "contextual",

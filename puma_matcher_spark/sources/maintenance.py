@@ -10,6 +10,16 @@ Design: size the output file count from the dataset's actual bytes
 files needs no repartition unless a layout sort is requested), and
 promote atomically through the blue/green staging swap so readers never
 see a half-compacted table.
+
+All listing/rename/delete goes through the Hadoop FileSystem API, not
+``os``/``shutil``: the datasets these jobs maintain live wherever the
+session's reader put them (HDFS, S3A, local), and a python-side
+``os.listdir`` on an ``hdfs://`` path raises FileNotFoundError — which,
+inside a streaming ``foreachBatch``, kills the stream at the first
+compaction boundary (r9 ADVICE #1).  On object stores without atomic
+directory rename (S3) the two-rename swap degrades to copy+delete with
+a wider not-found window; schedule compaction in a maintenance window
+there.
 """
 
 from __future__ import annotations
@@ -19,8 +29,63 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 
-def dataset_file_stats(path: str) -> tuple[int, int]:
-    """(n_files, total_bytes) for the parquet files under ``path``."""
+class _Fs:
+    """Thin Hadoop FileSystem wrapper bound to ``path``'s scheme."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        jvm = spark._jvm
+        self._Path = jvm.org.apache.hadoop.fs.Path
+        self._fs = self._Path(path).getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+
+    def isdir(self, p: str) -> bool:
+        jp = self._Path(p)
+        return bool(
+            self._fs.exists(jp) and self._fs.getFileStatus(jp).isDirectory()
+        )
+
+    def list_subdirs(self, p: str) -> list[str]:
+        """Names (not paths) of the immediate sub-DIRECTORIES of ``p``."""
+        return [
+            st.getPath().getName()
+            for st in self._fs.listStatus(self._Path(p))
+            if st.isDirectory()
+        ]
+
+    def rename(self, src: str, dst: str) -> None:
+        # Hadoop rename reports failure as False, not an exception —
+        # surface it: a silent half-swap would strand the dataset at
+        # ".compact-old"
+        if not self._fs.rename(self._Path(src), self._Path(dst)):
+            raise OSError(f"filesystem rename failed: {src} -> {dst}")
+
+    def rmtree(self, p: str) -> None:
+        self._fs.delete(self._Path(p), True)
+
+    def parquet_stats(self, p: str) -> tuple[int, int]:
+        """(n_files, total_bytes) of the parquet files under ``p``."""
+        n = size = 0
+        it = self._fs.listFiles(self._Path(p), True)
+        while it.hasNext():
+            st = it.next()
+            if st.getPath().getName().endswith(".parquet"):
+                n += 1
+                size += st.getLen()
+        return n, size
+
+
+def dataset_file_stats(
+    path: str, spark: SparkSession | None = None
+) -> tuple[int, int]:
+    """(n_files, total_bytes) for the parquet files under ``path``.
+
+    Resolved through the active session's Hadoop filesystem when one
+    exists (so HDFS/S3A datasets report correctly); plain ``os.walk``
+    otherwise."""
+    spark = spark or SparkSession.getActiveSession()
+    if spark is not None:
+        return _Fs(spark, path).parquet_stats(path)
     n = size = 0
     for root, _dirs, files in os.walk(path):
         for f in files:
@@ -61,25 +126,24 @@ def compact_parquet(
 
     Returns {"files_before", "files_after", "bytes"} for audit logs.
     """
-    import shutil
-
+    fs = _Fs(spark, path)
     old = path + ".compact-old"
     # crash recovery: a previous run that died between its two renames
     # left the data under .compact-old and nothing at path
-    if not os.path.isdir(path) and os.path.isdir(old):
-        os.rename(old, path)
-    if not os.path.isdir(path):
+    if not fs.isdir(path) and fs.isdir(old):
+        fs.rename(old, path)
+    if not fs.isdir(path):
         # a missing table must FAIL the maintenance job, not log a
         # successful zero-file compaction (typo'd paths stay visible)
         raise FileNotFoundError(f"no dataset directory at {path}")
-    n_before, total_bytes = dataset_file_stats(path)
+    n_before, total_bytes = fs.parquet_stats(path)
     if n_before < 2:
         return {
             "files_before": n_before,
             "files_after": n_before,
             "bytes": total_bytes,
         }
-    if partition_cols is None and _looks_hive_partitioned(path):
+    if partition_cols is None and _looks_hive_partitioned(fs, path):
         raise ValueError(
             f"{path} appears hive-partitioned (key=value directories); "
             "pass partition_cols to preserve the layout"
@@ -102,12 +166,12 @@ def compact_parquet(
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(staging)
-    if os.path.isdir(old):
-        shutil.rmtree(old)
-    os.rename(path, old)
-    os.rename(staging, path)
-    shutil.rmtree(old)
-    n_after, _ = dataset_file_stats(path)
+    if fs.isdir(old):
+        fs.rmtree(old)
+    fs.rename(path, old)
+    fs.rename(staging, path)
+    fs.rmtree(old)
+    n_after, _ = fs.parquet_stats(path)
     return {
         "files_before": n_before,
         "files_after": n_after,
@@ -146,21 +210,20 @@ def compact_batch_index(
     Returns {"files_before", "files_after", "dirs_before",
     "dirs_after", "bytes"} for audit logs.
     """
-    import shutil
-
     from pyspark.sql import functions as F
 
+    fs = _Fs(spark, path)
     old = path + ".compact-old"
-    if not os.path.isdir(path) and os.path.isdir(old):
-        os.rename(old, path)
-    if not os.path.isdir(path):
+    if not fs.isdir(path) and fs.isdir(old):
+        fs.rename(old, path)
+    if not fs.isdir(path):
         raise FileNotFoundError(f"no dataset directory at {path}")
     bids = sorted(
         int(e.split("=", 1)[1])
-        for e in os.listdir(path)
-        if e.startswith("batch_id=") and os.path.isdir(os.path.join(path, e))
+        for e in fs.list_subdirs(path)
+        if e.startswith("batch_id=")
     )
-    n_before, total_bytes = dataset_file_stats(path)
+    n_before, total_bytes = fs.parquet_stats(path)
     fold = [b for b in bids if b < fold_below]
     if len(fold) < 2:
         return {
@@ -183,16 +246,18 @@ def compact_batch_index(
     # partitionBy below already routes rows to their batch_id directory
     out = df.withColumn("batch_id", merged).repartition(int(target))
     staging = path + ".compact-staging"
-    if os.path.isdir(staging):
-        shutil.rmtree(staging)
+    if fs.isdir(staging):
+        fs.rmtree(staging)
     out.write.mode("overwrite").partitionBy("batch_id").parquet(staging)
-    if os.path.isdir(old):
-        shutil.rmtree(old)
-    os.rename(path, old)
-    os.rename(staging, path)
-    shutil.rmtree(old)
-    n_after, _ = dataset_file_stats(path)
-    dirs_after = sum(1 for e in os.listdir(path) if e.startswith("batch_id="))
+    if fs.isdir(old):
+        fs.rmtree(old)
+    fs.rename(path, old)
+    fs.rename(staging, path)
+    fs.rmtree(old)
+    n_after, _ = fs.parquet_stats(path)
+    dirs_after = sum(
+        1 for e in fs.list_subdirs(path) if e.startswith("batch_id=")
+    )
     return {
         "files_before": n_before,
         "files_after": n_after,
@@ -202,14 +267,11 @@ def compact_batch_index(
     }
 
 
-def _looks_hive_partitioned(path: str) -> bool:
+def _looks_hive_partitioned(fs: _Fs, path: str) -> bool:
     """True when the dataset's first level contains key=value dirs."""
     try:
-        return any(
-            "=" in e and os.path.isdir(os.path.join(path, e))
-            for e in os.listdir(path)
-        )
-    except OSError:
+        return any("=" in e for e in fs.list_subdirs(path))
+    except Exception:
         return False
 
 

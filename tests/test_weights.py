@@ -168,3 +168,54 @@ def test_walker_area_selection_distinct_winners_both_survive(spark):
     assert not rows[1]["interrupted"] and not rows[2]["interrupted"]
     # refined errors 8 vs 4 → area 2 is best
     assert not rows[1]["is_best"] and rows[2]["is_best"]
+
+
+def test_area_interrupt_flags_match_cascaded_semantics(spark):
+    """r9 ADVICE #3: the port flags interruption via a window over ALL
+    preceding areas' winners, the reference via COMPLETED areas only
+    (cascaded).  Because interruption is winner EQUALITY (transitive),
+    the two are provably equivalent — replay random lattices with
+    n_areas up to 4 against an explicit sequential cascade to pin it."""
+    import random
+
+    from puma_matcher_spark.operators import weights as wt
+
+    rng = random.Random(20260816)
+    for trial in range(6):
+        lattice = [(i, rng.randrange(0, 12)) for i in range(17)]
+        n_areas = rng.choice([3, 4])
+        errs = spark.createDataFrame(lattice, "weight_id LONG, error LONG")
+        got = sorted(
+            (r["area_rank"], r["refined"], r["interrupted"])
+            for r in wt.walker_area_selection(errs, n_areas=n_areas).collect()
+        )
+        # explicit cascade: evaluate areas in rank order; only a
+        # NON-interrupted predecessor's winner can interrupt
+        err = dict(lattice)
+        coarse = sorted(
+            (e, w) for w, e in lattice if w % 2 == 0
+        )[:n_areas]
+        registered: set[int] = set()
+        want = []
+        for rank, (_, center) in enumerate(coarse, start=1):
+            nbrs = [c for c in (center - 1, center, center + 1) if c in err]
+            winner = min(nbrs, key=lambda c: (err[c], c))
+            hit = winner in registered
+            if not hit:
+                registered.add(winner)
+            want.append((rank, None if hit else winner, hit))
+        assert got == sorted(want), (trial, lattice, n_areas, got, want)
+
+
+def test_training_envelope_guard_raises_out_of_envelope(spark):
+    """r9 verdict: the trainer's training-slice input contract was
+    docstring-only — an oversized candidate frame must raise the
+    contract message immediately, not spill |grid| x |pairs| rows."""
+    import pytest
+
+    from puma_matcher_spark.operators import weights as wt
+
+    small = spark.range(10).selectExpr("id AS document_version1_id")
+    assert wt.assert_training_envelope(small, max_pairs=100) == 10
+    with pytest.raises(ValueError, match="training-slice ceiling"):
+        wt.assert_training_envelope(small, max_pairs=5)
