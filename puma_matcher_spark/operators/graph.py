@@ -53,6 +53,28 @@ def _is_persisted(df: DataFrame) -> bool:
     return lvl.useMemory or lvl.useDisk
 
 
+def _round_barrier(df: DataFrame, prev: DataFrame | None) -> DataFrame:
+    """STATS-RESET barrier for iterative DataFrame loops (the round-9
+    connected-components diagnosis, operators/dedup.py ``_cc_loop`` and
+    PLANS.md: a localCheckpoint-ed frame carries its ORIGIN plan's
+    sizeInBytes estimate, each round's joins MULTIPLY the inputs'
+    estimates, and the BigInteger digit count compounds ~3× per round —
+    from ~round 16 the driver burns its time in BigInteger arithmetic,
+    0.6 s → 240 s/round by round 23).  Checkpoint, then persist and
+    FULLY materialize the round's frame so every downstream plan reads
+    the REAL cached size, and drop the previous round's cache entry.
+
+    The returned frame is persisted; callers unpersist the final round's
+    frame before returning it (the data stays localCheckpoint-backed, so
+    later actions re-read materialized RDD blocks, not the lineage)."""
+    df = df.localCheckpoint()
+    df.persist()
+    df.count()
+    if prev is not None:
+        prev.unpersist(False)
+    return df
+
+
 def edge_nodes(edges: DataFrame) -> DataFrame:
     """Distinct node frame of a directed edge list (src, dst)."""
     return (
@@ -150,6 +172,7 @@ def pagerank(
     small = n_nodes <= BROADCAST_NODES_MAX
     bc = F.broadcast if small else (lambda df: df)
     ranks = nodes.select("node", (F.lit(1.0) / n).alias("rank"))
+    prev = None
     for i in range(n_iter):
         t0 = time.monotonic() if round_times is not None else 0.0
         contribs = (
@@ -177,18 +200,27 @@ def pagerank(
         )
         # checkpoint every round INCLUDING the last: the final frame must
         # not reference the cached helpers below after they unpersist.
-        # localCheckpoint is eager, so each round EXECUTES here — which
-        # is what makes per-round wall-clock (round_times) measurable:
-        # flat times across rounds prove the plan is not re-nesting.
-        ranks = ranks.localCheckpoint()
+        # The barrier (checkpoint + persist + full materialization) both
+        # executes the round here — which is what makes per-round
+        # wall-clock (round_times) measurable: flat times across rounds
+        # prove the plan is not re-nesting — and resets Catalyst's size
+        # estimate so deep n_iter cannot hit the BigInteger stats
+        # blowup (_round_barrier).
+        ranks = _round_barrier(ranks, prev)
+        prev = ranks
         if round_times is not None:
             round_times.append(time.monotonic() - t0)
+    ranks.unpersist(False)
     for c in (nodes, weighted) if caller_persisted else (edges, nodes, weighted):
         c.unpersist()
     return ranks
 
 
-def label_propagation(edges: DataFrame, n_iter: int = 5) -> DataFrame:
+def label_propagation(
+    edges: DataFrame,
+    n_iter: int = 5,
+    round_times: list[float] | None = None,
+) -> DataFrame:
     """Synchronous label-propagation community detection (LPA) on an
     undirected (pre-symmetrized) edge list: every node starts labelled
     with itself; each round every node adopts its neighbours' most
@@ -203,8 +235,10 @@ def label_propagation(edges: DataFrame, n_iter: int = 5) -> DataFrame:
     engines run the identical computation.
 
     Scale shape per round: one shuffle join of labels onto edges, one
-    count aggregate, one rank-within-node window; labels checkpoint per
-    round like the PageRank loop.
+    count aggregate, one rank-within-node window; labels pass the
+    stats-reset barrier per round like the PageRank loop
+    (``_round_barrier`` — deep n_iter must not hit the BigInteger
+    size-estimate blowup).
     """
     caller_persisted = _is_persisted(edges)
     sym = edges if caller_persisted else edges.persist()
@@ -215,23 +249,29 @@ def label_propagation(edges: DataFrame, n_iter: int = 5) -> DataFrame:
     )
     # same gate as pagerank: labels is O(nodes), checkpoint-backed
     bc = F.broadcast if labels.count() <= BROADCAST_NODES_MAX else (lambda df: df)
+    prev = None
     try:
         for _ in range(n_iter):
+            t0 = time.monotonic() if round_times is not None else 0.0
             # winner per node = (max count, then min label): expressed as
             # min(struct(-c, label)) so the argmax is a HASH aggregate on
             # src instead of a row_number window (which would sort every
             # partition) — same deterministic winner, one less sort per
             # round; the unrolled SQL oracle keeps the row_number form,
             # which selects the identical row
-            labels = (
+            labels = _round_barrier(
                 sym.join(bc(labels.withColumnRenamed("node", "dst")), "dst")
                 .groupBy("src", "label")
                 .agg(F.count(F.lit(1)).alias("c"))
                 .groupBy("src")
                 .agg(F.min(F.struct((-F.col("c")).alias("nc"), "label")).alias("w"))
-                .select(F.col("src").alias("node"), F.col("w.label").alias("label"))
-                .localCheckpoint()
+                .select(F.col("src").alias("node"), F.col("w.label").alias("label")),
+                prev,
             )
+            prev = labels
+            if round_times is not None:
+                round_times.append(time.monotonic() - t0)
+        labels.unpersist(False)
         return labels
     finally:
         if not caller_persisted:
@@ -262,7 +302,12 @@ def label_propagation_sql(edges_cte: str, n_iter: int = 5) -> str:
     return "WITH " + ",\n".join(parts)
 
 
-def k_core(edges: DataFrame, k: int = 2, n_rounds: int = 4) -> DataFrame:
+def k_core(
+    edges: DataFrame,
+    k: int = 2,
+    n_rounds: int = 4,
+    round_times: list[float] | None = None,
+) -> DataFrame:
     """Fixed-round k-core peeling on an undirected (pre-symmetrized)
     edge list: each round drops every node whose current degree is
     below ``k`` and all its edges, ``n_rounds`` times.  With enough
@@ -272,8 +317,10 @@ def k_core(edges: DataFrame, k: int = 2, n_rounds: int = 4) -> DataFrame:
     rounds as generated SQL and value-checks them exactly.
 
     Output: surviving (node, degree) after the last round.  Per round:
-    one degree aggregate + two semi-joins, edges checkpointed so plans
-    stay one round deep.
+    one degree aggregate + two semi-joins; the surviving edge frame
+    passes the stats-reset barrier (``_round_barrier``) so plans stay
+    one round deep AND deep peels cannot hit the BigInteger
+    size-estimate blowup.
     """
     cur = edges.localCheckpoint()
     # keep is O(surviving nodes) ≤ O(nodes); gate once on the starting
@@ -283,7 +330,9 @@ def k_core(edges: DataFrame, k: int = 2, n_rounds: int = 4) -> DataFrame:
         if edge_nodes(cur).count() <= BROADCAST_NODES_MAX
         else (lambda df: df)
     )
+    prev = None
     for _ in range(n_rounds):
+        t0 = time.monotonic() if round_times is not None else 0.0
         deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("c"))
         keep = deg.where(F.col("c") >= k).select("src").localCheckpoint()
         # both semi-joins reference the SAME keep frame (the dst side by
@@ -295,11 +344,17 @@ def k_core(edges: DataFrame, k: int = 2, n_rounds: int = 4) -> DataFrame:
         # the alias only disambiguates the self-reference for the
         # analyzer; canonicalization strips it, so both broadcast
         # exchanges still dedupe
-        cur = survivors.join(
-            kb.alias("kcore_keep"),
-            F.col("dst") == F.col("kcore_keep.src"),
-            "left_semi",
-        ).localCheckpoint()
+        cur = _round_barrier(
+            survivors.join(
+                kb.alias("kcore_keep"),
+                F.col("dst") == F.col("kcore_keep.src"),
+                "left_semi",
+            ),
+            prev,
+        )
+        prev = cur
+        if round_times is not None:
+            round_times.append(time.monotonic() - t0)
     out = cur.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("degree")
     )
@@ -308,13 +363,59 @@ def k_core(edges: DataFrame, k: int = 2, n_rounds: int = 4) -> DataFrame:
     # the rounds ran out — the result would NOT be the k-core, and both
     # engines agreeing on a truncated peel is exactly the failure parity
     # cannot catch.  Fail loudly instead.
-    if out.where(F.col("degree") < k).limit(1).count():
-        raise RuntimeError(
-            f"k_core: peeling had not converged after {n_rounds} rounds "
-            "(a survivor still has degree < k) — raise n_rounds; the "
-            "fixed-round result is not the k-core"
-        )
+    try:
+        if out.where(F.col("degree") < k).limit(1).count():
+            raise RuntimeError(
+                f"k_core: peeling had not converged after {n_rounds} rounds "
+                "(a survivor still has degree < k) — raise n_rounds; the "
+                "fixed-round result is not the k-core"
+            )
+    finally:
+        # the probe read the cache; later actions on `out` re-read the
+        # final round's checkpoint blocks (no CacheManager entry leak)
+        cur.unpersist(False)
     return out
+
+
+def pagerank_sql(
+    edges_cte: str, damping: float = 0.85, n_iter: int = 10
+) -> str:
+    """Generated DuckDB twin of :func:`pagerank` for SYMMETRIZED
+    (sink-free, source-free) graphs — the same round-unrolling technique
+    as :func:`label_propagation_sql` / :func:`k_core_sql`, applied to
+    the power iteration (r9 verdict #6): ``edges_cte`` must define
+    ``edges(src, dst)`` with both directions present, so no node is
+    dangling (the redistribution term vanishes) and every node receives
+    contributions each round (the completion left-join vanishes) —
+    exactly the branches :func:`pagerank` itself skips on such graphs.
+
+    Float caveat: both engines sum double contributions in arbitrary
+    order, so raw ranks agree only to ~1e-14 relative; consumers must
+    round the OUTPUT (the registered query rounds to 6 decimals and
+    orders by the rounded value) rather than compare raw doubles.
+
+    Constants are emitted with ``repr`` so DuckDB parses the identical
+    IEEE doubles Python/JVM compute (1 - 0.85 is 0.15000000000000002,
+    not 0.15)."""
+    parts = [
+        edges_cte,
+        "pr_nodes AS (SELECT DISTINCT src AS node FROM edges)",
+        "pr_n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM pr_nodes)",
+        """pr_w AS (
+  SELECT src, dst, 1.0 / (COUNT(*) OVER (PARTITION BY src)) AS w
+  FROM edges)""",
+        "pr0 AS (SELECT node, 1.0 / (SELECT n FROM pr_n) AS rank FROM pr_nodes)",
+    ]
+    base, d = repr(1.0 - damping), repr(damping)
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f"""pr{i} AS (
+  SELECT w.dst AS node,
+         {base} / (SELECT n FROM pr_n) + {d} * SUM(r.rank * w.w) AS rank
+  FROM pr_w w JOIN pr{i - 1} r ON r.node = w.src
+  GROUP BY w.dst)"""
+        )
+    return "WITH " + ",\n".join(parts)
 
 
 def k_core_sql(edges_cte: str, k: int = 2, n_rounds: int = 4) -> str:

@@ -6668,19 +6668,37 @@ def q_purchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("pagerank_top", None)  # iterative float ranking → rows-only
+def _pagerank_top_oracle() -> str:
+    from puma_matcher_spark.operators.graph import pagerank_sql
+
+    return (
+        pagerank_sql(_PURCHASE_EDGES_CTE, n_iter=10)
+        + """
+SELECT node, ROUND(rank, 6) AS rank FROM pr10 WHERE node LIKE 's%'
+ORDER BY ROUND(rank, 6) DESC, node LIMIT 20"""
+    )
+
+
+@register("pagerank_top", _pagerank_top_oracle())
 def q_pagerank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 suppliers by purchase-graph PageRank (operators/graph.py)
-    — the actual ranking; rows-only because 10 float power iterations
-    are summation-order sensitive below the rounding threshold."""
+    — the actual ranking, value-oracled (r10) by unrolling the ten
+    power-iteration rounds as generated SQL (graph.py pagerank_sql),
+    the technique proven on purchase_communities / purchase_kcore.
+    Rows-only history: raw 10-round double ranks are summation-order
+    sensitive at ~1e-14 relative, far below the 1e-6 output rounding —
+    so BOTH the output values AND the top-20 cutoff order use the
+    ROUNDED rank (ties broken by node), making the selection identical
+    in both engines.  Spark side stays orderBy+limit
+    (TakeOrderedAndProject — no global window sort at scale)."""
     from puma_matcher_spark.operators.graph import pagerank
 
     pr = pagerank(_purchase_edges(load_tables(spark, sf_dir)))
     return (
         pr.where(F.col("node").startswith("s"))
+        .select("node", pround(F.col("rank"), 6).alias("rank"))
         .orderBy(F.col("rank").desc(), F.col("node"))
         .limit(20)
-        .select("node", pround(F.col("rank"), 6).alias("rank"))
     )
 
 
@@ -7428,19 +7446,28 @@ def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      cohort reaches age 4 in round 7 and MUST fill round 7's rotation
 #      slots (see round6-state notes).
 #
-# RETIRED FROM EXPORT (``_PYTEST_ONLY`` below): the seven permanently
-# rows-only originals whose hard signal is carried by an oracle-backed
-# property twin that already has (or earns this round) a green driver row.
-# They stay in REGISTRY — the CLI and the pytest sweeps
-# (test_rows_only_queries_execute) still run them — but no longer consume
-# driver-window slots they can never convert into a full pass.
+# RETIRED FROM EXPORT (``_PYTEST_ONLY`` below): queries whose hard signal
+# is carried elsewhere — six permanently rows-only originals carried by an
+# oracle-backed property twin with a green driver row, plus (r10, per the
+# registry-capacity policy) two ORACLE-BACKED rows whose operator surface
+# is duplicated by a stronger exported sibling; those two keep their full
+# DuckDB oracle in the per-round pytest sweep (test_oracle_parity runs
+# every REGISTRY entry at sf0.001), they just stop consuming
+# driver-window slots the rotation needs.  All stay in REGISTRY — the CLI
+# and pytest sweeps still run them.
 # --------------------------------------------------------------------------
 
-#: rows-only originals kept for pytest/CLI but excluded from the exported
-#: ``queries()``/``oracle_sql()`` surface (their green twins, in order:
-#: pic_cluster_quality, weight_refined_convergence, ivf_recall,
-#: media_features_shape, normalised_approx_bounds, fs_linkage_weights,
-#: pagerank_mass).
+#: excluded from the exported ``queries()``/``oracle_sql()`` surface.
+#: Rows-only originals (green twins in order: pic_cluster_quality,
+#: weight_refined_convergence, ivf_recall, media_features_shape,
+#: normalised_approx_bounds, fs_linkage_weights), then the r10
+#: capacity retirements (exported siblings: embedding_lsh_tables, the
+#: multi-table sign-LSH near-dup join that supersedes the exact
+#: all-pairs baseline embedding_near_dups; dedup_components_cc, the full
+#: CC loop over thresholded blocked pairs that supersedes the per-block
+#: min-id collapse dedup_components_exact).  pagerank_top LEFT this set in
+#: r10: its unrolled-SQL oracle (graph.py pagerank_sql) made it a full
+#: value-checked export.
 _PYTEST_ONLY: frozenset[str] = frozenset(
     {
         "pic_clusters",
@@ -7449,82 +7476,85 @@ _PYTEST_ONLY: frozenset[str] = frozenset(
         "media_features",
         "normalised_scores_approx",
         "fs_em_params",
-        "pagerank_top",
+        "embedding_near_dups",
+        "dedup_components_exact",
     }
 )
 
-# Round-9 window policy (freshness rotation — see
+# Round-10 window policy (freshness rotation — see
 # scripts/driver_gate_check.py freshness_audit): each round's 50 slots go
 # to (a) this round's net-new registrations (budget: <= 10/round), (b)
 # queries whose semantics changed this round (they need a fresh hard row),
 # (c) every exported query whose last hard driver row is oldest, oldest
 # cohort first.  Capacity arithmetic: 50 slots/round * 4 rounds = 200 >=
 # exported count, so the standing invariant is max row age <= 4 rounds
-# (audit hard-fails beyond that).  Round-9 breakdown: 2 net-new
-# (weight_walker — the Walker area-descent + overlap-interrupt path;
-# ivf_cell_report — the IVF refit gate's occupancy/drift arithmetic) +
-# 2 changed-plan re-greens (media_decode_audit: literal status anchor so
-# empty classes emit 0-rows like the oracle; near_dup_best_rep: the
-# component_argmax LEFT join — both fixture-identical, re-greened out of
-# caution) + the FULL 38-name r5 cohort (age-4 boundary this round —
-# driver_gate_check --plan-next emitted the list) + the oldest 8-name
-# slice of the r6 cohort (the remaining 42 rotate in r10).
+# (audit hard-fails beyond that).  Round-10 breakdown: 1 net-new
+# (pagerank_top — first driver row ever, via the new unrolled-SQL
+# oracle) + 5 changed-plan re-greens (ivf_cell_report: pmod cell
+# derivation + sign-safe oracle; weight_walker: training-envelope guard
+# + candidate persist; pagerank_mass / purchase_communities /
+# purchase_kcore: the iterative loops gained the stats-reset barrier —
+# value-identical by construction, re-greened under the changed-plan
+# rule) + the r6 cohort at its age-4 boundary (42 names from
+# --plan-next, minus dedup_components_exact and embedding_near_dups,
+# retired to _PYTEST_ONLY this round per the capacity policy) + the
+# oldest 4-name r7 slice (the remaining 44 rotate in r11).
 _PRIORITY: list[str] = [
-    # -- 1. round-9 net-new
-    "weight_walker",
-    "ivf_cell_report",
+    # -- 1. round-10 net-new (first driver row)
+    "pagerank_top",
     # -- 2. changed plans this round (re-green under the new shape)
-    "media_decode_audit",
-    "near_dup_best_rep",
-    # -- 3. last hard driver row r5 — the full cohort (age-4 boundary
-    #       this round; freshness_audit hard-fails if missed)
-    "events_kll_quantiles",
-    "events_markov",
-    "events_paths",
-    "events_resampled",
-    "events_rolling",
-    "events_theta_setops",
-    "events_top_users",
-    "excess_stock_suppliers",
-    "forecast_revenue",
-    "idle_rich_customers",
-    "important_stock",
-    "label_centroids",
-    "large_orders",
-    "match_candidates",
-    "match_ranks",
-    "match_stats",
-    "matcher_number",
-    "multi_type_filter",
-    "nation_market_share",
-    "nation_trade_volume",
-    "ngram_novelty",
-    "normalised_scores",
-    "order_priority_late",
-    "product_profit",
-    "promo_revenue_share",
-    "returnflag_priority_mix",
-    "score_deciles",
-    "score_pivot",
-    "score_unpivot",
-    "semantic_dedup",
-    "small_quantity_revenue",
-    "supplier_min_cost",
-    "top_revenue_supplier",
-    "vocab_coverage",
-    "vocab_drift",
-    "weighted_sample",
-    "word_features",
-    "word_spec",
-    # -- 4. oldest r6 cohort, first slice (the rest rotate in r10)
-    "bpe_token_stats",
-    "char_entropy",
-    "code_extraction",
-    "contamination_check",
-    "context_windows",
-    "corpus_shuffle",
-    "corpus_split",
-    "cosine_titles",
+    "ivf_cell_report",
+    "weight_walker",
+    "pagerank_mass",
+    "purchase_communities",
+    "purchase_kcore",
+    # -- 3. last hard driver row r6 — the cohort at its age-4 boundary
+    #       (freshness_audit hard-fails if missed)
+    "date_doc_type_filter",
+    "dedup_blocked_pairs",
+    "dedup_components_cc",
+    "dedup_exact",
+    "dedup_person_chain",
+    "doc_chunks",
+    "doc_fingerprint",
+    "doc_quality",
+    "doc_token_stats",
+    "dual_type_pairs",
+    "embedding_dup_clusters",
+    "embedding_lsh_topk",
+    "embedding_topk",
+    "events_approx_users",
+    "events_attribution",
+    "events_cube",
+    "events_json",
+    "events_psi",
+    "events_sessions",
+    "events_windowed",
+    "hamming_pairs",
+    "lang_id",
+    "local_supplier_volume",
+    "manifest_roundtrip",
+    "minhash_pairs",
+    "ngram_containment",
+    "ngram_jaccard",
+    "person_clean",
+    "pmi_bigrams",
+    "pricing_summary",
+    "rank_evaluation",
+    "rare_words",
+    "semantic_dedup_blocked",
+    "shipping_priority",
+    "text_match_merged",
+    "text_match_pairs",
+    "text_match_scores",
+    "top_context_words",
+    "total_score",
+    "weight_eval",
+    # -- 4. oldest r7 cohort, first slice (the rest rotate in r11)
+    "av_features_shape",
+    "bigram_logprob",
+    "bm25_search",
+    "bpe_merges",
 ]
 
 

@@ -151,15 +151,51 @@ def plan_next_window() -> None:
     print(f"# remaining slots after rotation: {max(slots, 0)} (net-new budget {NET_NEW_BUDGET})")
 
 
+#: the four adversarial-zoo broad-parity sweeps.  Every one auto-includes
+#: any registered query whose oracle touches its table, so running them
+#: as a gate pre-flight means a net-new or changed-plan export cannot
+#: ship zoo-red the way round-9 shipped ivf_cell_report (driver fixture
+#: green, zoo's negative label crashing — the exact fixture-blindness
+#: the zoos exist to catch).
+ZOO_SWEEPS = [
+    "tests/test_embeddings_zoo.py::test_embeddings_zoo_broad_parity",
+    "tests/test_relational_zoo.py::test_relational_zoo_broad_parity",
+    "tests/test_llmdata.py::test_whitespace_zoo_broad_parity",
+    "tests/test_streaming.py::test_events_zoo_broad_parity",
+]
+
+
+def run_zoo_sweeps() -> int:
+    """Run the four zoo parity sweeps via pytest; returns the number of
+    failing sweeps (0 == all green)."""
+    import subprocess
+
+    print(f"[zoo] pre-flight: {len(ZOO_SWEEPS)} adversarial-zoo sweeps")
+    t0 = time.time()
+    proc = subprocess.run(
+        [sys.executable, "-m", "pytest", "-q", "--no-header", *ZOO_SWEEPS],
+        cwd=REPO,
+    )
+    status = "green" if proc.returncode == 0 else "RED"
+    print(f"[zoo] sweeps {status}  ({time.time() - t0:.0f}s)")
+    return 0 if proc.returncode == 0 else 1
+
+
 def main() -> int:
     if "--plan-next" in sys.argv:
         plan_next_window()
         return 0
     if "--audit-only" in sys.argv:
         return 1 if freshness_audit() else 0
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    window = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+    if "--zoo-only" in sys.argv:
+        return run_zoo_sweeps()
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    window = int(args[1]) if len(args) > 1 else 50
     violations = freshness_audit(window_size=window)
+    # zoo pre-flight BEFORE the gate (skippable for quick iteration with
+    # --skip-zoos; the full pre-submission run must include it)
+    n_zoo_fail = 0 if "--skip-zoos" in sys.argv else run_zoo_sweeps()
     spark = get_spark("driver-gate-check")
     con = duck_connection(sf_dir)
     ordered = list(_ordered().items())[:window]
@@ -186,7 +222,9 @@ def main() -> int:
     print(f"\n{window - n_fail}/{window} pass")
     if violations:
         print(f"[freshness] {len(violations)} policy violation(s) — see above")
-    return 1 if (n_fail or violations) else 0
+    if n_zoo_fail:
+        print("[zoo] RED — a query diverges on an adversarial corpus")
+    return 1 if (n_fail or violations or n_zoo_fail) else 0
 
 
 if __name__ == "__main__":

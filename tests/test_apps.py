@@ -107,7 +107,10 @@ def test_cli_list_and_oracle(capsys):
     assert main(["oracle", "events_trend"]) == 0
     assert "regr_slope" in capsys.readouterr().out
     assert main(["oracle", "nope_not_real"]) == 2
-    assert main(["oracle", "pagerank_top"]) == 1  # rows-only
+    # pagerank_top gained a full oracle in r10; pic_clusters stays the
+    # canonical rows-only example
+    assert main(["oracle", "pagerank_top"]) == 0
+    assert main(["oracle", "pic_clusters"]) == 1  # rows-only
 
 
 def test_cli_run_and_explain(spark, sf_small, capsys):

@@ -51,10 +51,14 @@ def test_driver_window_budget():
 
 
 def test_retired_names_stay_testable():
-    """Rows-only originals retired from the exported surface must (a) not
-    appear in queries()/oracle_sql(), (b) stay registered so the CLI and
-    the rows-only pytest sweep still execute them, and (c) each keep an
-    exported oracle-backed property twin carrying their hard signal."""
+    """Queries retired from the exported surface must (a) not appear in
+    queries()/oracle_sql(), (b) stay registered so the CLI and the
+    pytest sweeps still execute them (the oracle-backed retirees keep
+    their full DuckDB parity check in test_oracle_parity — only their
+    driver-window slot is released), and (c) each keep an exported
+    sibling/twin carrying their hard signal.  pagerank_top left this set
+    in r10 when its unrolled-SQL oracle made it a full value-checked
+    export."""
     from puma_matcher_spark.queries import (
         _PYTEST_ONLY,
         REGISTRY,
@@ -64,13 +68,16 @@ def test_retired_names_stay_testable():
 
     q = queries()
     twins = {
+        # rows-only originals → oracle-backed property twins
         "pic_clusters": "pic_cluster_quality",
         "weight_refined": "weight_refined_convergence",
         "embedding_ivf_topk": "ivf_recall",
         "media_features": "media_features_shape",
         "normalised_scores_approx": "normalised_approx_bounds",
         "fs_em_params": "fs_linkage_weights",
-        "pagerank_top": "pagerank_mass",
+        # r10 capacity retirements → stronger exported siblings
+        "embedding_near_dups": "embedding_lsh_tables",
+        "dedup_components_exact": "dedup_components_cc",
     }
     assert set(twins) == set(_PYTEST_ONLY)
     osql = oracle_sql()
@@ -78,6 +85,8 @@ def test_retired_names_stay_testable():
         assert retired in REGISTRY
         assert retired not in q
         assert twin in q and twin in osql, twin
+    # the promoted export keeps its full oracle and a window slot
+    assert "pagerank_top" in q and "pagerank_top" in osql
 
 
 @pytest.mark.gate
