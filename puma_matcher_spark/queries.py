@@ -5712,13 +5712,81 @@ def q_fs_agreement_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("fs_em_params", None)  # iterative EM fit → rows-only
+def _fs_em_oracle(iters: int = 25) -> str:
+    """Generated DuckDB twin of fs_em_parameters (r10): the EM
+    iterations unroll as chained CTEs over the agreement-pattern table
+    (≤4 rows for two fields) — the pagerank_sql/label_propagation_sql
+    round-unrolling technique applied to a driver-side numpy loop.
+    ``x**g`` with g ∈ {0,1} is emitted as CASE (pow(x,1)==x and
+    pow(x,0)==1 exactly in IEEE, so CASE is bit-equivalent to numpy's
+    vectorized power); clip bounds are emitted via repr so both engines
+    fold identical doubles."""
+    m_lo, m_hi = repr(1e-6), repr(1.0 - 1e-6)
+    p_lo, p_hi = repr(1e-9), repr(1.0 - 1e-9)
+    parts = [
+        """p AS (
+  SELECT c_custkey AS id, c_nationkey AS nation, c_mktsegment AS seg,
+         CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_bucket
+  FROM customer)""",
+        """prs AS (
+  SELECT a.seg AS seg_1, b.seg AS seg_2,
+         a.bal_bucket AS bb_1, b.bal_bucket AS bb_2
+  FROM p a JOIN p b ON a.nation = b.nation AND a.id > b.id)""",
+        """pat AS (
+  SELECT CAST((seg_1 IS NOT DISTINCT FROM seg_2 AND seg_1 IS NOT NULL) AS INT) AS g_seg,
+         CAST((bb_1 IS NOT DISTINCT FROM bb_2 AND bb_1 IS NOT NULL) AS INT) AS g_bal,
+         CAST(COUNT(*) AS DOUBLE) AS n
+  FROM prs GROUP BY 1, 2)""",
+        "em0 AS (SELECT 0.9 AS m_seg, 0.9 AS m_bal, 0.1 AS u_seg, 0.1 AS u_bal, 0.05 AS pr)",
+    ]
+    # AS MATERIALIZED is load-bearing: DuckDB inlines single-reference
+    # CTEs, and the optimizer's expression rewriting over the inlined
+    # 25-level chain grows ~1.9x per level (measured 0.06 s at 3 iters,
+    # 10.5 s at 18, minutes at 25) — materializing each round keeps
+    # planning linear (25 rounds ≈ 0.1 s).  The Spark twin needs no
+    # analog: its EM loop is driver-side numpy.
+    for i in range(1, iters + 1):
+        parts.append(
+            f"""w{i} AS MATERIALIZED (
+  SELECT g_seg, g_bal, n, pm / (pm + pu) AS w FROM (
+    SELECT g_seg, g_bal, n,
+           e.pr * (CASE WHEN g_seg = 1 THEN e.m_seg ELSE 1 - e.m_seg END)
+                * (CASE WHEN g_bal = 1 THEN e.m_bal ELSE 1 - e.m_bal END) AS pm,
+           (1 - e.pr) * (CASE WHEN g_seg = 1 THEN e.u_seg ELSE 1 - e.u_seg END)
+                      * (CASE WHEN g_bal = 1 THEN e.u_bal ELSE 1 - e.u_bal END) AS pu
+    FROM pat, em{i - 1} e)),
+em{i} AS MATERIALIZED (
+  SELECT GREATEST({m_lo}, LEAST({m_hi}, SUM(w * n * g_seg) / SUM(w * n))) AS m_seg,
+         GREATEST({m_lo}, LEAST({m_hi}, SUM(w * n * g_bal) / SUM(w * n))) AS m_bal,
+         GREATEST({m_lo}, LEAST({m_hi}, SUM((1 - w) * n * g_seg) / SUM((1 - w) * n))) AS u_seg,
+         GREATEST({m_lo}, LEAST({m_hi}, SUM((1 - w) * n * g_bal) / SUM((1 - w) * n))) AS u_bal,
+         GREATEST({p_lo}, LEAST({p_hi}, SUM(w * n) / SUM(n))) AS pr
+  FROM w{i})"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT 'seg' AS field, ROUND(m_seg, 4) AS m, ROUND(u_seg, 4) AS u,
+       ROUND(LOG2(m_seg / u_seg), 4) AS w_agree,
+       ROUND(LOG2((1 - m_seg) / (1 - u_seg)), 4) AS w_disagree FROM em{iters}
+UNION ALL
+SELECT 'bal_bucket', ROUND(m_bal, 4), ROUND(u_bal, 4),
+       ROUND(LOG2(m_bal / u_bal), 4), ROUND(LOG2((1 - m_bal) / (1 - u_bal)), 4) FROM em{iters}"""
+    )
+
+
+@register("fs_em_params", _fs_em_oracle())
 def q_fs_em_params(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EM-fitted Fellegi-Sunter parameters (operators/dedup.py
     fs_em_parameters): agreement-pattern sufficient statistics reduced
     in the cluster, tiny EM driver-side — the unsupervised analog of
-    the reference's weight-training OptimizerApp.  Rows-only (iterative
-    float fixpoint); the separation property m>u is pytest-gated."""
+    the reference's weight-training OptimizerApp.  Value-oracled since
+    r10 via the round-unrolling technique (_fs_em_oracle: 25 EM
+    iterations as chained CTEs over the ≤4-row pattern table; Winkler
+    EM contracts near its fixpoint, so the ~1e-16 summation-order noise
+    between numpy and DuckDB stays far below the 1e-4 output rounding).
+    The separation property m>u additionally stays pytest-gated."""
     from puma_matcher_spark.operators.dedup import (
         blocked_pairs,
         fs_em_parameters,
@@ -7460,14 +7528,15 @@ def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: excluded from the exported ``queries()``/``oracle_sql()`` surface.
 #: Rows-only originals (green twins in order: pic_cluster_quality,
 #: weight_refined_convergence, ivf_recall, media_features_shape,
-#: normalised_approx_bounds, fs_linkage_weights), then the r10
-#: capacity retirements (exported siblings: embedding_lsh_tables, the
-#: multi-table sign-LSH near-dup join that supersedes the exact
-#: all-pairs baseline embedding_near_dups; dedup_components_cc, the full
-#: CC loop over thresholded blocked pairs that supersedes the per-block
-#: min-id collapse dedup_components_exact).  pagerank_top LEFT this set in
-#: r10: its unrolled-SQL oracle (graph.py pagerank_sql) made it a full
-#: value-checked export.
+#: normalised_approx_bounds), then the r10 capacity retirements
+#: (exported siblings: embedding_lsh_tables, the multi-table sign-LSH
+#: near-dup join that supersedes the exact all-pairs baseline
+#: embedding_near_dups; dedup_components_cc, the full CC loop over
+#: thresholded blocked pairs that supersedes the per-block min-id
+#: collapse dedup_components_exact).  pagerank_top AND fs_em_params LEFT
+#: this set in r10: round-unrolled generated-SQL oracles (graph.py
+#: pagerank_sql; queries._fs_em_oracle) made both full value-checked
+#: exports.
 _PYTEST_ONLY: frozenset[str] = frozenset(
     {
         "pic_clusters",
@@ -7475,7 +7544,6 @@ _PYTEST_ONLY: frozenset[str] = frozenset(
         "embedding_ivf_topk",
         "media_features",
         "normalised_scores_approx",
-        "fs_em_params",
         "embedding_near_dups",
         "dedup_components_exact",
     }
@@ -7500,8 +7568,10 @@ _PYTEST_ONLY: frozenset[str] = frozenset(
 # retired to _PYTEST_ONLY this round per the capacity policy) + the
 # oldest 4-name r7 slice (the remaining 44 rotate in r11).
 _PRIORITY: list[str] = [
-    # -- 1. round-10 net-new (first driver row)
+    # -- 1. round-10 net-new (first driver rows: both left _PYTEST_ONLY
+    #       via new round-unrolled generated-SQL oracles)
     "pagerank_top",
+    "fs_em_params",
     # -- 2. changed plans this round (re-green under the new shape)
     "ivf_cell_report",
     "weight_walker",
@@ -7554,7 +7624,6 @@ _PRIORITY: list[str] = [
     "av_features_shape",
     "bigram_logprob",
     "bm25_search",
-    "bpe_merges",
 ]
 
 

@@ -74,7 +74,6 @@ def test_retired_names_stay_testable():
         "embedding_ivf_topk": "ivf_recall",
         "media_features": "media_features_shape",
         "normalised_scores_approx": "normalised_approx_bounds",
-        "fs_em_params": "fs_linkage_weights",
         # r10 capacity retirements → stronger exported siblings
         "embedding_near_dups": "embedding_lsh_tables",
         "dedup_components_exact": "dedup_components_cc",
@@ -85,8 +84,9 @@ def test_retired_names_stay_testable():
         assert retired in REGISTRY
         assert retired not in q
         assert twin in q and twin in osql, twin
-    # the promoted export keeps its full oracle and a window slot
-    assert "pagerank_top" in q and "pagerank_top" in osql
+    # the r10 promotions keep their full oracles and window slots
+    for promoted in ("pagerank_top", "fs_em_params"):
+        assert promoted in q and promoted in osql, promoted
 
 
 @pytest.mark.gate
