@@ -382,3 +382,35 @@ def test_iterative_loops_flat_per_round_at_depth_30(spark):
     k_core(sym, k=2, n_rounds=30, round_times=kc_times)
     assert len(kc_times) == 30
     assert head_tail_ratio(kc_times) < 5, kc_times
+
+
+def test_iterative_loops_leave_no_cache_entries(spark):
+    """r10: every iterative loop persists per-round frames for the
+    stats-reset barrier and helper frames for reuse — ALL of them must
+    be unpersisted on exit (the final frame stays checkpoint-backed),
+    oreach call leaks O(nodes) CacheManager entries for the session's
+    lifetime.  Pin it through the JVM cache manager."""
+    from puma_matcher_spark.operators.dedup import connected_components
+    from puma_matcher_spark.operators.graph import (
+        k_core,
+        label_propagation,
+        pagerank,
+    )
+
+    spark.catalog.clearCache()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty()
+    df = spark.createDataFrame(
+        [(i, (i + 1) % 40) for i in range(40)] + [(i, (i + 7) % 40) for i in range(40)],
+        "src LONG, dst LONG",
+    )
+    sym = df.union(
+        df.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    pagerank(df, n_iter=3).count()
+    label_propagation(sym, n_iter=2).count()
+    k_core(sym, k=2, n_rounds=2).count()
+    connected_components(
+        df.select(F.col("src").alias("id1"), F.col("dst").alias("id2"))
+    ).count()
+    assert cm.isEmpty(), "an iterative loop leaked a CacheManager entry"

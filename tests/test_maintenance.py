@@ -113,3 +113,26 @@ def test_compact_batch_index_noop_and_crash_recovery(spark, tmp_path):
     stats = compact_batch_index(spark, root, fold_below=3)
     assert stats["dirs_after"] == 1
     assert spark.read.parquet(root).count() == 3
+
+
+def test_compact_and_publish_work_with_scheme_qualified_uris(spark, tmp_path):
+    """r10 (r9 ADVICE #1): all maintenance/publish filesystem operations
+    go through the Hadoop FileSystem API, so a scheme-qualified dataset
+    URI (file:/... here — the local stand-in for hdfs:// or s3a://,
+    which os.rename / os.path.isdir cannot touch) must work end to end:
+    staging write, blue/green swap, read-through, and compaction."""
+    from puma_matcher_spark.sources.maintenance import compact_parquet
+    from puma_matcher_spark.sources.publish import publish, read_live
+
+    root = "file:" + str(tmp_path / "pub")
+    df = spark.range(100).selectExpr("id", "id % 7 AS k")
+    publish(df, root)
+    assert read_live(spark, root).count() == 100
+    publish(df.where("id < 50"), root)  # second swap exercises live->old
+    assert read_live(spark, root).count() == 50
+
+    data = "file:" + str(tmp_path / "data")
+    spark.range(500).selectExpr("id", "id % 3 AS k").repartition(8).write.parquet(data)
+    stats = compact_parquet(spark, data, target_file_mb=128)
+    assert stats["files_before"] >= 8 and stats["files_after"] == 1
+    assert spark.read.parquet(data).count() == 500

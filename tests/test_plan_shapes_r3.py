@@ -343,3 +343,17 @@ def test_curation_report_stage_frames_are_checkpointed(spark, sf_small):
     df = REGISTRY["curation_report"].spark_fn(spark, sf_small)
     plan = pi.formatted_plan(df)
     assert plan.count("ExistingRDD") >= 3, "stage-frame barrier removed"
+
+
+def test_pagerank_top_selects_topk_without_global_window(spark, sf_small):
+    """r10: pagerank_top's oracle orders the cutoff by the ROUNDED rank,
+    and the Spark side must implement that as orderBy+limit
+    (TakeOrderedAndProject — a distributed per-partition top-k + merge),
+    never a global row_number window, whose single-partition sort would
+    funnel every supplier row through one task at scale."""
+    from puma_matcher_spark.queries import REGISTRY
+
+    df = REGISTRY["pagerank_top"].spark_fn(spark, sf_small)
+    plan = pi.formatted_plan(df)
+    assert "TakeOrdered" in plan, "top-20 lost its TakeOrderedAndProject"
+    assert "Window" not in plan, "global window crept into the top-k path"
