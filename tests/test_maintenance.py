@@ -136,3 +136,39 @@ def test_compact_and_publish_work_with_scheme_qualified_uris(spark, tmp_path):
     stats = compact_parquet(spark, data, target_file_mb=128)
     assert stats["files_before"] >= 8 and stats["files_after"] == 1
     assert spark.read.parquet(data).count() == 500
+
+
+def test_compact_batch_index_fold_respects_target_file_size(spark, tmp_path):
+    """r9 ADVICE #4: hashing the fold's repartition on batch_id put every
+    folded row in ONE task, so the merged partition was always a single
+    file and target_file_mb was dead.  With round-robin repartitioning
+    the merged batch_id directory must spread across multiple files when
+    the data exceeds the target size."""
+    import os
+
+    from puma_matcher_spark.sources.maintenance import compact_batch_index
+
+    import hashlib
+
+    root = str(tmp_path / "idx")
+
+    def blob(b, i):  # incompressible so parquet bytes track row bytes
+        h = hashlib.sha256(f"{b}/{i}".encode())
+        return "".join(
+            hashlib.sha256(h.digest() + bytes([j])).hexdigest()
+            for j in range(8)
+        )
+
+    for b in range(4):
+        spark.createDataFrame(
+            [(b * 10_000 + i, blob(b, i)) for i in range(2_000)],
+            "doc_id LONG, fingerprint STRING",
+        ).coalesce(1).write.parquet(f"{root}/batch_id={b}")
+    stats = compact_batch_index(spark, root, fold_below=4, target_file_mb=1)
+    merged = f"{root}/batch_id=3"
+    n_files = sum(1 for f in os.listdir(merged) if f.endswith(".parquet"))
+    assert n_files > 1, (
+        f"merged partition wrote {n_files} file(s) — target_file_mb dead"
+    )
+    assert stats["dirs_after"] == 1
+    assert spark.read.parquet(root).count() == 8_000
