@@ -269,7 +269,7 @@ def _cc_loop(sym: DataFrame, labels: DataFrame, max_iterations: int) -> DataFram
                     F.coalesce("_parent", "component"),
                 ).alias("component"),
             )
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
         # STATS-RESET barrier (round-9 finding, diagnosed via jstack):
         # a checkpointed frame carries its ORIGIN plan's size estimate,
         # and each round's joins MULTIPLY the inputs' sizeInBytes — the
@@ -279,6 +279,9 @@ def _cc_loop(sym: DataFrame, labels: DataFrame, max_iterations: int) -> DataFram
         # round 23; plans, lineage and caching all provably flat).
         # Persisting and materializing each round makes downstream stats
         # read the REAL cached size, so estimates stay small forever.
+        # The checkpoint is LAZY so the count fills checkpoint blocks AND
+        # the cache in ONE job (eager + persist + count ran each round's
+        # plan twice, r10 review finding).
         new_labels.persist()
         new_labels.count()  # FULL materialization — the limit(1) probe
         #                     below may short-circuit before every cache

@@ -66,8 +66,13 @@ def _round_barrier(df: DataFrame, prev: DataFrame | None) -> DataFrame:
 
     The returned frame is persisted; callers unpersist the final round's
     frame before returning it (the data stays localCheckpoint-backed, so
-    later actions re-read materialized RDD blocks, not the lineage)."""
-    df = df.localCheckpoint()
+    later actions re-read materialized RDD blocks, not the lineage).
+
+    The checkpoint is LAZY (eager=False) so the count below materializes
+    checkpoint blocks AND the cache in ONE job — an eager localCheckpoint
+    followed by persist+count would execute the round twice per
+    iteration (r10 review finding)."""
+    df = df.localCheckpoint(eager=False)
     df.persist()
     df.count()
     if prev is not None:

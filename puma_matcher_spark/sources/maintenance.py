@@ -29,8 +29,12 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 
-class _Fs:
-    """Thin Hadoop FileSystem wrapper bound to ``path``'s scheme."""
+class HadoopFs:
+    """Thin Hadoop FileSystem wrapper bound to ``path``'s scheme — the
+    shared filesystem surface for every maintenance/publish/CDC path
+    operation (scheme-less paths resolve against the session's
+    ``fs.defaultFS``, which on a cluster is typically HDFS, not the
+    local disk — pass an explicit ``file:`` URI for node-local data)."""
 
     def __init__(self, spark: SparkSession, path: str):
         jvm = spark._jvm
@@ -81,11 +85,18 @@ def dataset_file_stats(
     """(n_files, total_bytes) for the parquet files under ``path``.
 
     Resolved through the active session's Hadoop filesystem when one
-    exists (so HDFS/S3A datasets report correctly); plain ``os.walk``
-    otherwise."""
+    exists (so HDFS/S3A datasets report correctly — note a scheme-less
+    path then resolves against ``fs.defaultFS``, not necessarily the
+    local disk); plain ``os.walk`` otherwise.  A missing path reports
+    (0, 0) on BOTH branches — the original ``os.walk`` contract, which
+    Hadoop's ``listFiles`` would otherwise break by raising
+    FileNotFoundException through py4j."""
     spark = spark or SparkSession.getActiveSession()
     if spark is not None:
-        return _Fs(spark, path).parquet_stats(path)
+        fs = HadoopFs(spark, path)
+        if not fs.isdir(path):
+            return 0, 0
+        return fs.parquet_stats(path)
     n = size = 0
     for root, _dirs, files in os.walk(path):
         for f in files:
@@ -126,7 +137,7 @@ def compact_parquet(
 
     Returns {"files_before", "files_after", "bytes"} for audit logs.
     """
-    fs = _Fs(spark, path)
+    fs = HadoopFs(spark, path)
     old = path + ".compact-old"
     # crash recovery: a previous run that died between its two renames
     # left the data under .compact-old and nothing at path
@@ -212,7 +223,7 @@ def compact_batch_index(
     """
     from pyspark.sql import functions as F
 
-    fs = _Fs(spark, path)
+    fs = HadoopFs(spark, path)
     old = path + ".compact-old"
     if not fs.isdir(path) and fs.isdir(old):
         fs.rename(old, path)
@@ -239,12 +250,27 @@ def compact_batch_index(
     merged = F.when(
         F.col("batch_id") < fold_below, F.lit(fold_below - 1)
     ).otherwise(F.col("batch_id"))
-    # round-robin repartition by COUNT only: hashing on batch_id would
-    # put every folded row (one batch_id value) in a single task, so the
-    # merged partition would always be written as ONE file and the
-    # target_file_mb knob would be dead (r9 ADVICE #4) — the write's
-    # partitionBy below already routes rows to their batch_id directory
-    out = df.withColumn("batch_id", merged).repartition(int(target))
+    # spread ONLY the folded rows: hashing on batch_id alone put every
+    # folded row (one batch_id value) in a single task, so the merged
+    # partition was always ONE file and the target_file_mb knob was dead
+    # (r9 ADVICE #4) — but a bare round-robin repartition overshoots the
+    # other way, shredding every PRESERVED partition across up to
+    # `target` tasks (one file per task per batch_id after partitionBy —
+    # file count MULTIPLIES instead of compacting, r10 review finding).
+    # A salt that is 0 for preserved rows and hash%target for folded
+    # rows keeps each preserved partition in one task (one file) while
+    # the merged partition spreads across ~target tasks/files.
+    folded = F.col("batch_id") == F.lit(fold_below - 1)
+    salt = F.when(
+        folded,
+        F.pmod(F.hash(F.struct(*df.columns)), F.lit(int(target))),
+    ).otherwise(F.lit(-1))
+    out = (
+        df.withColumn("batch_id", merged)
+        .withColumn("_salt", salt)
+        .repartition(int(target) + len(bids), "batch_id", "_salt")
+        .drop("_salt")
+    )
     staging = path + ".compact-staging"
     if fs.isdir(staging):
         fs.rmtree(staging)
@@ -267,12 +293,15 @@ def compact_batch_index(
     }
 
 
-def _looks_hive_partitioned(fs: _Fs, path: str) -> bool:
-    """True when the dataset's first level contains key=value dirs."""
-    try:
-        return any("=" in e for e in fs.list_subdirs(path))
-    except Exception:
-        return False
+def _looks_hive_partitioned(fs: HadoopFs, path: str) -> bool:
+    """True when the dataset's first level contains key=value dirs.
+
+    Deliberately NO exception swallowing: the caller probed ``path``'s
+    existence just before, so any error here is a real filesystem fault
+    — and treating it as "not partitioned" would skip the layout guard
+    and flatten a hive-partitioned dataset with a plain coalesce,
+    permanently destroying partition pruning (r10 review finding)."""
+    return any("=" in e for e in fs.list_subdirs(path))
 
 
 def zvalue(c1, c2, bits: int = 16):

@@ -13,7 +13,7 @@ Readers resolve through ``<root>/live`` so they never observe a
 half-written dataset.
 
 All probes/renames go through the Hadoop FileSystem API (the shared
-``_Fs`` wrapper) so the swap works wherever the session's writer put the
+``HadoopFs`` wrapper) so the swap works wherever the session's writer put the
 staging data — ``os.rename`` on an ``hdfs://`` path raises and, inside a
 streaming ``foreachBatch`` (cdc_sink), would kill the stream at the
 first publish (the r9 ADVICE #1 failure class, fixed repo-wide in r10).
@@ -25,17 +25,17 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-from puma_matcher_spark.sources.maintenance import _Fs
+from puma_matcher_spark.sources.maintenance import HadoopFs
 
 
-def _fs_for(root: str, spark: SparkSession | None) -> _Fs:
+def _fs_for(root: str, spark: SparkSession | None) -> HadoopFs:
     spark = spark or SparkSession.getActiveSession()
     if spark is None:
         raise RuntimeError(
             "swap_live needs an active SparkSession to resolve the "
             "dataset's filesystem"
         )
-    return _Fs(spark, root)
+    return HadoopFs(spark, root)
 
 
 def write_staging(df: DataFrame, root: str) -> str:

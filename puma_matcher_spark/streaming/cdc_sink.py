@@ -79,14 +79,14 @@ def start_cdc_upsert(
     handle.  The checkpoint makes batch replays idempotent: a replayed
     batch re-merges the same rows and the row_number keeps the same
     winners."""
-    from puma_matcher_spark.sources.maintenance import _Fs
+    from puma_matcher_spark.sources.maintenance import HadoopFs
 
     spark = changes.sparkSession
     live = os.path.join(root, "live")
     # probe through the Hadoop FS API: os.path.isdir on an HDFS/S3 live
     # path is always False, which would silently re-seed the snapshot
     # from nothing every batch (publish.py got the same r10 fix)
-    fs = _Fs(spark, root)
+    fs = HadoopFs(spark, root)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         snap = None

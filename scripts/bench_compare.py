@@ -71,12 +71,19 @@ def main() -> int:
             )
     drifted = []
     print(f"{'query':26s} {'ref-min':>8s} {'now-min':>8s} {'now-med':>8s} {'MAD':>6s}  verdict")
-    for q, now_min in cur["queries"].items():
+    for q, headline in cur["queries"].items():
         r = ref.get(q)
         if r is None:
             continue
         d = disp.get(q, {})
-        med, mad = d.get("median", now_min), d.get("mad", 0.0)
+        # since r10 the headline is the MEDIAN for high-dispersion
+        # queries (estimator tag in the sidecar) — the conservative
+        # "only flag when the MIN also exceeds the envelope" guard must
+        # compare the actual min-of-3, not the median masquerading as
+        # one, or an unchanged noisy query reads as DRIFT by exactly
+        # (median - min) (r10 review finding)
+        now_min = d.get("min3", headline)
+        med, mad = d.get("median", headline), d.get("mad", 0.0)
         envelope = max(3 * mad, 0.05)
         is_drift = abs(now_min - r) > envelope and abs(med - r) > envelope
         verdict = "DRIFT" if is_drift else "noise"

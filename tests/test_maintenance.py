@@ -159,7 +159,7 @@ def test_compact_batch_index_fold_respects_target_file_size(spark, tmp_path):
             for j in range(8)
         )
 
-    for b in range(4):
+    for b in range(7):
         spark.createDataFrame(
             [(b * 10_000 + i, blob(b, i)) for i in range(2_000)],
             "doc_id LONG, fingerprint STRING",
@@ -170,5 +170,15 @@ def test_compact_batch_index_fold_respects_target_file_size(spark, tmp_path):
     assert n_files > 1, (
         f"merged partition wrote {n_files} file(s) — target_file_mb dead"
     )
-    assert stats["dirs_after"] == 1
-    assert spark.read.parquet(root).count() == 8_000
+    # ...while each PRESERVED partition must stay ONE file: a bare
+    # round-robin repartition would shred every preserved batch_id
+    # across tasks, MULTIPLYING the file count the fold exists to bound
+    for b in (4, 5, 6):
+        kept = sum(
+            1
+            for f in os.listdir(f"{root}/batch_id={b}")
+            if f.endswith(".parquet")
+        )
+        assert kept == 1, f"preserved batch_id={b} shredded to {kept} files"
+    assert stats["dirs_after"] == 4
+    assert spark.read.parquet(root).count() == 14_000
