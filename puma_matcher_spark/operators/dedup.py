@@ -21,6 +21,7 @@ truncates the lineage on long chains.
 
 from __future__ import annotations
 
+import os
 import unicodedata
 
 import pandas as pd
@@ -61,8 +62,65 @@ def clean_names(persons: DataFrame, name_col: str = "name") -> DataFrame:
     )
 
 
-def blocked_pairs(persons: DataFrame, key_col: str = "blocking_key", id_col: str = "id") -> DataFrame:
-    """J10 — candidate duplicate pairs within a blocking key."""
+#: ceiling on the candidate-pair volume :func:`blocked_pairs` will
+#: generate (r10 verdict "what's missing" #1 — the FS family's analog of
+#: weights.TRAINING_PAIRS_MAX): blocking is only a scale strategy while
+#: blocks stay small; an over-coarse key (e.g. nation on a full corpus)
+#: regrows the quadratic the block exists to kill (fs_em_params at sf1
+#: measured exponent ~1.8, PLANS.md round-10).  50M admits the sf0.1
+#: bench fixture (~4.4M pairs) with >10x headroom and raises at the sf1
+#: nation-blocked fixture (~450M).
+BLOCKED_PAIRS_MAX = 50_000_000
+
+
+def blocked_pairs(
+    persons: DataFrame,
+    key_col: str = "blocking_key",
+    id_col: str = "id",
+    max_pairs: int | None = None,
+) -> DataFrame:
+    """J10 — candidate duplicate pairs within a blocking key.
+
+    The blocking-envelope contract is ENFORCED, not documented: one
+    cheap aggregate over ``persons`` (groupBy key + Σ c·(c−1)/2 — never
+    the pair join itself) computes the exact pair volume the equi-join
+    would emit and raises when it exceeds ``max_pairs``, naming the
+    hottest key, instead of letting downstream scoring pay the
+    quadratic.  ``max_pairs`` defaults to ``PUMA_SPARK_BLOCKED_PAIRS_MAX``
+    when set, else :data:`BLOCKED_PAIRS_MAX`; pass ``max_pairs <= 0`` to
+    disable for callers that bound volume their own way."""
+    if max_pairs is None:
+        max_pairs = int(
+            os.environ.get("PUMA_SPARK_BLOCKED_PAIRS_MAX", BLOCKED_PAIRS_MAX)
+        )
+    if max_pairs > 0:
+        stats = (
+            persons.groupBy(key_col)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(
+                F.sum(F.col("c") * (F.col("c") - 1) / 2)
+                .cast("long")
+                .alias("pairs"),
+                F.max(
+                    F.struct(F.col("c").alias("c"), F.col(key_col).alias("k"))
+                ).alias("hot"),
+            )
+            .collect()[0]
+        )
+        n_pairs = stats["pairs"] or 0
+        if n_pairs > max_pairs:
+            hot = stats["hot"]
+            raise ValueError(
+                f"blocked_pairs would generate {n_pairs:,} candidate "
+                f"pairs on key '{key_col}', above the {max_pairs:,} "
+                "blocking-envelope ceiling (hottest block "
+                f"{hot['k']!r} holds {hot['c']:,} rows -> "
+                f"{hot['c'] * (hot['c'] - 1) // 2:,} pairs).  Blocking "
+                "is only a scale strategy while blocks stay small — use "
+                "a finer blocking key, pre-split hot blocks, or raise "
+                "max_pairs / PUMA_SPARK_BLOCKED_PAIRS_MAX explicitly if "
+                "the cluster's capacity covers the quadratic."
+            )
     a = persons.select(F.col(key_col).alias("k"), F.col(id_col).alias("id1"))
     b = persons.select(F.col(key_col).alias("k"), F.col(id_col).alias("id2"))
     return (

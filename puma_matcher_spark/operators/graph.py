@@ -53,7 +53,21 @@ def _is_persisted(df: DataFrame) -> bool:
     return lvl.useMemory or lvl.useDisk
 
 
-def _round_barrier(df: DataFrame, prev: DataFrame | None) -> DataFrame:
+#: materialization cadence for the iterative loops' stats-reset barrier:
+#: every round is checkpoint-ed and persisted (so plans reference a
+#: lineage-capped InMemoryRelation, compute-once within the next job),
+#: but only every CADENCE-th round pays the materializing count job.
+#: The BigInteger size-estimate blowup compounds ~3x per UNMATERIALIZED
+#: level and only bites from ~16 levels (r9 diagnosis, PLANS.md), so a
+#: cadence of 4 bounds the compounding to 4 levels (~81x digit growth —
+#: trivial) while dropping ~75% of the barrier jobs (r10 verdict: the
+#: per-round count cost pagerank_top ~+1.2 s at sf0.1).
+BARRIER_CADENCE = 4
+
+
+def _round_barrier(
+    df: DataFrame, prev: DataFrame | None, full: bool = True
+) -> DataFrame:
     """STATS-RESET barrier for iterative DataFrame loops (the round-9
     connected-components diagnosis, operators/dedup.py ``_cc_loop`` and
     PLANS.md: a localCheckpoint-ed frame carries its ORIGIN plan's
@@ -71,10 +85,22 @@ def _round_barrier(df: DataFrame, prev: DataFrame | None) -> DataFrame:
     The checkpoint is LAZY (eager=False) so the count below materializes
     checkpoint blocks AND the cache in ONE job — an eager localCheckpoint
     followed by persist+count would execute the round twice per
-    iteration (r10 review finding)."""
+    iteration (r10 review finding).
+
+    ``full=False`` (a LIGHT round, r11): checkpoint + persist only — no
+    materializing count job.  The frame still reads as a lineage-capped
+    InMemoryRelation downstream, so the next materializing action
+    computes each skipped round exactly once (cache-on-compute) with
+    stats compounding bounded by :data:`BARRIER_CADENCE` levels.  The
+    caller must NOT pass ``prev`` on a light round: unpersisting an
+    unmaterialized predecessor would drop its cache entry and let the
+    next action recompute it once per downstream reference — callers
+    accumulate pending frames and flush them at the next full barrier
+    (see the loops below)."""
     df = df.localCheckpoint(eager=False)
     df.persist()
-    df.count()
+    if full:
+        df.count()
     if prev is not None:
         prev.unpersist(False)
     return df
@@ -177,7 +203,7 @@ def pagerank(
     small = n_nodes <= BROADCAST_NODES_MAX
     bc = F.broadcast if small else (lambda df: df)
     ranks = nodes.select("node", (F.lit(1.0) / n).alias("rank"))
-    prev = None
+    pending: list[DataFrame] = []
     for i in range(n_iter):
         t0 = time.monotonic() if round_times is not None else 0.0
         contribs = (
@@ -205,14 +231,21 @@ def pagerank(
         )
         # checkpoint every round INCLUDING the last: the final frame must
         # not reference the cached helpers below after they unpersist.
-        # The barrier (checkpoint + persist + full materialization) both
-        # executes the round here — which is what makes per-round
-        # wall-clock (round_times) measurable: flat times across rounds
-        # prove the plan is not re-nesting — and resets Catalyst's size
-        # estimate so deep n_iter cannot hit the BigInteger stats
-        # blowup (_round_barrier).
-        ranks = _round_barrier(ranks, prev)
-        prev = ranks
+        # A FULL barrier (checkpoint + persist + materializing count)
+        # runs every BARRIER_CADENCE-th round and always on the last —
+        # it executes the accumulated light rounds (each computed once,
+        # cache-on-compute), resets Catalyst's size estimate before the
+        # BigInteger stats compounding can bite (~16 levels), and is the
+        # point where the previous window's cache entries are dropped.
+        # Light rounds only checkpoint+persist (no job) — r10 verdict:
+        # the per-round count alone cost pagerank_top ~+1.2 s at sf0.1.
+        full = (i + 1) % BARRIER_CADENCE == 0 or i == n_iter - 1
+        ranks = _round_barrier(ranks, None, full=full)
+        pending.append(ranks)
+        if full:
+            for p in pending[:-1]:
+                p.unpersist(False)
+            pending = [ranks]
         if round_times is not None:
             round_times.append(time.monotonic() - t0)
     ranks.unpersist(False)
@@ -254,10 +287,11 @@ def label_propagation(
     )
     # same gate as pagerank: labels is O(nodes), checkpoint-backed
     bc = F.broadcast if labels.count() <= BROADCAST_NODES_MAX else (lambda df: df)
-    prev = None
+    pending: list[DataFrame] = []
     try:
-        for _ in range(n_iter):
+        for i in range(n_iter):
             t0 = time.monotonic() if round_times is not None else 0.0
+            full = (i + 1) % BARRIER_CADENCE == 0 or i == n_iter - 1
             # winner per node = (max count, then min label): expressed as
             # min(struct(-c, label)) so the argmax is a HASH aggregate on
             # src instead of a row_number window (which would sort every
@@ -271,9 +305,14 @@ def label_propagation(
                 .groupBy("src")
                 .agg(F.min(F.struct((-F.col("c")).alias("nc"), "label")).alias("w"))
                 .select(F.col("src").alias("node"), F.col("w.label").alias("label")),
-                prev,
+                None,
+                full=full,
             )
-            prev = labels
+            pending.append(labels)
+            if full:
+                for p in pending[:-1]:
+                    p.unpersist(False)
+                pending = [labels]
             if round_times is not None:
                 round_times.append(time.monotonic() - t0)
         labels.unpersist(False)
@@ -335,11 +374,18 @@ def k_core(
         if edge_nodes(cur).count() <= BROADCAST_NODES_MAX
         else (lambda df: df)
     )
-    prev = None
-    for _ in range(n_rounds):
+    pending: list[DataFrame] = []
+    for i in range(n_rounds):
         t0 = time.monotonic() if round_times is not None else 0.0
         deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("c"))
-        keep = deg.where(F.col("c") >= k).select("src").localCheckpoint()
+        # LAZY checkpoint (r11): an eager one here would run a per-round
+        # job (scan cur → deg) and defeat the barrier cadence below.
+        # localCheckpoint still marks the RDD persisted, so the two
+        # semi-join references compute keep once at the next
+        # materializing action, and its lineage stays capped.
+        keep = deg.where(F.col("c") >= k).select("src").localCheckpoint(
+            eager=False
+        )
         # both semi-joins reference the SAME keep frame (the dst side by
         # expression, not a renamed copy) so the two broadcast exchanges
         # canonicalize identically and ReuseExchange ships keep once per
@@ -349,15 +395,21 @@ def k_core(
         # the alias only disambiguates the self-reference for the
         # analyzer; canonicalization strips it, so both broadcast
         # exchanges still dedupe
+        full = (i + 1) % BARRIER_CADENCE == 0 or i == n_rounds - 1
         cur = _round_barrier(
             survivors.join(
                 kb.alias("kcore_keep"),
                 F.col("dst") == F.col("kcore_keep.src"),
                 "left_semi",
             ),
-            prev,
+            None,
+            full=full,
         )
-        prev = cur
+        pending.append(cur)
+        if full:
+            for p in pending[:-1]:
+                p.unpersist(False)
+            pending = [cur]
         if round_times is not None:
             round_times.append(time.monotonic() - t0)
     out = cur.groupBy(F.col("src").alias("node")).agg(

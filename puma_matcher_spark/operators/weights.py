@@ -23,6 +23,7 @@ are small by construction, and the grid frame is broadcast.
 from __future__ import annotations
 
 import itertools
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -41,13 +42,26 @@ TRAINING_PAIRS_MAX = 30_000_000
 
 
 def assert_training_envelope(
-    candidates: DataFrame, max_pairs: int = TRAINING_PAIRS_MAX
+    candidates: DataFrame, max_pairs: int | None = None
 ) -> int:
     """Enforce the trainer's training-slice input contract IN CODE: one
     cheap count (also serving as a persist materialization barrier when
     the caller persisted ``candidates``) that raises with the contract
     message instead of letting the |grid| × |pairs| rank shuffle spill
-    for hours (r9 verdict "what's wrong" #2).  Returns the count."""
+    for hours (r9 verdict "what's wrong" #2).  Returns the count.
+
+    ``max_pairs`` defaults to the ``PUMA_SPARK_TRAINING_PAIRS_MAX``
+    environment variable when set, else :data:`TRAINING_PAIRS_MAX` —
+    the env override exists so a full-suite run at sf >= ~0.5 (where
+    the dense fixture candidates legitimately exceed the default
+    ceiling) can complete on a cluster whose shuffle capacity covers
+    it, without editing query entry points (r10 ADVICE #4)."""
+    if max_pairs is None:
+        max_pairs = int(
+            os.environ.get(
+                "PUMA_SPARK_TRAINING_PAIRS_MAX", TRAINING_PAIRS_MAX
+            )
+        )
     n = candidates.count()
     if n > max_pairs:
         raise ValueError(
@@ -158,9 +172,17 @@ def walker_area_selection(errs: DataFrame, n_areas: int = 2) -> DataFrame:
     interrupted).  Pinned by
     tests/test_weights.py::test_area_interrupt_flags_match_cascaded_semantics,
     which replays random lattices against an explicit sequential
-    cascade.  (The reference's criterion is the earlier area's PATH
-    winner — its descent also visits only lattice points, and its final
-    winner is what registers, so winner-equality is the faithful port.)
+    cascade.  (The reference's criterion is wider: a completed area
+    registers EVERY evaluated row of its descent path
+    (WeightTrainerStage.scala:142-144, evaluatedRows.foreach), and a
+    later area interrupts when its current descent point collides with
+    ANY registered path point — not just a final winner.  This port
+    INTENTIONALLY narrows the criterion to refined-winner equality,
+    which under-interrupts relative to the reference for multi-step
+    descents; it is adequate here only because the port's refinement is
+    a single neighbor step of the fully pre-evaluated lattice.  A
+    multi-step descent port would need the full path-registration
+    rule.)
     """
     from puma_matcher_spark.functions.caching import persist_rotating
 

@@ -2527,7 +2527,14 @@ def q_weight_walker(spark: SparkSession, sf_dir: str) -> DataFrame:
     ENFORCED by ``assert_training_envelope`` (r10): an out-of-envelope
     candidate volume raises immediately instead of spilling; the count
     doubles as the persist barrier for ``cand``, which this query
-    references twice (contextual max + the %7 training slice)."""
+    references twice (contextual max + the %7 training slice).  The
+    envelope is checked on the FULL candidate set deliberately — the
+    rank window ranks every candidate per (weight, publication), the %7
+    slice filters only the error roll-up — so full ``cand`` is what the
+    |grid| x |pairs| shuffle actually carries.  For a full-suite run at
+    sf >= ~0.5, where the dense fixture legitimately exceeds the 30M
+    default, set ``PUMA_SPARK_TRAINING_PAIRS_MAX`` (r10 ADVICE #4)
+    instead of editing the entry point."""
     from pyspark.sql.window import Window
 
     from puma_matcher_spark.functions.caching import persist_rotating
@@ -5719,8 +5726,10 @@ def _fs_em_oracle(iters: int = 25) -> str:
     round-unrolling technique applied to a driver-side numpy loop.
     ``x**g`` with g ∈ {0,1} is emitted as CASE (pow(x,1)==x and
     pow(x,0)==1 exactly in IEEE, so CASE is bit-equivalent to numpy's
-    vectorized power); clip bounds are emitted via repr so both engines
-    fold identical doubles."""
+    vectorized power); clip bounds are emitted via repr, and the em0
+    starting constants via repr + CAST AS DOUBLE (bare literals would
+    be DECIMAL, making round 1 decimal-exact where numpy is IEEE — r10
+    ADVICE #5), so both engines run identical double iterates."""
     m_lo, m_hi = repr(1e-6), repr(1.0 - 1e-6)
     p_lo, p_hi = repr(1e-9), repr(1.0 - 1e-9)
     parts = [
@@ -5737,7 +5746,25 @@ def _fs_em_oracle(iters: int = 25) -> str:
          CAST((bb_1 IS NOT DISTINCT FROM bb_2 AND bb_1 IS NOT NULL) AS INT) AS g_bal,
          CAST(COUNT(*) AS DOUBLE) AS n
   FROM prs GROUP BY 1, 2)""",
-        "em0 AS (SELECT 0.9 AS m_seg, 0.9 AS m_bal, 0.1 AS u_seg, 0.1 AS u_bal, 0.05 AS pr)",
+        # CAST AS DOUBLE is load-bearing (r10 ADVICE #5): bare 0.9/0.1
+        # literals are DuckDB DECIMALs, making round-1 arithmetic
+        # decimal-exact (1 - 0.9 = 0.1) while numpy computes IEEE
+        # doubles (1 - 0.9 = 0.09999999999999998) — parity then rests
+        # on EM contraction + the 1e-4 rounding instead of identical
+        # iterates.  With the cast both engines start from the same
+        # IEEE doubles and every iterate is bit-identical.
+        "em0 AS (SELECT "
+        + ", ".join(
+            f"CAST({v!r} AS DOUBLE) AS {c}"
+            for c, v in (
+                ("m_seg", 0.9),
+                ("m_bal", 0.9),
+                ("u_seg", 0.1),
+                ("u_bal", 0.1),
+                ("pr", 0.05),
+            )
+        )
+        + ")",
     ]
     # AS MATERIALIZED is load-bearing: DuckDB inlines single-reference
     # CTEs, and the optimizer's expression rewriting over the inlined

@@ -65,7 +65,14 @@ class HadoopFs:
             raise OSError(f"filesystem rename failed: {src} -> {dst}")
 
     def rmtree(self, p: str) -> None:
-        self._fs.delete(self._Path(p), True)
+        # Hadoop delete also reports failure as False (same contract as
+        # rename above) — a silently-failed rmtree of ".compact-old"
+        # followed by rename(src, old) would NEST the dataset inside
+        # the stale dir, and crash recovery would then resurrect a
+        # wrapper layout spark.read.parquet can't read.
+        jp = self._Path(p)
+        if not self._fs.delete(jp, True) and self._fs.exists(jp):
+            raise OSError(f"filesystem delete failed: {p}")
 
     def parquet_stats(self, p: str) -> tuple[int, int]:
         """(n_files, total_bytes) of the parquet files under ``p``."""
@@ -245,7 +252,15 @@ def compact_batch_index(
             "bytes": total_bytes,
         }
     chunk = target_file_mb * 1024 * 1024
-    target = max(1, (total_bytes + chunk - 1) // chunk)
+    # size the spread from the FOLDED bytes only: deriving `target`
+    # from the whole dataset's bytes scatters a small folded set across
+    # ~dataset/chunk buckets when large preserved batches dominate
+    # (100x128MB preserved + 2MB folded -> ~100 tiny files in the
+    # merged partition — the exact blowup this fold exists to prevent).
+    fold_bytes = sum(
+        fs.parquet_stats(f"{path}/batch_id={b}")[1] for b in fold
+    )
+    target = max(1, (fold_bytes + chunk - 1) // chunk)
     df = spark.read.parquet(path)
     merged = F.when(
         F.col("batch_id") < fold_below, F.lit(fold_below - 1)

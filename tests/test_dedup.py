@@ -264,3 +264,27 @@ def test_connected_components_rejects_zero_iterations(spark):
     edges = spark.createDataFrame([(0, 1)], "id1 LONG, id2 LONG")
     with pytest.raises(ValueError, match="max_iterations"):
         connected_components(edges, max_iterations=0)
+
+
+def test_blocked_pairs_envelope_guard(spark, monkeypatch):
+    """r11 (r10 verdict "missing" #1): the blocking-envelope contract is
+    enforced in the generator — an over-coarse key raises the contract
+    message (naming the hottest block) instead of regrowing the
+    quadratic; the env var raises the ceiling for capacity-planned
+    runs; max_pairs<=0 disables."""
+    import pytest
+
+    persons = spark.createDataFrame(
+        [(i, "hot" if i < 30 else f"k{i}") for i in range(40)],
+        ["id", "blocking_key"],
+    )
+    # 30-row hot block -> 435 pairs + 0 elsewhere
+    with pytest.raises(ValueError, match="blocking-envelope ceiling"):
+        dd.blocked_pairs(persons, max_pairs=100)
+    assert dd.blocked_pairs(persons, max_pairs=500).count() == 435
+    assert dd.blocked_pairs(persons, max_pairs=0).count() == 435
+    monkeypatch.setenv("PUMA_SPARK_BLOCKED_PAIRS_MAX", "100")
+    with pytest.raises(ValueError, match=r"'hot' holds 30"):
+        dd.blocked_pairs(persons)
+    monkeypatch.setenv("PUMA_SPARK_BLOCKED_PAIRS_MAX", "1000")
+    assert dd.blocked_pairs(persons).count() == 435

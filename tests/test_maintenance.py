@@ -182,3 +182,57 @@ def test_compact_batch_index_fold_respects_target_file_size(spark, tmp_path):
         assert kept == 1, f"preserved batch_id={b} shredded to {kept} files"
     assert stats["dirs_after"] == 4
     assert spark.read.parquet(root).count() == 14_000
+
+
+def test_compact_batch_index_salt_sized_from_folded_bytes(spark, tmp_path):
+    """r11 (r10 ADVICE #1): the fold's salt modulus must be sized from
+    the FOLDED batches' bytes, not the whole dataset's.  With large
+    preserved batches dominating and a tiny folded set, a whole-dataset
+    `target` scatters the merged partition across ~target near-empty
+    files — the compaction then INCREASES file count."""
+    import hashlib
+    import os
+
+    from puma_matcher_spark.sources.maintenance import compact_batch_index
+
+    root = str(tmp_path / "idx")
+
+    def blob(b, i):  # incompressible so parquet bytes track row bytes
+        h = hashlib.sha256(f"{b}/{i}".encode())
+        return "".join(
+            hashlib.sha256(h.digest() + bytes([j])).hexdigest()
+            for j in range(8)
+        )
+
+    # two TINY foldable batches (well under 1 MB together)...
+    for b in (0, 1):
+        spark.createDataFrame(
+            [(b * 10 + i, blob(b, i)) for i in range(10)],
+            "doc_id LONG, fingerprint STRING",
+        ).coalesce(1).write.parquet(f"{root}/batch_id={b}")
+    # ...and two LARGE preserved batches (>1 MB each at target_file_mb=1)
+    for b in (2, 3):
+        spark.createDataFrame(
+            [(b * 10_000 + i, blob(b, i)) for i in range(3_000)],
+            "doc_id LONG, fingerprint STRING",
+        ).coalesce(1).write.parquet(f"{root}/batch_id={b}")
+    stats = compact_batch_index(spark, root, fold_below=2, target_file_mb=1)
+    merged = f"{root}/batch_id=1"
+    n_files = sum(1 for f in os.listdir(merged) if f.endswith(".parquet"))
+    assert n_files == 1, (
+        f"tiny fold scattered to {n_files} files — salt modulus sized "
+        "from whole-dataset bytes instead of the folded bytes"
+    )
+    assert stats["files_after"] < stats["files_before"]
+    assert spark.read.parquet(root).count() == 6_020
+
+
+def test_hadoopfs_rmtree_missing_path_is_quiet(spark, tmp_path):
+    """r11 (r10 ADVICE #2): rmtree raises only when delete() returns
+    False AND the path still exists — deleting an already-absent path
+    (delete()=False, exists()=False) must stay a silent no-op, since
+    compact/publish call it unconditionally on stale staging dirs."""
+    from puma_matcher_spark.sources.maintenance import HadoopFs
+
+    fs = HadoopFs(spark, str(tmp_path))
+    fs.rmtree(str(tmp_path / "never-created"))  # must not raise
