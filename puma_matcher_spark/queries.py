@@ -7576,81 +7576,80 @@ _PYTEST_ONLY: frozenset[str] = frozenset(
     }
 )
 
-# Round-10 window policy (freshness rotation — see
+# Round-11 window policy (freshness rotation — see
 # scripts/driver_gate_check.py freshness_audit): each round's 50 slots go
 # to (a) this round's net-new registrations (budget: <= 10/round), (b)
 # queries whose semantics changed this round (they need a fresh hard row),
 # (c) every exported query whose last hard driver row is oldest, oldest
 # cohort first.  Capacity arithmetic: 50 slots/round * 4 rounds = 200 >=
 # exported count, so the standing invariant is max row age <= 4 rounds
-# (audit hard-fails beyond that).  Round-10 breakdown: 1 net-new
-# (pagerank_top — first driver row ever, via the new unrolled-SQL
-# oracle) + 5 changed-plan re-greens (ivf_cell_report: pmod cell
-# derivation + sign-safe oracle; weight_walker: training-envelope guard
-# + candidate persist; pagerank_mass / purchase_communities /
-# purchase_kcore: the iterative loops gained the stats-reset barrier —
-# value-identical by construction, re-greened under the changed-plan
-# rule) + the r6 cohort at its age-4 boundary (42 names from
-# --plan-next, minus dedup_components_exact and embedding_near_dups,
-# retired to _PYTEST_ONLY this round per the capacity policy) + the
-# oldest 4-name r7 slice (the remaining 44 rotate in r11).
+# (audit hard-fails beyond that).  Round-11 breakdown: 0 net-new +
+# 5 changed-plan/changed-oracle re-greens (pagerank_top / pagerank_mass
+# / purchase_communities / purchase_kcore: the iterative loops'
+# stats-reset barrier gained a materialization CADENCE — value-identical
+# by construction, re-greened under the changed-plan rule; fs_em_params:
+# the generated oracle now starts EM from CAST-to-DOUBLE constants) +
+# the full remaining 45-name r7 cohort at its age-4 boundary.  The
+# 45-name r8 cohort sits at age 3 through r11 and fills r12's rotation.
 _PRIORITY: list[str] = [
-    # -- 1. round-10 net-new (first driver rows: both left _PYTEST_ONLY
-    #       via new round-unrolled generated-SQL oracles)
+    # -- 1. changed plans / changed oracle this round (r11): the graph
+    #       loops gained the barrier CADENCE (pagerank/LPA/k-core plans
+    #       changed; values identical by construction) and fs_em_params'
+    #       oracle now CASTs em0 to DOUBLE — all five re-green under the
+    #       changed-plan rule.
     "pagerank_top",
-    "fs_em_params",
-    # -- 2. changed plans this round (re-green under the new shape)
-    "ivf_cell_report",
-    "weight_walker",
     "pagerank_mass",
     "purchase_communities",
     "purchase_kcore",
-    # -- 3. last hard driver row r6 — the cohort at its age-4 boundary
-    #       (freshness_audit hard-fails if missed)
-    "date_doc_type_filter",
-    "dedup_blocked_pairs",
-    "dedup_components_cc",
-    "dedup_exact",
-    "dedup_person_chain",
-    "doc_chunks",
-    "doc_fingerprint",
-    "doc_quality",
-    "doc_token_stats",
-    "dual_type_pairs",
-    "embedding_dup_clusters",
-    "embedding_lsh_topk",
-    "embedding_topk",
-    "events_approx_users",
-    "events_attribution",
-    "events_cube",
-    "events_json",
-    "events_psi",
-    "events_sessions",
-    "events_windowed",
-    "hamming_pairs",
-    "lang_id",
-    "local_supplier_volume",
-    "manifest_roundtrip",
-    "minhash_pairs",
-    "ngram_containment",
-    "ngram_jaccard",
-    "person_clean",
-    "pmi_bigrams",
-    "pricing_summary",
-    "rank_evaluation",
-    "rare_words",
-    "semantic_dedup_blocked",
-    "shipping_priority",
-    "text_match_merged",
-    "text_match_pairs",
-    "text_match_scores",
-    "top_context_words",
-    "total_score",
-    "weight_eval",
-    # -- 4. oldest r7 cohort, first slice (the rest rotate in r11)
-    "av_features_shape",
-    "bigram_logprob",
-    "bm25_search",
+    "fs_em_params",
+    # -- 2. last hard driver row r7 — the cohort at its age-4 boundary
+    #       (freshness_audit hard-fails if missed; the 45 names are the
+    #       full remaining r7 cohort from --plan-next)
+    "bpe_merges",
+    "cdc_latest_state",
+    "centroid_confusion",
+    "centroid_drift",
+    "cluster_representatives",
+    "decontaminated_corpus",
+    "dedup_triangles",
+    "doc_keywords",
+    "dq_expectations",
+    "dq_profile",
+    "events_dedup",
+    "events_rollup",
+    "frequent_itemsets",
+    "hundred_editor",
+    "instrument_features",
+    "instrument_matching",
+    "ivf_recall",
+    "llm_curation",
+    "media_features_shape",
+    "near_dup_clusters",
+    "normalised_approx_bounds",
+    "person_technique_doc_stats",
+    "person_technique_hist",
+    "person_technique_prob",
+    "pic_cluster_quality",
+    "picture_lsh_pairs",
+    "picture_size",
+    "pii_audit",
+    "pii_scrub",
+    "repetition_metrics",
+    "rf_classifier_accuracy",
+    "score_histogram",
+    "score_pivot_labeled",
+    "semantic_decontaminated",
+    "sequence_packing",
+    "simhash",
+    "simhash128",
+    "single_word_scores",
+    "source_mix",
+    "source_sampling",
+    "string_index",
+    "text_features_stemmed",
+    "unigram_logprob",
+    "w2v_shape",
+    "weight_refined_convergence",
 ]
 
 
