@@ -4431,19 +4431,26 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_scores,
 FROM p_cand""",
 )
 def q_normalised_approx_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Property check for the approx-percentile scale path: the t-digest
-    p99 factor must land between the exact p98.5 and p99.5 order
-    statistics (percentile_approx's rank error at default accuracy is
-    ~1e-4, far inside these bounds), thresholded to booleans so the
-    oracle stays engine-independent while an approximation regression
+    """Property check for the approx-percentile scale path: the
+    percentile_approx p99 factor must land between the exact p98.9 and
+    p99.1 order statistics, thresholded to booleans so the oracle stays
+    engine-independent while an approximation regression
     hash-mismatches.  n_scores is counted independently by the oracle
-    from the candidate chain."""
+    from the candidate chain.
+
+    Bound width is MEASURED, not guessed (r11, PLANS.md "approx
+    percentile divergence"): the worst observed rank error of the GK
+    summary at default accuracy 10000 across sf0.001/0.01/0.1 is 0.021%
+    of n (189 ranks at n=894k; value reldiff <= 1.4e-3, exactly 0 at
+    sf0.1 where score ties absorb the rank slack), so the +/-0.1%
+    bounds here hold with >4x margin — 5x tighter than the r7 original
+    +/-0.5%, which a 20x-worse approximation would still have passed."""
     from puma_matcher_spark.operators.normaliser import normalisation_factor
 
     cand = _entity_candidates(load_tables(spark, sf_dir), "person")
     approx = normalisation_factor(cand, percentile=0.99, exact=False)
-    lo = normalisation_factor(cand, percentile=0.985, exact=True)
-    hi = normalisation_factor(cand, percentile=0.995, exact=True)
+    lo = normalisation_factor(cand, percentile=0.989, exact=True)
+    hi = normalisation_factor(cand, percentile=0.991, exact=True)
     n = cand.count()
     return spark.range(1).select(
         F.lit(n).cast("long").alias("n_scores"),
