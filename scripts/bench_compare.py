@@ -61,6 +61,17 @@ def main() -> int:
             )
             if sf_ok and tot_ok:
                 disp = side.get("dispersion", {})
+                sent = side.get("sentinel", {}).get("samples")
+                if sent:
+                    # host-drift context (r11): the sentinel is a fixed
+                    # codegen workload bracketing every group — wide
+                    # spread here means the DRIFT verdicts below are
+                    # measuring the box, not the code
+                    spread = (max(sent) - min(sent)) / max(min(sent), 1e-9)
+                    print(
+                        f"sentinel: {sent} (spread {spread:.0%}"
+                        f"{' — HOST NOISY, verdicts suspect' if spread > 0.3 else ''})"
+                    )
                 break
             print(
                 f"WARNING: ignoring sidecar {cand} — run stamp mismatch "
