@@ -184,14 +184,23 @@ def _time_streaming(
                     "n_batches": len(q.recentProgress or []),
                 }
             )
-        warm = samples[1:] if len(samples) > 1 else samples
+        first_warm = 1 if len(samples) > 1 else 0
+        warm = samples[first_warm:]
         headline = min(warm)
+        med = _median(warm)
+        # index the WARM slice so a cold total that rounds equal to the
+        # warm minimum can't mis-attribute its startup-heavy split
+        best_split = splits[first_warm + warm.index(headline)]
         sidecar = {
             "samples": samples,
-            "median": _median(samples),
-            "mad": 0.0,
+            # median/MAD over the warm runs only — with them over ALL
+            # samples the cold outlier inflates MAD and the comparison
+            # envelope; with MAD hardcoded 0 the envelope collapses to
+            # 0.05 s and every run reads DRIFT (r11 review)
+            "median": med,
+            "mad": _median([abs(x - med) for x in warm]),
             "estimator": "min_warm",
-            "split": splits[samples.index(headline)],
+            "split": best_split,
             "splits": splits,
         }
         return headline, sidecar
@@ -284,16 +293,29 @@ def main() -> None:
 
     dispersion: dict[str, dict] = {}
     # the sentinel brackets every group: spread within the series =
-    # host noise during THIS run; shift vs earlier rounds = box drift
-    sentinel = [_time_sentinel(spark), _time_sentinel(spark)]
+    # host noise during THIS run; shift vs earlier rounds = box drift.
+    # Skipped on SPARK_GRAFT_BENCH_ONLY runs — their sidecar fails the
+    # stamp check anyway, so the series would never be consumed (r11
+    # review).  Warmed twice: the first call pays codegen compile
+    # (~3.5 s) and the JIT keeps deepening for a few invocations.
+    def _sentinel_shot() -> None:
+        if keep is None:
+            sentinel.append(_time_sentinel(spark))
+
+    sentinel: list[float] = []
+    if keep is None:
+        _time_sentinel(spark)
+        _time_sentinel(spark)
+    _sentinel_shot()
+    _sentinel_shot()
     timings = _time_queries(spark, sf_dir, spine, dispersion)
     total = round(sum(timings.values()), 3)  # spine only: round-1-comparable
-    sentinel.append(_time_sentinel(spark))
+    _sentinel_shot()
     plane_timings = _time_queries(spark, sf_dir, planes, dispersion)
     plane_total = round(sum(plane_timings.values()), 3)
-    sentinel.append(_time_sentinel(spark))
+    _sentinel_shot()
     r6_timings = _time_queries(spark, sf_dir, round6, dispersion)
-    sentinel.append(_time_sentinel(spark))
+    _sentinel_shot()
     groups = {
         "spine_total": total,
         "operator_planes_total": plane_total,
@@ -314,7 +336,7 @@ def main() -> None:
         r6_timings["streaming_ingest_120docs"] = headline
         groups["streaming_total"] = headline
         dispersion["streaming_ingest_120docs"] = sidecar
-    sentinel.append(_time_sentinel(spark))
+    _sentinel_shot()
     # the full sample arrays made the r6 stdout line exceed the driver's
     # 2000-byte tail capture (BENCH_r06.json landed with parsed=null) —
     # keep the ONE stdout line compact and put dispersion in a sidecar

@@ -86,16 +86,26 @@ def blocked_pairs(
     the pair join itself) computes the exact pair volume the equi-join
     would emit and raises when it exceeds ``max_pairs``, naming the
     hottest key, instead of letting downstream scoring pay the
-    quadratic.  ``max_pairs`` defaults to ``PUMA_SPARK_BLOCKED_PAIRS_MAX``
-    when set, else :data:`BLOCKED_PAIRS_MAX`; pass ``max_pairs <= 0`` to
-    disable for callers that bound volume their own way."""
+    quadratic.  NULL keys are excluded from the count exactly as the
+    equi-join excludes them (NULL never equi-matches, so those rows emit
+    zero pairs — counting them would spuriously trip the guard on a
+    corpus with many unkeyable rows).  ``max_pairs`` defaults to
+    ``PUMA_SPARK_BLOCKED_PAIRS_MAX`` when set, else
+    :data:`BLOCKED_PAIRS_MAX`; pass ``max_pairs <= 0`` to disable for
+    callers that bound volume their own way.
+
+    Cost note: the guard is one extra scan of ``persons`` per call (the
+    pair join below scans it twice more) — callers whose ``persons`` is
+    an expensive derivation (e.g. the clean_names pandas-UDF chain)
+    should persist it first."""
     if max_pairs is None:
         max_pairs = int(
             os.environ.get("PUMA_SPARK_BLOCKED_PAIRS_MAX", BLOCKED_PAIRS_MAX)
         )
     if max_pairs > 0:
         stats = (
-            persons.groupBy(key_col)
+            persons.where(F.col(key_col).isNotNull())
+            .groupBy(key_col)
             .agg(F.count(F.lit(1)).alias("c"))
             .agg(
                 F.sum(F.col("c") * (F.col("c") - 1) / 2)

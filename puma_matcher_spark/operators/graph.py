@@ -65,9 +65,7 @@ def _is_persisted(df: DataFrame) -> bool:
 BARRIER_CADENCE = 4
 
 
-def _round_barrier(
-    df: DataFrame, prev: DataFrame | None, full: bool = True
-) -> DataFrame:
+def _round_barrier(df: DataFrame, full: bool = True) -> DataFrame:
     """STATS-RESET barrier for iterative DataFrame loops (the round-9
     connected-components diagnosis, operators/dedup.py ``_cc_loop`` and
     PLANS.md: a localCheckpoint-ed frame carries its ORIGIN plan's
@@ -91,19 +89,61 @@ def _round_barrier(
     materializing count job.  The frame still reads as a lineage-capped
     InMemoryRelation downstream, so the next materializing action
     computes each skipped round exactly once (cache-on-compute) with
-    stats compounding bounded by :data:`BARRIER_CADENCE` levels.  The
-    caller must NOT pass ``prev`` on a light round: unpersisting an
-    unmaterialized predecessor would drop its cache entry and let the
-    next action recompute it once per downstream reference — callers
-    accumulate pending frames and flush them at the next full barrier
-    (see the loops below)."""
+    stats compounding bounded by :data:`BARRIER_CADENCE` levels.
+    Predecessor frames must NOT be unpersisted on a light round —
+    dropping an unmaterialized predecessor's cache entry lets the next
+    action recompute it once per downstream reference.
+    :class:`_CadencedBarrier` owns that bookkeeping for the loops."""
     df = df.localCheckpoint(eager=False)
     df.persist()
     if full:
         df.count()
-    if prev is not None:
-        prev.unpersist(False)
     return df
+
+
+class _CadencedBarrier:
+    """Per-loop owner of the barrier cadence: decides which rounds
+    materialize (every ``cadence``-th and ALWAYS the last, so the final
+    frame never references cached helpers after they unpersist) and
+    defers the previous frames' unpersist to the next full barrier,
+    where they are guaranteed materialized-and-stale.  One shared
+    implementation so the three loops cannot drift (r11 review)."""
+
+    def __init__(self, n_rounds: int, cadence: int = BARRIER_CADENCE):
+        self.n_rounds = n_rounds
+        self.cadence = cadence
+        self._pending: list[DataFrame] = []
+
+    def round(self, i: int, df: DataFrame) -> DataFrame:
+        full = (i + 1) % self.cadence == 0 or i == self.n_rounds - 1
+        df = _round_barrier(df, full=full)
+        self._pending.append(df)
+        if full:
+            for p in self._pending[:-1]:
+                p.unpersist(False)
+            self._pending = [df]
+        return df
+
+
+def normalized_barrier_times(
+    times: list[float], cadence: int = BARRIER_CADENCE
+) -> list[float]:
+    """Per-round cost series under the barrier cadence: the time of each
+    MATERIALIZING round divided by the number of rounds its job executed
+    (light rounds measure only plan construction, ~0).  Flatness of this
+    series is the cadence-era equivalent of the old per-round flatness —
+    a full barrier that re-computed its window per downstream reference
+    (the re-nesting failure the flatness checks pin) inflates late
+    entries relative to early ones.  Used by the depth-30 flatness test
+    and scripts/graph_scale_stress.py."""
+    fulls: list[float] = []
+    window = 0
+    for i, t in enumerate(times):
+        window += 1
+        if (i + 1) % cadence == 0 or i == len(times) - 1:
+            fulls.append(t / window)
+            window = 0
+    return fulls
 
 
 def edge_nodes(edges: DataFrame) -> DataFrame:
@@ -203,7 +243,7 @@ def pagerank(
     small = n_nodes <= BROADCAST_NODES_MAX
     bc = F.broadcast if small else (lambda df: df)
     ranks = nodes.select("node", (F.lit(1.0) / n).alias("rank"))
-    pending: list[DataFrame] = []
+    barrier = _CadencedBarrier(n_iter)
     for i in range(n_iter):
         t0 = time.monotonic() if round_times is not None else 0.0
         contribs = (
@@ -234,18 +274,10 @@ def pagerank(
         # A FULL barrier (checkpoint + persist + materializing count)
         # runs every BARRIER_CADENCE-th round and always on the last —
         # it executes the accumulated light rounds (each computed once,
-        # cache-on-compute), resets Catalyst's size estimate before the
-        # BigInteger stats compounding can bite (~16 levels), and is the
-        # point where the previous window's cache entries are dropped.
-        # Light rounds only checkpoint+persist (no job) — r10 verdict:
-        # the per-round count alone cost pagerank_top ~+1.2 s at sf0.1.
-        full = (i + 1) % BARRIER_CADENCE == 0 or i == n_iter - 1
-        ranks = _round_barrier(ranks, None, full=full)
-        pending.append(ranks)
-        if full:
-            for p in pending[:-1]:
-                p.unpersist(False)
-            pending = [ranks]
+        # cache-on-compute) and resets Catalyst's size estimate before
+        # the BigInteger stats compounding can bite (~16 levels).
+        # Light rounds only checkpoint+persist (no job).
+        ranks = barrier.round(i, ranks)
         if round_times is not None:
             round_times.append(time.monotonic() - t0)
     ranks.unpersist(False)
@@ -287,32 +319,25 @@ def label_propagation(
     )
     # same gate as pagerank: labels is O(nodes), checkpoint-backed
     bc = F.broadcast if labels.count() <= BROADCAST_NODES_MAX else (lambda df: df)
-    pending: list[DataFrame] = []
+    barrier = _CadencedBarrier(n_iter)
     try:
         for i in range(n_iter):
             t0 = time.monotonic() if round_times is not None else 0.0
-            full = (i + 1) % BARRIER_CADENCE == 0 or i == n_iter - 1
             # winner per node = (max count, then min label): expressed as
             # min(struct(-c, label)) so the argmax is a HASH aggregate on
             # src instead of a row_number window (which would sort every
             # partition) — same deterministic winner, one less sort per
             # round; the unrolled SQL oracle keeps the row_number form,
             # which selects the identical row
-            labels = _round_barrier(
+            labels = barrier.round(
+                i,
                 sym.join(bc(labels.withColumnRenamed("node", "dst")), "dst")
                 .groupBy("src", "label")
                 .agg(F.count(F.lit(1)).alias("c"))
                 .groupBy("src")
                 .agg(F.min(F.struct((-F.col("c")).alias("nc"), "label")).alias("w"))
                 .select(F.col("src").alias("node"), F.col("w.label").alias("label")),
-                None,
-                full=full,
             )
-            pending.append(labels)
-            if full:
-                for p in pending[:-1]:
-                    p.unpersist(False)
-                pending = [labels]
             if round_times is not None:
                 round_times.append(time.monotonic() - t0)
         labels.unpersist(False)
@@ -374,7 +399,7 @@ def k_core(
         if edge_nodes(cur).count() <= BROADCAST_NODES_MAX
         else (lambda df: df)
     )
-    pending: list[DataFrame] = []
+    barrier = _CadencedBarrier(n_rounds)
     for i in range(n_rounds):
         t0 = time.monotonic() if round_times is not None else 0.0
         deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("c"))
@@ -395,21 +420,14 @@ def k_core(
         # the alias only disambiguates the self-reference for the
         # analyzer; canonicalization strips it, so both broadcast
         # exchanges still dedupe
-        full = (i + 1) % BARRIER_CADENCE == 0 or i == n_rounds - 1
-        cur = _round_barrier(
+        cur = barrier.round(
+            i,
             survivors.join(
                 kb.alias("kcore_keep"),
                 F.col("dst") == F.col("kcore_keep.src"),
                 "left_semi",
             ),
-            None,
-            full=full,
         )
-        pending.append(cur)
-        if full:
-            for p in pending[:-1]:
-                p.unpersist(False)
-            pending = [cur]
         if round_times is not None:
             round_times.append(time.monotonic() - t0)
     out = cur.groupBy(F.col("src").alias("node")).agg(

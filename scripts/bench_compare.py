@@ -66,10 +66,16 @@ def main() -> int:
                     # host-drift context (r11): the sentinel is a fixed
                     # codegen workload bracketing every group — wide
                     # spread here means the DRIFT verdicts below are
-                    # measuring the box, not the code
-                    spread = (max(sent) - min(sent)) / max(min(sent), 1e-9)
+                    # measuring the box, not the code.  Spread is taken
+                    # over the steady-state TAIL (last half, >= 3): the
+                    # head of the series can still ride the JVM's
+                    # deepening JIT, and a monotone warm-up step would
+                    # otherwise read as host noise on every run (r11
+                    # review).
+                    tail = sent[-max(3, len(sent) // 2):]
+                    spread = (max(tail) - min(tail)) / max(min(tail), 1e-9)
                     print(
-                        f"sentinel: {sent} (spread {spread:.0%}"
+                        f"sentinel: {sent} (tail spread {spread:.0%}"
                         f"{' — HOST NOISY, verdicts suspect' if spread > 0.3 else ''})"
                     )
                 break

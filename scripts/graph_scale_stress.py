@@ -28,7 +28,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
-from puma_matcher_spark.operators.graph import pagerank
+from puma_matcher_spark.operators.graph import (
+    normalized_barrier_times,
+    pagerank,
+)
 from puma_matcher_spark.session import get_spark
 
 
@@ -65,21 +68,24 @@ def main() -> None:
     results = {}
     for label, scale in (("1x", 1), ("10x", 10)):
         n_real, times = run(spark, base_edges * scale, base_nodes * scale)
-        # round 1 pays one-time setup (persist fills, AQE stats); flatness
-        # is judged on rounds 2..n
-        steady = times[1:]
+        # under the r11 barrier cadence only every 4th round runs a job
+        # (light rounds measure ~0), so flatness is judged on the
+        # per-round-NORMALIZED materializing rounds; the first window
+        # pays one-time setup (persist fills, AQE stats) and is skipped
+        fulls = normalized_barrier_times(times)
+        steady = fulls[1:]
         flat = max(steady) / min(steady)
-        results[label] = (n_real, times, flat)
+        results[label] = (n_real, steady, flat)
         print(
-            f"[{label}] edges={n_real:,}  per-round s="
-            f"{[round(t, 2) for t in times]}  "
+            f"[{label}] edges={n_real:,}  normalized-window s="
+            f"{[round(t, 2) for t in fulls]}  "
             f"steady flatness max/min={flat:.2f}"
         )
 
     r1, t1, _ = results["1x"]
     r10, t10, _ = results["10x"]
-    mean1 = sum(t1[1:]) / len(t1[1:])
-    mean10 = sum(t10[1:]) / len(t10[1:])
+    mean1 = sum(t1) / len(t1)
+    mean10 = sum(t10) / len(t10)
     print(
         f"scale ratio: edges {r10 / r1:.1f}x -> per-round time "
         f"{mean10 / mean1:.1f}x (linear ≈ edge ratio; at this sf the "

@@ -288,3 +288,18 @@ def test_blocked_pairs_envelope_guard(spark, monkeypatch):
         dd.blocked_pairs(persons)
     monkeypatch.setenv("PUMA_SPARK_BLOCKED_PAIRS_MAX", "1000")
     assert dd.blocked_pairs(persons).count() == 435
+
+
+def test_blocked_pairs_guard_ignores_null_keys(spark):
+    """r11 review: NULL keys never equi-match, so the join emits zero
+    pairs from them — the guard must not count the NULL group as a hot
+    block (an unkeyable-heavy corpus would spuriously raise)."""
+    persons = spark.createDataFrame(
+        [(i, None if i < 30 else f"k{i % 3}") for i in range(40)],
+        "id LONG, blocking_key STRING",
+    )
+    # 30 NULL rows would read as a 435-pair hot block and trip the 100
+    # ceiling; the real join volume is C(4,2)+C(3,2)+C(3,2) = 12
+    got = dd.blocked_pairs(persons, max_pairs=100)
+    assert got.count() == 12
+

@@ -345,13 +345,22 @@ def test_iterative_loops_flat_per_round_at_depth_30(spark):
     stats arithmetic compounding ~3x per round, exponential driver CPU
     from ~round 16) was fixed in the CC loop; pagerank / LPA / k-core
     now share the same stats-reset barrier (_round_barrier).  Drive all
-    three 30 rounds deep and assert per-round wall-clock stays flat —
-    under the old bare-localCheckpoint loops round 30 took ORDERS of
-    magnitude longer than round 1, so a loose 5x tail/head bound is
-    noise-proof while still catching any regression."""
+    three 30 rounds deep and assert wall-clock stays flat — under the
+    old bare-localCheckpoint loops round 30 took ORDERS of magnitude
+    longer than round 1, so a loose 5x tail/head bound is noise-proof
+    while still catching any regression.
+
+    Since the r11 barrier CADENCE only every 4th round materializes
+    (light rounds measure ~0: plan construction only), so flatness is
+    asserted over the FULL-barrier rounds' times, each normalized by
+    the number of rounds its job executed — a full barrier that
+    re-computed its whole window per downstream reference (the exact
+    re-nesting failure this test pins) inflates the late windows
+    relative to the early ones."""
     from puma_matcher_spark.operators.graph import (
         k_core,
         label_propagation,
+        normalized_barrier_times,
         pagerank,
     )
 
@@ -364,8 +373,10 @@ def test_iterative_loops_flat_per_round_at_depth_30(spark):
     sym = df.union(df.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
 
     def head_tail_ratio(times):
-        head = sum(times[:5]) / 5
-        tail = sum(times[-5:]) / 5
+        fulls = normalized_barrier_times(times)
+        assert len(fulls) >= 4, fulls
+        head = sum(fulls[:2]) / 2
+        tail = sum(fulls[-2:]) / 2
         return tail / max(head, 1e-9)
 
     pr_times: list = []
