@@ -425,3 +425,19 @@ def test_iterative_loops_leave_no_cache_entries(spark):
         df.select(F.col("src").alias("id1"), F.col("dst").alias("id2"))
     ).count()
     assert cm.isEmpty(), "an iterative loop leaked a CacheManager entry"
+
+
+def test_normalized_barrier_times_windows():
+    """Pure-function pin for the cadence bookkeeping: windows are
+    CADENCE long, the tail window is the remainder, and each entry is
+    the materializing round's time divided by its window length."""
+    from puma_matcher_spark.operators.graph import normalized_barrier_times
+
+    # 10 rounds at cadence 4 -> windows of 4, 4, 2 (rounds 4, 8, 10)
+    times = [0.0] * 3 + [8.0] + [0.0] * 3 + [4.0] + [0.0] + [3.0]
+    assert normalized_barrier_times(times, cadence=4) == [2.0, 1.0, 1.5]
+    # shorter than one cadence -> single window of len(times)
+    assert normalized_barrier_times([6.0, 0.0, 3.0], cadence=4) == [1.0]
+    assert normalized_barrier_times([5.0], cadence=4) == [5.0]
+    # exact multiple: no remainder window
+    assert normalized_barrier_times([0, 0, 0, 4.0], cadence=4) == [1.0]
