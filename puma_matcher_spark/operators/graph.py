@@ -135,14 +135,26 @@ def normalized_barrier_times(
     a full barrier that re-computed its window per downstream reference
     (the re-nesting failure the flatness checks pin) inflates late
     entries relative to early ones.  Used by the depth-30 flatness test
-    and scripts/graph_scale_stress.py."""
+    and scripts/graph_scale_stress.py.
+
+    A trailing PARTIAL window (n_rounds not a multiple of the cadence)
+    is dropped whenever at least one full window exists: each window
+    pays a fixed per-job cost (scheduling + subquery choreography) on
+    top of the per-round work, so a short tail's per-round share reads
+    systematically hot — measured 1.7x on a 2-round tail vs the 4-round
+    windows of the same loop (r11, scripts/graph_scale_stress.py) —
+    which is overhead amortization, not re-nesting."""
     fulls: list[float] = []
+    lens: list[int] = []
     window = 0
     for i, t in enumerate(times):
         window += 1
         if (i + 1) % cadence == 0 or i == len(times) - 1:
             fulls.append(t / window)
+            lens.append(window)
             window = 0
+    if len(fulls) > 1 and lens[-1] < cadence:
+        fulls.pop()
     return fulls
 
 

@@ -50,7 +50,10 @@ def powerlaw_edges(spark, n_edges: int, n_nodes: int):
     ).where(F.col("src") != F.col("dst"))
 
 
-def run(spark, n_edges: int, n_nodes: int, n_iter: int = 10):
+def run(spark, n_edges: int, n_nodes: int, n_iter: int = 20):
+    # 20 rounds = 5 full 4-round barrier windows, so the steady series
+    # below has 4 comparable entries (10 rounds left only ONE after the
+    # first-window skip and the partial-tail drop — trivially flat)
     edges = powerlaw_edges(spark, n_edges, n_nodes).persist()
     n_real = edges.count()
     times: list[float] = []

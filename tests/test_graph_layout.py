@@ -433,11 +433,16 @@ def test_normalized_barrier_times_windows():
     the materializing round's time divided by its window length."""
     from puma_matcher_spark.operators.graph import normalized_barrier_times
 
-    # 10 rounds at cadence 4 -> windows of 4, 4, 2 (rounds 4, 8, 10)
+    # 10 rounds at cadence 4 -> windows of 4, 4, 2; the PARTIAL tail
+    # window is dropped (its per-round share over-weights the fixed
+    # per-window job overhead -- measured 1.7x hot on a 2-round tail)
     times = [0.0] * 3 + [8.0] + [0.0] * 3 + [4.0] + [0.0] + [3.0]
-    assert normalized_barrier_times(times, cadence=4) == [2.0, 1.0, 1.5]
-    # shorter than one cadence -> single window of len(times)
+    assert normalized_barrier_times(times, cadence=4) == [2.0, 1.0]
+    # shorter than one cadence -> the single (partial) window is kept
     assert normalized_barrier_times([6.0, 0.0, 3.0], cadence=4) == [1.0]
     assert normalized_barrier_times([5.0], cadence=4) == [5.0]
-    # exact multiple: no remainder window
+    # exact multiple: no remainder window, nothing dropped
     assert normalized_barrier_times([0, 0, 0, 4.0], cadence=4) == [1.0]
+    assert normalized_barrier_times(
+        [0, 0, 0, 8.0, 0, 0, 0, 4.0], cadence=4
+    ) == [2.0, 1.0]
