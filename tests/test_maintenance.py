@@ -236,3 +236,26 @@ def test_hadoopfs_rmtree_missing_path_is_quiet(spark, tmp_path):
 
     fs = HadoopFs(spark, str(tmp_path))
     fs.rmtree(str(tmp_path / "never-created"))  # must not raise
+
+
+def test_hadoopfs_rmtree_raises_on_failed_delete(spark, tmp_path):
+    """r11: the raise path of the rmtree guard (delete() returns False
+    while the path still exists) can't be produced on a local FS as
+    root, so pin it through a stubbed filesystem handle — the exact
+    contract: False + exists -> OSError naming the path."""
+    import pytest
+
+    from puma_matcher_spark.sources.maintenance import HadoopFs
+
+    fs = HadoopFs(spark, str(tmp_path))
+
+    class _StuckFs:
+        def delete(self, p, recursive):
+            return False
+
+        def exists(self, p):
+            return True
+
+    fs._fs = _StuckFs()
+    with pytest.raises(OSError, match="delete failed"):
+        fs.rmtree(str(tmp_path / "stuck"))
