@@ -59,6 +59,7 @@ def bm25_scores(
     k1: float = 1.2,
     b: float = 0.75,
     text_col: str = "text",
+    persist_postings: bool = False,
 ) -> DataFrame:
     """Okapi BM25 score per document for a bag of query terms.
 
@@ -66,8 +67,19 @@ def bm25_scores(
     clamped at 0; doc length and its corpus average are whitespace token
     counts.  Output: (doc_id, matched_terms, score) for docs matching at
     least one term.
-    """
+
+    ``persist_postings=True`` caches the exploded token frame, which
+    four plan branches otherwise each re-derive from the document scan
+    (dl, the avgdl scalar, tf, and df-via-tf — the r11 plan audit
+    counted 4 explode(tokens(...)) generates over 5 scans per run):
+    one tokenize pass instead of four.  Default False until the
+    exported query's next correctness-window slot (r12 queue, PLANS.md)
+    — flipping it changes the registered plan, which must re-green."""
     toks = _doc_tokens(docs, text_col)
+    if persist_postings:
+        from puma_matcher_spark.functions.caching import persist_rotating
+
+        toks = persist_rotating(toks)
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
     n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n")).scalar()
     avgdl = dl.agg(F.avg("dl").alias("a")).scalar()
