@@ -195,7 +195,9 @@ DEFAULT_MAX_BUCKET = 2000  # same spirit as the sentence-occurrence cap
 
 
 def lsh_candidate_pairs(
-    band_keys: DataFrame, max_bucket_size: int | None = DEFAULT_MAX_BUCKET
+    band_keys: DataFrame,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+    persist_buckets: bool = True,
 ) -> DataFrame:
     """Docs sharing any band bucket → distinct candidate pairs (dv1 < dv2).
 
@@ -209,6 +211,8 @@ def lsh_candidate_pairs(
     """
     from pyspark.sql.window import Window
 
+    from puma_matcher_spark.functions.caching import persist_rotating
+
     if max_bucket_size is not None:
         bucket_w = Window.partitionBy("band", "band_key")
         band_keys = (
@@ -216,6 +220,18 @@ def lsh_candidate_pairs(
             .where(F.col("_n") <= max_bucket_size)
             .drop("_n")
         )
+    # persist the (capped) bucket rows (r11): the self-join's second side
+    # used to re-derive the WHOLE upstream chain — the planner broadcasts
+    # one side, and a BroadcastExchange can never reuse the other side's
+    # shuffle exchange, so tokenize→shingle→minhash→band ran twice per
+    # query (4 parquet scans in the r10 minhash_pairs plan; 2 after).
+    # ``persist_buckets=False`` is for callers whose band_keys lineage is
+    # unique per run (the curation pipeline: docs arrive semi-joined
+    # against a fresh localCheckpoint of keep ids, so no two runs share a
+    # cache entry and the ring accumulates dead sf-sized caches —
+    # measured +1.9 s and monotone-growing samples on curation_report).
+    if persist_buckets:
+        band_keys = persist_rotating(band_keys)
     a = band_keys.select("band", "band_key", F.col("doc_id").alias("doc1_id"))
     b = band_keys.select("band", "band_key", F.col("doc_id").alias("doc2_id"))
     return (
@@ -232,8 +248,10 @@ def minhash_dedup_pairs(
     band_size: int = DEFAULT_BAND_SIZE,
     shingle_n: int = DEFAULT_SHINGLE,
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+    persist_buckets: bool = True,
 ) -> DataFrame:
-    """Full MinHash-LSH near-dup candidate pipeline."""
+    """Full MinHash-LSH near-dup candidate pipeline.  See
+    :func:`lsh_candidate_pairs` for the ``persist_buckets`` contract."""
     return lsh_candidate_pairs(
         lsh_band_keys(
             minhash_signatures(shingles(docs, shingle_n), num_hashes),
@@ -241,6 +259,7 @@ def minhash_dedup_pairs(
             num_hashes,
         ),
         max_bucket_size,
+        persist_buckets=persist_buckets,
     )
 
 
@@ -441,16 +460,23 @@ def ngram_jaccard_pairs(
     """
     from pyspark.sql.window import Window
 
+    from puma_matcher_spark.functions.caching import persist_rotating
+
     sh = shingles(docs, shingle_n)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     # df cap via count-over-window: the kept-shingle set is nearly the full
-    # shingle dictionary, so a broadcast semi-join would ship it whole; the
-    # window shuffles on `shingle` once and the pair self-join reuses it.
-    rare = (
-        sh.withColumn("_df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
-        .where(F.col("_df") <= max_shingle_df)
-        .drop("_df")
+    # shingle dictionary, so a broadcast semi-join would ship it whole.
+    # The windowed frame is PERSISTED (r11): the per-doc sizes and BOTH
+    # pair-join sides read the cache, so the corpus is tokenized/shingled
+    # once and the shingle-key window shuffle runs once — the pre-r11 plan
+    # re-derived the shingle explode 4x (sizes + the window separately per
+    # self-join side).
+    shw = persist_rotating(
+        sh.withColumn(
+            "_df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        )
     )
+    sizes = shw.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    rare = shw.where(F.col("_df") <= max_shingle_df).drop("_df")
     a = rare.select("shingle", F.col("doc_id").alias("doc1_id"))
     b = rare.select("shingle", F.col("doc_id").alias("doc2_id"))
     common = (

@@ -78,8 +78,12 @@ def curate_documents(
     # 2. near-dup removal — MinHash-LSH candidates verified by exact
     #    Jaccard computed per candidate pair (never over the full
     #    shingle-join product: LSH must actually prune the exact pass);
-    #    drop the higher doc_id of each confirmed pair
-    cand = dd.minhash_dedup_pairs(docs1)
+    #    drop the higher doc_id of each confirmed pair.
+    #    persist_buckets=False: docs1's lineage goes through the fresh
+    #    keep_exact localCheckpoint, so a persisted bucket frame is never
+    #    reusable across runs — it only piles dead cache entries into the
+    #    rotating ring (measured +1.9 s on curation_report, r11)
+    cand = dd.minhash_dedup_pairs(docs1, persist_buckets=False)
     verified = dd.jaccard_for_pairs(docs1, cand).where(
         F.col("jaccard") >= jaccard_threshold
     )

@@ -72,9 +72,10 @@ def bm25_scores(
     four plan branches otherwise each re-derive from the document scan
     (dl, the avgdl scalar, tf, and df-via-tf — the r11 plan audit
     counted 4 explode(tokens(...)) generates over 5 scans per run):
-    one tokenize pass instead of four.  Default False until the
-    exported query's next correctness-window slot (r12 queue, PLANS.md)
-    — flipping it changes the registered plan, which must re-green."""
+    one tokenize pass instead of four.  The exported ``bm25_search``
+    passes True since r11 (oracle parity + twin-equality proven); the
+    library default stays False so ad-hoc callers opt in to the cache
+    footprint explicitly."""
     toks = _doc_tokens(docs, text_col)
     if persist_postings:
         from puma_matcher_spark.functions.caching import persist_rotating

@@ -927,11 +927,16 @@ def shared_shingle_pairs(
     Fixture margin: every true pair shares >= 8 rare shingles (gate in
     tests/test_semantic_blocked.py).
     """
+    from puma_matcher_spark.functions.caching import persist_rotating
     from puma_matcher_spark.llmdata.dedup import shingles
 
     sh = shingles(docs, n=n, text_col=text_col)
     w = Window.partitionBy("shingle")
-    rare = (
+    # persisted (r11): the equi-join's two sides otherwise re-derive the
+    # tokenize→shingle explode→df window chain once EACH (the planner
+    # broadcasts one side, so the exchange under the window can't be
+    # reused across sides) — one scan + one window pass instead of two
+    rare = persist_rotating(
         sh.withColumn("_df", F.count(F.lit(1)).over(w))
         .where(F.col("_df") <= df_cap)
         .select("doc_id", "shingle")
@@ -1003,10 +1008,14 @@ def semantic_contamination(
     leak gate is pinned in tests/test_semantic_blocked.py; the
     registered driver oracle stays the unblocked all-pairs cross cosine.
     """
+    from puma_matcher_spark.functions.caching import persist_rotating
     from puma_matcher_spark.llmdata.dedup import shingles
 
-    cs = shingles(corpus, n=n, text_col=text_col)
-    bs = shingles(benchmark, n=n, text_col=text_col)
+    # persisted (r11): each side's shingle chain feeds BOTH the global
+    # df aggregate and the candidate join — without the persist the
+    # tokenize→shingle explode runs twice per frame (4 passes per call)
+    cs = persist_rotating(shingles(corpus, n=n, text_col=text_col))
+    bs = persist_rotating(shingles(benchmark, n=n, text_col=text_col))
     rare = (
         cs.select("doc_id", "shingle")
         .unionAll(bs.select("doc_id", "shingle"))

@@ -789,19 +789,30 @@ def pmi_bigrams(
 
     ``min_count`` filters the unstable low-frequency tail (PMI is
     notoriously noisy there); the top-k orders by the ROUNDED pmi then
-    (w1, w2) so the cut is deterministic across engines.  Shape: the
-    bigram pairs are built inside the row (transform over a position
-    sequence, no shuffle before the explode), then one bigram aggregate,
-    one unigram aggregate, and two hash joins on the word key (AQE
-    broadcasts the unigram side at fixture scale).  Output:
-    (w1, w2, n_pair, pmi).
+    (w1, w2) so the cut is deterministic across engines.  Shape: ONE
+    tokenize pass (the token-array frame is persisted; r11), the bigram
+    pairs built inside the row (transform over a position sequence, no
+    shuffle before the explode), then one bigram aggregate, one unigram
+    aggregate (persisted — both joins and the n_uni scalar read it), and
+    two hash joins on the word key (AQE broadcasts the unigram side at
+    fixture scale).  Output: (w1, w2, n_pair, pmi).
     """
+    from puma_matcher_spark.functions.caching import persist_rotating
     from puma_matcher_spark.functions.rounding import pround
 
-    toks = docs.select(tokens(F.col(text_col)).alias("_tk"))
+    # r11: the pre-r11 plan re-derived the tokenize from the document scan
+    # SIX times (unigram counts, the n_uni scalar subquery, the bigram
+    # build, the n_bi scalar subquery, and the unigram-count subtree once
+    # per join side).  Persist the tokenized frame and the (small) unigram
+    # counts, and fold both corpus scalars into aggregates over the caches:
+    # n_uni == sum of unigram counts, n_bi == sum over docs of
+    # max(len-1, 0) adjacent pairs — identical values, one tokenize pass.
+    toks = persist_rotating(docs.select(tokens(F.col(text_col)).alias("_tk")))
     uni = toks.select(F.explode("_tk").alias("w"))
-    uc = uni.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
-    n_uni = uni.agg(F.count(F.lit(1)).cast("long").alias("n")).scalar()
+    uc = persist_rotating(
+        uni.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    n_uni = uc.agg(F.sum("c").cast("long").alias("n")).scalar()
 
     idx = F.when(
         F.size("_tk") >= 2, F.sequence(F.lit(1), F.size("_tk") - 1)
@@ -822,7 +833,12 @@ def pmi_bigrams(
         .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
         .where(F.col("n_pair") >= min_count)
     )
-    n_bi = pairs.agg(F.count(F.lit(1)).cast("long").alias("n")).scalar()
+    # adjacent-pair count per doc is max(len - 1, 0); greatest() absorbs a
+    # NULL token array (size(NULL) is NULL post-legacy) exactly like the
+    # explode/when path did
+    n_bi = toks.agg(
+        F.sum(F.greatest(F.size("_tk") - 1, F.lit(0))).cast("long").alias("n")
+    ).scalar()
     p_ab = F.col("n_pair") / n_bi
     p_a = F.col("_ca") / n_uni
     p_b = F.col("_cb") / n_uni

@@ -3652,13 +3652,18 @@ def q_dedup_person_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploits that blocked pairs form a clique per blocking key (one key
     per person), so the expected component is min(id) per key — an
     independent closed-form check of the fixpoint."""
+    from puma_matcher_spark.functions.caching import persist_rotating
     from puma_matcher_spark.operators.dedup import (
         blocked_pairs,
         clean_names,
         dedup_lookup,
     )
 
-    persons = clean_names(load_tables(spark, sf_dir).persons())
+    # r11 (review finding #5): persist the clean_names frame — the
+    # blocking-envelope guard plus the pair join's two sides otherwise
+    # each re-run the diacritics-fold pandas-UDF chain (3 ArrowEvalPython
+    # passes over persons; 1 after)
+    persons = persist_rotating(clean_names(load_tables(spark, sf_dir).persons()))
     edges = blocked_pairs(persons)
     return dedup_lookup(persons, edges)
 
@@ -5437,11 +5442,16 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 retrieval (llmdata/retrieval.py): length-normalised
     lexical ranking for a query bag — corpus size and average doc length
     fold in as scalar subqueries, postings restricted to the query terms
-    before any join."""
+    before any join.
+
+    r11: ``persist_postings=True`` — the staged single-tokenize path is
+    now the exported plan (1 explode(tokens(...)) generate instead of 4
+    over 5 document scans; twin-equality test pins identical rows,
+    oracle parity re-proven at sf0.001/sf0.01)."""
     from puma_matcher_spark.llmdata.retrieval import bm25_scores
 
     docs = load_tables(spark, sf_dir).llm_documents()
-    return bm25_scores(docs, ["dup", "window", "scan"])
+    return bm25_scores(docs, ["dup", "window", "scan"], persist_postings=True)
 
 
 @register(
