@@ -12,6 +12,17 @@ small FIFO ring; enrolling past the capacity unpersists the oldest.
 Long-lived sessions converge to at most ``_CAPACITY`` cached
 intermediates instead of growing without limit, while the frames most
 recently built (the ones whose plans are still live) stay cached.
+
+Identical-plan calls share ONE ring slot (r11): Spark's CacheManager
+dedupes ``persist`` by canonicalized plan, so when the same query
+builder runs repeatedly (a bench loop, a retried job) every call's
+frame shares one cache entry — enrolling each call separately meant the
+ring filled with aliases of the SAME entry and evicting an old alias
+unpersisted the data the newest alias was about to reuse (measured: a
+5-run picture_lsh_pairs loop recomputed its 60 s chain on the run where
+the ring rolled over).  A frame whose plan is already cached is
+therefore NOT re-enrolled; the original enrollment keeps owning the
+entry.
 """
 
 from __future__ import annotations
@@ -30,8 +41,19 @@ def persist_rotating(
     df: DataFrame, level: StorageLevel = StorageLevel.MEMORY_AND_DISK
 ) -> DataFrame:
     """Persist ``df`` and enroll it in the bounded ring; evicts (and
-    unpersists) the oldest enrolled frame beyond capacity."""
+    unpersists) the oldest enrolled frame beyond capacity.  A frame
+    whose plan is already cached (CacheManager plan-match — e.g. the
+    same builder re-invoked) is returned without a second enrollment so
+    ring rollover can never unpersist an entry that is still the live
+    cache for identical in-flight plans."""
+    try:
+        lvl = df.storageLevel
+        already = lvl.useMemory or lvl.useDisk or lvl.useOffHeap
+    except Exception:
+        already = False  # storage-level probe failed — enroll normally
     df.persist(level)
+    if already:
+        return df
     with _LOCK:
         _RING.append(df)
         while len(_RING) > _CAPACITY:

@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from puma_matcher_spark.llmdata.textstats import tokens
+from puma_matcher_spark.functions.caching import persist_rotating
 from puma_matcher_spark.functions.rounding import pround
 
 DEFAULT_NUM_HASHES = 8
@@ -210,8 +211,6 @@ def lsh_candidate_pairs(
     extra exchange, no broadcast dictionary).
     """
     from pyspark.sql.window import Window
-
-    from puma_matcher_spark.functions.caching import persist_rotating
 
     if max_bucket_size is not None:
         bucket_w = Window.partitionBy("band", "band_key")
@@ -459,8 +458,6 @@ def ngram_jaccard_pairs(
     Jaccard stays exact for the pairs that survive.
     """
     from pyspark.sql.window import Window
-
-    from puma_matcher_spark.functions.caching import persist_rotating
 
     sh = shingles(docs, shingle_n)
     # df cap via count-over-window: the kept-shingle set is nearly the full
@@ -977,8 +974,6 @@ def jaccard_prefix_join(
     """
     from pyspark.sql.window import Window
 
-    from puma_matcher_spark.functions.caching import persist_rotating
-
     # the shingle frame feeds FIVE branches (sizes, df, ranked prefix,
     # both verification sides) — persist it once instead of re-running
     # the tokenize→explode chain per branch (bounded ring, no leak)
@@ -1121,6 +1116,10 @@ def simhash128_candidates(
         keys = keys.withColumn("_n", F.count(F.lit(1)).over(w)).where(
             F.col("_n") <= max_band_bucket
         )
+    # persisted (r11): same class as lsh_candidate_pairs — the self-join
+    # broadcasts one side, so without the persist the fingerprint + key
+    # explode + bucket-cap window chain runs once PER SIDE
+    keys = persist_rotating(keys)
     key_cols = ["combo", "val_lo", "val_hi"]
     a = keys.select(*key_cols, F.col("doc_id").alias("doc1_id"))
     bb = keys.select(*key_cols, F.col("doc_id").alias("doc2_id"))
@@ -1187,10 +1186,12 @@ def simhash_hamming_pairs(
             docs, max_hamming, text_col, max_band_bucket
         )
     assert fingerprint_bits == 128, "fingerprint_bits must be 60 or 128"
-    # no persist: the fingerprint kernel is a zero-shuffle map-side pass,
-    # so the three consumers below (keys + both verify sides) cost two
-    # extra codegen scans, not a recomputed shuffle
-    sh = simhash128_mapside(docs, text_col=text_col)
+    # persisted (r11; reverses the earlier "no persist" note): the kernel
+    # is zero-SHUFFLE but not zero-COST — each of the three consumers
+    # (keys + both verify sides) re-ran the full tokenize→md5→bit-vote
+    # pass over the corpus, pure CPU repeated three times.  The cached
+    # frame is three longs per doc, the smallest thing in the pipeline.
+    sh = persist_rotating(simhash128_mapside(docs, text_col=text_col))
     cand = simhash128_candidates(sh, max_hamming, n_blocks, max_band_bucket)
     s1 = sh.select(
         F.col("doc_id").alias("doc1_id"),

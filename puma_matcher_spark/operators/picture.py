@@ -109,10 +109,16 @@ def minhash_lsh_pairs_portable(
     from a band equi-join, never all-pairs; the exact verification only
     touches candidate pairs.
     """
+    from puma_matcher_spark.functions.caching import persist_rotating
     from puma_matcher_spark.llmdata import dedup as dd
     from puma_matcher_spark.functions.rounding import pround
 
-    bits = (
+    # persisted (r11): the set-bit frame feeds the signature chain, the
+    # per-doc sizes (read twice) and both exact-verify join sides — five
+    # plan branches that otherwise EACH re-derive the fingerprint
+    # computation upstream (for the exported picture_lsh_pairs that is
+    # the full tokenize→md5→bit-vote simhash of the corpus)
+    bits = persist_rotating(
         fingerprints.select(F.col(id_col).alias("doc_id"), F.col(fp_col).alias("_fp"))
         .select(
             "doc_id",

@@ -3371,7 +3371,11 @@ def q_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir).llm_documents()
     pairs = dd.minhash_dedup_pairs(docs)
-    sh = dd.simhash64(docs, method="mapside")  # ~6x faster than the explode path at sf0.1 (0.09 vs 0.59 s); identical md5 arithmetic, same oracle
+    # persisted (r11): both score-join sides otherwise re-run the full
+    # tokenize→md5→bit-vote simhash pass over the corpus
+    from puma_matcher_spark.functions.caching import persist_rotating
+
+    sh = persist_rotating(dd.simhash64(docs, method="mapside"))  # ~6x faster than the explode path at sf0.1 (0.09 vs 0.59 s); identical md5 arithmetic, same oracle
     s1 = sh.select(F.col("doc_id").alias("doc1_id"), F.col("simhash").alias("_s1"))
     s2 = sh.select(F.col("doc_id").alias("doc2_id"), F.col("simhash").alias("_s2"))
     return (

@@ -110,6 +110,27 @@ def test_lsh_candidate_pairs_persist_opt_out(spark):
     assert rows == {(1, 2)}
 
 
+def test_persist_rotating_dedupes_identical_plans(spark):
+    """Identical-plan calls must share ONE ring slot: CacheManager
+    dedupes persist by canonicalized plan, so enrolling every call
+    separately let ring rollover unpersist the entry an identical
+    in-flight plan was still reading (r11: a repeated picture_lsh_pairs
+    loop recomputed its whole chain on the rollover run)."""
+    from puma_matcher_spark.functions import caching
+
+    a = caching.persist_rotating(spark.range(100).selectExpr("id", "id * 2 AS v"))
+    a.count()
+    b = caching.persist_rotating(spark.range(100).selectExpr("id", "id * 2 AS v"))
+    try:
+        with caching._LOCK:
+            assert sum(1 for df in caching._RING if df is b) == 0
+            assert sum(1 for df in caching._RING if df is a) == 1
+        # the shared entry stays readable through extra identical calls
+        assert b.count() == 100
+    finally:
+        a.unpersist(blocking=False)
+
+
 def test_semantic_contamination_single_shingle_pass_plan(spark, sf_small):
     from puma_matcher_spark.llmdata import similarity as sim
 
