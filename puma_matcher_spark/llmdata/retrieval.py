@@ -14,10 +14,11 @@ Both operators are pure Catalyst compositions:
   average-doc-length folded in as scalar subqueries; the per-term sum
   is one final groupBy.  No full-corpus sort: top-k is orderBy+limit,
   which Spark executes as per-partition TakeOrdered + driver merge.
-* :func:`phrase_lookup` — n-gram equi-join against the shingle index:
-  the phrase becomes ONE shingle key, so lookup touches only postings
-  of that key — the index-lookup shape, never a corpus scan with a
-  LIKE.
+* :func:`phrase_lookup` — the phrase's token count fixes the n-gram
+  width; contiguous grams are formed IN-ROW over each document's token
+  array and counted map-side, so the only shuffle aggregates the
+  matching documents — never a corpus scan with a LIKE, never a
+  token-row explode.
 
 At 100 TB the shingle/posting frames are precomputed tables bucketed by
 term; both operators then run without touching document text at all.
@@ -43,12 +44,25 @@ def doc_tokens(docs: DataFrame, text_col: str = "text") -> DataFrame:
 _doc_tokens = doc_tokens  # backwards-compatible internal name
 
 
-def doc_tf_df(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def doc_tf_df(
+    docs: DataFrame, text_col: str = "text", persist_tf: bool = False
+) -> DataFrame:
     """Per-doc term frequencies joined with document frequencies:
-    (doc_id, tok, tf, df) — the postings table TF-IDF scorers build on."""
+    (doc_id, tok, tf, df) — the postings table TF-IDF scorers build on.
+
+    ``persist_tf=True`` caches the tf frame, which both join sides
+    otherwise re-derive from the document scan (df aggregates OVER tf,
+    so the tokenize→explode→tf-aggregate chain appears once per side —
+    2 scans / 2 generates in the plan): one tokenize pass instead of
+    two.  Exported callers opt in; the library default stays False so
+    ad-hoc callers choose the cache footprint explicitly."""
     tf = doc_tokens(docs, text_col).groupBy("doc_id", "tok").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
     )
+    if persist_tf:
+        from puma_matcher_spark.functions.caching import persist_rotating
+
+        tf = persist_rotating(tf)
     df = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
     return tf.join(df, "tok")
 
@@ -115,27 +129,49 @@ def bm25_scores(
 def phrase_lookup(
     docs: DataFrame, phrase: str, text_col: str = "text"
 ) -> DataFrame:
-    """Exact-phrase containment via the n-gram index: the phrase's token
-    count fixes the shingle width n, documents are shingled at that
-    width, and the lookup is ONE equi-join on the single phrase key.
+    """Exact-phrase containment: the phrase's token count fixes the
+    n-gram width, contiguous grams are formed in-row over the token
+    array and matches counted map-side.
     Output: (doc_id, n_occurrences).
     """
     terms = [t for t in phrase.lower().split(" ") if t]
     n = len(terms)
-    from pyspark.sql.window import Window
 
-    # contiguous n-grams via lead() windows over token position
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    pos = docs.select(
-        "doc_id",
-        F.posexplode(tokens(F.lower(F.col(text_col)))).alias("pos", "tok"),
-    )
-    gram_cols = [F.col("tok")] + [
-        F.lead("tok", i).over(w) for i in range(1, n)
-    ]
-    grams = pos.select(
-        "doc_id", F.concat_ws(" ", *gram_cols).alias("gram")
-    ).where(F.col("gram") == " ".join(terms))
-    return grams.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    # Contiguous n-grams IN-ROW over the token array (r11): the previous
+    # shape posexploded every token and formed grams with lead() windows,
+    # paying a full token-row shuffle + per-doc sort just to look at
+    # adjacent tokens that were already adjacent in the array.  slice()
+    # over the array yields the same contiguous (non-distinct) grams
+    # map-side; the only remaining exchange is the per-doc aggregation
+    # of small (doc_id, count) rows.  Result-identical: a trailing
+    # partial gram (the lead()-NULL rows the old shape produced) joins
+    # < n tokens with < n-1 spaces and can never equal an n-token
+    # phrase, and the when() guard reproduces the no-rows outcome for
+    # docs with fewer than n tokens (sequence() would otherwise run
+    # descending).  The token array is projected to a column FIRST —
+    # higher-order functions are interpreted, so an inline tokens()
+    # inside the filter() lambda is re-split once per gram position
+    # (measured 4x slower than the window shape at sf0.1); as an
+    # attribute it is computed once per row, and the zero-match filter
+    # sits AFTER the aggregation so predicate pushdown cannot duplicate
+    # the counting expression below the projection.  A position matches
+    # via n element_at comparisons against the phrase terms (tokens
+    # contain no spaces, so tokenwise equality ⟺ equality of the
+    # space-joined gram) — no slice/concat allocation per position.
+    tk = F.col("_tk")
+
+    def _match_at(i):
+        cond = F.element_at(tk, i) == F.lit(terms[0])
+        for j in range(1, n):
+            cond = cond & (F.element_at(tk, i + j) == F.lit(terms[j]))
+        return cond
+
+    hits = F.filter(F.sequence(F.lit(1), F.size(tk) - n + 1), _match_at)
+    cnt = F.when(F.size(tk) >= n, F.size(hits)).otherwise(F.lit(0))
+    return (
+        docs.select("doc_id", tokens(F.lower(F.col(text_col))).alias("_tk"))
+        .select("doc_id", cnt.alias("_n"))
+        .groupBy("doc_id")
+        .agg(F.sum("_n").cast("long").alias("n_occurrences"))
+        .where(F.col("n_occurrences") > 0)
     )

@@ -5267,7 +5267,9 @@ def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir).llm_documents()
     n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n")).scalar()
-    scored = doc_tf_df(docs).withColumn(
+    # persist_tf (r11): df aggregates over tf, so both sides of the
+    # tf⋈df join otherwise re-derive the tokenize→tf chain from the scan
+    scored = doc_tf_df(docs, persist_tf=True).withColumn(
         "score", F.col("tf") * F.log10(n_docs / F.col("df"))
     )
     w = Window.partitionBy("doc_id").orderBy(

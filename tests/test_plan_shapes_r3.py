@@ -78,18 +78,19 @@ def test_incremental_near_dups_never_self_joins_corpus(spark, sf_small):
     assert len(pi.scan_read_schemas(df)) == 2
 
 
-def test_phrase_lookup_filters_before_aggregation(spark, sf_small):
-    """The phrase filter must sit below the aggregation (only matching
-    grams are aggregated), and the plan must stay scan→window→filter→agg
-    with a single-key shuffle budget."""
+def test_phrase_lookup_is_mapside_gram_count(spark, sf_small):
+    """r11: contiguous grams are matched IN-ROW over the token array —
+    no token-row explode (Generate) and no per-doc window sort; the only
+    shuffle aggregates small (doc_id, count) rows."""
     from puma_matcher_spark.llmdata.retrieval import phrase_lookup
 
     docs = load_tables(spark, sf_small).llm_documents()
     df = phrase_lookup(docs, "order fast")
     plan = pi.formatted_plan(df)
     assert not pi.has_cartesian(df)
-    assert plan.index("Filter") > 0  # filter present
-    assert pi.num_shuffles(df) <= 4  # doc_id window + final agg, doubled
+    assert "Generate" not in plan  # no token-row explode
+    assert "Window" not in plan  # no per-doc sort/window
+    assert pi.num_shuffles(df) <= 2  # final agg only (AQE may double-print)
 
 
 def test_edit_pairs_is_equi_join(spark, sf_small):

@@ -46,6 +46,35 @@ def test_phrase_lookup_requires_contiguity(spark):
     assert phrase_lookup(_docs(spark), "common end").count() == 0
 
 
+def test_phrase_lookup_edge_cases(spark):
+    """r11 in-row gram rewrite: overlapping occurrences count per
+    position, single-token phrases work, a phrase longer than the doc
+    matches nothing, and empty/whitespace docs produce no row (the
+    sequence() guard path)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a"),
+            (2, "b"),
+            (3, ""),
+            (4, "   "),
+            (5, "x  a a  y"),  # double spaces: empty tokens dropped
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_lookup(docs, "a a").collect()
+    }
+    assert out == {1: 3, 5: 1}  # overlapping positions all count
+    single = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_lookup(docs, "a").collect()
+    }
+    assert single == {1: 4, 5: 2}
+    assert phrase_lookup(docs, "b b").count() == 0  # longer than doc 2
+    assert phrase_lookup(docs, "a a a a a").count() == 0
+
+
 def test_bm25_persisted_postings_path_identical(spark, sf_small):
     """r11 (r12 prep): the single-tokenize path (persist_postings=True)
     must produce EXACTLY the rows of the default four-pass plan — it is
