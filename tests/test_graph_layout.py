@@ -275,6 +275,57 @@ def test_label_propagation_finds_planted_communities(spark):
     assert got["b1"] in ("a0", "b0")
 
 
+def test_composed_light_rounds_match_per_round_barrier(spark):
+    """r11: single-consumer loops (sink-free pagerank, LPA) let light
+    cadence rounds COMPOSE instead of checkpointing (every lazy
+    localCheckpoint executes the round's stages as its own job).  The
+    composed window must produce bitwise-identical results to the
+    forced per-round barrier, and multi-consumer loops (k-core) must
+    stay on the per-round path."""
+    import puma_matcher_spark.operators.graph as g
+
+    rng = random.Random(11)
+    edges = [(i, (i + 1) % 40) for i in range(40)] + [
+        (rng.randrange(40), rng.randrange(40)) for _ in range(60)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(sorted(set(edges)), "src LONG, dst LONG")
+    sym = df.union(
+        df.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().persist()
+
+    orig_init = g._CadencedBarrier.__init__
+
+    def no_compose(self, n_rounds, cadence=g.BARRIER_CADENCE, compose=False):
+        orig_init(self, n_rounds, cadence, False)
+
+    try:
+        composed_pr = {
+            r["node"]: r["rank"] for r in pagerank(sym, n_iter=6).collect()
+        }
+        composed_lpa = {
+            r["node"]: r["label"]
+            for r in g.label_propagation(sym, n_iter=6).collect()
+        }
+        g._CadencedBarrier.__init__ = no_compose
+        barrier_pr = {
+            r["node"]: r["rank"] for r in pagerank(sym, n_iter=6).collect()
+        }
+        barrier_lpa = {
+            r["node"]: r["label"]
+            for r in g.label_propagation(sym, n_iter=6).collect()
+        }
+    finally:
+        g._CadencedBarrier.__init__ = orig_init
+        sym.unpersist()
+
+    assert composed_pr == barrier_pr  # bitwise: same per-round plans
+    assert composed_lpa == barrier_lpa
+    # k-core's survivor frame is consumed twice per round (degree +
+    # semi-joins) — composing would re-execute per reference
+    assert not g._CadencedBarrier(4).compose
+
+
 def test_k_core_peels_planted_structure(spark):
     from puma_matcher_spark.operators.graph import k_core
 
