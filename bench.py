@@ -244,12 +244,32 @@ def _median(xs: list[float]) -> float:
     return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
 
 
+def _cold_sample(spark, fn, sf_dir: str) -> float:
+    """Designated CACHE-COLD sample (r11 verdict #2): drop every layer
+    of in-session caching a query can ride — the memoized raw/derived
+    frames (scored candidates, purchase edges) and the persist_rotating
+    ring — then time ONE run that must rebuild them all.  Sidecar-only
+    transparency: the headline estimator (min-of-first-3 after a warm
+    run) is byte-identical to rounds 1-11, so cross-round comparability
+    holds; the cold number sits next to min/median so a persist-wave
+    row's steady-state vs cache-build cost is readable per round."""
+    from puma_matcher_spark.functions.caching import drain
+    from puma_matcher_spark.sources.testdata import reset_table_cache
+
+    reset_table_cache()
+    drain()
+    start = time.monotonic()
+    fn(spark, sf_dir).count()
+    return round(time.monotonic() - start, 3)
+
+
 def _time_queries(
     spark, sf_dir: str, names: list[str], samples_out: dict[str, dict]
 ) -> dict[str, float]:
     timings: dict[str, float] = {}
     for name in names:
         fn = REGISTRY[name].spark_fn
+        cold = _cold_sample(spark, fn, sf_dir)
         fn(spark, sf_dir).count()  # warm once (plan + IO caches)
         runs: list[float] = []
         for _ in range(BENCH_RUNS):
@@ -273,6 +293,7 @@ def _time_queries(
             "mad": round(mad, 3),
             "estimator": "median" if noisy else "min3",
             "min3": min(runs[:HEADLINE_RUNS]),
+            "cold": cold,
         }
     return timings
 

@@ -381,6 +381,7 @@ def run_streaming_ingest_app(
     jaccard_threshold: float = 0.8,
     min_tokens: int = 5,
     index_compact_every: int | None = 16,
+    max_rows_per_trigger: int | None = None,
 ):
     """Continuous-ingest driver — the streaming composition of the two
     connectors built this rebuild: the native ``manifest_text`` stream
@@ -422,11 +423,20 @@ def run_streaming_ingest_app(
     from puma_matcher_spark.sources.pydatasource import register
 
     register(spark)
-    stream = (
-        spark.readStream.format("manifest_text")
-        .option("manifest", manifest)
-        .load()
+    reader = spark.readStream.format("manifest_text").option(
+        "manifest", manifest
     )
+    if max_rows_per_trigger:
+        # r12 drain-granularity knob (sidecar study only — the benched
+        # workload and every production default drain in one batch).
+        # NOTE: Python micro-batch sources do not support availableNow
+        # (Spark falls back to single-batch execution, which would STOP
+        # after the first capped batch and strand the backlog), so the
+        # capped mode runs on a tight processingTime trigger and the
+        # CALLER stops the query once the sink is complete — see
+        # scripts/streaming_trigger_study.py.
+        reader = reader.option("max_rows_per_trigger", str(max_rows_per_trigger))
+    stream = reader.load()
     # the static corpus never changes across micro-batches: index it once
     # and PERSIST each component (MEMORY_AND_DISK) — without the persist,
     # every micro-batch would re-derive the static corpus's fingerprints
@@ -545,9 +555,11 @@ def run_streaming_ingest_app(
         finally:
             docs.unpersist()
 
-    return (
-        stream.writeStream.foreachBatch(_admit)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
+    writer = stream.writeStream.foreachBatch(_admit).option(
+        "checkpointLocation", checkpoint_dir
     )
+    if max_rows_per_trigger:
+        writer = writer.trigger(processingTime="0 seconds")
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

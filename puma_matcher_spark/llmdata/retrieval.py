@@ -136,6 +136,16 @@ def phrase_lookup(
     """
     terms = [t for t in phrase.lower().split(" ") if t]
     n = len(terms)
+    if n == 0:
+        # an empty/whitespace-only phrase matches nothing — the r11
+        # in-row shape would otherwise raise IndexError at plan-build
+        # (terms[0]); the old lead()-window shape returned no rows, so
+        # keep that contract with an empty (doc_id, n_occurrences) frame
+        return (
+            docs.select("doc_id")
+            .limit(0)
+            .withColumn("n_occurrences", F.lit(0).cast("long"))
+        )
 
     # Contiguous n-grams IN-ROW over the token array (r11): the previous
     # shape posexploded every token and formed grams with lead() windows,

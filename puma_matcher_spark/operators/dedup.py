@@ -292,6 +292,18 @@ def connected_components(
 
 
 def _cc_loop(sym: DataFrame, labels: DataFrame, max_iterations: int) -> DataFrame:
+    from puma_matcher_spark.operators.graph import loop_shuffle_partitions
+
+    # size the loop's shuffle partitions from the measured edge count
+    # (r12 — same anti-scaling fix as the pagerank/LPA/k-core loops; the
+    # count reads the cache the labels init already materialized)
+    with loop_shuffle_partitions(sym.sparkSession, sym.count()):
+        return _cc_loop_scoped(sym, labels, max_iterations)
+
+
+def _cc_loop_scoped(
+    sym: DataFrame, labels: DataFrame, max_iterations: int
+) -> DataFrame:
     from puma_matcher_spark.operators.graph import BROADCAST_NODES_MAX
 
     # labels is O(nodes) and checkpoint-backed (no stats for plan-time

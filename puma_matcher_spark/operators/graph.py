@@ -24,7 +24,9 @@ connected-components loop.
 
 from __future__ import annotations
 
+import os
 import time
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -43,6 +45,68 @@ from puma_matcher_spark.functions.rounding import pround
 #: loop falls back to the co-partitioned shuffle join, which is the
 #: correct 100 TB shape.
 BROADCAST_NODES_MAX = 500_000
+
+#: Loop shuffle-partition sizing (r12, r11 verdict #1).  The driver's
+#: 8-vs-32-core scaling block showed the iterative loops ANTI-scale at
+#: local[32] on sf-sized graphs: pagerank_top ran 40% faster on 8 cores
+#: (ratio 0.60) because every per-round aggregate shuffled a ~1M-row
+#: frame across 32 partitions — pure task-scheduling overhead (guide
+#: §2.1/§2.2: size shuffles to the data).  The loops therefore derive
+#: their shuffle-partition count from the MEASURED edge count instead of
+#: inheriting the session default (a constant tuned for neither shape):
+#:
+#:   partitions = max(bytes/128MB, min(cores, bytes/8MB))
+#:
+#: * bytes = edge rows x ~64 B (two short string ids, serialized);
+#: * the 8 MB local target keeps small graphs parallel across real
+#:   cores without 32-way tiny-task storms (measured sweep at sf0.1,
+#:   1.1M edges: 4-8 partitions beat both 1 and 32 — scripts/
+#:   graph_partition_exp.py; pagerank_top 11.7→6.4 s, LPA 6.0→3.4 s);
+#: * the 128 MB floor takes over at cluster scale so tasks stay in the
+#:   guide's 100 MB-1 GB band no matter the core count.
+#:
+#: ``PUMA_SPARK_LOOP_SHUFFLE_PARTITIONS`` overrides: >0 forces a count,
+#: -1 disables the scoping (session conf rules), unset/0 = auto.
+_EDGE_ROW_BYTES = 64
+_LOOP_LOCAL_TARGET = 8 << 20
+_LOOP_SCALE_TARGET = 128 << 20
+
+
+def loop_shuffle_partition_count(spark, n_rows: int) -> int:
+    """Shuffle-partition count for an iterative graph loop over
+    ``n_rows`` edge rows (see the sizing note above)."""
+    override = int(
+        os.environ.get("PUMA_SPARK_LOOP_SHUFFLE_PARTITIONS", "0") or "0"
+    )
+    if override > 0:
+        return override
+    est_bytes = max(1, n_rows) * _EDGE_ROW_BYTES
+    cores = spark.sparkContext.defaultParallelism
+    local = min(cores, -(-est_bytes // _LOOP_LOCAL_TARGET))
+    at_scale = -(-est_bytes // _LOOP_SCALE_TARGET)
+    return max(1, local, at_scale)
+
+
+@contextmanager
+def loop_shuffle_partitions(spark, n_rows: int):
+    """Scope ``spark.sql.shuffle.partitions`` to a size derived from the
+    loop's edge count; restores the session value on exit.  No-op when
+    ``PUMA_SPARK_LOOP_SHUFFLE_PARTITIONS=-1``.  Session-wide while held
+    (Spark has no per-plan shuffle-partition knob), which is safe here:
+    the loops are driver-controlled and the engine runs queries
+    sequentially per session."""
+    if os.environ.get("PUMA_SPARK_LOOP_SHUFFLE_PARTITIONS") == "-1":
+        yield
+        return
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(loop_shuffle_partition_count(spark, n_rows)),
+    )
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def _is_persisted(df: DataFrame) -> bool:
@@ -224,6 +288,23 @@ def pagerank(
     caller_persisted = _is_persisted(edges)
     if not caller_persisted:
         edges = edges.persist()
+    # materialize the edge cache and size the loop's shuffle partitions
+    # from the measured edge count (r12 — see loop_shuffle_partitions);
+    # the count is one cheap job over the cache the setup needs anyway
+    n_edges = edges.count()
+    with loop_shuffle_partitions(edges.sparkSession, n_edges):
+        return _pagerank_loop(
+            edges, caller_persisted, damping, n_iter, round_times
+        )
+
+
+def _pagerank_loop(
+    edges: DataFrame,
+    caller_persisted: bool,
+    damping: float,
+    n_iter: int,
+    round_times: list[float] | None,
+) -> DataFrame:
     # ONE setup job answers every structural question the loop needs:
     # src-side ∪ dst-side full-outer merge gives the node frame plus
     # per-node has_out/has_in flags, and a single aggregate over it
@@ -355,6 +436,19 @@ def label_propagation(
     """
     caller_persisted = _is_persisted(edges)
     sym = edges if caller_persisted else edges.persist()
+    # size the loop's shuffle partitions from the measured edge count
+    # (r12 — see loop_shuffle_partitions); the count materializes the
+    # cache the label init scans anyway
+    with loop_shuffle_partitions(sym.sparkSession, sym.count()):
+        return _lpa_loop(sym, caller_persisted, n_iter, round_times)
+
+
+def _lpa_loop(
+    sym: DataFrame,
+    caller_persisted: bool,
+    n_iter: int,
+    round_times: list[float] | None,
+) -> DataFrame:
     labels = (
         edge_nodes(sym)
         .withColumn("label", F.col("node"))
@@ -437,6 +531,18 @@ def k_core(
     size-estimate blowup.
     """
     cur = edges.localCheckpoint()
+    # size the peel loop's shuffle partitions from the starting edge
+    # count (r12 — see loop_shuffle_partitions; survivors only shrink)
+    with loop_shuffle_partitions(cur.sparkSession, cur.count()):
+        return _k_core_loop(cur, k, n_rounds, round_times)
+
+
+def _k_core_loop(
+    cur: DataFrame,
+    k: int,
+    n_rounds: int,
+    round_times: list[float] | None,
+) -> DataFrame:
     # keep is O(surviving nodes) ≤ O(nodes); gate once on the starting
     # node count — survivors only shrink round over round
     bc = (

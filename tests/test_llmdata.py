@@ -225,6 +225,55 @@ def test_curation_pipeline_end_to_end(spark):
     assert result.stage_counts["after_quality"] == 2
 
 
+def test_curation_scoped_bucket_cache_is_released(spark):
+    """r12 (r11 verdict #7): the pipeline gives the LSH bucket frame a
+    RUN-SCOPED persist (both self-join sides read one cache within the
+    run) and unpersists it before returning — repeated runs must not
+    accumulate CacheManager entries (the monotonic-growth failure the
+    r11 ring opt-out fixed must not come back via the scoped persist)."""
+    from puma_matcher_spark.llmdata.pipeline import curate_documents
+
+    spark.catalog.clearCache()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    assert cm.isEmpty()
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, base + "lambda"), (4, "tiny")],
+        ["doc_id", "text"],
+    )
+    for _ in range(3):
+        result = curate_documents(docs, min_tokens=5, jaccard_threshold=0.5)
+        assert {r["doc_id"] for r in result.clean.collect()} == {1}
+        assert cm.isEmpty(), "curation run leaked a CacheManager entry"
+
+
+def test_lsh_candidate_pairs_buckets_out_contract(spark):
+    """buckets_out: the bucket frame is plain-persisted, handed to the
+    caller, and NEVER ring-enrolled (a dead per-run entry must not
+    evict a live ring cache)."""
+    from puma_matcher_spark.functions import caching
+    from puma_matcher_spark.llmdata import dedup as dd
+
+    bk = spark.createDataFrame(
+        [(1, 0, "k1"), (2, 0, "k1"), (3, 1, "k2")],
+        ["doc_id", "band", "band_key"],
+    )
+    out: list = []
+    pairs = dd.lsh_candidate_pairs(bk, buckets_out=out)
+    try:
+        assert len(out) == 1
+        lvl = out[0].storageLevel
+        assert lvl.useMemory or lvl.useDisk
+        with caching._LOCK:
+            assert all(df is not out[0] for df in caching._RING)
+        assert {(r["doc1_id"], r["doc2_id"]) for r in pairs.collect()} == {
+            (1, 2)
+        }
+    finally:
+        for df in out:
+            df.unpersist(False)
+
+
 def test_sequence_packing_layout(spark):
     """Packing must be a gapless concatenate-then-chunk layout per
     source: offsets advance by token counts, windows chain contiguously,

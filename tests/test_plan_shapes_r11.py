@@ -131,6 +131,44 @@ def test_persist_rotating_dedupes_identical_plans(spark):
         a.unpersist(blocking=False)
 
 
+def test_persist_rotating_plan_match_refreshes_fifo_position(spark):
+    """r12 (r11 advice): a plan-match must move the OWNING entry to the
+    ring tail — without the refresh, a hot identical-plan frame was
+    still evicted once _CAPACITY other persists interleaved, silently
+    reintroducing the recompute the single-slot dedup fixed."""
+    from puma_matcher_spark.functions import caching
+
+    hot = caching.persist_rotating(
+        spark.range(64).selectExpr("id", "id + 7 AS w")
+    )
+    hot.count()
+    fillers = [
+        caching.persist_rotating(
+            spark.range(64 + i).selectExpr("id", f"id * {i + 2} AS w")
+        )
+        for i in range(caching._CAPACITY - 1)
+    ]
+    try:
+        # ring is now exactly at capacity with `hot` the OLDEST entry;
+        # an identical-plan call must refresh it to the tail...
+        caching.persist_rotating(spark.range(64).selectExpr("id", "id + 7 AS w"))
+        with caching._LOCK:
+            assert caching._RING[-1] is hot
+        # ...so the NEXT enrollment evicts the stalest filler, not hot
+        extra = caching.persist_rotating(
+            spark.range(999).selectExpr("id", "id * 99 AS w")
+        )
+        fillers.append(extra)
+        with caching._LOCK:
+            assert any(df is hot for df in caching._RING)
+        lvl = hot.storageLevel
+        assert lvl.useMemory or lvl.useDisk
+    finally:
+        hot.unpersist(blocking=False)
+        for f in fillers:
+            f.unpersist(blocking=False)
+
+
 def test_semantic_contamination_single_shingle_pass_plan(spark, sf_small):
     from puma_matcher_spark.llmdata import similarity as sim
 

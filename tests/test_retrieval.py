@@ -75,6 +75,20 @@ def test_phrase_lookup_edge_cases(spark):
     assert phrase_lookup(docs, "a a a a a").count() == 0
 
 
+def test_phrase_lookup_empty_phrase_matches_nothing(spark):
+    """r12 (r11 advice): an empty or whitespace-only phrase must return
+    an empty frame with the (doc_id, n_occurrences) schema — the old
+    lead()-window contract — not raise IndexError at plan build."""
+    docs = _docs(spark)
+    for phrase in ("", "   "):
+        out = phrase_lookup(docs, phrase)
+        assert [f.name for f in out.schema.fields] == [
+            "doc_id",
+            "n_occurrences",
+        ]
+        assert out.count() == 0
+
+
 def test_bm25_persisted_postings_path_identical(spark, sf_small):
     """r11 (r12 prep): the single-tokenize path (persist_postings=True)
     must produce EXACTLY the rows of the default four-pass plan — it is
