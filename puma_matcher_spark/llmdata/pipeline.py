@@ -79,19 +79,21 @@ def curate_documents(
     #    Jaccard computed per candidate pair (never over the full
     #    shingle-join product: LSH must actually prune the exact pass);
     #    drop the higher doc_id of each confirmed pair.
-    #    Bucket-cache lifecycle (r12, r11 verdict #7): docs1's lineage
-    #    goes through the fresh keep_exact localCheckpoint, so a
-    #    ring-persisted bucket frame is never reusable ACROSS runs — it
-    #    only piled dead cache entries into the rotating ring (measured
-    #    +1.9 s on curation_report, r11; hence persist_buckets=False).
-    #    But WITHIN a run the LSH self-join still derived its second
-    #    side from scratch; ``buckets_out`` gives the bucket frame a
-    #    run-scoped plain persist that this function unpersists as soon
-    #    as ``drops`` (the only transitive consumer) has materialized.
-    _scoped_caches: list = []
-    cand = dd.minhash_dedup_pairs(
-        docs1, persist_buckets=False, buckets_out=_scoped_caches
-    )
+    #    persist_buckets=False: docs1's lineage goes through the fresh
+    #    keep_exact localCheckpoint, so a persisted bucket frame is never
+    #    reusable across runs — it only piles dead cache entries into the
+    #    rotating ring (measured +1.9 s on curation_report, r11).
+    #    A RUN-SCOPED persist (``buckets_out``, r12 — persist, self-join,
+    #    unpersist after ``drops`` materializes) was MEASURED AND
+    #    REVERTED: 5 interleaved worktree A/B pairs at sf0.1 put
+    #    curation_report at 4.3-7.0 s without it vs 6.7-8.3 s with it —
+    #    at this scale the two join sides derive the chain in parallel
+    #    across idle cores, while the persist serializes a cache-build
+    #    pass ahead of the join and pays the cache write on top.  The
+    #    facility stays available on lsh_candidate_pairs for
+    #    capacity-planned corpus runs where re-deriving the 128-minhash
+    #    chain per side dominates any cache write.
+    cand = dd.minhash_dedup_pairs(docs1, persist_buckets=False)
     verified = dd.jaccard_for_pairs(docs1, cand).where(
         F.col("jaccard") >= jaccard_threshold
     )
@@ -100,8 +102,6 @@ def curate_documents(
         .distinct()
         .localCheckpoint()
     )
-    for _c in _scoped_caches:
-        _c.unpersist(False)
     docs2 = docs1.join(drops, "doc_id", "left_anti")
     counts["after_near_dedup"] = stage_count(docs2)
 

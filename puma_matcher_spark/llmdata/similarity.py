@@ -868,11 +868,21 @@ def shingle_hash_embeddings(
     count fold all happen inside the row with higher-order array
     functions; zero shuffles, so at 100 TB this costs one scan's IO.  The
     per-row CPU is O(n_buckets x |shingles|) integer compares (the dense
-    histogram is built by one size(filter(..)) per bucket): ~128x the
-    single-pass lower bound, but codegen'd, allocation-free, and
-    embarrassingly parallel with the scan — measured fine at fixture
-    scale.  If a profile ever shows this expression dominating a huge
-    corpus, the escape hatch is explode + groupBy(doc, bucket) (one
+    histogram is built by one size(filter(..)) per bucket) on top of ONE
+    md5 pass over the shingles.  Getting to "one md5 pass" is
+    load-bearing (r12): higher-order functions are interpreted with no
+    subexpression elimination, so with the bucket-hash TRANSFORM nested
+    inline in the histogram lambda the md5 pass re-ran once PER BUCKET —
+    128x — and dominated the semantic plane (measured 2.34 s → 0.33 s
+    noop at sf0.1 after hoisting).  The bucket array is therefore
+    projected to an attribute first, and the histogram keeps a SECOND
+    reference to it (the always-true size() guard) because
+    CollapseProject inlines a non-cheap alias referenced once, silently
+    reintroducing the 128x (measured: the plain two-step projection
+    timed identical to the inline form; the guarded one is 7x faster).
+    Exact same arithmetic, bitwise-equal embeddings (pinned by test).
+    If a profile ever shows the remaining integer compares dominating a
+    huge corpus, the escape hatch is explode + groupBy(doc, bucket) (one
     shuffle, true O(|shingles|)), not a cleverer in-row expression: the
     in-row alternatives (map-accumulate, distinct-then-count) have the
     same quadratic term through Spark's O(k) map lookups.  Docs with
@@ -885,11 +895,20 @@ def shingle_hash_embeddings(
         F.col("shingle_arr"),
         lambda s: (portable_hash60(s) % F.lit(n_buckets)).cast("int"),
     )
-    emb = F.transform(
+    hist = F.transform(
         F.sequence(F.lit(0), F.lit(n_buckets - 1)),
-        lambda b: F.size(F.filter(buckets, lambda x: x == b)).cast("double"),
+        lambda b: F.size(F.filter(F.col("_bk"), lambda x: x == b)).cast(
+            "double"
+        ),
     )
-    return base.select("doc_id", emb.alias("embedding"))
+    # `size(_bk) >= 0` is always true (`_bk` is never NULL: shingle_arr
+    # is [] even for empty/NULL text) — it exists ONLY as the second
+    # `_bk` reference that stops CollapseProject from inlining the md5
+    # transform back into the histogram lambda (see docstring)
+    emb = F.when(F.size(F.col("_bk")) >= 0, hist)
+    return base.select("doc_id", buckets.alias("_bk")).select(
+        "doc_id", emb.alias("embedding")
+    )
 
 
 def shared_shingle_pairs(

@@ -226,11 +226,11 @@ def test_curation_pipeline_end_to_end(spark):
 
 
 def test_curation_scoped_bucket_cache_is_released(spark):
-    """r12 (r11 verdict #7): the pipeline gives the LSH bucket frame a
-    RUN-SCOPED persist (both self-join sides read one cache within the
-    run) and unpersists it before returning — repeated runs must not
-    accumulate CacheManager entries (the monotonic-growth failure the
-    r11 ring opt-out fixed must not come back via the scoped persist)."""
+    """r12 (r11 verdict #7): repeated curation runs must not accumulate
+    CacheManager entries — the monotonic-growth failure the r11 ring
+    opt-out fixed must stay fixed whatever the bucket-persist strategy
+    is (the run-scoped persist was measured slower at sf0.1 and
+    reverted; this pin outlives that decision)."""
     from puma_matcher_spark.llmdata.pipeline import curate_documents
 
     spark.catalog.clearCache()
