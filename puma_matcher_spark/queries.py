@@ -7599,80 +7599,87 @@ _PYTEST_ONLY: frozenset[str] = frozenset(
     }
 )
 
-# Round-11 window policy (freshness rotation — see
+# Round-12 window policy (freshness rotation — see
 # scripts/driver_gate_check.py freshness_audit): each round's 50 slots go
 # to (a) this round's net-new registrations (budget: <= 10/round), (b)
 # queries whose semantics changed this round (they need a fresh hard row),
 # (c) every exported query whose last hard driver row is oldest, oldest
 # cohort first.  Capacity arithmetic: 50 slots/round * 4 rounds = 200 >=
 # exported count, so the standing invariant is max row age <= 4 rounds
-# (audit hard-fails beyond that).  Round-11 breakdown: 0 net-new +
-# 5 changed-plan/changed-oracle re-greens (pagerank_top / pagerank_mass
-# / purchase_communities / purchase_kcore: the iterative loops'
-# stats-reset barrier gained a materialization CADENCE — value-identical
-# by construction, re-greened under the changed-plan rule; fs_em_params:
-# the generated oracle now starts EM from CAST-to-DOUBLE constants) +
-# the full remaining 45-name r7 cohort at its age-4 boundary.  The
-# 45-name r8 cohort sits at age 3 through r11 and fills r12's rotation.
+# (audit hard-fails beyond that).  Round-12 breakdown: 0 net-new + the
+# full 45-name r8 cohort at its age-4 boundary + 5 changed-plan
+# re-greens: the iterative loops now derive their shuffle-partition
+# count from the edge count (r12 §1), which changes double-summation
+# order in the PageRank power iteration — pagerank_top / pagerank_mass
+# are the only float-accumulating loop outputs (re-green first), then
+# purchase_communities / purchase_kcore / semantic_dedup_blocked for
+# the loop + embedding-kernel plan changes.  The remaining changed-plan
+# CC consumers (near_dup_clusters, cluster_representatives,
+# dedup_components_cc, semantic_dedup, semantic_decontaminated) compute
+# EXACT min/count operations — partition-count-invariant by
+# construction — and were parity-proven locally at sf0.001 + sf0.01
+# this round; they ride the ordinary age rotation (all sit at age <= 1
+# from the r11 window except dedup_components_cc/semantic_dedup, which
+# rotate in next round within the age-4 invariant).
+# semantic_contamination (embedding-kernel change) is already in the r8
+# cohort below.
 _PRIORITY: list[str] = [
-    # -- 1. changed plans / changed oracle this round (r11): the graph
-    #       loops gained the barrier CADENCE (pagerank/LPA/k-core plans
-    #       changed; values identical by construction) and fs_em_params'
-    #       oracle now CASTs em0 to DOUBLE — all five re-green under the
-    #       changed-plan rule.
+    # -- 1. changed plans this round (r12): loop shuffle-partition
+    #       sizing (float-sum order moves within the 1e-6 output
+    #       rounding) + the semantic embedding-kernel hoist.
     "pagerank_top",
     "pagerank_mass",
     "purchase_communities",
     "purchase_kcore",
-    "fs_em_params",
-    # -- 2. last hard driver row r7 — the cohort at its age-4 boundary
+    "semantic_dedup_blocked",
+    # -- 2. last hard driver row r8 — the cohort at its age-4 boundary
     #       (freshness_audit hard-fails if missed; the 45 names are the
-    #       full remaining r7 cohort from --plan-next)
-    "bpe_merges",
-    "cdc_latest_state",
-    "centroid_confusion",
-    "centroid_drift",
-    "cluster_representatives",
-    "decontaminated_corpus",
-    "dedup_triangles",
-    "doc_keywords",
-    "dq_expectations",
-    "dq_profile",
-    "events_dedup",
-    "events_rollup",
-    "frequent_itemsets",
-    "hundred_editor",
-    "instrument_features",
-    "instrument_matching",
-    "ivf_recall",
-    "llm_curation",
-    "media_features_shape",
-    "near_dup_clusters",
-    "normalised_approx_bounds",
-    "person_technique_doc_stats",
-    "person_technique_hist",
-    "person_technique_prob",
-    "pic_cluster_quality",
-    "picture_lsh_pairs",
-    "picture_size",
-    "pii_audit",
-    "pii_scrub",
-    "repetition_metrics",
-    "rf_classifier_accuracy",
-    "score_histogram",
-    "score_pivot_labeled",
-    "semantic_decontaminated",
-    "sequence_packing",
-    "simhash",
-    "simhash128",
-    "single_word_scores",
-    "source_mix",
-    "source_sampling",
-    "string_index",
-    "text_features_stemmed",
-    "unigram_logprob",
-    "w2v_shape",
-    "weight_refined_convergence",
+    #       full remaining r8 cohort from --plan-next)
+    "brand_supplier_counts",
+    "curation_report",
+    "customer_order_distribution",
+    "disjunctive_promo_revenue",
+    "dup_substring_spans",
+    "embedding_int8_topk",
+    "embedding_lsh_tables",
+    "embedding_outliers",
+    "embedding_prefix_rerank",
+    "entity_pairs",
+    "entity_scores",
+    "entity_tf",
+    "events_anomaly",
+    "events_asof",
+    "events_attribution_models",
+    "events_cohorts",
+    "events_deadletter",
+    "events_debounce",
+    "events_forward_fill",
+    "events_funnel",
+    "events_hll_rollup",
+    "events_robust_outliers",
+    "events_trend",
+    "fs_agreement_patterns",
+    "fs_linkage_weights",
+    "incremental_ingest",
+    "incremental_near_dups",
+    "jaccard_prefix_join",
+    "k_anonymity",
+    "late_lone_suppliers",
+    "part_edit_pairs",
+    "phrase_search",
+    "quality_sample",
+    "returned_item_customers",
+    "scd2_history",
+    "scd2_point_in_time",
+    "semantic_contamination",
+    "simhash_near_dups",
+    "snapshot_diff",
+    "span_cut_corpus",
+    "vocab_topk",
+    "winsorized_prices",
+    "xcorpus_logprob",
+    "zorder3_values",
+    "zorder_values",
 ]
 
 

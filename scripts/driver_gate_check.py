@@ -173,7 +173,13 @@ def run_zoo_sweeps() -> int:
     print(f"[zoo] pre-flight: {len(ZOO_SWEEPS)} adversarial-zoo sweeps")
     t0 = time.time()
     proc = subprocess.run(
-        [sys.executable, "-m", "pytest", "-q", "--no-header", *ZOO_SWEEPS],
+        # -m "" overrides pytest.ini's default `-m "not slow"` fast-lane
+        # filter (r12): the zoo sweeps are slow-marked, and a marker
+        # filter DESELECTS even explicitly-named node ids — without the
+        # override this would collect zero tests and read green/red
+        # spuriously.
+        [sys.executable, "-m", "pytest", "-q", "--no-header", "-m", "",
+         *ZOO_SWEEPS],
         cwd=REPO,
     )
     status = "green" if proc.returncode == 0 else "RED"

@@ -55,10 +55,14 @@ def committed_rows(q) -> int:
     off = prog["sources"][0].get("endOffset")
     if not off:
         return 0
+    # the Python simple stream reader reports its offset dict as a
+    # PYTHON-repr string ("{'rows': 8}"), not JSON — literal_eval it
+    import ast
+
     try:
-        return int(json.loads(off)["rows"]) if isinstance(off, str) else int(
-            off.get("rows", 0)
-        )
+        if isinstance(off, str):
+            off = ast.literal_eval(off)
+        return int(off.get("rows", 0))
     except Exception:
         return 0
 

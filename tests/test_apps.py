@@ -2,11 +2,14 @@
 
 import tempfile
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from puma_matcher_spark.apps import run_full_matcher
 
 
+@pytest.mark.slow
 def test_full_matcher_publishes_to_jdbc(spark, sf_small):
     """The reference's actual deployment shape: the match pipeline's
     MATCH_CANDIDATE output is published over JDBC and read back with the
@@ -37,6 +40,7 @@ def test_full_matcher_publishes_to_jdbc(spark, sf_small):
         assert abs(sent - got) < 1e-6
 
 
+@pytest.mark.slow
 def test_full_matcher_end_to_end(spark, sf_small):
     result = run_full_matcher(spark, sf_small)
 
@@ -79,6 +83,7 @@ def test_full_matcher_end_to_end(spark, sf_small):
     assert result.total_scores.count() == types_per_pair.count()
 
 
+@pytest.mark.slow
 def test_curation_app_end_to_end(spark, sf_small, tmp_path):
     from puma_matcher_spark.apps import run_curation_app
 
@@ -124,6 +129,7 @@ def test_cli_run_and_explain(spark, sf_small, capsys):
     assert main(["run", "nope", "--sf-dir", sf_small]) == 2
 
 
+@pytest.mark.slow
 def test_curation_app_via_manifest_text_connector(spark, tmp_path):
     """Round 6 (VERDICT r5 #7): the native manifest_text DataSource must
     carry a REAL pipeline — the curation app ingests through the
@@ -182,6 +188,7 @@ def test_curation_app_via_manifest_text_connector(spark, tmp_path):
         ).clean.count()
 
 
+@pytest.mark.slow
 def test_streaming_ingest_app_end_to_end(spark, tmp_path):
     """Round 6: the manifest_text stream reader feeding the incremental
     admission pipeline — micro-batch 1 admits fresh docs and drops the
@@ -247,6 +254,7 @@ def test_streaming_ingest_app_end_to_end(spark, tmp_path):
     assert {r["doc_id"] for r in final.collect()} == {2, 4}
 
 
+@pytest.mark.slow
 def test_streaming_ingest_replay_is_idempotent_with_index(spark, tmp_path):
     """Round 8: a crash-REPLAYED micro-batch must (a) not self-reject
     against its own previous output — the batch_id < current filter on
@@ -297,6 +305,7 @@ def test_streaming_ingest_replay_is_idempotent_with_index(spark, tmp_path):
     assert fp.count() == 2
 
 
+@pytest.mark.slow
 def test_streaming_ingest_index_compaction_bounds_dirs(spark, tmp_path):
     """Round 9: with index_compact_every=2 the per-batch _index
     partitions fold into one merged partition every other batch, the

@@ -2,7 +2,10 @@
 
 from puma_matcher_spark.operators import dedup as dd
 
+import pytest
 
+
+@pytest.mark.slow
 def test_clean_names_folds_diacritics_and_initials(spark):
     persons = spark.createDataFrame(
         [(1, "Jean-Pièrre  Müller"), (2, "J. P. Muller"), (3, None)],
@@ -134,6 +137,7 @@ def test_fs_em_separates_m_from_u_on_planted_dupes(spark):
         assert got[f]["w_agree"] > 0 > got[f]["w_disagree"], f
 
 
+@pytest.mark.slow
 def test_prefix_join_prunes_but_loses_nothing(spark, sf_small):
     """The PPJoin prefix filter must (a) generate strictly fewer
     candidates than the raw shingle self-join and (b) still return every
@@ -223,6 +227,7 @@ def test_component_argmax_unscored_component_falls_back_to_min_id(spark):
     assert got == {1: 2, 20: 20}
 
 
+@pytest.mark.slow
 def test_connected_components_long_chain_converges_in_log_rounds(spark):
     """Round 9: path-halving makes the iteration cap a LOG bound — a
     150-hop chain (old hop-only loop: silently wrong past 20 rounds)

@@ -104,6 +104,7 @@ def write_zoo(tmp_path) -> str:
     return str(tmp_path)
 
 
+@pytest.mark.slow
 def test_embeddings_zoo_broad_parity(spark, tmp_path):
     sf = write_zoo(tmp_path)
     con = duckdb.connect()

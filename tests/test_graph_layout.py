@@ -3,6 +3,8 @@ edit-distance, and trend operators added in round 3."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 import random
 
@@ -391,6 +393,7 @@ def test_k_core_raises_when_peel_cascade_outruns_rounds(spark):
     assert k_core(tri_sym, k=2, n_rounds=2).count() == 3
 
 
+@pytest.mark.slow
 def test_iterative_loops_flat_per_round_at_depth_30(spark):
     """r9 verdict #3: the Catalyst size-estimate blowup (BigInteger
     stats arithmetic compounding ~3x per round, exponential driver CPU

@@ -5,9 +5,12 @@ reject at the right stage)."""
 
 from __future__ import annotations
 
+import pytest
+
 from puma_matcher_spark.apps import run_incremental_ingest_app
 
 
+@pytest.mark.slow
 def test_ingest_app_stages(spark):
     corpus = spark.createDataFrame(
         [
@@ -39,6 +42,7 @@ def test_ingest_app_stages(spark):
     assert [r["doc_id"] for r in res.accepted.collect()] == [104]
 
 
+@pytest.mark.slow
 def test_ingest_app_on_fixture_is_monotone(spark, sf_small):
     from pyspark.sql import functions as F
 
@@ -53,6 +57,7 @@ def test_ingest_app_on_fixture_is_monotone(spark, sf_small):
     assert c["accepted"] > 0
 
 
+@pytest.mark.slow
 def test_ingest_app_index_path_equals_text_path(spark, sf_small):
     """Round 8: the precomputed-DedupIndex corpus side must be
     result-identical to passing corpus text (same kernels) — the

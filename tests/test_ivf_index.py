@@ -30,6 +30,7 @@ def _emb(spark, n, seed, start=0, dim=8):
     return spark.createDataFrame(rows, ["vec_id", "embedding"])
 
 
+@pytest.mark.slow
 def test_ivf_topk_indexed_equals_monolithic(spark):
     """Search over a prebuilt index must reproduce ivf_topk exactly
     (same seed → same KMeans centers → same cells → same rerank)."""

@@ -1,3 +1,4 @@
+import pytest
 """Unit tests for the LLM-data-pipeline operators."""
 
 from pyspark.sql import functions as F
@@ -225,6 +226,7 @@ def test_curation_pipeline_end_to_end(spark):
     assert result.stage_counts["after_quality"] == 2
 
 
+@pytest.mark.slow
 def test_curation_scoped_bucket_cache_is_released(spark):
     """r12 (r11 verdict #7): repeated curation runs must not accumulate
     CacheManager entries — the monotonic-growth failure the r11 ring
@@ -786,6 +788,7 @@ def test_ngram_novelty_counts_repeated_shingles_once(spark):
     assert row["n_shingles"] == 3 and row["n_novel"] == 3
 
 
+@pytest.mark.slow
 def test_semantic_dedup_groups_transitive_chain(spark):
     # 1~2 and 2~3 but 1!~3: one transitive group {1,2,3}; 4 isolated
     emb = spark.createDataFrame(
@@ -814,6 +817,7 @@ def test_semantic_dedup_groups_accepts_external_pairs(spark):
     assert got == {1: 1, 2: 1, 3: 3, 4: 3}
 
 
+@pytest.mark.slow
 def test_semantic_dedup_lsh_pairs_are_a_refinement(spark):
     # the 100 TB path: sign-LSH bucket candidates feed semantic_dedup's
     # pairs= hook.  LSH can only MISS edges (same-bucket constraint), so
@@ -910,6 +914,7 @@ def test_ngram_novelty_invariants_on_generated_corpus(spark):
     assert first_row["novel_frac"] == 1.0
 
 
+@pytest.mark.slow
 def test_semantic_dedup_group_invariants(spark):
     """group_id is the min member id, exactly one representative per
     group, and group_size matches the actual member count."""
@@ -1315,6 +1320,7 @@ def test_has_tokens_equals_tokenizer_emptiness(spark):
     assert not bad, f"predicates disagree on: {bad!r}"
 
 
+@pytest.mark.slow
 def test_whitespace_zoo_broad_parity(spark, tmp_path):
     """Round 8: EVERY documents-only oracled query must match DuckDB on
     a corpus containing token-less documents (empty / spaces / tab /

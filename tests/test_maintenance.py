@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from puma_matcher_spark.sources.maintenance import (
     compact_parquet,
     dataset_file_stats,
@@ -138,6 +140,7 @@ def test_compact_and_publish_work_with_scheme_qualified_uris(spark, tmp_path):
     assert spark.read.parquet(data).count() == 500
 
 
+@pytest.mark.slow
 def test_compact_batch_index_fold_respects_target_file_size(spark, tmp_path):
     """r9 ADVICE #4: hashing the fold's repartition on batch_id put every
     folded row in ONE task, so the merged partition was always a single
@@ -184,6 +187,7 @@ def test_compact_batch_index_fold_respects_target_file_size(spark, tmp_path):
     assert spark.read.parquet(root).count() == 14_000
 
 
+@pytest.mark.slow
 def test_compact_batch_index_salt_sized_from_folded_bytes(spark, tmp_path):
     """r11 (r10 ADVICE #1): the fold's salt modulus must be sized from
     the FOLDED batches' bytes, not the whole dataset's.  With large

@@ -90,6 +90,7 @@ def test_retired_names_stay_testable():
 
 
 @pytest.mark.gate
+@pytest.mark.slow
 def test_driver_gate_preflight(spark):
     """The SAME comparison the external driver runs: first 50 entries of
     the ordered registry against their DuckDB oracles at sf0.01.  Run

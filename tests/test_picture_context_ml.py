@@ -1,6 +1,8 @@
 """Picture/hamming, context windows, editors, ML plane, file sources."""
 
 import os
+
+import pytest
 import tempfile
 
 from pyspark.sql import functions as F
@@ -247,6 +249,7 @@ def test_lda_topics_runs_seeded(spark):
     assert abs(sum(dist) - 1.0) < 1e-6
 
 
+@pytest.mark.slow
 def test_pic_separates_disjoint_cliques(spark):
     """M9 PIC: two disjoint high-weight cliques must land in different
     clusters (PICExample.scala graph shape)."""

@@ -224,6 +224,7 @@ def exported_dfs(spark, sf_small):
     }
 
 
+@pytest.mark.slow
 def test_no_cartesian_outside_documented_baselines(exported_dfs):
     """Registry-wide guard: no exported query may plan a cartesian /
     broadcast-nested-loop join EXCEPT the documented brute-force
@@ -247,6 +248,7 @@ def test_no_cartesian_outside_documented_baselines(exported_dfs):
     assert not offenders, f"undocumented cartesian plans: {offenders}"
 
 
+@pytest.mark.slow
 def test_no_row_at_a_time_python_udfs_anywhere(exported_dfs):
     """Registry-wide guard: every Python kernel in every exported query
     must be Arrow-batched (ArrowEvalPython / MapInPandas /
@@ -260,6 +262,7 @@ def test_no_row_at_a_time_python_udfs_anywhere(exported_dfs):
     assert not offenders, f"row-at-a-time Python UDF plans: {offenders}"
 
 
+@pytest.mark.slow
 def test_exported_queries_have_flat_schemas(exported_dfs):
     """Registry-wide guard (round 5): the round driver canonicalises each
     result by ``DataFrame.sort_values`` over EVERY column before hashing,

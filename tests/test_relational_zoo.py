@@ -97,6 +97,7 @@ def build_zoo(tmp: str, sf_dir: str) -> None:
         con.execute(f"COPY z_{t} TO '{tmp}/{t}.parquet' (FORMAT PARQUET)")
 
 
+@pytest.mark.slow
 def test_relational_zoo_broad_parity(spark, sf_small, tmp_path):
     build_zoo(str(tmp_path), sf_small)
     con = duckdb.connect()

@@ -1,3 +1,4 @@
+import pytest
 """Plan inspection, skew helpers, publish, formula/instrument analysers."""
 
 import os
@@ -227,6 +228,7 @@ def test_mapside_operators_shuffle_budget(spark, sf_small):
     assert pi.num_shuffles(char_entropy(docs)) <= 4
 
 
+@pytest.mark.slow
 def test_plan_sweep_no_accidental_cartesians(spark, sf_small):
     """Every registered query must plan without a cartesian product,
     except those that are intentionally all-pairs at fixture scale."""

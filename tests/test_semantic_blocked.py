@@ -10,6 +10,8 @@ PLANS.md §round-6 semantic-dedup.
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from puma_matcher_spark.llmdata import similarity as sim
@@ -23,6 +25,7 @@ def _docs(spark, sf_dir):
     return load_tables(spark, sf_dir).llm_documents()
 
 
+@pytest.mark.slow
 def test_blocked_equals_exact_definition(spark, sf_small):
     """The blocked pipeline (rare-shingle candidates → exact verify → CC)
     must reproduce the unblocked all-pairs definition row-for-row."""
@@ -37,6 +40,7 @@ def test_blocked_equals_exact_definition(spark, sf_small):
     assert blocked.count() > 0  # non-trivial: the fixture has real dups
 
 
+@pytest.mark.slow
 def test_candidate_stage_complete_with_margin(spark, sf_small):
     """Every true pair (exact cosine >= threshold) must appear among the
     shared-rare-shingle candidates — and not via a single lucky shingle:
@@ -163,6 +167,7 @@ def test_blocked_dedup_handles_a_dup_free_corpus(spark):
     }
 
 
+@pytest.mark.slow
 def test_verify_join_reads_checkpointed_embeddings(spark, sf_small):
     """The materialization barrier of commit 068b131 (VERDICT r6 #4):
     the verify join's BOTH sides must be scans of the localCheckpoint'ed
@@ -180,6 +185,7 @@ def test_verify_join_reads_checkpointed_embeddings(spark, sf_small):
     assert plan.count("ExistingRDD") >= 2, plan
 
 
+@pytest.mark.slow
 def test_semantic_contamination_finds_planted_leak(spark):
     """A benchmark doc paraphrase-leaked into the corpus (same content,
     one token changed) must be flagged; unrelated docs must not."""
@@ -202,6 +208,7 @@ def test_semantic_contamination_finds_planted_leak(spark):
     assert out[0]["cosine_sim"] >= 0.9
 
 
+@pytest.mark.slow
 def test_semantic_contamination_rarity_is_global(spark):
     """A shingle that floods the CORPUS is no blocking key even when the
     benchmark uses it once: with every cross pair sharing only boiler
@@ -302,6 +309,7 @@ def test_semantic_decontaminate_drops_exactly_the_flagged_ids(spark):
     assert set(clean.columns) == set(corpus.columns)
 
 
+@pytest.mark.slow
 def test_planted_leak_recall_at_operating_point(spark):
     """Round-9 recall gate (scripts/semantic_recall_study.py): at the
     default operating point (min_shared=2, df_cap=64) the blocked scan

@@ -3,6 +3,8 @@ same windowed aggregates as the batch twin."""
 
 from pyspark.sql import functions as F
 
+import pytest
+
 from puma_matcher_spark.sources.testdata import load_tables
 from puma_matcher_spark.streaming import events as se
 
@@ -67,6 +69,7 @@ def test_stateful_running_stats_matches_batch(spark, sf_small):
     assert len(batch) > 10
 
 
+@pytest.mark.slow
 def test_stream_sessionize_matches_batch(spark, sf_small):
     """session_window on the real streaming engine (stateful session
     merging in the state store) must agree with the batch twin once the
@@ -107,6 +110,7 @@ def test_stream_sessionize_matches_batch(spark, sf_small):
     assert len(finalized) > 100
 
 
+@pytest.mark.slow
 def test_stream_dedup_drops_replayed_records(spark, sf_small):
     from puma_matcher_spark.streaming.events import read_events_stream, stream_dedup
 
@@ -143,6 +147,7 @@ def test_stream_dedup_drops_replayed_records(spark, sf_small):
     assert kept == twin
 
 
+@pytest.mark.slow
 def test_stream_stream_attribution_join_matches_batch(spark, sf_small):
     """The dual-watermark stream-stream interval join must produce the
     same attributed (click, purchase) pairs as the batch twin."""
@@ -419,6 +424,7 @@ def test_session_paths_caps_steps_and_orders_by_time(spark):
     assert got == {"a>b>c": 2}
 
 
+@pytest.mark.slow
 def test_events_zoo_broad_parity(spark, tmp_path):
     """Round 8: every events-only oracled query must match DuckDB on an
     edge-case corpus (NULL ts / NULL user / NULL type / NULL value /

@@ -3,6 +3,8 @@ selection on a hand-built candidate set."""
 
 from pyspark.sql import functions as F
 
+import pytest
+
 from puma_matcher_spark.operators import weights as wt
 
 
@@ -63,6 +65,7 @@ def test_evaluate_weights_error_counts_rank_misses(spark):
     assert out["hits_3"] == 1
 
 
+@pytest.mark.slow
 def test_refinement_rounds_converge_toward_true_weights(spark):
     """Coarse→fine search (WeightTrainerStage.scala:61-170): candidates
     whose true ranking follows 0.75·A + 0.25·B — a 0.5-step coarse grid
