@@ -55,20 +55,22 @@ BROADCAST_NODES_MAX = 500_000
 #: their shuffle-partition count from the MEASURED edge count instead of
 #: inheriting the session default (a constant tuned for neither shape):
 #:
-#:   partitions = max(bytes/128MB, min(cores, bytes/8MB))
+#:   partitions = max(bytes/128MB, min(cores, bytes/16MB))
 #:
 #: * bytes = edge rows x ~64 B (two short string ids, serialized);
-#: * the 8 MB local target keeps small graphs parallel across real
-#:   cores without 32-way tiny-task storms (measured sweep at sf0.1,
-#:   1.1M edges: 4-8 partitions beat both 1 and 32 — scripts/
-#:   graph_partition_exp.py; pagerank_top 11.7→6.4 s, LPA 6.0→3.4 s);
+#: * the 16 MB local target keeps small graphs parallel across real
+#:   cores without 32-way tiny-task storms (measured sweeps at sf0.1,
+#:   1.17M edges: 4-8 partitions beat both 1 and 32 — scripts/
+#:   graph_partition_exp.py; pagerank_top 11.7→6.4 s, LPA 6.0→3.4 s —
+#:   and the interleaved 5/6-vs-9 follow-up put ~5 partitions ahead of
+#:   9 on BOTH loops, so the target sits at 16 MB ≈ 230k edge rows);
 #: * the 128 MB floor takes over at cluster scale so tasks stay in the
 #:   guide's 100 MB-1 GB band no matter the core count.
 #:
 #: ``PUMA_SPARK_LOOP_SHUFFLE_PARTITIONS`` overrides: >0 forces a count,
 #: -1 disables the scoping (session conf rules), unset/0 = auto.
 _EDGE_ROW_BYTES = 64
-_LOOP_LOCAL_TARGET = 8 << 20
+_LOOP_LOCAL_TARGET = 16 << 20
 _LOOP_SCALE_TARGET = 128 << 20
 
 
